@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+``{"metric": "headline_total", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}``
+
+Each query is forced with a noop-format write (full plan execution, no
+driver-side result materialization cost skewing the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sortify_spark.all_queries import REGISTRY  # noqa: E402
+from sortify_spark.session import get_spark  # noqa: E402
+
+#: One per operator class: scan-agg, filter+page, conditional counts,
+#: time bucketing, explode+topk, star join, join+topk, window, knn,
+#: fusion, two-stage, LSH dedup, clustering assignment, quality scoring,
+#: exact dedup, chunking UDF.
+HEADLINE = (
+    "pricing_summary",
+    "list_filter_paginate",
+    "dashboard_counts",
+    "daily_trend",
+    "keyword_topk",
+    "regional_revenue",
+    "revenue_topk_orders",
+    "top_order_per_customer",
+    "knn_bruteforce",
+    "rrf_fusion",
+    "two_stage_hybrid",
+    "minhash_lsh_pairs",
+    "centroid_assign",
+    "quality_scores",
+    "dedup_exact_stats",
+    "chunk_documents",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("sortify-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + file listing so query timings measure the plans.
+    REGISTRY["pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

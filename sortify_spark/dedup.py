@@ -1,0 +1,403 @@
+"""Deduplication operators for corpus curation at 100 TB scale.
+
+Five families (SURVEY.md §7.2 step 9; first-class engine components):
+
+* **exact**       — fingerprint hash-groupBy; one shuffle on the hash.
+* **MinHash+LSH** — token-set min-hashing into banded buckets; candidate
+  pairs only form inside a bucket, so the pair space never materializes
+  globally (the classic shingle→minhash→band→bucket-join plan).
+* **n-gram Jaccard** — exact verify step on candidate pairs.
+* **SimHash**     — 64-bit weighted-projection signature; near-dup =
+  small Hamming distance within banded buckets.
+* **embedding near-dup** — cosine over an embedding column inside cheap
+  blocks.
+
+Hash choice: md5 hex strings (lexicographic min) — deliberately, because
+md5 is bit-identical in Spark, DuckDB, and Python, which makes every
+stage oracle-checkable.  At production scale you would swap in xxhash64
+for speed; the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sortify_spark.textstats import fingerprint
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_SIZE = 2
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplication summary in one aggregate pass."""
+    fp = fingerprint(F.col(text_col))
+    return df.select(fp.alias("fp")).agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct("fp").alias("distinct_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("duplicate_docs"),
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id representative per fingerprint group — the
+    distributed form of hash-groupBy dedup."""
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    w = df.select("*", fp)
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    )
+    return w.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__fp", "__rn")
+
+
+# ---------------------------------------------------------------------------
+# Token sets and MinHash
+# ---------------------------------------------------------------------------
+
+
+def token_set(text_col: Column) -> Column:
+    """Distinct non-empty whitespace tokens (word-level shingles; for
+    k-gram shingles see :func:`shingles`)."""
+    return F.array_distinct(
+        F.filter(F.split(text_col, " "), lambda w: w != F.lit(""))
+    )
+
+
+def words(text_col: Column) -> Column:
+    """Non-empty whitespace tokens, order preserved."""
+    return F.filter(F.split(text_col, " "), lambda w: w != F.lit(""))
+
+
+def shingles(words_col: Column, k: int = 3) -> Column:
+    """k-word shingles as strings — pure Catalyst expression (no UDF):
+    transform over a 0..n-k index sequence.
+
+    ``words_col`` MUST be a materialized column reference (see
+    :func:`words`), not an inline split expression: the lambda's
+    ``element_at`` calls would re-evaluate an inline expression once per
+    element — O(shingles × words) re-splits per document."""
+    n = F.size(words_col)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words_col, i + j + 1) for j in range(k)]
+                ),
+            )
+        )
+    )
+
+
+#: Universal-hash family over a 28-bit base hash: h_j = (a·h + b) mod P.
+#: P = 2^31 − 1; operands stay < 2^63, so Spark and DuckDB int64
+#: arithmetic agree exactly.  Coefficients are arbitrary fixed odd values.
+MINHASH_PRIME = 2_147_483_647
+HASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (2654435761, 104729),
+    (2246822519, 224737),
+    (3266489917, 350377),
+    (668265263, 479909),
+    (374761393, 611953),
+    (2166136261, 746773),
+    (16777619, 882377),
+    (1540483477, 1020379),
+)
+
+
+def base_hash(col: Column) -> Column:
+    """28-bit base hash from the md5 hex prefix — the one expensive hash
+    per token; everything else is integer arithmetic.  Bit-identical in
+    DuckDB: ``('0x' || substring(md5(t), 1, 7))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 7), 16, 10).cast(
+        "bigint"
+    )
+
+
+def derived_hash(h: Column, j: int) -> Column:
+    a, b = HASH_COEFFS[j]
+    return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays via
+    inclusion-exclusion (array_intersect is distinct-preserving)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
+    return F.when(F.lit(union) == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    threshold: float = 0.5,
+    use_shingles: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs: minhash → band → bucket self-join → exact
+    Jaccard verify ≥ threshold.
+
+    Scale shape: the only join is *within band buckets* (equi-join on the
+    band key), so cost is Σ bucket² not n² — the standard LSH bound.  The
+    verify step re-joins token sets by id; at 100 TB you'd carry the token
+    arrays through the bucket join only for bucketed candidates (done
+    here), never for the full corpus.
+    """
+    # Small single-file sources arrive as one partition; fan out the RAW
+    # text before deriving shingles so the expression work parallelizes
+    # (deriving first would run inside the single scan task).  The words
+    # array is materialized in its own projection so the shingle lambda
+    # reads a column reference, not a re-evaluated split.  Docs too short
+    # to produce a shingle have no signature and are dropped.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        shingles(F.col("__w"), use_shingles)
+        if use_shingles
+        else F.array_distinct(F.col("__w"))
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__w"))
+        # The Exchange doubles as a projection-collapse barrier: without
+        # it Catalyst inlines __w back into the shingle lambda and the
+        # O(shingles × words) re-split returns.
+        .repartition(par, "id")
+        .select("id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .persist()
+    )
+    # Relational minhash: explode shingles, ONE md5 per shingle, 8 derived
+    # universal hashes, codegen'd hash-aggregate minima.  Map-side partial
+    # aggregation makes the shuffle ~1 row per doc — this is the plan that
+    # survives 100 TB (the earlier higher-order-function formulation
+    # evaluated 8 interpreted md5 lambdas per token).
+    sh = base.select("id", F.explode("toks").alias("shingle"))
+    h = base_hash(F.col("shingle"))
+    sig = (
+        sh.select(
+            "id", *[derived_hash(h, j).alias(f"h{j}") for j in range(num_hashes)]
+        )
+        .groupBy("id")
+        .agg(*[F.min(f"h{j}").alias(f"h{j}") for j in range(num_hashes)])
+    )
+    # Band key packs the band's minima into one bigint (components < 2^31).
+    band_cols = []
+    for b in range(num_hashes // band_size):
+        key = F.col(f"h{b * band_size}")
+        for j in range(1, band_size):
+            key = key * MINHASH_PRIME + F.col(f"h{b * band_size + j}")
+        band_cols.append(key)
+    banded = sig.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    )
+    # Plain-key equi-join (hash join on the band key); the aliased
+    # self-join form can degrade to a nested-loop join re-evaluating the
+    # signature expressions per row pair — catastrophic.
+    left = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    right = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    cand = (
+        left.join(right, on=["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Exact-verify only the candidates: hydrate token sets by id.
+    ta = base.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_oracle_sql(
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> str:
+    """DuckDB rendering of :func:`minhash_lsh_pairs` over the
+    ``documents`` view — generated from the SAME hash constants so engine
+    and oracle cannot drift."""
+    p = MINHASH_PRIME
+    hash_exprs = ", ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS h{j}"
+        for j, (a, b) in enumerate(HASH_COEFFS[:num_hashes])
+    )
+    band_cases = []
+    for b in range(num_hashes // band_size):
+        key = f"h{b * band_size}"
+        for j in range(1, band_size):
+            key = f"({key}) * {p} + h{b * band_size + j}"
+        band_cases.append(f"WHEN {b} THEN {key}")
+    band_idx_list = ", ".join(str(b) for b in range(num_hashes // band_size))
+    # 1-based start positions 1..n-k+1 → range(1, n-k+2).
+    shingle_expr = (
+        f"list_distinct(list_transform(range(1, len(w) - {shingle_k} + 2), i -> "
+        + " || ' ' || ".join(f"w[i+{j}]" for j in range(shingle_k))
+        + "))"
+    ).replace("w[i+0]", "w[i]")
+    return f"""
+    WITH w AS (
+      SELECT doc_id AS id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT id, {shingle_expr} AS toks FROM w
+    ),
+    base2 AS (SELECT * FROM base WHERE len(toks) > 0),
+    sh AS (SELECT id, unnest(toks) AS shingle FROM base2),
+    hh AS (SELECT id, ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h
+           FROM sh),
+    sig AS (SELECT id, {hash_exprs} FROM hh GROUP BY id),
+    banded AS (
+      SELECT id, b.band_idx,
+             CASE b.band_idx {' '.join(band_cases)} END AS band_key
+      FROM sig, (SELECT unnest([{band_idx_list}]) AS band_idx) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b
+      FROM banded a JOIN banded c
+        ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+       AND a.id < c.id
+    ),
+    verified AS (
+      SELECT cand.id_a, cand.id_b,
+             ROUND(CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                   / (len(x.toks) + len(y.toks)
+                      - len(list_intersect(x.toks, y.toks))), 6) AS jaccard
+      FROM cand
+      JOIN base2 x ON x.id = cand.id_a
+      JOIN base2 y ON y.id = cand.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(tokens_col: Column) -> Column:
+    """64-bit SimHash: per-token xxhash64, per-bit vote by token presence,
+    sign of the vote sets the bit.  Pure Catalyst expression: for each bit
+    position, count tokens with that bit set vs total.
+
+    Implemented bit-parallel-free (64 aggregates over the token array) —
+    fine because it runs per row over small arrays, JVM-side.
+    """
+    hashed = F.transform(tokens_col, lambda t: F.xxhash64(t))
+    n = F.size(tokens_col)
+    bits = []
+    for bit in range(64):
+        # Signed-long representation: bit 63's mask is the JVM long MIN.
+        mask = (1 << bit) if bit < 63 else -(1 << 63)
+        ones = F.size(
+            F.filter(
+                hashed,
+                lambda h: h.bitwiseAND(F.lit(mask)) != 0,  # noqa: B023
+            )
+        )
+        # bit set if more than half the tokens vote 1
+        bits.append(
+            F.when(ones * 2 > n, F.lit(mask)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash distance, blocked on the signature's top
+    16 bits (docs differing there are unlikely near-dups — standard
+    prefix-blocking; at scale use 4 rotated prefixes for recall)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .repartition(par, "id")
+        .select("id", simhash64(token_set(F.col(text_col))).alias("sig"))
+        .withColumn("block", F.shiftrightunsigned(F.col("sig"), 48))
+        .persist()
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most-similar same-block pairs by cosine.  Blocking keeps the
+    pair space at Σ block² — with an IVF-style coarse assignment as the
+    block at scale (see search.knn), this is the embedding-dedup plan."""
+    from sortify_spark.functions.vectors import cosine
+
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    if block_col:
+        cols.append(F.col(block_col).alias("block"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.block") == F.col("b.block"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(k)
+    )

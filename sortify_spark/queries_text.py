@@ -1,0 +1,158 @@
+"""Text-analysis queries with DuckDB oracles: language ID, quality
+scoring, token stats, fingerprint dedup, chunking plumbing.
+
+The scalar logic lives in :mod:`sortify_spark.textstats`, which renders
+both the Spark Column and the oracle SQL from one config — engine and
+oracle cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sortify_spark import textstats as ts
+from sortify_spark.dedup import exact_dedup_stats
+from sortify_spark.functions.text import explode_chunks
+from sortify_spark.queries import register, _t
+
+
+@register(
+    "lang_distribution",
+    f"""
+    SELECT {ts.lang_id_sql('text')} AS lang_pred, COUNT(*) AS cnt
+    FROM documents GROUP BY 1
+    """,
+    note="Language ID: marker-token argmax with fixed tie-break priority; "
+    "pure expression (no UDF), distribution aggregated per predicted "
+    "language.",
+)
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(ts.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "quality_scores",
+    f"""
+    SELECT doc_id,
+           {ts.TOKEN_COUNT_SQL.format(t='text')} AS tokens,
+           {ts.quality_score_sql('text', 'n_chars')} AS quality
+    FROM documents
+    """,
+    note="Quality scoring: length/token/stopword composite in [0,1] — "
+    "the curation filter a 100 TB corpus pipeline runs before training; "
+    "JVM-side expressions only.",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.token_count(F.col("text")).alias("tokens"),
+        ts.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+    )
+
+
+@register(
+    "token_stats_by_source",
+    f"""
+    SELECT source,
+           CAST(SUM({ts.TOKEN_COUNT_SQL.format(t='text')}) AS BIGINT)
+               AS total_tokens,
+           ROUND(CAST(SUM({ts.TOKEN_COUNT_SQL.format(t='text')}) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_tokens,
+           COUNT(*) AS docs
+    FROM documents GROUP BY source
+    """,
+    note="Token counting rollup per source — corpus accounting (the "
+    "token-budget view every training-data pipeline needs).",
+)
+def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = ts.token_count(F.col("text"))
+    return (
+        docs.select("source", toks.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.sum("t").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("t").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_tokens"
+            ),
+            F.count(F.lit(1)).alias("docs"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_stats",
+    f"""
+    SELECT COUNT(*) AS total_docs,
+           COUNT(DISTINCT {ts.FINGERPRINT_SQL.format(t='text')})
+               AS distinct_docs,
+           COUNT(*) - COUNT(DISTINCT {ts.FINGERPRINT_SQL.format(t='text')})
+               AS duplicate_docs
+    FROM documents
+    """,
+    note="Exact dedup via content fingerprint (md5 of normalized text) — "
+    "hash-groupBy dedup, one aggregate pass.",
+)
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_sample",
+    """
+    WITH base AS (
+      SELECT doc_id AS id,
+             list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))
+                 AS toks
+      FROM documents WHERE doc_id < 30
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+    FROM base a JOIN base b ON a.id < b.id
+    """,
+    note="n-gram Jaccard (word-level) all-pairs similarity on a bounded "
+    "id block — the exact-verify kernel the MinHash-LSH pipeline calls "
+    "on candidates; k-word shingles via dedup.shingles for k>1.",
+)
+def q_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.dedup import jaccard, token_set
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select(F.col("doc_id").alias("id"), token_set(F.col("text")).alias("toks"))
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(jaccard(F.col("a.toks"), F.col("b.toks")), 6).alias("jaccard"),
+    )
+
+
+@register(
+    "chunk_documents",
+    None,  # chunker is a pandas UDF — no SQL twin; property-tested locally
+    note="F2 chunker plumbing: UDF → array<string> → posexplode into "
+    "(doc_id, chunk_index, total_chunks) rows; chunk 64/overlap 16 to "
+    "exercise multi-chunk paths on the short synthetic docs. Invariants "
+    "(coverage, bounds, overlap) in tests/test_text_ops.py.",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = explode_chunks(docs, chunk_size=64, overlap=16)
+    return out.select(
+        "doc_id",
+        "chunk_index",
+        "total_chunks",
+        F.length("chunk_text").alias("chunk_len"),
+    )

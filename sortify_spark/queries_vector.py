@@ -1,0 +1,391 @@
+"""Vector-search + dedup + clustering-assignment queries with DuckDB
+oracles (SURVEY.md §2.10 pipelines + scale-extension operators).
+
+Scorer conventions shared by all fusion oracles:
+* *vector scorer*  — cosine (double fold, rounded 6) against the fixed
+  probe vector ``vec_id = 0``;
+* *keyword scorer* — weighted term frequency over ``documents.text``
+  (the SQL-expressible stand-in for a second retrieval source, letting
+  RRF / hybrid / multi-query plans be oracle-checked end-to-end; with
+  real embeddings the same plans take V1/V2 scored lists instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sortify_spark import dedup
+from sortify_spark.queries import register, _t
+from sortify_spark.search import fusion, knn
+from sortify_spark.functions.vectors import cosine
+
+# --- shared scorer builders -------------------------------------------------
+
+_KW_TERMS = (("data", 1.0), ("query", 0.5), ("join", 0.25))
+
+
+def _keyword_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (id, score): weighted term-frequency scorer."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = F.lit(0.0)
+    for term, w in _KW_TERMS:
+        score = score + w * F.size(
+            F.filter(toks, lambda t: t == F.lit(term))  # noqa: B023
+        )
+    return docs.select(
+        F.col("doc_id").alias("id"), F.round(score, 6).alias("score")
+    )
+
+
+_KW_SCORE_SQL = " + ".join(
+    f"{w} * len(list_filter(string_split(text, ' '), t -> t = '{term}'))"
+    for term, w in _KW_TERMS
+)
+
+_COS_SQL = """
+  SELECT vec_id AS id, label,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6)
+             AS score
+  FROM embeddings, (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id = 0) q
+  WHERE vec_id <> 0
+"""
+
+
+def _cosine_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → (id, label, score) against probe vec_id=0."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return knn.score_vectors(
+        emb.filter(F.col("vec_id") != 0), q, carry_cols=("label",)
+    ).select(F.col("vec_id").alias("id"), "label", "score")
+
+
+# --- top-k scans (O4, V1/V2) ------------------------------------------------
+
+
+@register(
+    "knn_bruteforce",
+    f"""
+    WITH cos AS ({_COS_SQL})
+    SELECT id, label, score FROM cos
+    WHERE score >= 0.1
+    ORDER BY score DESC, id ASC LIMIT 10
+    """,
+    note="O4/V1: exact cosine top-k with similarity threshold — the "
+    "engine's summary_only search (vector_db_service.py:193-246; "
+    "τ-postfilter + k cap). Broadcast 1-row query, single scan, "
+    "TakeOrdered.",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") == 0),
+        k=10,
+        threshold=0.1,
+        carry_cols=("label",),
+    ).select(F.col("vec_id").alias("id"), "label", "score")
+
+
+@register(
+    "knn_per_label_topk",
+    f"""
+    WITH cos AS ({_COS_SQL})
+    SELECT id, label, score FROM cos
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY score DESC, id ASC) <= 3
+    """,
+    note="W2 over vectors: top-3 most-similar per label partition (the "
+    "best-chunk-per-document pattern applied to an embedding table).",
+)
+def q_knn_per_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.operators.windows import topn_per_group
+
+    scored = _cosine_scored(spark, sf_dir)
+    return topn_per_group(
+        scored, ["label"], [F.col("score").desc(), F.col("id").asc()], 3
+    ).select("id", "label", "score")
+
+
+# --- fusion strategies (V3-V6) ---------------------------------------------
+
+
+@register(
+    "rrf_fusion",
+    f"""
+    WITH cos AS ({_COS_SQL}),
+    a0 AS (SELECT id, score FROM cos ORDER BY score DESC, id ASC LIMIT 20),
+    a AS (SELECT id, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rank_summary
+          FROM a0),
+    k0 AS (SELECT doc_id AS id, ROUND({_KW_SCORE_SQL}, 6) AS score
+           FROM documents),
+    b0 AS (SELECT id, score FROM k0 ORDER BY score DESC, id ASC LIMIT 20),
+    b AS (SELECT id, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rank_chunks
+          FROM b0)
+    SELECT COALESCE(a.id, b.id) AS id, rank_summary, rank_chunks,
+           ROUND(COALESCE(2.0 / (60 + rank_summary), 0)
+                 + COALESCE(1.0 / (60 + rank_chunks), 0), 6) AS rrf_score
+    FROM a FULL OUTER JOIN b ON a.id = b.id
+    ORDER BY rrf_score DESC, id ASC LIMIT 10
+    """,
+    note="W6/V4: Reciprocal Rank Fusion k=60, weights {summary 2.0, "
+    "chunks 1.0} (config.py:42-43; enhanced_search_service.py:379-459). "
+    "Two ranked branches → full-outer join → score expr → top-k.",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    summary = _cosine_scored(spark, sf_dir).orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    ).limit(20).select("id", "score")
+    chunks = _keyword_scored(spark, sf_dir).orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    ).limit(20)
+    return fusion.rrf_fuse(summary, chunks, top_k=10)
+
+
+@register(
+    "two_stage_hybrid",
+    f"""
+    WITH cos AS ({_COS_SQL}),
+    stage1 AS (SELECT id, score,
+                      ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rank
+               FROM cos QUALIFY rank <= 10),
+    kw AS (SELECT doc_id AS id, ROUND({_KW_SCORE_SQL}, 6) AS score
+           FROM documents),
+    s2 AS (SELECT kw.id, kw.score, 0 AS tier FROM kw
+           WHERE kw.id IN (SELECT id FROM stage1) AND kw.score > 0),
+    s1 AS (SELECT id, score, 1 AS tier FROM stage1),
+    u AS (SELECT * FROM s2 UNION ALL SELECT * FROM s1),
+    d AS (SELECT id, score, tier FROM u
+          QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY id ORDER BY tier ASC, score DESC) = 1)
+    SELECT id, score, tier FROM d
+    ORDER BY tier ASC, score DESC, id ASC LIMIT 5
+    """,
+    note="V3: two-stage coarse→fine search — stage-1 summary top-10, "
+    "stage-2 restricted to candidates (semi-join J1), dedup preferring "
+    "fine scores, stage-1 backfill (enhanced_search_service.py:126-203,"
+    "508-548). Stage-2 keyword scorer keeps the oracle SQL-expressible.",
+)
+def q_two_stage_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    summary = _cosine_scored(spark, sf_dir).select("id", "score")
+    kw = _keyword_scored(spark, sf_dir)
+
+    def chunk_scored_fn(candidates: DataFrame) -> DataFrame:
+        return (
+            kw.join(F.broadcast(candidates), "id", "left_semi")
+            .filter(F.col("score") > 0)
+        )
+
+    return fusion.two_stage_hybrid(
+        summary, chunk_scored_fn, stage1_k=10, top_k=5
+    )
+
+
+@register(
+    "traditional_merge",
+    f"""
+    WITH cos AS ({_COS_SQL}),
+    a AS (SELECT id, score FROM cos ORDER BY score DESC, id ASC LIMIT 15),
+    kw AS (SELECT doc_id AS id, ROUND({_KW_SCORE_SQL}, 6) AS score
+           FROM documents),
+    b AS (SELECT id, score FROM kw ORDER BY score DESC, id ASC LIMIT 15),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT id, MAX(score) AS score FROM u GROUP BY id
+    ORDER BY score DESC, id ASC LIMIT 10
+    """,
+    note="V5: legacy merge — union summary+chunk lists, per-doc max, "
+    "sort/limit (qa_search_coordinator.py:207-269).",
+)
+def q_traditional_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _cosine_scored(spark, sf_dir).orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    ).limit(15).select("id", "score")
+    b = _keyword_scored(spark, sf_dir).orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    ).limit(15)
+    return fusion.traditional_merge(a, b, top_k=10)
+
+
+@register(
+    "multi_query_merge",
+    """
+    WITH v0 AS (SELECT doc_id AS id,
+           ROUND(1.3 * len(list_filter(string_split(text,' '), t -> t = 'data')), 6) AS score
+           FROM documents),
+    v1 AS (SELECT doc_id AS id,
+           ROUND(1.1 * len(list_filter(string_split(text,' '), t -> t = 'query')), 6) AS score
+           FROM documents),
+    v2 AS (SELECT doc_id AS id,
+           ROUND(1.0 * len(list_filter(string_split(text,' '), t -> t = 'join')), 6) AS score
+           FROM documents),
+    u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT id, MAX(score) AS score FROM u GROUP BY id
+    ORDER BY score DESC, id ASC LIMIT 10
+    """,
+    note="V6/W4+F18: N rewritten-query variants weighted {1.3,1.1,1.0}, "
+    "merged keeping max weighted score per doc "
+    "(qa_search_coordinator.py:119-205).",
+)
+def q_multi_query_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    def term_scored(term: str) -> DataFrame:
+        toks = F.split(F.col("text"), " ")
+        return docs.select(
+            F.col("doc_id").alias("id"),
+            F.size(F.filter(toks, lambda t: t == F.lit(term))).cast(
+                "double"
+            ).alias("score"),
+        )
+
+    variants = [term_scored(t) for t in ("data", "query", "join")]
+    return fusion.multi_query_merge(variants, top_k=10)
+
+
+# --- clustering assignment + dedup ------------------------------------------
+
+_CENTROID_IDS = (0, 100, 200)
+
+_ASSIGN_SQL = f"""
+  WITH c0 AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0),
+       c1 AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 100),
+       c2 AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 200),
+  s AS (
+    SELECT vec_id,
+      ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), c0.e), 6) AS s0,
+      ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), c1.e), 6) AS s1,
+      ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), c2.e), 6) AS s2
+    FROM embeddings, c0, c1, c2
+  )
+  SELECT vec_id,
+         CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+              WHEN s1 >= s2 THEN 1 ELSE 2 END AS assigned,
+         ROUND(greatest(s0, s1, s2), 6) AS best_score
+  FROM s
+"""
+
+
+def _assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment against fixed probe centroids — the
+    distributed core of cluster write-back M5 (every vector scored against
+    broadcast centroids, argmax with first-wins tie-break)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scores = []
+    for i, cid in enumerate(_CENTROID_IDS):
+        c = F.broadcast(
+            emb.filter(F.col("vec_id") == cid).select(
+                F.col("embedding").alias(f"__c{i}")
+            )
+        )
+        emb = emb.crossJoin(c)
+        scores.append(
+            F.round(cosine(F.col("embedding"), F.col(f"__c{i}")), 6)
+        )
+    assigned = (
+        F.when((scores[0] >= scores[1]) & (scores[0] >= scores[2]), 0)
+        .when(scores[1] >= scores[2], 1)
+        .otherwise(2)
+    )
+    return emb.select(
+        "vec_id",
+        assigned.alias("assigned"),
+        F.round(F.greatest(*scores), 6).alias("best_score"),
+    )
+
+
+@register(
+    "centroid_assign",
+    _ASSIGN_SQL,
+    note="M1/M5 core primitive: nearest-centroid assignment with "
+    "deterministic tie-break — the per-vector argmax every clustering "
+    "round runs (clustering_service.py:387-455 write-back shape). "
+    "Centroids broadcast; one scan of the vectors table.",
+)
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assign(spark, sf_dir)
+
+
+@register(
+    "centroid_assign_sizes",
+    f"""
+    WITH assign AS ({_ASSIGN_SQL})
+    SELECT assigned, COUNT(*) AS cnt FROM assign GROUP BY assigned
+    """,
+    note="A9: cluster-size distribution over assignments "
+    "(clustering_service.py:442-453).",
+)
+def q_centroid_assign_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assign(spark, sf_dir).groupBy("assigned").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "embedding_neardup_topk",
+    """
+    WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, b2.e), 6) AS cos_sim
+    FROM b a JOIN b b2 ON a.label = b2.label AND a.vec_id < b2.vec_id
+    ORDER BY cos_sim DESC, id_a ASC, id_b ASC LIMIT 20
+    """,
+    note="Embedding near-dup: top-k same-block cosine pairs; label "
+    "blocking bounds the pair space (IVF buckets at scale).",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_neardup_topk(_t(spark, sf_dir, "embeddings"), k=20)
+
+
+@register(
+    "minhash_lsh_pairs",
+    dedup.minhash_lsh_oracle_sql(threshold=0.5, shingle_k=3),
+    note="MinHash+LSH near-dup: 3-word shingles, 8 universal hashes over "
+    "one md5 base hash per shingle (explode → codegen'd hash-agg minima), "
+    "4 bands of 2, bucket equi-join, exact Jaccard verify ≥ 0.5. Only "
+    "joins within band buckets (Σ bucket², never n²) — shingle "
+    "granularity keeps buckets selective, unlike word tokens on this "
+    "small-vocab corpus where every doc is a 0.67-near-dup of every other.",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, use_shingles=3
+    )
+
+
+@register(
+    "simhash_pairs",
+    None,  # xxhash64 has no DuckDB twin; verified against a Python model
+    note="SimHash near-dup: 64-bit signature, top-16-bit blocking, "
+    "Hamming ≤ 12. Rows-only driver check; bit-exactness covered by "
+    "tests/test_text_ops.py against an independent Python reference.",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=12
+    )
+
+
+@register(
+    "knn_ivf",
+    None,  # approximate by construction; recall property-tested locally
+    note="IVF top-k: label-mean centroids (built by build_centroids), "
+    "nprobe=3 bucket pruning, exact rerank inside probed buckets. "
+    "Approximate ⇒ rows-only driver check; recall vs brute force "
+    "asserted in tests/test_vector_ops.py.",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = knn.build_centroids(emb, "label")
+    return knn.ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        centroids,
+        emb.filter(F.col("vec_id") == 0),
+        k=10,
+        nprobe=3,
+    ).select(F.col("vec_id").alias("id"), "score")

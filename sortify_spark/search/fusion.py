@@ -1,0 +1,206 @@
+"""Rank-fusion search strategies (SURVEY.md §2.5 W3-W6, §2.10 V3-V7).
+
+Every strategy operates on generic *scored lists* — DataFrames of
+``(id, score)`` — so the same plans fuse vector scores, keyword scores,
+or any future scorer.  All are pure DataFrame plans: rank windows, a
+full-outer join, and a TakeOrdered; Catalyst schedules the branches
+independently (the reference needed explicit asyncio.gather,
+``enhanced_search_service.py:293-301``).
+
+Reference defaults: RRF k=60, weights {summary: 2.0, chunks: 1.0}
+(``config.py:42-43``).  The reference ALSO carries a conflicting service
+fallback {0.4, 0.6} (``enhanced_search_service.py:30-31``) — per
+SURVEY.md §7.3 the engine exposes ONE explicit parameter defaulting to
+the config values and documents the discrepancy here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+RRF_K = 60
+RRF_WEIGHT_SUMMARY = 2.0
+RRF_WEIGHT_CHUNKS = 1.0
+#: Multi-query rewrite-variant weights (``search_weight_config.py:15-19``).
+VARIANT_WEIGHTS = (1.3, 1.1, 1.0)
+
+
+def add_rank(
+    scored: DataFrame, id_col: str = "id", score_col: str = "score"
+) -> DataFrame:
+    """W1: dense 1-based rank, deterministic (score desc, id asc).
+    Input lists are top-k-bounded, so the single-partition window is safe."""
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    summary_scored: DataFrame,
+    chunk_scored: DataFrame,
+    id_col: str = "id",
+    k: int = RRF_K,
+    w_summary: float = RRF_WEIGHT_SUMMARY,
+    w_chunks: float = RRF_WEIGHT_CHUNKS,
+    top_k: int = 10,
+) -> DataFrame:
+    """W6/V4: Reciprocal Rank Fusion.
+
+    ``score(d) = Σᵢ wᵢ/(k + rankᵢ(d))`` over both ranked lists, absent
+    ranks contribute 0 (full-outer join + coalesce —
+    ``enhanced_search_service.py:379-459``).  Result carries each side's
+    contribution for explainability, like the reference's fusion stats.
+    """
+    a = add_rank(summary_scored, id_col).select(
+        F.col(id_col),
+        F.col("rank").alias("rank_summary"),
+        F.col("score").alias("score_summary"),
+    )
+    b = add_rank(chunk_scored, id_col).select(
+        F.col(id_col),
+        F.col("rank").alias("rank_chunks"),
+        F.col("score").alias("score_chunks"),
+    )
+    fused = a.join(b, on=id_col, how="full_outer").select(
+        id_col,
+        "rank_summary",
+        "rank_chunks",
+        F.round(
+            F.coalesce(w_summary / (k + F.col("rank_summary")), F.lit(0.0))
+            + F.coalesce(w_chunks / (k + F.col("rank_chunks")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    ).limit(top_k)
+
+
+def two_stage_hybrid(
+    summary_scored: DataFrame,
+    chunk_scored_fn,
+    id_col: str = "id",
+    stage1_k: int = 10,
+    top_k: int = 5,
+) -> DataFrame:
+    """V3: coarse→fine two-stage search with dedup + backfill.
+
+    Stage 1 takes the top ``stage1_k`` summary candidates; stage 2 scores
+    chunks restricted to those candidates (``chunk_scored_fn(candidate_ids)``
+    — the semi-join pushdown of J1); results dedup per doc preferring the
+    stage-2 (fine) score, and stage-1 order backfills when stage 2 returns
+    fewer than ``top_k`` docs (W3 contract,
+    ``enhanced_search_service.py:126-203,508-548``).
+
+    Determinism contract (§7.3 hard-part 2): stage-2 rows rank before
+    backfill rows; within a tier, (score desc, id asc).
+    """
+    stage1 = add_rank(summary_scored, id_col).filter(
+        F.col("rank") <= stage1_k
+    )
+    candidates = stage1.select(id_col)
+    stage2 = chunk_scored_fn(candidates)
+
+    s2 = stage2.select(
+        F.col(id_col), F.col("score"), F.lit(0).alias("tier")
+    )
+    s1 = stage1.select(
+        F.col(id_col), F.col("score"), F.lit(1).alias("tier")
+    )
+    unioned = s2.unionByName(s1)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tier").asc(), F.col("score").desc()
+    )
+    deduped = (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return deduped.orderBy(
+        F.col("tier").asc(), F.col("score").desc(), F.col(id_col).asc()
+    ).limit(top_k)
+
+
+def traditional_merge(
+    summary_scored: DataFrame,
+    chunk_scored: DataFrame,
+    id_col: str = "id",
+    top_k: int = 10,
+) -> DataFrame:
+    """V5: legacy strategy — union both lists, keep per-doc max score,
+    sort desc, limit (``qa_search_coordinator.py:207-269``)."""
+    unioned = summary_scored.select(id_col, "score").unionByName(
+        chunk_scored.select(id_col, "score")
+    )
+    merged = unioned.groupBy(id_col).agg(F.max("score").alias("score"))
+    return merged.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(top_k)
+
+
+def multi_query_merge(
+    variant_scored: list[DataFrame],
+    id_col: str = "id",
+    weights: tuple[float, ...] = VARIANT_WEIGHTS,
+    top_k: int = 10,
+) -> DataFrame:
+    """V6/W4: N rewritten-query result lists, weighted by variant index,
+    merged keeping the max weighted score per doc
+    (``qa_search_coordinator.py:119-205`` + F18 weights)."""
+    weighted = [
+        df.select(
+            F.col(id_col),
+            F.round(F.col("score") * weights[min(i, len(weights) - 1)], 6).alias(
+                "score"
+            ),
+        )
+        for i, df in enumerate(variant_scored)
+    ]
+    out = weighted[0]
+    for w in weighted[1:]:
+        out = out.unionByName(w)
+    merged = out.groupBy(id_col).agg(F.max("score").alias("score"))
+    return merged.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(top_k)
+
+
+def diversity_reselect(
+    rows: list,
+    text_key: str,
+    top_k: int,
+    overlap_limit: int = 5,
+    prefix_tokens: int = 10,
+) -> list:
+    """O6: greedy diversity re-selection — drop a result when ≥
+    ``overlap_limit`` of its first ``prefix_tokens`` tokens were already
+    seen (``search_strategy.py:44-73``).
+
+    Inherently sequential-greedy; the reference caps candidates at ~50, so
+    this deliberately runs driver-side over an already-collected,
+    k-bounded list (documented non-distributed — SURVEY.md §7.3 #6).
+    """
+    seen: set[str] = set()
+    out = []
+    for row in rows:
+        toks = (row[text_key] or "").split()[:prefix_tokens]
+        overlap = sum(1 for t in toks if t in seen)
+        if overlap >= overlap_limit:
+            continue
+        seen.update(toks)
+        out.append(row)
+        if len(out) >= top_k:
+            break
+    return out
+
+
+def select_strategy(granularity: str | None) -> str:
+    """V7: plan-time strategy dispatch (``search_strategy.py:12-41``)."""
+    mapping = {
+        "thematic": "summary_only",
+        "detailed": "rrf_fusion",
+        "unknown": "rrf_fusion",
+        "keyword_enhanced_rrf": "rrf_fusion",
+    }
+    return mapping.get(granularity or "", "hybrid")

@@ -1,0 +1,126 @@
+"""Vector top-k scans (SURVEY.md O4, V1/V2/V8).
+
+The reference's ANN index is an in-process HNSW (Chroma,
+``vector_db_service.py:73-76``); Spark has no built-in HNSW, and at test
+scale exact brute-force cosine is both correct and fast (a single
+scan+TakeOrdered).  The 100 TB path is IVF: a coarse-centroid assignment
+turns top-k into a partition-pruned scan of ``nprobe`` buckets — same
+DataFrame shape, strictly less data read.  Both are here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sortify_spark.functions.vectors import cosine, dot
+
+DEFAULT_TOP_K = 10
+DEFAULT_THRESHOLD = 0.5
+
+
+def score_vectors(
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+    pre_filter: Column | None = None,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score every vector against the broadcast 1-row query (cosine,
+    rounded 6), with optional pre-filter (the owner/type predicates the
+    reference pushes into the Chroma ``where``,
+    ``vector_db_service.py:193-224``) and τ post-filter (``:226-246``)."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    base = vectors.filter(pre_filter) if pre_filter is not None else vectors
+    scored = base.crossJoin(q).select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col("score") >= threshold)
+    return scored
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = DEFAULT_TOP_K,
+    threshold: float | None = None,
+    pre_filter: Column | None = None,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact cosine top-k (V1/V2): score + TakeOrdered(k) with id
+    tie-break — a single scan, no shuffle beyond the final take."""
+    scored = score_vectors(
+        vectors, query, id_col, vec_col, threshold, pre_filter, carry_cols
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def build_centroids(
+    vectors: DataFrame,
+    assign_col: str,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-bucket mean vector — the IVF coarse quantizer.  Element-wise
+    array mean via posexplode + groupBy (two shuffles, run once at index
+    build time, not per query)."""
+    exploded = vectors.select(
+        F.col(assign_col).alias("bucket"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    per_dim = exploded.groupBy("bucket", "i").agg(F.avg("x").alias("m"))
+    return (
+        per_dim.groupBy("bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("m")))
+            ).alias("pairs")
+        )
+        .select(
+            "bucket",
+            F.transform(F.col("pairs"), lambda p: p.getField("m")).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_col: str = "label",
+    k: int = DEFAULT_TOP_K,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k: rank buckets by centroid similarity to the query, scan
+    only the best ``nprobe`` buckets, brute-force inside them.
+
+    At scale the vectors table is partitioned by bucket, so the bucket
+    restriction is partition pruning — the scan reads nprobe/nlist of the
+    data.  Recall < 1 by construction; nprobe trades recall for cost.
+    """
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    best_buckets = (
+        centroids.crossJoin(q)
+        .select(
+            "bucket",
+            cosine(F.col("centroid"), F.col("__qvec")).alias("bscore"),
+        )
+        .orderBy(F.col("bscore").desc(), F.col("bucket").asc())
+        .limit(nprobe)
+        .select(F.col("bucket").alias(assign_col))
+    )
+    pruned = vectors.join(F.broadcast(best_buckets), assign_col, "left_semi")
+    return brute_force_topk(pruned, query, id_col, vec_col, k)

@@ -54,6 +54,11 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(cpus)),
         )
+        # local[N] defaults to a 1 GiB heap shared by all N executor
+        # threads — size it for the machine (only honored at JVM start;
+        # no-op when attaching to an existing session).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "4g")
     )
     for k, v in {**ENGINE_CONF, **(extra_conf or {})}.items():
         builder = builder.config(k, v)

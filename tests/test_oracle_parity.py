@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from sortify_spark.queries import REGISTRY
+from sortify_spark.all_queries import REGISTRY
 from tests.conftest import SF_DIR
 from tests.oracle_utils import assert_parity
 
