@@ -7,3 +7,6 @@ module; adding a new query module means adding one import here.
 from sortify_spark.queries import REGISTRY  # noqa: F401 — core relational
 import sortify_spark.queries_text  # noqa: F401, E402
 import sortify_spark.queries_vector  # noqa: F401, E402
+import sortify_spark.queries_metrics  # noqa: F401, E402
+import sortify_spark.queries_clustering  # noqa: F401, E402
+import sortify_spark.queries_pipeline  # noqa: F401, E402

@@ -1,0 +1,155 @@
+"""Engine facade (SURVEY.md §7.0-d): the reference's API surface as
+Python calls returning DataFrames.
+
+Each method is a thin composition over the operator library — the
+facade owns defaults (reference config values) and tenant isolation,
+never new plan logic.  LLM-powered stages (intent classification, query
+rewrite, spec generation) are injected callables with deterministic
+defaults, keeping the data plane hermetic (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sortify_spark.functions.vectors import hash_embed_text
+from sortify_spark.operators.aggregates import dashboard_counts
+from sortify_spark.operators.filters import DocumentFilter
+from sortify_spark.operators.pagination import page_with_total, validated_order
+from sortify_spark.pipelines import ingest_vectorize
+from sortify_spark.plans.query_spec import QuerySpec, compile_spec
+from sortify_spark.search import fusion
+from sortify_spark.search.knn import brute_force_topk
+from sortify_spark.tables import load_table
+
+#: Reference search defaults (``backend/app/core/config.py:27-43``).
+DEFAULT_TOP_K = 10
+DEFAULT_THRESHOLD = 0.5
+STAGE1_K = 10
+STAGE2_K = 5
+
+
+@dataclass
+class SearchConfig:
+    top_k: int = DEFAULT_TOP_K
+    threshold: float | None = None
+    rrf_k: int = fusion.RRF_K
+    w_summary: float = fusion.RRF_WEIGHT_SUMMARY
+    w_chunks: float = fusion.RRF_WEIGHT_CHUNKS
+
+
+class SortifyEngine:
+    """Facade over one sf_dir's tables + a derived vectors table."""
+
+    def __init__(
+        self, spark: SparkSession, sf_dir: str, dim: int = 64
+    ) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.dim = dim
+        self.documents = load_table(spark, sf_dir, "documents")
+        self.events = load_table(spark, sf_dir, "events")
+        # Vector index: built once per engine, cached — the batch
+        # ingest/vectorize pipeline output (chunk 128/32 keeps multi-chunk
+        # behavior on the short synthetic docs).
+        self.vectors = ingest_vectorize(
+            self.documents, chunk_size=128, overlap=32, dim=dim
+        ).persist()
+
+    # -- documents ---------------------------------------------------------
+
+    def list_documents(
+        self,
+        flt: DocumentFilter | None = None,
+        sort_by: str = "doc_id",
+        sort_order: str = "asc",
+        skip: int = 0,
+        limit: int = 100,
+    ) -> tuple[DataFrame, DataFrame]:
+        """GET /documents: filter + allowlisted sort + page + total."""
+        order = validated_order(
+            sort_by,
+            sort_order,
+            allowlist=("doc_id", "n_chars", "lang", "source"),
+            tiebreak_col="doc_id",
+        )
+        pred = (flt or DocumentFilter()).predicate()
+        return page_with_total(self.documents, pred, order, skip, limit)
+
+    def detail_query(
+        self, spec: QuerySpec | str, owner_id: str | None = None
+    ) -> DataFrame:
+        """P8: dynamic detail query from a (possibly LLM-produced) spec."""
+        if isinstance(spec, str):
+            spec = QuerySpec.from_json(spec)
+        return compile_spec(self.documents, spec, owner_id=owner_id)
+
+    # -- search ------------------------------------------------------------
+
+    def _query_df(self, query_text: str) -> DataFrame:
+        vec = hash_embed_text(query_text[:512], self.dim)
+        return self.spark.createDataFrame(
+            [(vec,)], f"embedding array<float>"
+        )
+
+    def _scored(self, query_text: str, vtype: str, k: int) -> DataFrame:
+        q = self._query_df(query_text)
+        return brute_force_topk(
+            self.vectors.filter(F.col("vtype") == vtype),
+            q,
+            id_col="document_id",
+            k=k,
+        ).select(F.col("document_id").alias("id"), "score")
+
+    def semantic_search(
+        self,
+        query_text: str,
+        search_type: str = "hybrid",
+        cfg: SearchConfig | None = None,
+    ) -> DataFrame:
+        """POST /semantic-search: strategy dispatch V7 over V1-V5 plans."""
+        cfg = cfg or SearchConfig()
+        if search_type == "summary_only":
+            return self._scored(query_text, "summary", cfg.top_k)
+        if search_type == "chunks_only":
+            return self._scored(query_text, "chunk", cfg.top_k)
+        if search_type == "rrf_fusion":
+            return fusion.rrf_fuse(
+                self._scored(query_text, "summary", cfg.top_k * 2),
+                self._scored(query_text, "chunk", cfg.top_k * 2),
+                k=cfg.rrf_k,
+                w_summary=cfg.w_summary,
+                w_chunks=cfg.w_chunks,
+                top_k=cfg.top_k,
+            )
+        if search_type == "traditional":
+            return fusion.traditional_merge(
+                self._scored(query_text, "summary", cfg.top_k * 2),
+                self._scored(query_text, "chunk", cfg.top_k * 2),
+                top_k=cfg.top_k,
+            )
+        # default: two-stage hybrid (V3)
+        summary = self._scored(query_text, "summary", STAGE1_K)
+
+        def chunk_scored_fn(candidates: DataFrame) -> DataFrame:
+            q = self._query_df(query_text)
+            restricted = self.vectors.filter(F.col("vtype") == "chunk").join(
+                F.broadcast(candidates.withColumnRenamed("id", "document_id")),
+                "document_id",
+                "left_semi",
+            )
+            return brute_force_topk(
+                restricted, q, id_col="document_id", k=2 * STAGE2_K
+            ).select(F.col("document_id").alias("id"), "score")
+
+        return fusion.two_stage_hybrid(
+            summary, chunk_scored_fn, stage1_k=STAGE1_K, top_k=STAGE2_K
+        )
+
+    # -- analytics ---------------------------------------------------------
+
+    def dashboard(self) -> DataFrame:
+        return dashboard_counts(self.events)

@@ -85,19 +85,26 @@ def explode_chunks(
     text_col: str = "text",
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     overlap: int = DEFAULT_OVERLAP,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """documents → (id, chunk_index, total_chunks, chunk_text) rows — the
-    write-path chunking stage (reference
+    """documents → (id, [carry…], chunk_index, total_chunks, chunk_text)
+    rows — the write-path chunking stage (reference
     ``semantic_summary_service.py:257-431`` builds exactly these rows
     before embedding).  ``posexplode`` keeps the chunk index without a
     window."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    chunks = df.select(F.col(id_col), F.col(text_col)).repartition(par).select(
-        F.col(id_col),
-        chunk_udf(chunk_size, overlap)(F.col(text_col)).alias("__chunks"),
+    keep = [F.col(id_col), *[F.col(c) for c in carry_cols]]
+    chunks = (
+        df.select(*keep, F.col(text_col))
+        .repartition(par)
+        .select(
+            *keep,
+            chunk_udf(chunk_size, overlap)(F.col(text_col)).alias("__chunks"),
+        )
     )
     return chunks.select(
         id_col,
+        *carry_cols,
         F.size("__chunks").alias("total_chunks"),
         F.posexplode("__chunks").alias("chunk_index", "chunk_text"),
     )

@@ -1,0 +1,128 @@
+"""Streaming twins of the batch pipelines (SURVEY.md §2.11, ST1-ST4).
+
+The reference's ingestion is an asyncio queue with 2 workers
+(``vectorization_queue.py:18-177``); the Spark-native form is a file
+source → the SAME ``ingest_vectorize`` plan → ``foreachBatch`` sink,
+with ``availableNow`` giving batch parity (drain everything, then stop)
+and a live trigger giving continuous ingestion.  Batch/stream share one
+code path by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sortify_spark.pipelines import ingest_vectorize
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def vectorize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    dim: int = 64,
+):
+    """ST1: streaming document vectorization.
+
+    File-source parquet stream → ingest_vectorize → parquet append sink.
+    ``maxFilesPerTrigger`` is the backpressure knob standing in for the
+    reference's 2-worker concurrency cap; checkpointing provides the
+    exactly-once bookkeeping the reference lacked.
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    reader = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA).format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.load(input_dir)
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        out = ingest_vectorize(batch_df, dim=dim)
+        out.write.mode("append").parquet(output_dir)
+
+    writer = (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def daily_trend_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 day",
+):
+    """ST4: the streaming twin of ``aggregates.daily_trend`` — event-time
+    1-day tumbling windows with a watermark bounding state for late data.
+    Same semantics as the batch ``date_format`` group-by once windows
+    close."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "cnt",
+            "avg_value",
+        )
+    )
+
+
+def run_daily_trend_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_table: str = "daily_trend_stream_out",
+):
+    """Drive the windowed aggregation from a file stream into an in-memory
+    sink with availableNow — used by tests to prove batch/stream parity."""
+    events = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                    T.StructField("props", T.StringType()),
+                ]
+            )
+        )
+        .format("parquet")
+        .load(input_dir)
+    )
+    agg = daily_trend_stream(events)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,93 @@
+"""Clustering contract tests (SURVEY.md §7.2-6): determinism, noise tier,
+tier rules, statistics formulas — HDBSCAN parity is defined as contract
+parity, not bit parity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from sortify_spark import clustering
+from sortify_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return load_table(spark, SF_DIR, "embeddings").select(
+        (F.col("vec_id") % 4).cast("string").alias("owner_id"),
+        F.col("vec_id").cast("string").alias("id"),
+        "embedding",
+    )
+
+
+def test_deterministic_across_runs(spark, vectors):
+    a = clustering.cluster_per_owner(vectors).orderBy("owner_id", "id").collect()
+    b = clustering.cluster_per_owner(vectors).orderBy("owner_id", "id").collect()
+    assert a == b
+
+
+def test_labels_include_noise_and_probabilities(spark, vectors):
+    rows = clustering.cluster_per_owner(vectors).collect()
+    labels = {r["cluster_label"] for r in rows}
+    assert len(labels - {-1}) >= 2, "expected at least 2 real clusters"
+    for r in rows:
+        assert 0.0 <= r["probability"] <= 1.0
+        if r["cluster_label"] == -1:
+            assert r["probability"] == 0.0
+
+
+def test_small_owner_all_noise(spark):
+    rows = [(f"u", str(i), [float(i), 1.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, ["owner_id", "id", "embedding"])
+    out = clustering.cluster_per_owner(df).collect()
+    assert all(r["cluster_label"] == -1 for r in out), "min_docs=5 guard"
+
+
+def test_tier_rules(spark):
+    # synthetic assignments: cluster 0 size 4 (main), 1 size 2 (small),
+    # 2 size 1 (excluded), -1 noise (excluded)
+    rows = (
+        [("u", str(i), 0, 0.9) for i in range(4)]
+        + [("u", f"s{i}", 1, 0.8) for i in range(2)]
+        + [("u", "x", 2, 0.7), ("u", "n", -1, 0.0)]
+    )
+    df = spark.createDataFrame(
+        rows, ["owner_id", "id", "cluster_label", "probability"]
+    )
+    tiers = {
+        r["cluster_label"]: r["tier"]
+        for r in clustering.organize_clusters(df).collect()
+    }
+    assert tiers == {0: "main", 1: "small", 2: "excluded", -1: "excluded"}
+
+
+def test_confidence_formula(spark):
+    rows = [("u", str(i), 0, 0.9) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, ["owner_id", "id", "cluster_label", "probability"]
+    )
+    out = clustering.organize_clusters(df).first()
+    assert out["confidence"] == 0.95  # min(0.5 + 60/100, 0.95)
+
+
+def test_write_back_and_statistics(spark, vectors):
+    docs = load_table(spark, SF_DIR, "documents")
+    organized = clustering.organize_clusters(
+        clustering.cluster_per_owner(vectors)
+    )
+    wb = clustering.write_back_assignments(docs, organized)
+    stats = clustering.clustering_statistics(wb).first()
+    assert (
+        stats["clustered_docs"] + stats["excluded_docs"] + stats["pending_docs"]
+        == stats["total_docs"]
+    )
+    expect_cov = round(stats["clustered_docs"] / stats["total_docs"] * 100, 2)
+    assert stats["coverage_pct"] == expect_cov
+
+
+def test_hierarchical_runs(spark, vectors):
+    fine = clustering.hierarchical_cluster(vectors)
+    rows = fine.collect()
+    assert rows
+    assert {r["parent_label"] for r in rows} - {-1}, "parents exist"

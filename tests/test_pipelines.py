@@ -1,0 +1,183 @@
+"""Write-path, streaming, query-spec, multimodal, and facade tests."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from sortify_spark.pipelines import (
+    delete_vectors_for_docs,
+    ingest_vectorize,
+    refresh_vectors,
+)
+from sortify_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_ingest_vectorize_shape(spark, docs):
+    vecs = ingest_vectorize(docs, chunk_size=128, overlap=32, dim=16)
+    total_docs = docs.count()
+    summaries = vecs.filter(F.col("vtype") == "summary")
+    chunks = vecs.filter(F.col("vtype") == "chunk")
+    assert summaries.count() == total_docs
+    assert chunks.count() >= total_docs  # every doc has ≥1 chunk
+    # vector ids unique, embeddings fixed-width
+    assert vecs.select("vector_id").distinct().count() == vecs.count()
+    row = vecs.first()
+    assert len(row["embedding"]) == 16
+
+
+def test_ingest_deterministic(spark, docs):
+    sub = docs.limit(20)
+    a = ingest_vectorize(sub, dim=8).orderBy("vector_id").collect()
+    b = ingest_vectorize(sub, dim=8).orderBy("vector_id").collect()
+    assert a == b
+
+
+def test_delete_and_refresh(spark, docs):
+    vecs = ingest_vectorize(docs.limit(50), dim=8)
+    ids = spark.createDataFrame([("3",), ("7",)], ["document_id"])
+    kept = delete_vectors_for_docs(vecs, ids)
+    assert kept.filter(F.col("document_id").isin("3", "7")).count() == 0
+    refreshed = refresh_vectors(vecs, docs.filter(F.col("doc_id") == 3), dim=8)
+    assert refreshed.filter(F.col("document_id") == "3").count() > 0
+    # no duplicate vector ids after refresh
+    assert (
+        refreshed.select("vector_id").distinct().count() == refreshed.count()
+    )
+
+
+def test_vectorize_stream_matches_batch(spark, docs):
+    """ST1: availableNow streaming run produces exactly the batch rows."""
+    from sortify_spark.streaming.pipeline import vectorize_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, outp, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        docs.limit(40).write.parquet(inp)
+        q = vectorize_stream(spark, inp, outp, ckpt, dim=8)
+        q.awaitTermination(120)
+        got = spark.read.parquet(outp)
+        want = ingest_vectorize(spark.read.parquet(inp), dim=8)
+        assert got.count() == want.count()
+        assert set(got.columns) == set(want.columns)
+
+
+def test_daily_trend_stream_matches_batch(spark):
+    from sortify_spark.streaming.pipeline import run_daily_trend_stream
+
+    events = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, ckpt = f"{tmp}/in", f"{tmp}/ckpt"
+        events.write.parquet(inp)
+        q = run_daily_trend_stream(spark, inp, ckpt, out_table="dts_test")
+        q.awaitTermination(120)
+        got = {
+            r["day"]: (r["cnt"], r["avg_value"])
+            for r in spark.sql("SELECT * FROM dts_test").collect()
+        }
+        from sortify_spark.operators.aggregates import daily_trend
+
+        want = {
+            r["day"]: (r["cnt"], r["avg_value"])
+            for r in daily_trend(events, "ts", "value").collect()
+        }
+        assert got == want
+
+
+def test_query_spec_compile(spark, docs):
+    from sortify_spark.plans.query_spec import QuerySpec, compile_spec
+
+    spec = QuerySpec(
+        filters=[("lang", "eq", "en"), ("n_chars", "gte", 200)],
+        projection=["doc_id", "lang", "n_chars"],
+        limit=10,
+    )
+    out = compile_spec(docs, spec)
+    rows = out.collect()
+    assert len(rows) <= 10
+    assert set(out.columns) == {"doc_id", "lang", "n_chars"}
+    for r in rows:
+        assert r["lang"] == "en" and r["n_chars"] >= 200
+
+
+def test_query_spec_from_json_and_validation(spark, docs):
+    from sortify_spark.plans.query_spec import (
+        QuerySpec,
+        QuerySpecError,
+        compile_spec,
+    )
+
+    spec = QuerySpec.from_json(
+        '{"filters": [{"col": "source", "op": "contains", "value": "SRC1"}],'
+        ' "projection": ["doc_id", "source"], "limit": 5}'
+    )
+    assert compile_spec(docs, spec).count() <= 5
+    bad = QuerySpec(filters=[("lang", "regex_dollar", "x")])
+    with pytest.raises(QuerySpecError):
+        compile_spec(docs, bad).count()
+
+
+def test_discover_dynamic_schema(spark):
+    from sortify_spark.plans.query_spec import discover_dynamic_schema
+
+    events = load_table(spark, SF_DIR, "events")
+    schema = discover_dynamic_schema(events, "props", sample_n=5)
+    assert schema.get("k") == "int"
+
+
+def test_multimodal_features(spark):
+    from sortify_spark.multimodal import (
+        extract_features,
+        sample_frames,
+        synthetic_media,
+        FEATURE_DIM,
+    )
+
+    media = synthetic_media(spark, 30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert r["n_bytes"] > 0
+    # deterministic
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert {r["media_id"]: r["feature"] for r in rows} == again
+    frames = sample_frames(media, every_n=10, max_frames=4)
+    fr = frames.groupBy("media_id").count().collect()
+    assert fr and all(r["count"] <= 4 for r in fr)
+
+
+def test_facade_end_to_end(spark):
+    from sortify_spark.facade import SortifyEngine
+    from sortify_spark.operators.filters import DocumentFilter
+
+    eng = SortifyEngine(spark, SF_DIR, dim=16)
+    page, total = eng.list_documents(
+        DocumentFilter(extra=[F.col("lang") == "en"]),
+        sort_by="n_chars",
+        sort_order="desc",
+        limit=5,
+    )
+    assert len(page.collect()) <= 5
+    assert total.first()["total"] > 0
+
+    for stype in ("summary_only", "hybrid", "rrf_fusion", "traditional"):
+        res = eng.semantic_search("data query join", search_type=stype)
+        rows = res.collect()
+        assert rows, stype
+        assert len(rows) <= 10
+
+    detail = eng.detail_query(
+        '{"filters": [{"col": "doc_id", "op": "eq", "value": 3}],'
+        ' "projection": ["doc_id", "text"]}'
+    )
+    assert detail.count() == 1
+    assert eng.dashboard().first()["total_events"] > 0
