@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sortify_spark.queries import REGISTRY
+from sortify_spark.all_queries import REGISTRY
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -1,0 +1,71 @@
+"""Source-layer queries: conversation-style array counters (A10) with an
+oracle, and HTML-strip over constructed payloads."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sortify_spark.operators.filters import slice_last_n
+from sortify_spark.queries import register, _t
+
+
+@register(
+    "conversation_counters",
+    """
+    SELECT user_id,
+           COUNT(*) AS message_count,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS total_tokens,
+           array_to_string(
+             list_slice(list(event_type ORDER BY ts ASC, event_id ASC),
+                        greatest(COUNT(*) - 4, 1), COUNT(*)), '|')
+               AS last5_types
+    FROM events GROUP BY user_id
+    """,
+    note="A10+P7: conversation running counters — message_count, token "
+    "sum, and a $slice:-5 tail of the time-ordered message array "
+    "(crud_conversations.py:150-156,199-201) over the events-as-messages "
+    "analog. Deterministic array order via sortable struct collect.",
+)
+def q_conversation_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    msgs = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    types_in_order = F.transform(msgs, lambda m: m.getField("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("message_count"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias(
+            "total_tokens"
+        ),
+        F.array_join(slice_last_n(types_in_order, 5), "|").alias("last5_types"),
+    )
+
+
+@register(
+    "html_strip",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+               '<p>' || text || '</p><script>x()</script><style>s</style>',
+               '<script[^>]*>.*?</script>', ' ', 'gis'),
+               '<style[^>]*>.*?</style>', ' ', 'gis'),
+               '<[^>]+>', ' ', 'g')) AS stripped_head
+    FROM documents WHERE doc_id < 50
+    """,
+    note="F17: HTML→text as pure regexp_replace expressions "
+    "(gmail_service.py:30-76) — payload constructed by wrapping document "
+    "text in markup so both engines strip identically.",
+)
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    html = F.concat(
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p><script>x()</script><style>s</style>"),
+    )
+    no_script = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    no_style = F.regexp_replace(no_script, r"(?is)<style[^>]*>.*?</style>", " ")
+    no_tags = F.regexp_replace(no_style, r"<[^>]+>", " ")
+    return docs.select("doc_id", F.trim(no_tags).alias("stripped_head"))
