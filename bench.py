@@ -43,6 +43,11 @@ HEADLINE = (
     "quality_scores",
     "dedup_exact_stats",
     "chunk_documents",
+    "retrieval_metrics",
+    "conversation_counters",
+    "orders_rollup",
+    "cluster_per_owner",
+    "semantic_search_hybrid",
 )
 
 

@@ -11,3 +11,4 @@ import sortify_spark.queries_metrics  # noqa: F401, E402
 import sortify_spark.queries_clustering  # noqa: F401, E402
 import sortify_spark.queries_pipeline  # noqa: F401, E402
 import sortify_spark.queries_sources  # noqa: F401, E402
+import sortify_spark.queries_extras  # noqa: F401, E402

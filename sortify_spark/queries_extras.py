@@ -1,0 +1,119 @@
+"""Beyond-reference relational capabilities that Spark provides for free
+(SURVEY.md §2.4 'absent' row): rollup/grouping sets, intersect, sampled
+scans, and the A12 evaluation-summary aggregate."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sortify_spark.functions.numeric import dsum, oracle_dsum
+from sortify_spark.queries import register, _t
+
+
+@register(
+    "orders_rollup",
+    f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS cnt,
+           {oracle_dsum('o_totalprice')} AS total_value
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    note="Beyond-reference: ROLLUP hierarchy totals (status → priority → "
+    "grand total) in one pass — free in Spark, absent in the reference's "
+    "Mongo pipelines (SURVEY.md §2.4).",
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "priority"
+            ),
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "set_intersection_custkeys",
+    """
+    SELECT COUNT(*) AS both_status_customers FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+    note="SO2 complement: INTERSECT of result sources (the reference "
+    "computes `both = ∩` for fusion stats, "
+    "enhanced_search_service.py:491-496).",
+)
+def q_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return a.intersect(b).agg(
+        F.count(F.lit(1)).alias("both_status_customers")
+    )
+
+
+@register(
+    "metrics_summary",
+    None,  # depends on retrieval_metrics; its own oracle covers per-query
+    note="A12: evaluation-run aggregation — mean of per-case metric rows "
+    "(evaluate_vector_retrieval.py:418-470's pandas mean as a Spark "
+    "aggregate over the oracle-checked retrieval_metrics output).",
+)
+def q_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.queries_metrics import q_retrieval_metrics
+
+    per_query = q_retrieval_metrics(spark, sf_dir)
+    return per_query.agg(
+        F.round(F.avg("hit_1"), 6).alias("avg_hit_1"),
+        F.round(F.avg("hit_5"), 6).alias("avg_hit_5"),
+        F.round(F.avg("hit_10"), 6).alias("avg_hit_10"),
+        F.round(F.avg("mrr"), 6).alias("avg_mrr"),
+        F.round(F.avg("ndcg_10"), 6).alias("avg_ndcg_10"),
+        F.round(F.avg("composite"), 6).alias("avg_composite"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )
+
+
+@register(
+    "sampled_scan",
+    None,  # Spark's Bernoulli sampler has no DuckDB twin
+    note="O7: seeded sample-N (clustering_service.py:723-725 uses "
+    "random.sample for labeling) — deterministic given the seed, "
+    "rows-only check.",
+)
+def q_sampled_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .sample(fraction=0.1, seed=42)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "qa_document_search",
+    None,
+    note="§3.3 end-to-end QA data plane: rule-based intent classification "
+    "→ ≤2 rewritten variants → per-variant facade search → weighted "
+    "keep-max merge (V6). LLM stages are deterministic stubs (§2.12).",
+)
+def q_qa_document_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.facade import SortifyEngine
+    from sortify_spark.qa import answer_question
+
+    eng = SortifyEngine(spark, sf_dir, dim=16)
+    res = answer_question(eng, "find documents about data query join")
+    return res.results
