@@ -41,6 +41,25 @@ class SearchConfig:
     w_chunks: float = fusion.RRF_WEIGHT_CHUNKS
 
 
+#: Engines keyed by (applicationId, sf_dir, dim) — the vector index is a
+#: persistent artifact (the reference keeps ChromaDB resident across
+#: requests, ``vector_db_service.py:18-20``), so repeated searches must
+#: not pay the ingest/vectorize build again.
+_ENGINE_CACHE: dict[tuple[str, str, int], "SortifyEngine"] = {}
+
+
+def get_engine(
+    spark: SparkSession, sf_dir: str, dim: int = 64
+) -> "SortifyEngine":
+    """Shared engine per (session, sf_dir, dim); builds + persists the
+    vector index on first use."""
+    key = (spark.sparkContext.applicationId or "local", sf_dir, dim)
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        eng = _ENGINE_CACHE[key] = SortifyEngine(spark, sf_dir, dim=dim)
+    return eng
+
+
 class SortifyEngine:
     """Facade over one sf_dir's tables + a derived vectors table."""
 

@@ -11,6 +11,7 @@ every retrieval pipeline is exactly reproducible without a model.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -67,9 +68,12 @@ def l2_normalize(a: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=65536)
 def _token_vector(token: str, dim: int) -> np.ndarray:
     """Pseudo-random unit-ish vector derived from the token's sha1 — stable
-    across processes/partitions (no Python hash randomization)."""
+    across processes/partitions (no Python hash randomization).  Memoized:
+    corpus vocabularies are Zipfian, so the per-token RNG construction —
+    the dominant cost of the stub — amortizes to near zero per worker."""
     seed = int.from_bytes(hashlib.sha1(token.encode()).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.standard_normal(dim)

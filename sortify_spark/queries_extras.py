@@ -111,9 +111,9 @@ def q_sampled_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keep-max merge (V6). LLM stages are deterministic stubs (§2.12).",
 )
 def q_qa_document_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sortify_spark.facade import SortifyEngine
+    from sortify_spark.facade import get_engine
     from sortify_spark.qa import answer_question
 
-    eng = SortifyEngine(spark, sf_dir, dim=16)
+    eng = get_engine(spark, sf_dir, dim=16)
     res = answer_question(eng, "find documents about data query join")
     return res.results

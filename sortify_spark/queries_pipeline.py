@@ -41,9 +41,9 @@ def q_ingest_vectorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidates, dedup+backfill (facade.semantic_search).",
 )
 def q_semantic_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sortify_spark.facade import SortifyEngine
+    from sortify_spark.facade import get_engine
 
-    eng = SortifyEngine(spark, sf_dir, dim=16)
+    eng = get_engine(spark, sf_dir, dim=16)
     return eng.semantic_search("data query join table", search_type="hybrid")
 
 
