@@ -12,3 +12,4 @@ import sortify_spark.queries_clustering  # noqa: F401, E402
 import sortify_spark.queries_pipeline  # noqa: F401, E402
 import sortify_spark.queries_sources  # noqa: F401, E402
 import sortify_spark.queries_extras  # noqa: F401, E402
+import sortify_spark.queries_detail  # noqa: F401, E402

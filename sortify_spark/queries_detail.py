@@ -1,0 +1,130 @@
+"""Detail-query compilation (P8), schema discovery (§1.5), rolling-hash
+fingerprints, and the streaming daily-trend twin as registered queries.
+
+P8 is the reference's "AI generates a Mongo spec, engine runs it" path
+(``document_detail_query_handler.py:306-349``); here the spec compiles to
+a DataFrame plan and is oracle-checked like any other relational query.
+The streaming entry proves batch/stream parity through the driver's own
+correctness gate: the availableNow run must hash-match the batch oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sortify_spark.functions.numeric import oracle_davg
+from sortify_spark.queries import register, _t
+
+#: Fixed spec standing in for an LLM-produced one (the untrusted-JSON
+#: boundary of ``QuerySpec.from_json`` is the same either way).
+_DETAIL_SPEC = json.dumps(
+    {
+        "filters": [
+            {"col": "lang", "op": "eq", "value": "en"},
+            {"col": "n_chars", "op": "gte", "value": 200},
+            {"col": "text", "op": "contains", "value": "data"},
+        ],
+        "projection": ["doc_id", "lang", "n_chars"],
+    }
+)
+
+
+@register(
+    "detail_query_compiled",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE lang = 'en' AND n_chars >= 200
+      AND lower(text) LIKE '%data%'
+    """,
+    note="P8: AI-generated detail-query spec (JSON, validated operator "
+    "set) compiled onto the documents DataFrame with projection "
+    "path-collision cleanup (P6) — "
+    "document_detail_query_handler.py:306-349.",
+)
+def q_detail_query_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.plans.query_spec import QuerySpec, compile_spec
+
+    spec = QuerySpec.from_json(_DETAIL_SPEC)
+    return compile_spec(_t(spark, sf_dir, "documents"), spec)
+
+
+#: 64-bit-safe polynomial rolling hash: acc = (acc*31 + codepoint) mod p.
+_ROLL_P = 1_000_000_007
+
+
+@register(
+    "rolling_fingerprints",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_transform(regexp_extract_all(text, '.'),
+                            c -> CAST(ord(c) AS BIGINT)),
+             (acc, x) -> (acc * 31 + x) % {_ROLL_P}) AS fp
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    note="Document fingerprinting via character-level polynomial rolling "
+    "hash (training-data curation primitive) — pure Catalyst "
+    "higher-order functions, no UDF; the md5 variant backs exact dedup.",
+)
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(transform(split(text, ''), c -> "
+                "cast(ascii(c) as bigint)), 0L, "
+                f"(acc, x) -> (acc * 31 + x) % {_ROLL_P}L)"
+            ).alias("fp"),
+        )
+    )
+
+
+@register(
+    "schema_discovery",
+    None,  # engine-specific type names; deterministic rows-only check
+    note="§1.5 dynamic schema-on-read: sample 5 rows of the events.props "
+    "JSON column (deterministic: lowest event_id) and union their "
+    "key→type maps — document_detail_query_handler.py:189-258.",
+)
+def q_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.plans.query_spec import discover_dynamic_schema
+
+    events = _t(spark, sf_dir, "events").orderBy("event_id")
+    schema = discover_dynamic_schema(events, "props", sample_n=5)
+    return spark.createDataFrame(
+        sorted(schema.items()), "field string, dtype string"
+    )
+
+
+@register(
+    "daily_trend_streamed",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS cnt,
+           {oracle_davg('value')} AS avg_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    note="ST4 as a first-class query: file-source stream → watermarked "
+    "1-day tumbling windows → availableNow drain; hash-matching the "
+    "BATCH oracle is the batch/stream parity proof.",
+)
+def q_daily_trend_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.streaming.pipeline import run_daily_trend_stream
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="sortify_stream_")
+    inp, ckpt = f"{tmp}/in", f"{tmp}/ckpt"
+    events.write.mode("overwrite").parquet(inp)
+    q = run_daily_trend_stream(
+        spark, inp, ckpt, out_table="daily_trend_streamed_out"
+    )
+    q.awaitTermination(300)
+    return spark.table("daily_trend_streamed_out").orderBy("day")
