@@ -1,0 +1,210 @@
+"""Scale-oriented analytics operators beyond the reference's surface:
+sessionization, exact percentiles, BPE-ish tokenization, MLlib LSH ANN,
+and the email-ingest staging path as a registered query.
+
+These are the operations a large-scale training-data / events pipeline
+needs (sessionization and percentile latency stats are the canonical
+events-table workloads; the LSH model is the ANN scale path next to the
+exact brute-force and IVF variants in search/knn.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sortify_spark.queries import register, _t
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "user_sessions",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WHERE user_id < 40
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_idx
+      FROM ordered
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess GROUP BY user_id, session_idx
+    """,
+    note="Sessionization: per-user event sessions split on >30-min gaps "
+    "(lag → flag → running sum → group). One shuffle on user_id serves "
+    "both windows and the final aggregate — the partitioning is reused "
+    "across stages, which is the property that survives a 100x scale-up.",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    prev = F.lag(F.unix_micros("ts")).over(w)
+    new_s = F.when(
+        prev.isNull() | (F.unix_micros("ts") - prev > gap_us), 1
+    ).otherwise(0)
+    sess = (
+        events.select("user_id", "ts", "event_id", new_s.alias("new_s"))
+        .withColumn(
+            "session_idx",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
+@register(
+    "latency_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.90), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    note="Exact interpolated percentiles per group (the qa_analytics "
+    "processing_time distribution the reference only averages, "
+    "qa_analytics_service.py:158-193). At 100 TB swap percentile() for "
+    "approx_percentile() — same plan shape, bounded memory.",
+)
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+#: Word-or-single-punctuation tokens — the BPE-ish pre-tokenizer split.
+_BPE_RE = r"\w+|[^\w\s]"
+
+
+@register(
+    "token_counts_bpe",
+    f"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+               AS total_tokens,
+           ROUND(AVG(len(regexp_extract_all(text, '{_BPE_RE}'))), 4)
+               AS avg_tokens,
+           COUNT(*) AS docs
+    FROM documents GROUP BY source
+    """,
+    note="Token counting with a BPE-ish pre-tokenizer regex (words + "
+    "single punctuation) — the training-data budget estimator; "
+    "whitespace-token variant in token_stats_by_source.",
+)
+def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(n_tok).alias("total_tokens"),
+            F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+            F.count(F.lit(1)).alias("docs"),
+        )
+    )
+
+
+@register(
+    "knn_lsh",
+    None,  # approximate by construction; recall property-tested in tests
+    note="ANN scale path #2: MLlib BucketedRandomProjectionLSH over the "
+    "embeddings table (random-hyperplane buckets; candidates only form "
+    "inside a bucket). Exact twin = knn_bruteforce, partition-local "
+    "variant = knn_ivf.",
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import Vectors
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", array_to_vector(F.col("embedding")).alias("features"))
+        .cache()
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=4,
+        seed=42,
+    )
+    model = lsh.fit(emb)
+    dim = len(emb.first()["features"])
+    key = Vectors.dense([0.1] * dim)
+    out = model.approxNearestNeighbors(emb, key, 10)
+    return out.select(
+        "vec_id", F.round(F.col("distCol"), 6).alias("l2_dist")
+    )
+
+
+_RAW_EMAILS = [
+    (
+        "Message-ID: <m1@example.com>\r\nFrom: alice@example.com\r\n"
+        "To: bob@example.com\r\nSubject: Q3 invoice\r\n"
+        "Date: Mon, 01 Jul 2024 10:00:00 +0000\r\n\r\n"
+        "<html><body><p>Invoice total is <b>420.50</b> USD.</p>"
+        "<style>p{color:red}</style></body></html>"
+    ),
+    (
+        "Message-ID: <m2@example.com>\r\nFrom: carol@example.com\r\n"
+        "To: dave@example.com\r\nSubject: Re: meeting notes\r\n"
+        "Date: Tue, 02 Jul 2024 11:30:00 +0000\r\n\r\n"
+        "Plain text body with an &amp; entity and   extra   spaces."
+    ),
+    (
+        "From: eve@example.com\r\nTo: frank@example.com\r\n"
+        "Subject: no message id\r\n\r\n"
+        "<div>Missing Message-ID falls back to a content hash.</div>"
+    ),
+]
+
+
+@register(
+    "email_ingest",
+    None,  # synthetic in-memory input; deterministic rows-only check
+    note="S7/S8 ingest: RFC-822-ish raw text → header regexes + HTML "
+    "strip (F17) → document rows with email provenance "
+    "(gmail_service.py:103-398, apis/v1/gmail.py:749-844).",
+)
+def q_email_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.sources.email import emails_to_documents, parse_raw_emails
+
+    raw = spark.createDataFrame([(r,) for r in _RAW_EMAILS], ["raw"])
+    docs = emails_to_documents(parse_raw_emails(raw))
+    return docs.select(
+        "_id",
+        "filename",
+        "file_type",
+        "size",
+        "extracted_text",
+        F.col("email_metadata")["sender"].alias("sender"),
+    ).orderBy("filename")

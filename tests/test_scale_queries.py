@@ -1,0 +1,69 @@
+"""Scale-operator properties: sessionization invariants and ANN recall."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sortify_spark.all_queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_sessions_cover_all_events(spark):
+    """Session event counts must sum to the filtered event count and
+    session indexes per user must be 1..n without holes."""
+    from sortify_spark.tables import load_table
+
+    sessions = REGISTRY["user_sessions"].fn(spark, SF_DIR)
+    events = load_table(spark, SF_DIR, "events").filter(F.col("user_id") < 40)
+    assert (
+        sessions.agg(F.sum("n_events")).first()[0] == events.count()
+    )
+    per_user = sessions.groupBy("user_id").agg(
+        F.max("session_idx").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    assert per_user.filter(F.col("mx") != F.col("n")).count() == 0
+    assert sessions.filter(F.col("duration_us") < 0).count() == 0
+
+
+def test_knn_lsh_recall_vs_exact(spark):
+    """LSH top-10 must recover most of the exact L2 top-10."""
+    from sortify_spark.tables import load_table
+    from pyspark.ml.functions import array_to_vector
+
+    lsh_ids = {
+        r["vec_id"] for r in REGISTRY["knn_lsh"].fn(spark, SF_DIR).collect()
+    }
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = len(emb.first()["embedding"])
+    key = F.array(*[F.lit(0.1)] * dim).cast("array<double>")
+    exact = (
+        emb.select(
+            "vec_id",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        key,
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("d"),
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+    )
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    assert len(lsh_ids & exact_ids) >= 5, (lsh_ids, exact_ids)
+
+
+def test_email_ingest_deterministic(spark):
+    a = REGISTRY["email_ingest"].fn(spark, SF_DIR).collect()
+    b = REGISTRY["email_ingest"].fn(spark, SF_DIR).collect()
+    assert a == b
+    assert len(a) == 3
+    # fallback id for the message without a Message-ID
+    assert any(r["_id"].startswith("email-") for r in a)
+    # HTML stripped from bodies
+    assert all("<" not in r["extracted_text"] for r in a)
