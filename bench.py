@@ -48,6 +48,11 @@ HEADLINE = (
     "orders_rollup",
     "cluster_per_owner",
     "semantic_search_hybrid",
+    "user_sessions",
+    "latency_percentiles",
+    "token_counts_bpe",
+    "salted_join_revenue",
+    "distinct_users_by_type",
 )
 
 

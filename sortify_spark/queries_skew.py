@@ -1,0 +1,97 @@
+"""Skew-handling and cardinality queries: salted join (result-identical
+to the plain join — that IS the oracle), exact and approximate distinct
+aggregation, and video frame-sampling registration."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sortify_spark.functions.numeric import dsum_expr, oracle_dsum
+from sortify_spark.operators.skew import salted_equi_join
+from sortify_spark.queries import register, _t
+
+
+@register(
+    "salted_join_revenue",
+    f"""
+    SELECT o_orderpriority,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    note="Skew-mitigated join: lineitem salted 8 ways on line number, "
+    "orders replicated per salt — semantics identical to the plain "
+    "equi-join (the oracle IS the plain join), but the shuffle of the "
+    "big side is even under arbitrary key skew. AQE skew-split is the "
+    "runtime fallback; salting is the plan-level tool "
+    "(operators/skew.py).",
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_equi_join(
+        lineitem, orders, "l_orderkey", salt_from=F.col("l_linenumber")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        dsum_expr("l_extendedprice * (1 - l_discount)").alias("revenue"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+@register(
+    "distinct_users_by_type",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(*) AS events
+    FROM events GROUP BY event_type
+    """,
+    note="Distinct aggregation (absent in the reference, SURVEY.md §2.4 "
+    "'absent' row): exact COUNT(DISTINCT) — expands to a two-phase "
+    "partial-distinct plan in Spark.",
+)
+def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.count(F.lit(1)).alias("events"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketches are engine-specific; bounded-error rows-only
+    note="The 100 TB path for cardinality: approx_count_distinct "
+    "(HyperLogLog++, fixed memory per group) next to the exact twin "
+    "distinct_users_by_type; rsd 1%.",
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias(
+                "approx_distinct_users"
+            )
+        )
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    None,  # synthetic in-memory media table; deterministic rows-only
+    note="Video frame sampling: metadata-driven (media_id, frame_index) "
+    "explode — the Spark-side plumbing of a frame extractor (decode "
+    "stubbed; multimodal.py).",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.multimodal import sample_frames, synthetic_media
+
+    return sample_frames(synthetic_media(spark, 64), every_n=10, max_frames=8)
