@@ -136,6 +136,7 @@ class SortifyEngine:
         if search_type == "chunks_only":
             return self._scored(query_text, "chunk", cfg.top_k)
         if search_type == "rrf_fusion":
+            # O5: bounded candidate over-fetch (k*2) before fusion/rerank.
             return fusion.rrf_fuse(
                 self._scored(query_text, "summary", cfg.top_k * 2),
                 self._scored(query_text, "chunk", cfg.top_k * 2),

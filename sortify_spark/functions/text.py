@@ -113,8 +113,8 @@ def explode_chunks(
 def smart_truncate(
     text: str | None, max_length: int, ellipsis: str = "..."
 ) -> str | None:
-    """Cut at a sentence boundary if one lies past 70% of the budget, else
-    at a word boundary past 80%, else hard-cut; append ellipsis
+    """F3: cut at a sentence boundary if one lies past 70% of the budget,
+    else at a word boundary past 80%, else hard-cut; append ellipsis
     (reference ``text_processing.py:68-109``)."""
     if text is None or len(text) <= max_length:
         return text
@@ -135,8 +135,8 @@ def smart_compress_list(
     sep: str = ", ",
     more_suffix: str = " +{n} more",
 ) -> str:
-    """Join list items under a character budget, truncating long items and
-    appending a ``+N more`` marker for the tail that did not fit
+    """F4: join list items under a character budget, truncating long items
+    and appending a ``+N more`` marker for the tail that did not fit
     (reference ``text_processing.py:111-176``; used when composing
     embedding input text F5)."""
     if not items:

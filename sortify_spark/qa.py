@@ -7,6 +7,10 @@ classification (7 intents, ``question_classifier_service.py:40-150``),
 query rewrite (≤2 variants, ``qa_query_rewriter.py:22-92``), strategy
 suggestion (V7), and spec generation (P8).  The engine owns everything
 downstream of the model call: the plans.
+
+ST3 (SSE token streaming of the generated answer,
+``qa_orchestrator.py:464-620``) is a serving concern with no data-plane
+semantics and is deliberately out of engine scope (SURVEY.md §2.11).
 """
 
 from __future__ import annotations

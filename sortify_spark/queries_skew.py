@@ -85,6 +85,39 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "activity_feed",
+    """
+    SELECT event_id,
+           COALESCE(json_extract_string(props, '$.k'),
+                    CAST(user_id AS VARCHAR)) AS activity_ref,
+           event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 100
+    """,
+    note="J5: logs → activity-feed mapping — per-row transform with "
+    "coalesce over nested details fields, timestamp-desc page "
+    "(crud_dashboard.py:95-124).",
+)
+def q_activity_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select(
+            "event_id",
+            F.coalesce(
+                F.get_json_object("props", "$.k"),
+                F.col("user_id").cast("string"),
+            ).alias("activity_ref"),
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+@register(
     "multimodal_frame_sample",
     None,  # synthetic in-memory media table; deterministic rows-only
     note="Video frame sampling: metadata-driven (media_id, frame_index) "

@@ -45,7 +45,7 @@ def rrf_fuse(
     w_chunks: float = RRF_WEIGHT_CHUNKS,
     top_k: int = 10,
 ) -> DataFrame:
-    """W6/V4: Reciprocal Rank Fusion.
+    """W6/V4 (J3 rank alignment): Reciprocal Rank Fusion.
 
     ``score(d) = Σᵢ wᵢ/(k + rankᵢ(d))`` over both ranked lists, absent
     ranks contribute 0 (full-outer join + coalesce —

@@ -64,6 +64,46 @@ def vectorize_stream(
     return writer.start()
 
 
+def count_threshold_trigger(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    threshold: int,
+    on_threshold,
+    available_now: bool = True,
+):
+    """ST2: auto-trigger an action (the reference fires re-clustering)
+    once N new documents have streamed through
+    (``document_tasks_service.py:448+``).
+
+    foreachBatch keeps a cumulative processed-row counter; when it
+    crosses ``threshold`` the callback fires once with the total and the
+    counter resets — the streaming analog of "after every N docs,
+    recluster".  The callback runs on the driver; the heavy work it
+    launches (e.g. ``clustering.cluster_per_owner``) is a normal batch
+    job over the updated tables.
+    """
+    state = {"count": 0}
+    docs = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        state["count"] += batch_df.count()
+        if state["count"] >= threshold:
+            on_threshold(state["count"])
+            state["count"] = 0
+
+    writer = docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def daily_trend_stream(
     events: DataFrame,
     ts_col: str = "ts",

@@ -67,3 +67,18 @@ def test_email_ingest_deterministic(spark):
     assert any(r["_id"].startswith("email-") for r in a)
     # HTML stripped from bodies
     assert all("<" not in r["extracted_text"] for r in a)
+
+
+def test_count_threshold_trigger(spark, tmp_path):
+    """ST2: callback fires when the streamed doc count crosses N."""
+    from sortify_spark.streaming.pipeline import count_threshold_trigger
+    from sortify_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(25)
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").write.parquet(inp)
+    fired = []
+    q = count_threshold_trigger(spark, inp, ckpt, threshold=10, on_threshold=fired.append)
+    q.awaitTermination(120)
+    assert fired and fired[0] >= 10
