@@ -15,3 +15,4 @@ import sortify_spark.queries_extras  # noqa: F401, E402
 import sortify_spark.queries_detail  # noqa: F401, E402
 import sortify_spark.queries_scale  # noqa: F401, E402
 import sortify_spark.queries_skew  # noqa: F401, E402
+import sortify_spark.queries_dedup  # noqa: F401, E402

@@ -59,6 +59,21 @@ def drop_exact_duplicates(
     return w.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__fp", "__rn")
 
 
+def drop_near_duplicates(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resolve verified near-dup pairs (id_a < id_b) into a kept corpus:
+    drop every document that is the HIGHER id of any pair.
+
+    This is the standard greedy pairwise policy (each duplicate cluster
+    keeps ids that dominate no pair — for a chain a-b-c it keeps ``a``);
+    it needs no iterative connected-components pass, so it stays one
+    anti-join at any scale.
+    """
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Token sets and MinHash
 # ---------------------------------------------------------------------------
