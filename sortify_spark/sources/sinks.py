@@ -52,3 +52,25 @@ def append_rows(
     if parts:
         writer = writer.partitionBy(*parts)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, num_buckets: int = 32
+) -> None:
+    """Write a catalog table bucketed (and sorted) by ``key``.
+
+    Bucketing is the shuffle-once-amortize-forever layout: every later
+    equi-join or aggregation on ``key`` between tables bucketed the same
+    way runs WITHOUT an Exchange on either side (verified by
+    tests/test_bucketed_join.py asserting zero shuffles in the join
+    plan). This is the Spark replacement for the reference's Mongo
+    secondary indexes on join keys, and the layout the vectors/documents
+    tables use at 100 TB so the hydrate join (J2) and candidate
+    restriction (J1) never reshuffle the corpus."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
