@@ -314,27 +314,38 @@ def minhash_lsh_oracle_sql(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(tokens_col: Column) -> Column:
-    """64-bit SimHash: per-token xxhash64, per-bit vote by token presence,
-    sign of the vote sets the bit.  Pure Catalyst expression: for each bit
-    position, count tokens with that bit set vs total.
+#: Signature width: 15 md5 hex digits = 60 bits — always positive in a
+#: signed 64-bit long, so Spark, DuckDB, and Python agree with no
+#: sign-bit special case.
+SIMHASH_BITS = 60
 
-    Implemented bit-parallel-free (64 aggregates over the token array) —
-    fine because it runs per row over small arrays, JVM-side.
+#: Top-16-bit prefix blocking (docs differing in the prefix are unlikely
+#: near-dups; at scale use 4 rotated prefixes for recall).
+SIMHASH_BLOCK_SHIFT = SIMHASH_BITS - 16
+
+
+def simhash_sig(tokens_col: Column) -> Column:
+    """60-bit SimHash: per-token portable md5-prefix hash (bit-identical
+    in DuckDB/Python — same choice as the MinHash base hash), per-bit
+    majority vote over the token set sets the bit.  Pure Catalyst
+    expression: 60 aggregates over the token array, per row, JVM-side.
     """
-    hashed = F.transform(tokens_col, lambda t: F.xxhash64(t))
+    hashed = F.transform(
+        tokens_col,
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10)
+        .cast("bigint"),
+    )
     n = F.size(tokens_col)
     bits = []
-    for bit in range(64):
-        # Signed-long representation: bit 63's mask is the JVM long MIN.
-        mask = (1 << bit) if bit < 63 else -(1 << 63)
+    for bit in range(SIMHASH_BITS):
+        mask = 1 << bit
         ones = F.size(
             F.filter(
                 hashed,
                 lambda h: h.bitwiseAND(F.lit(mask)) != 0,  # noqa: B023
             )
         )
-        # bit set if more than half the tokens vote 1
+        # bit set on strict majority of the tokens
         bits.append(
             F.when(ones * 2 > n, F.lit(mask)).otherwise(F.lit(0))
         )
@@ -361,8 +372,10 @@ def simhash_pairs(
     sig = (
         df.select(F.col(id_col).alias("id"), F.col(text_col))
         .repartition(par, "id")
-        .select("id", simhash64(token_set(F.col(text_col))).alias("sig"))
-        .withColumn("block", F.shiftrightunsigned(F.col("sig"), 48))
+        .select("id", simhash_sig(token_set(F.col(text_col))).alias("sig"))
+        .withColumn(
+            "block", F.shiftrightunsigned(F.col("sig"), SIMHASH_BLOCK_SHIFT)
+        )
         .persist()
     )
     a, b = sig.alias("a"), sig.alias("b")
@@ -379,6 +392,43 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_oracle_sql(max_hamming: int = 16) -> str:
+    """DuckDB rendering of :func:`simhash_pairs` over the ``documents``
+    view — generated from the SAME bit-width/blocking constants so the
+    engine and the oracle cannot drift."""
+    vote_cols = ", ".join(
+        f"SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE 0 END) AS b{bit}"
+        for bit in range(SIMHASH_BITS)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN b{bit} * 2 > n THEN {1 << bit} ELSE 0 END)"
+        for bit in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS toks
+      FROM documents
+    ),
+    base AS (SELECT id, toks FROM toks WHERE len(toks) > 0),
+    sh AS (SELECT id, unnest(toks) AS t FROM base),
+    hh AS (SELECT id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+           FROM sh),
+    votes AS (
+      SELECT id, COUNT(*) AS n, {vote_cols}
+      FROM hh GROUP BY id
+    ),
+    sig AS (SELECT id, CAST({sig_expr} AS BIGINT) AS sig FROM votes)
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.sig >> {SIMHASH_BLOCK_SHIFT}) = (b.sig >> {SIMHASH_BLOCK_SHIFT})
+     AND a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
 
 
 # ---------------------------------------------------------------------------

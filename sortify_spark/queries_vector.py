@@ -360,10 +360,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_pairs",
-    None,  # xxhash64 has no DuckDB twin; verified against a Python model
-    note="SimHash near-dup: 64-bit signature, top-16-bit blocking, "
-    "Hamming ≤ 12. Rows-only driver check; bit-exactness covered by "
-    "tests/test_text_ops.py against an independent Python reference.",
+    dedup.simhash_oracle_sql(max_hamming=12),
+    note="SimHash near-dup: 60-bit portable md5-prefix signature "
+    "(bit-identical across engines), per-bit majority vote, top-16-bit "
+    "blocking, Hamming ≤ 12. Oracle-checked end-to-end; bit-exactness "
+    "additionally covered against an independent Python model in "
+    "tests/test_text_ops.py.",
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(

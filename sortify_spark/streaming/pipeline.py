@@ -158,11 +158,20 @@ def run_daily_trend_stream(
         .load(input_dir)
     )
     agg = daily_trend_stream(events)
-    return (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(out_table)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Streaming state partitioning is fixed at first run from the session
+    # conf; under a default session that is 200 state-store partitions
+    # for a ~30-group aggregate.  Pin a bounded value for this query and
+    # restore the caller's setting after start.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(out_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -68,11 +68,13 @@ def test_compress_list_budget():
 
 
 def test_simhash_matches_python_reference(spark):
-    """Spark simhash64 must equal an independent Python model of the same
-    algorithm (xxhash64 per token via Spark itself, majority vote)."""
+    """Spark simhash_sig must equal a fully independent Python model
+    (hashlib md5 prefix per token, majority vote)."""
+    import hashlib
+
     import pyspark.sql.functions as F
 
-    from sortify_spark.dedup import simhash64, token_set
+    from sortify_spark.dedup import SIMHASH_BITS, simhash_sig, token_set
 
     rows = [
         ("a", "the quick brown fox jumps over the lazy dog"),
@@ -83,35 +85,26 @@ def test_simhash_matches_python_reference(spark):
     got = {
         r["id"]: r["sig"]
         for r in df.select(
-            "id", simhash64(token_set(F.col("text"))).alias("sig")
+            "id", simhash_sig(token_set(F.col("text"))).alias("sig")
         ).collect()
     }
 
-    # Python reference: xxhash64 values fetched from Spark (same function),
-    # majority vote re-implemented independently.
-    tok_rows = df.select(
-        "id", F.explode(token_set(F.col("text"))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok")).collect()
-    from collections import defaultdict
-
-    toks = defaultdict(list)
-    for r in tok_rows:
-        toks[r["id"]].append(r["h"])
-    for doc_id, hashes in toks.items():
+    for doc_id, text in rows:
+        toks = list(dict.fromkeys(t for t in text.split() if t))
+        hashes = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks
+        ]
         n = len(hashes)
         sig = 0
-        for bit in range(64):
+        for bit in range(SIMHASH_BITS):
             ones = sum(1 for h in hashes if (h & (1 << bit)) != 0)
             if ones * 2 > n:
                 sig |= 1 << bit
-        # Spark signature is a signed 64-bit long
-        if sig >= 1 << 63:
-            sig -= 1 << 64
         assert got[doc_id] == sig, doc_id
 
     # near-identical docs a/b should be closer than a/c
     def ham(x, y):
-        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+        return bin(x ^ y).count("1")
 
     assert ham(got["a"], got["b"]) < ham(got["a"], got["c"])
 
