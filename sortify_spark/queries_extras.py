@@ -66,12 +66,30 @@ def q_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _metrics_summary_oracle() -> str:
+    from sortify_spark.queries import REGISTRY
+
+    per_query = REGISTRY["retrieval_metrics"].sql
+    return f"""
+    WITH per_query AS ({per_query})
+    SELECT ROUND(AVG(hit_1), 6) AS avg_hit_1,
+           ROUND(AVG(hit_5), 6) AS avg_hit_5,
+           ROUND(AVG(hit_10), 6) AS avg_hit_10,
+           ROUND(AVG(mrr), 6) AS avg_mrr,
+           ROUND(AVG(ndcg_10), 6) AS avg_ndcg_10,
+           ROUND(AVG(composite), 6) AS avg_composite,
+           COUNT(*) AS n_queries
+    FROM per_query
+    """
+
+
 @register(
     "metrics_summary",
-    None,  # depends on retrieval_metrics; its own oracle covers per-query
+    _metrics_summary_oracle(),
     note="A12: evaluation-run aggregation — mean of per-case metric rows "
     "(evaluate_vector_retrieval.py:418-470's pandas mean as a Spark "
-    "aggregate over the oracle-checked retrieval_metrics output).",
+    "aggregate over the oracle-checked retrieval_metrics output; the "
+    "oracle wraps the per-query oracle in the same outer mean).",
 )
 def q_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sortify_spark.queries_metrics import q_retrieval_metrics

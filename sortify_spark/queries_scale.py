@@ -188,12 +188,72 @@ _RAW_EMAILS = [
 ]
 
 
+def _email_oracle_sql() -> str:
+    """DuckDB twin of the email parse over the same inlined raw
+    literals.  Header captures use ``[^\\r\\n]*`` because RE2's
+    multiline ``$`` (unlike Java's) does not treat ``\\r\\n`` as a line
+    terminator and would swallow the ``\\r``."""
+
+    def lit(s: str) -> str:
+        esc = (
+            s.replace("\\", "\\\\")
+            .replace("'", "''")
+            .replace("\r", "\\r")
+            .replace("\n", "\\n")
+        )
+        return f"E'{esc}'"
+
+    values = ", ".join(f"({lit(r)})" for r in _RAW_EMAILS)
+
+    def hdr(name: str) -> str:
+        return (
+            f"regexp_extract(head, '(?im)^{name}:[ \\t]*([^\\r\\n]*)', 1)"
+        )
+
+    return f"""
+    WITH raw(raw) AS (VALUES {values}),
+    parts AS (
+      SELECT regexp_extract(raw, '(?s)^(.*?)\\r?\\n\\r?\\n', 1) AS head,
+             regexp_replace(raw, '(?s)^.*?\\r?\\n\\r?\\n', '') AS body
+      FROM raw
+    ),
+    hdr AS (
+      SELECT {hdr('Message-ID')} AS message_id,
+             {hdr('Subject')} AS subject,
+             {hdr('From')} AS sender,
+             body FROM parts
+    ),
+    stripped AS (
+      SELECT message_id, subject, sender,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(body,
+                    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '<[^>]+>', ' ', 'g'),
+            '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', chr(39)),
+          '\\s+', ' ', 'g')) AS body_text
+      FROM hdr
+    )
+    SELECT COALESCE(NULLIF(message_id, ''),
+                    'email-' || md5(body_text)) AS _id,
+           subject AS filename, 'email' AS file_type,
+           CAST(length(body_text) AS BIGINT) AS size,
+           body_text AS extracted_text, sender
+    FROM stripped ORDER BY filename
+    """
+
+
 @register(
     "email_ingest",
-    None,  # synthetic in-memory input; deterministic rows-only check
+    _email_oracle_sql(),
     note="S7/S8 ingest: RFC-822-ish raw text → header regexes + HTML "
     "strip (F17) → document rows with email provenance "
-    "(gmail_service.py:103-398, apis/v1/gmail.py:749-844).",
+    "(gmail_service.py:103-398, apis/v1/gmail.py:749-844); the oracle "
+    "re-parses the same raw literals in DuckDB.",
 )
 def q_email_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sortify_spark.sources.email import emails_to_documents, parse_raw_emails
