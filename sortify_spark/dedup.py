@@ -372,7 +372,12 @@ def simhash_pairs(
     sig = (
         df.select(F.col(id_col).alias("id"), F.col(text_col))
         .repartition(par, "id")
-        .select("id", simhash_sig(token_set(F.col(text_col))).alias("sig"))
+        .select("id", token_set(F.col(text_col)).alias("__toks"))
+        # Tokenless docs (null/empty/whitespace) would all collide at
+        # signature 0 and pair with each other — drop them, matching the
+        # oracle's len(toks) > 0 filter.
+        .filter(F.size("__toks") > 0)
+        .select("id", simhash_sig(F.col("__toks")).alias("sig"))
         .withColumn(
             "block", F.shiftrightunsigned(F.col("sig"), SIMHASH_BLOCK_SHIFT)
         )

@@ -89,7 +89,9 @@ def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "schema_discovery",
-    None,  # engine-specific type names; deterministic rows-only check
+    # The events.props payloads are {"k": <int>} by construction; the
+    # oracle pins the discovered union schema to that ground truth.
+    "SELECT 'k' AS field, 'int' AS dtype",
     note="§1.5 dynamic schema-on-read: sample 5 rows of the events.props "
     "JSON column (deterministic: lowest event_id) and union their "
     "key→type maps — document_detail_query_handler.py:189-258.",

@@ -117,12 +117,31 @@ def q_activity_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frame_sample_oracle() -> str:
+    """DuckDB twin over the same synthetic media metadata: videos are
+    every third item (i % 3 == 2) with n_frames = 30·(i % 5 + 1); frame
+    indexes are every 10th, capped at 8 (DuckDB ``range`` excludes the
+    stop, Spark ``sequence`` includes it — equivalent for step-aligned
+    positive bounds)."""
+    vids = ", ".join(
+        f"('m{i}', {30 * (i % 5 + 1)})" for i in range(64) if i % 3 == 2
+    )
+    return f"""
+    WITH v(media_id, n) AS (VALUES {vids})
+    SELECT media_id,
+           CAST(unnest(list_slice(range(0, n, 10), 1, 8)) AS INT)
+               AS frame_index
+    FROM v
+    """
+
+
 @register(
     "multimodal_frame_sample",
-    None,  # synthetic in-memory media table; deterministic rows-only
+    _frame_sample_oracle(),
     note="Video frame sampling: metadata-driven (media_id, frame_index) "
     "explode — the Spark-side plumbing of a frame extractor (decode "
-    "stubbed; multimodal.py).",
+    "stubbed; multimodal.py); oracle re-derives the frames from the "
+    "same metadata.",
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sortify_spark.multimodal import sample_frames, synthetic_media

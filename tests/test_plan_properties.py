@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the properties SCALE.md claims are
+machine-checked here so a refactor that silently loses pushdown, a
+broadcast, or a bounded top-k gets caught at test time."""
+
+from __future__ import annotations
+
+import pytest
+
+from sortify_spark.all_queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [" in plan and "LessThanOrEqual" in plan
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_list_filter_paginate_is_bounded_topk(spark):
+    plan = _plan(spark, "list_filter_paginate")
+    assert "TakeOrderedAndProject" in plan  # no global sort
+    assert _shuffles(plan) == 0
+
+
+def test_regional_revenue_broadcasts_dimensions(spark):
+    plan = _plan(spark, "regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_user_sessions_single_shuffle(spark):
+    plan = _plan(spark, "user_sessions")
+    assert _shuffles(plan) == 1  # windows + final agg reuse one partitioning
+
+
+def test_two_stage_candidates_broadcast(spark):
+    plan = _plan(spark, "two_stage_hybrid")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_keyword_topk_map_side_combine(spark):
+    plan = _plan(spark, "keyword_topk")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["pricing_summary", "quality_scores", "token_counts_bpe"]
+)
+def test_no_python_udf_in_jvm_only_queries(spark, name):
+    """These queries must stay whole-stage JVM — a Python UDF sneaking in
+    would show up as ArrowEvalPython/BatchEvalPython."""
+    plan = _plan(spark, name)
+    assert "EvalPython" not in plan
