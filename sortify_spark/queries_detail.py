@@ -107,6 +107,31 @@ def q_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_roundtrip",
+    """
+    SELECT doc_id,
+           to_json(struct_pack(doc_id := doc_id, lang := lang,
+                               n_chars := n_chars)) AS doc_json
+    FROM documents WHERE doc_id < 50
+    """,
+    note="F12: row → JSON serialization (to_json(struct(...))) — the "
+    "engine's form of the reference's recursive JSON sanitize for LLM "
+    "context assembly (document_detail_query_handler.py:47-58).",
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.to_json(F.struct("doc_id", "lang", "n_chars")).alias(
+                "doc_json"
+            ),
+        )
+    )
+
+
+@register(
     "daily_trend_streamed",
     f"""
     SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -106,6 +106,12 @@ def test_append_rows_layout(spark):
         assert parts, "expected p_date=… partition dirs"
         back = spark.read.parquet(out)
         assert back.count() == 200
-        # partition filter prunes: only matching date read
+        # partition filter prunes: only matching date read, and the
+        # pruning happens at plan level (PartitionFilters on the scan)
         one = parts[0].split("=")[1]
-        assert back.filter(F.col("p_date") == one).count() > 0
+        pruned = back.filter(F.col("p_date") == one)
+        assert pruned.count() > 0
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "p_date" in plan.split(
+            "PartitionFilters"
+        )[1][:200]
