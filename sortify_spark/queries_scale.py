@@ -100,6 +100,67 @@ def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "monthly_status_pivot",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+    FROM orders GROUP BY 1
+    """,
+    note="Pivot (A7's status×time breakdown generalized): one scan, "
+    "conditional sums per status column — the map-side-combined form of "
+    "groupBy().pivot().",
+)
+def q_monthly_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    return (
+        orders.groupBy(month)
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "month",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+@register(
+    "moving_avg_7d",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    )
+    SELECT day, cnt,
+           ROUND(AVG(cnt) OVER (ORDER BY day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) AS ma7
+    FROM daily
+    """,
+    note="Window frame spec (rowsBetween — absent in the reference, "
+    "free in Spark): 7-day trailing moving average over the daily "
+    "trend. The global window is safe here because the input is already "
+    "one row per day (30 rows), not per event.",
+)
+def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day", "cnt", F.round(F.avg("cnt").over(w), 4).alias("ma7")
+    )
+
+
 #: Word-or-single-punctuation tokens — the BPE-ish pre-tokenizer split.
 _BPE_RE = r"\w+|[^\w\s]"
 
