@@ -17,8 +17,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001: pricing-summary scan+aggregate."""
-    return REGISTRY["pricing_summary"].fn(spark, SMOKE_SF_DIR)
+    """Flagship query on sf0.001: the corpus-curation pipeline (exact
+    dedup → MinHash-LSH near-dup drop → quality/language filter →
+    per-source token budget) — the engine's training-data use case in
+    one lazy plan."""
+    return REGISTRY["corpus_curation"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

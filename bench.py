@@ -53,6 +53,7 @@ HEADLINE = (
     "token_counts_bpe",
     "salted_join_revenue",
     "distinct_users_by_type",
+    "corpus_curation",
 )
 
 

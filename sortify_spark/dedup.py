@@ -249,10 +249,11 @@ def minhash_lsh_oracle_sql(
     band_size: int = DEFAULT_BAND_SIZE,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    source: str = "documents",
 ) -> str:
-    """DuckDB rendering of :func:`minhash_lsh_pairs` over the
-    ``documents`` view — generated from the SAME hash constants so engine
-    and oracle cannot drift."""
+    """DuckDB rendering of :func:`minhash_lsh_pairs` over ``source``
+    (a view name or parenthesized subquery) — generated from the SAME
+    hash constants so engine and oracle cannot drift."""
     p = MINHASH_PRIME
     hash_exprs = ", ".join(
         f"MIN(({a} * h + {b}) % {p}) AS h{j}"
@@ -275,7 +276,7 @@ def minhash_lsh_oracle_sql(
     WITH w AS (
       SELECT doc_id AS id,
              list_filter(string_split(text, ' '), x -> x <> '') AS w
-      FROM documents
+      FROM {source}
     ),
     base AS (
       SELECT id, {shingle_expr} AS toks FROM w

@@ -32,6 +32,66 @@ def q_dedup_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang", "n_chars")
 
 
+def _curation_oracle() -> str:
+    """Compose the stage oracles: exact dedup → near-dup drop → quality
+    and language filter → per-source token budget."""
+    fp = ts.FINGERPRINT_SQL.format(t="text")
+    kept_exact = f"""(
+      SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY {fp}
+                                     ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    )"""
+    pairs = dedup.minhash_lsh_oracle_sql(
+        threshold=0.5, shingle_k=3, source="kept_exact"
+    )
+    quality = ts.quality_score_sql("text", "n_chars")
+    tokens = ts.TOKEN_COUNT_SQL.format(t="text")
+    return f"""
+    WITH kept_exact AS {kept_exact},
+    pairs AS ({pairs}),
+    kept AS (
+      SELECT * FROM kept_exact
+      WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    ),
+    filtered AS (
+      SELECT * FROM kept
+      WHERE {quality} >= 0.5 AND lang IN ('en', 'de', 'fr', 'es')
+    )
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM({tokens}) AS BIGINT) AS token_budget
+    FROM filtered GROUP BY source
+    """
+
+
+@register(
+    "corpus_curation",
+    _curation_oracle(),
+    note="Flagship training-data curation pipeline in ONE lazy plan: "
+    "exact dedup (fingerprint window) → MinHash-LSH near-dup drop "
+    "(anti-join) → quality >= 0.5 and language filter → per-source "
+    "token budget. Every stage reuses an independently oracle-checked "
+    "operator; the composed oracle is the composition of their SQL.",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    kept_exact = dedup.drop_exact_duplicates(docs)
+    pairs = dedup.minhash_lsh_pairs(kept_exact, threshold=0.5, use_shingles=3)
+    kept = dedup.drop_near_duplicates(kept_exact, pairs)
+    filtered = kept.filter(
+        (ts.quality_score(F.col("text"), F.col("n_chars")) >= 0.5)
+        & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    return filtered.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(ts.token_count(F.col("text"))).cast("bigint").alias(
+            "token_budget"
+        ),
+    )
+
+
 @register(
     "corpus_after_neardup",
     f"""
