@@ -93,6 +93,45 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup",
+    f"""
+    WITH allrows AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+    )
+    SELECT {_FP} AS fp, MIN(doc_id) AS doc_id
+    FROM allrows GROUP BY 1
+    """,
+    note="Custom stateful streaming operator (applyInPandasWithState): "
+    "exact dedup at ingest — per-fingerprint state emits one "
+    "representative ever, across microbatches. The availableNow run "
+    "over documents + 25 injected duplicates must hash-match the batch "
+    "group-min oracle; cross-batch suppression is covered in "
+    "tests/test_scale_queries.py.",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sortify_spark.streaming.pipeline import streaming_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    dupes = docs.filter(F.col("doc_id") < 25).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    full = docs.unionByName(dupes).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="sortify_sdedup_")
+    full.write.mode("overwrite").parquet(f"{tmp}/in")
+    q = streaming_exact_dedup(
+        spark, f"{tmp}/in", f"{tmp}/ckpt", out_table="streaming_dedup_out"
+    )
+    q.awaitTermination(300)
+    return spark.table("streaming_dedup_out")
+
+
+@register(
     "corpus_after_neardup",
     f"""
     WITH pairs AS ({dedup.minhash_lsh_oracle_sql(threshold=0.5, shingle_k=3)})

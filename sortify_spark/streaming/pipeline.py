@@ -64,6 +64,70 @@ def vectorize_stream(
     return writer.start()
 
 
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_table: str = "dedup_stream_out",
+    max_files_per_trigger: int | None = None,
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    exact dedup AT INGEST.
+
+    Groups the stream by content fingerprint; per-group state is one
+    boolean ("a representative was already emitted").  The first batch
+    containing a fingerprint emits its lowest doc_id and sets the state;
+    every later occurrence — in the same batch or any later one — is
+    swallowed.  This is the streaming twin of
+    ``dedup.drop_exact_duplicates``: identical output when everything
+    arrives in one batch, first-arrival-wins across batches (state
+    outlives the microbatch, which foreachBatch alone cannot do).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.load(input_dir)
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").cast("binary")
+    )
+    keyed = docs.select(fp.alias("fp"), "doc_id")
+
+    def _dedup(key, pdf_iter, state):
+        if state.exists:
+            return  # representative already emitted in a prior batch
+        best = None
+        for pdf in pdf_iter:
+            m = int(pdf["doc_id"].min())
+            best = m if best is None else min(best, m)
+        state.update((True,))
+        yield pd.DataFrame({"fp": [key[0]], "doc_id": [best]})
+
+    deduped = keyed.groupBy("fp").applyInPandasWithState(
+        _dedup,
+        outputStructType="fp string, doc_id long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # Pin bounded state partitioning (see run_daily_trend_stream).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        return (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(out_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def count_threshold_trigger(
     spark: SparkSession,
     input_dir: str,

@@ -82,3 +82,54 @@ def test_count_threshold_trigger(spark, tmp_path):
     q = count_threshold_trigger(spark, inp, ckpt, threshold=10, on_threshold=fired.append)
     q.awaitTermination(120)
     assert fired and fired[0] >= 10
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Single-batch availableNow run must equal batch drop_exact_duplicates."""
+    from sortify_spark.dedup import drop_exact_duplicates
+    from sortify_spark.streaming.pipeline import streaming_exact_dedup
+    from sortify_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    # inject exact duplicates with higher ids
+    dupes = docs.limit(10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    full = docs.unionByName(dupes)
+    inp = str(tmp_path / "in")
+    full.select("doc_id", "text", "lang", "source", "n_chars").write.parquet(inp)
+    q = streaming_exact_dedup(
+        spark, inp, str(tmp_path / "ckpt"), out_table="sded1"
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["fp"], r["doc_id"])
+        for r in spark.sql("SELECT * FROM sded1").collect()
+    }
+    want_ids = {r["doc_id"] for r in drop_exact_duplicates(full).collect()}
+    assert {d for _, d in got} == want_ids
+    assert len(got) == len(want_ids)
+
+
+def test_streaming_dedup_state_across_batches(spark, tmp_path):
+    """With one file per trigger, a fingerprint seen in batch 1 must be
+    suppressed in batch 2 — state outlives the microbatch."""
+    from sortify_spark.streaming.pipeline import streaming_exact_dedup
+
+    inp = str(tmp_path / "in")
+    rows1 = [(1, "alpha beta gamma", "en", "s", 16)]
+    rows2 = [(2, "alpha beta gamma", "en", "s", 16),
+             (3, "totally new content", "en", "s", 19)]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    spark.createDataFrame(rows1, cols).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(rows2, cols).coalesce(1).write.mode("append").parquet(inp)
+    q = streaming_exact_dedup(
+        spark, inp, str(tmp_path / "ckpt"), out_table="sded2",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT * FROM sded2").collect()
+    )
+    # doc 1 or 2 wins its fp depending on file order, but never both
+    assert len(got) == 2 and 3 in got
