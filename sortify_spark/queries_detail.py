@@ -107,6 +107,44 @@ def q_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_fixed_width",
+    """
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_index,
+           substring(text, CAST(i * 48 + 1 AS BIGINT), 64) AS chunk_text
+    FROM documents,
+         LATERAL unnest(range(0, CAST(ceil(greatest(length(text) - 16, 1)
+                                           / 48.0) AS BIGINT))) AS t(i)
+    WHERE doc_id < 100 AND length(text) > 0
+    """,
+    note="F2's plumbing with fixed-width windows (size 64, stride 48 = "
+    "size − overlap 16), pure JVM sequence+substring — the "
+    "SQL-expressible twin of the sentence-snapping chunker UDF "
+    "(chunk_documents), so the explode shape itself is oracle-checked.",
+)
+def q_chunk_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 64, 48
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & (F.length("text") > 0))
+    )
+    n_chunks = F.ceil(
+        F.greatest(F.length("text") - (size - stride), F.lit(1)) / stride
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_index", "__x"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        F.col("text")
+        .substr(F.col("chunk_index") * stride + 1, F.lit(size))
+        .alias("chunk_text"),
+    )
+
+
+@register(
     "json_roundtrip",
     """
     SELECT doc_id,

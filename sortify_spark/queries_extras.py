@@ -108,15 +108,29 @@ def q_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sampled_scan",
-    None,  # Spark's Bernoulli sampler has no DuckDB twin
-    note="O7: seeded sample-N (clustering_service.py:723-725 uses "
-    "random.sample for labeling) — deterministic given the seed, "
-    "rows-only check.",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+          % 10 = 0
+    """,
+    note="O7: deterministic ~10% sample via a portable content-hash "
+    "predicate (clustering_service.py:723-725 uses random.sample) — "
+    "hash-sampling beats seeded Bernoulli for pipelines because the "
+    "sample is stable under repartitioning and re-runs, and it is "
+    "oracle-checkable. df.sample(seed=) remains the one-off variant.",
 )
 def q_sampled_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 7),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
     return (
         _t(spark, sf_dir, "documents")
-        .sample(fraction=0.1, seed=42)
+        .filter(bucket == 0)
         .select("doc_id", "lang", "n_chars")
     )
 
