@@ -452,12 +452,14 @@ def embedding_neardup_topk(
     """Top-k most-similar same-block pairs by cosine.  Blocking keeps the
     pair space at Σ block² — with an IVF-style coarse assignment as the
     block at scale (see search.knn), this is the embedding-dedup plan."""
-    from sortify_spark.functions.vectors import cosine
+    from sortify_spark.functions.vectors import cosine_given_norms, l2_norm
 
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
     if block_col:
         cols.append(F.col(block_col).alias("block"))
-    base = df.select(*cols)
+    # Norm folded once per row below the self-join — the pair space is
+    # Σ block², so a per-pair norm recompute would dominate the plan.
+    base = df.select(*cols).withColumn("n", l2_norm("vec"))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
@@ -467,7 +469,12 @@ def embedding_neardup_topk(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_given_norms(
+                    F.col("a.vec"), F.col("b.vec"), F.col("a.n"), F.col("b.n")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(k)

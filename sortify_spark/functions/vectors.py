@@ -53,6 +53,22 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when(n == 0.0, F.lit(0.0)).otherwise(dot(a, b) / n)
 
 
+def cosine_given_norms(
+    a: Column | str, b: Column | str, na: Column, nb: Column
+) -> Column:
+    """``cosine`` with both L2 norms supplied as precomputed columns.
+
+    Higher-order array folds are interpreted per-row (not whole-stage
+    codegen'd), so in any join-scoring plan the norms should be computed
+    ONCE per input row below the join — not once per output pair.  Scoring
+    N vectors against M probes this way runs N+M norm folds instead of
+    2·N·M.  Bit-identical to ``cosine`` (same fold, same multiply order),
+    so oracle parity under round(…, 6) is preserved.
+    """
+    n = na * nb
+    return F.when(n == 0.0, F.lit(0.0)).otherwise(dot(a, b) / n)
+
+
 def l2_normalize(a: Column | str) -> Column:
     """Unit-normalize an embedding column (F8; reference normalizes before
     clustering, ``clustering_service.py:406-411``)."""

@@ -8,7 +8,7 @@ from pyspark.sql.window import Window
 
 from sortify_spark.metrics import idcg_sql, retrieval_metrics
 from sortify_spark.queries import register, _t
-from sortify_spark.functions.vectors import cosine
+from sortify_spark.functions.vectors import cosine_given_norms, l2_norm
 
 _N_PROBES = 5
 
@@ -53,14 +53,19 @@ def _ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _t(spark, sf_dir, "embeddings")
     probes = F.broadcast(
-        emb.filter(F.col("vec_id") < _N_PROBES).select(
+        emb.filter(F.col("vec_id") < _N_PROBES)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
             F.col("label").alias("qlabel"),
         )
+        .withColumn("__qn", l2_norm("qe"))
     )
     scored = (
-        emb.crossJoin(probes)
+        # Norms folded once per side below the join (N + M folds), not per
+        # pair (2·N·M) — the folds are interpreted, so this dominates cost.
+        emb.withColumn("__en", l2_norm("embedding"))
+        .crossJoin(probes)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -68,7 +73,12 @@ def _ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias(
                 "is_relevant"
             ),
-            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("score"),
+            F.round(
+                cosine_given_norms(
+                    F.col("embedding"), F.col("qe"), F.col("__en"), F.col("__qn")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

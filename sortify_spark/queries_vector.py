@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from sortify_spark import dedup
 from sortify_spark.queries import register, _t
 from sortify_spark.search import fusion, knn
-from sortify_spark.functions.vectors import cosine
+from sortify_spark.functions.vectors import cosine_given_norms, l2_norm
 
 # --- shared scorer builders -------------------------------------------------
 
@@ -274,17 +274,28 @@ def _assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment against fixed probe centroids — the
     distributed core of cluster write-back M5 (every vector scored against
     broadcast centroids, argmax with first-wins tie-break)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    base = _t(spark, sf_dir, "embeddings")
+    # One norm fold per vector for all 3 centroid scores (the fold is
+    # interpreted per-row, so per-score recompute would triple the cost).
+    emb = base.withColumn("__en", l2_norm("embedding"))
     scores = []
     for i, cid in enumerate(_CENTROID_IDS):
         c = F.broadcast(
-            emb.filter(F.col("vec_id") == cid).select(
-                F.col("embedding").alias(f"__c{i}")
-            )
+            base.filter(F.col("vec_id") == cid)
+            .select(F.col("embedding").alias(f"__c{i}"))
+            .withColumn(f"__cn{i}", l2_norm(f"__c{i}"))
         )
         emb = emb.crossJoin(c)
         scores.append(
-            F.round(cosine(F.col("embedding"), F.col(f"__c{i}")), 6)
+            F.round(
+                cosine_given_norms(
+                    F.col("embedding"),
+                    F.col(f"__c{i}"),
+                    F.col("__en"),
+                    F.col(f"__cn{i}"),
+                ),
+                6,
+            )
         )
     assigned = (
         F.when((scores[0] >= scores[1]) & (scores[0] >= scores[2]), 0)

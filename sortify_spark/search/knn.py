@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sortify_spark.functions.vectors import cosine, dot
+from sortify_spark.functions.vectors import cosine, cosine_given_norms, dot, l2_norm
 
 DEFAULT_TOP_K = 10
 DEFAULT_THRESHOLD = 0.5
@@ -32,12 +32,24 @@ def score_vectors(
     rounded 6), with optional pre-filter (the owner/type predicates the
     reference pushes into the Chroma ``where``,
     ``vector_db_service.py:193-224``) and τ post-filter (``:226-246``)."""
-    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    q = F.broadcast(
+        query.select(F.col(vec_col).alias("__qvec")).withColumn(
+            "__qn", l2_norm("__qvec")
+        )
+    )
     base = vectors.filter(pre_filter) if pre_filter is not None else vectors
+    # Norm below the join: one fold per stored vector, not per (vector,
+    # query) output row; the broadcast side's norm is folded once at build.
+    base = base.withColumn("__vn", l2_norm(vec_col))
     scored = base.crossJoin(q).select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("score"),
+        F.round(
+            cosine_given_norms(
+                F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+            ),
+            6,
+        ).alias("score"),
     )
     if threshold is not None:
         scored = scored.filter(F.col("score") >= threshold)
