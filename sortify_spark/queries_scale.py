@@ -329,3 +329,126 @@ def q_email_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extracted_text",
         F.col("email_metadata")["sender"].alias("sender"),
     ).orderBy("filename")
+
+
+@register(
+    "asof_join_attribution",
+    """
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           c.event_id AS click_event_id,
+           c.ts_us AS click_ts_us,
+           ROUND(p.value, 4) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT event_id, epoch_us(ts) AS ts_us
+      FROM events c
+      WHERE c.event_type = 'click'
+        AND c.user_id = p.user_id AND c.ts <= p.ts
+      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+    ) c ON TRUE
+    """,
+    note="As-of join (absent in the reference and in Spark's builtin "
+    "joins): each purchase attributed to the user's latest click at or "
+    "before it. Implemented sort-based — tag both streams, union, one "
+    "window over (user_id; ts, tag, event_id) carrying last-seen click "
+    "via last(ignorenulls) — ONE shuffle on user_id, no per-row probe "
+    "and no nested-loop range join, which is the shape that survives "
+    "100 TB (a range-predicate join would BroadcastNestedLoop). "
+    "Deterministic tie-break: at equal ts the click sorts first and the "
+    "larger event_id wins, matching the oracle's ORDER BY ... LIMIT 1.",
+)
+def q_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("tag"), "event_id", "value"
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("tag") == 0
+    carried = unioned.select(
+        "*",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_event_id"),
+        F.last(F.when(is_click, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("click_ts_us"),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        "click_event_id",
+        "click_ts_us",
+        F.round("value", 4).alias("purchase_value"),
+    )
+
+
+@register(
+    "range_join_clicks_1h",
+    """
+    SELECT p.event_id, p.user_id, COUNT(c.event_id) AS clicks_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts) >  epoch_us(p.ts) - 3600000000
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+    GROUP BY p.event_id, p.user_id
+    """,
+    note="Binned range join (absent in the reference; Spark would plan a "
+    "raw range-predicate join as a nested-loop): clicks in the hour "
+    "before each purchase, per user. Each click is replicated to its "
+    "hour bucket and the next, the join is a plain equi-join on "
+    "(user_id, bucket) with the exact range predicate as a residual — "
+    "2x the click rows through one hash shuffle instead of an O(n*m) "
+    "probe; replication factor = 1 + window/bucket, chosen equal here.",
+)
+def q_range_join_clicks_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hour_us = 3_600_000_000
+    events = _t(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.unix_micros("ts").alias("c_ts_us"),
+            F.col("event_id").alias("c_id"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.array(
+                    F.floor(F.col("c_ts_us") / hour_us),
+                    F.floor(F.col("c_ts_us") / hour_us) + 1,
+                )
+            ).alias("c_bucket"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("p_ts_us"),
+        F.floor(F.unix_micros("ts") / hour_us).alias("p_bucket"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_bucket") == F.col("p_bucket"))
+        & (F.col("c_ts_us") > F.col("p_ts_us") - hour_us)
+        & (F.col("c_ts_us") <= F.col("p_ts_us")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("c_id").alias("clicks_1h")
+    )
