@@ -36,6 +36,9 @@ HEADLINE = (
     "revenue_topk_orders",
     "top_order_per_customer",
     "knn_bruteforce",
+    "knn_bruteforce_np",
+    "asof_join_attribution",
+    "range_join_clicks_1h",
     "rrf_fusion",
     "two_stage_hybrid",
     "minhash_lsh_pairs",

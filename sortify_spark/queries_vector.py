@@ -91,6 +91,27 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_bruteforce_np",
+    f"""
+    WITH cos AS ({_COS_SQL})
+    SELECT id, score FROM cos
+    WHERE score >= 0.1
+    ORDER BY score DESC, id ASC LIMIT 10
+    """,
+    note="O4/V1 at high dimension: the same exact top-k contract as "
+    "knn_bruteforce, scored by an Arrow-batched numpy matvec "
+    "(mapInPandas) instead of interpreted per-element folds — the "
+    "compute-bound 768-dim path; oracle-identical results.",
+)
+def q_knn_bruteforce_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return knn.brute_force_topk_np(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, threshold=0.1
+    ).select(F.col("vec_id").alias("id"), "score")
+
+
+@register(
     "knn_per_label_topk",
     f"""
     WITH cos AS ({_COS_SQL})

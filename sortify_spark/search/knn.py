@@ -136,3 +136,52 @@ def ivf_topk(
     )
     pruned = vectors.join(F.broadcast(best_buckets), assign_col, "left_semi")
     return brute_force_topk(pruned, query, id_col, vec_col, k)
+
+
+def brute_force_topk_np(
+    vectors: DataFrame,
+    qvec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = DEFAULT_TOP_K,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Arrow-batched numpy brute-force top-k — the high-dimension scale
+    path next to :func:`brute_force_topk`.
+
+    Catalyst's higher-order folds are interpreted per element; at 768
+    dims x millions of rows the scoring is compute-bound there.  This
+    variant ships each Arrow batch to numpy as one (n x d) matrix and
+    scores it with a single BLAS matvec — per-batch, not per-element,
+    Python cost.  The query vector is a plain closure constant (it is a
+    parameter of the search, the same way the reference materializes
+    the query embedding before the index call,
+    ``enhanced_search_service.py:84-111``).  Same contract as the exact
+    scorer: cosine rounded to 6, tau post-filter, (score desc, id asc)
+    top-k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            denom = np.linalg.norm(m, axis=1) * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(denom == 0.0, 0.0, m @ q / denom)
+            out = pd.DataFrame(
+                {id_col: pdf[id_col], "score": np.round(s, 6)}
+            )
+            if threshold is not None:
+                out = out[out["score"] >= threshold]
+            yield out
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(
+        _score, f"{id_col} long, score double"
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
