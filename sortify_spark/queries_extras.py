@@ -136,6 +136,81 @@ def q_sampled_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "status_year_cube",
+    f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+           COUNT(*) AS cnt,
+           {oracle_dsum('o_totalprice')} AS total_value
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+    """,
+    note="Beyond-reference (SURVEY.md §2.4 'absent' row, with "
+    "orders_rollup): full CUBE over (status, order year) — all four "
+    "grouping combinations in one shuffle via Spark's Expand operator, "
+    "where the reference would need four Mongo pipelines.",
+)
+def q_status_year_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube(
+            F.col("o_orderstatus"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(
+                F.col("order_year").cast("string"), F.lit("ALL")
+            ).alias("order_year"),
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "daily_order_delta",
+    """
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+      FROM orders GROUP BY 1
+    )
+    SELECT day, cnt,
+           COALESCE(cnt - LAG(cnt) OVER (ORDER BY day), 0) AS delta_prev,
+           COALESCE(LEAD(cnt) OVER (ORDER BY day) - cnt, 0) AS delta_next
+    FROM daily
+    """,
+    note="lead/lag window functions (absent in the reference, SURVEY.md "
+    "§2.5 'absent' row): day-over-day order-count deltas. Integer "
+    "deltas are oracle-exact; the unpartitioned window is safe because "
+    "the input is already one row per day (~2.4k rows), not per order.",
+)
+def q_daily_order_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "cnt",
+        F.coalesce(
+            F.col("cnt") - F.lag("cnt").over(w), F.lit(0)
+        ).alias("delta_prev"),
+        F.coalesce(
+            F.lead("cnt").over(w) - F.col("cnt"), F.lit(0)
+        ).alias("delta_next"),
+    )
+
+
+@register(
     "qa_document_search",
     None,
     note="§3.3 end-to-end QA data plane: rule-based intent classification "
