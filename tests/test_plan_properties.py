@@ -53,6 +53,25 @@ def test_keyword_topk_map_side_combine(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_cube_expands_once_single_shuffle(spark):
+    """CUBE must compile to one Expand (4 grouping sets) feeding one
+    partial→final hash aggregate — four separate scans would be wrong."""
+    plan = _plan(spark, "status_year_cube")
+    assert "Expand" in plan
+    assert _shuffles(plan) == 1
+    assert "partial_" in plan
+
+
+def test_daily_delta_windows_after_aggregate(spark):
+    """lead/lag run over the ~2.4k-row daily aggregate, not the raw
+    orders: exactly the agg shuffle plus the single-partition window
+    exchange, and the window input is the aggregated side."""
+    plan = _plan(spark, "daily_order_delta")
+    assert "Window" in plan
+    assert _shuffles(plan) == 2
+    assert "partial_count" in plan  # agg happens below the window
+
+
 @pytest.mark.parametrize(
     "name", ["pricing_summary", "quality_scores", "token_counts_bpe"]
 )
