@@ -169,6 +169,34 @@ class SortifyEngine:
             summary, chunk_scored_fn, stage1_k=STAGE1_K, top_k=STAGE2_K
         )
 
+    def document_chunks(
+        self, doc_id: str, owner_id: str | None = None
+    ) -> DataFrame:
+        """V8: every chunk vector of one document, in chunk order
+        (``vector_db_service.py:429-474`` — Chroma ``.get`` with
+        ``{$and: [{document_id}, {owner_id}]}``)."""
+        pred = (F.col("vtype") == "chunk") & (
+            F.col("document_id") == str(doc_id)
+        )
+        if owner_id is not None:
+            pred = pred & (F.col("owner_id") == owner_id)
+        return self.vectors.filter(pred).orderBy("chunk_index")
+
+    def delete_vectors(self, doc_ids: DataFrame | list) -> DataFrame:
+        """S10: delete-by-document-id (``vector_db_service.py:263-323``)
+        rewritten for an immutable columnar store: the deletion list
+        becomes a broadcast LEFT ANTI join and the caller rewrites the
+        table with the result (with Delta this is a real ``DELETE``)."""
+        if not isinstance(doc_ids, DataFrame):
+            doc_ids = self.spark.createDataFrame(
+                [(str(d),) for d in doc_ids], "document_id string"
+            )
+        return self.vectors.join(
+            F.broadcast(doc_ids.select("document_id")),
+            "document_id",
+            "left_anti",
+        )
+
     # -- analytics ---------------------------------------------------------
 
     def dashboard(self) -> DataFrame:

@@ -69,3 +69,44 @@ def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     no_style = F.regexp_replace(no_script, r"(?is)<style[^>]*>.*?</style>", " ")
     no_tags = F.regexp_replace(no_style, r"<[^>]+>", " ")
     return docs.select("doc_id", F.trim(no_tags).alias("stripped_head"))
+
+
+@register(
+    "vector_delete_rewrite",
+    """
+    SELECT label, COUNT(*) AS remaining
+    FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 97 = 0)
+    GROUP BY label
+    """,
+    note="S10: vector delete-by-id (vector_db_service.py:263-323) over an "
+    "immutable columnar store — the deletion id-list becomes a broadcast "
+    "LEFT ANTI join and the table is rewritten with the survivors (Delta "
+    "turns the same plan into a real DELETE). Remaining-per-label counts "
+    "verify the survivors exactly.",
+)
+def q_vector_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    to_delete = emb.filter(F.col("vec_id") % 97 == 0).select("vec_id")
+    return (
+        emb.join(F.broadcast(to_delete), "vec_id", "left_anti")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("remaining"))
+    )
+
+
+@register(
+    "chunks_for_document",
+    None,  # chunk boundaries come from the Python chunker UDF
+    note="V8: fetch-all-chunks-by-document (vector_db_service.py:429-474) "
+    "— the facade's vectors table filtered to one (document_id, owner_id) "
+    "in chunk order; partition-prunes to nothing at scale when the "
+    "vectors table is written partitioned by owner.",
+)
+def q_chunks_for_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.facade import get_engine
+
+    eng = get_engine(spark, sf_dir, dim=16)
+    return eng.document_chunks("7", owner_id="default").select(
+        "document_id", "chunk_index", "total_chunks", "chunk_text"
+    )
