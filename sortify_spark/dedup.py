@@ -479,3 +479,75 @@ def embedding_neardup_topk(
         .orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contaminated_by_shingles(
+    train: DataFrame,
+    bench: DataFrame,
+    shingle_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training docs sharing >=1 k-word shingle with a benchmark set —
+    the decontamination step of a training-data pipeline (beyond the
+    reference's surface, like the dedup family).
+
+    Plan shape: both sides explode to (id, shingle); the benchmark
+    shingle set (small by construction) deduplicates and BROADCASTS into
+    a left-semi join against the training shingles, so the training side
+    never shuffles.  At 100 TB with a huge benchmark suite the same plan
+    degrades gracefully to a shuffled semi-join on the shingle hash.
+    """
+
+    def explode_shingles(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("id"), words(F.col(text_col)).alias("__w")
+            )
+            .select("id", shingles(F.col("__w"), shingle_k).alias("toks"))
+            .filter(F.size("toks") > 0)
+            .select("id", F.explode("toks").alias("shingle"))
+        )
+
+    bench_sh = explode_shingles(bench).select("shingle").distinct()
+    return (
+        explode_shingles(train)
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("id")
+        .distinct()
+    )
+
+
+def decontaminate_oracle_sql(
+    shingle_k: int = 5, bench_mod: int = 53, source: str = "documents"
+) -> str:
+    """DuckDB rendering of :func:`contaminated_by_shingles` with the
+    benchmark side defined as ``doc_id % bench_mod = 0`` — same shingle
+    construction as :func:`minhash_lsh_oracle_sql` so engine and oracle
+    cannot drift."""
+    shingle_expr = (
+        f"list_distinct(list_transform(range(1, len(w) - {shingle_k} + 2), i -> "
+        + " || ' ' || ".join(f"w[i+{j}]" for j in range(shingle_k))
+        + "))"
+    ).replace("w[i+0]", "w[i]")
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM {source}
+    ),
+    base AS (SELECT doc_id, source, {shingle_expr} AS toks FROM w),
+    sh AS (SELECT doc_id, source, unnest(toks) AS shingle
+           FROM base WHERE len(toks) > 0),
+    cont AS (
+      SELECT DISTINCT doc_id, source FROM sh
+      WHERE doc_id % {bench_mod} <> 0
+        AND shingle IN (SELECT shingle FROM sh WHERE doc_id % {bench_mod} = 0)
+    )
+    SELECT source, COUNT(*) AS contaminated_docs FROM cont GROUP BY source
+    """

@@ -146,3 +146,24 @@ def q_corpus_after_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, use_shingles=3)
     return dedup.drop_near_duplicates(docs, pairs).select("doc_id", "lang")
+
+
+@register(
+    "decontaminate_vs_benchmark",
+    dedup.decontaminate_oracle_sql(shingle_k=5, bench_mod=53),
+    note="Benchmark decontamination (training-data pipeline step beyond "
+    "the reference): training docs sharing any 5-word shingle with the "
+    "held-out benchmark slice (doc_id % 53 = 0) are flagged via a "
+    "broadcast left-semi join on exploded shingles — the training side "
+    "never shuffles. Per-source contamination counts are oracle-exact.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    train = docs.filter(F.col("doc_id") % 53 != 0)
+    flagged = dedup.contaminated_by_shingles(train, bench, shingle_k=5)
+    return (
+        flagged.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("contaminated_docs"))
+    )
