@@ -1,0 +1,61 @@
+"""Deterministic sampling operators.
+
+A training-data pipeline samples by *policy* (per-source mixture rates),
+not by RNG: the sample must be stable under repartitioning, re-runs, and
+backfills, and auditable row-by-row.  Hash-bucket sampling gives all
+three (and an exact SQL oracle); ``df.sample(seed=)`` remains the
+one-off exploratory variant (``sampled_scan``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket space for rate resolution: rates are exact to 1/1000.
+BUCKETS = 1000
+
+
+def hash_bucket(id_col: Column | str, buckets: int = BUCKETS) -> Column:
+    """Stable per-row bucket in [0, buckets) from the md5 hex prefix of
+    the string-rendered id — bit-identical in DuckDB as
+    ``('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 7))::BIGINT %
+    buckets``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(
+            F.substring(F.md5(c.cast("string").cast("binary")), 1, 7), 16, 10
+        ).cast("bigint")
+        % buckets
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+    id_col: str,
+) -> DataFrame:
+    """Keep each row iff its id-hash bucket falls under its stratum's
+    rate — the mixture resampler (e.g. keep 100% of curated sources,
+    20% of web crawl).  Pure filter: no shuffle, no RNG, pushdown-safe,
+    and the kept set only shrinks/grows per-stratum when rates change."""
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return df.filter(hash_bucket(id_col) < (rate * BUCKETS).cast("bigint"))
+
+
+def stratified_oracle_predicate(
+    strata_col: str, rates: dict[str, float], default_rate: float, id_col: str
+) -> str:
+    """DuckDB rendering of the :func:`stratified_hash_sample` filter."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * BUCKETS)}" for k, v in sorted(rates.items())
+    )
+    return (
+        f"('0x' || substring(md5(CAST({id_col} AS VARCHAR)), 1, 7))::BIGINT "
+        f"% {BUCKETS} < CASE {strata_col} {cases} "
+        f"ELSE {int(default_rate * BUCKETS)} END"
+    )

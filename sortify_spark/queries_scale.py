@@ -452,3 +452,104 @@ def q_range_join_clicks_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "user_id").agg(
         F.count("c_id").alias("clicks_1h")
     )
+
+
+#: Mixture policy for the resampler demo: curated sources kept whole,
+#: mid-tier halved, the long tail at 20%.
+_MIX_RATES = {"src0": 1.0, "src1": 1.0, "src2": 0.5, "src3": 0.5}
+_MIX_DEFAULT = 0.2
+
+
+@register(
+    "mixture_resample",
+    None,  # SQL injected below (needs the shared predicate renderer)
+    note="Training-data mixture resampling: per-source hash-bucket "
+    "sampling rates (curated 100%, mid-tier 50%, tail 20%) as a pure "
+    "pushdown-safe filter — stable under repartitioning/re-runs and "
+    "auditable row-by-row, unlike RNG sampling (operators/sampling.py). "
+    "Per-source kept docs + token budget verify the mixture exactly.",
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark import textstats as ts
+    from sortify_spark.operators.sampling import stratified_hash_sample
+
+    kept = stratified_hash_sample(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        _MIX_RATES,
+        _MIX_DEFAULT,
+        "doc_id",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(ts.token_count(F.col("text"))).cast("bigint").alias("tokens"),
+    )
+
+
+def _mixture_oracle_sql() -> str:
+    from sortify_spark import textstats as ts
+    from sortify_spark.operators.sampling import stratified_oracle_predicate
+
+    pred = stratified_oracle_predicate(
+        "source", _MIX_RATES, _MIX_DEFAULT, "doc_id"
+    )
+    toks = ts.TOKEN_COUNT_SQL.format(t="text")
+    return f"""
+    SELECT source, COUNT(*) AS docs,
+           CAST(SUM({toks}) AS BIGINT) AS tokens
+    FROM documents WHERE {pred} GROUP BY source
+    """
+
+
+from sortify_spark.queries import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["mixture_resample"].sql = _mixture_oracle_sql()
+
+
+@register(
+    "quality_quartile_filter",
+    None,  # SQL injected below
+    note="Distribution-based quality filtering: keep each source's top "
+    "75% by composite quality score using a tie-aware percent_rank "
+    "window (equal scores get equal rank in every engine, so the kept "
+    "set is portable — no float-threshold boundary flaps). One shuffle "
+    "on source; the constant-threshold twin is corpus_curation.",
+)
+def q_quality_quartile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark import textstats as ts
+    from sortify_spark.functions.numeric import davg
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "q", ts.quality_score(F.col("text"), F.col("n_chars"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("q").asc())
+    kept = docs.withColumn("pr", F.percent_rank().over(w)).filter(
+        F.col("pr") >= 0.25
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        davg("q").alias("avg_quality"),
+    )
+
+
+def _quartile_oracle_sql() -> str:
+    from sortify_spark import textstats as ts
+    from sortify_spark.functions.numeric import oracle_davg
+
+    q = ts.quality_score_sql("text", "n_chars")
+    return f"""
+    WITH scored AS (
+      SELECT source, {q} AS q FROM documents
+    ),
+    ranked AS (
+      SELECT source, q,
+             percent_rank() OVER (PARTITION BY source ORDER BY q ASC) AS pr
+      FROM scored
+    )
+    SELECT source, COUNT(*) AS docs_kept,
+           {oracle_davg('q')} AS avg_quality
+    FROM ranked WHERE pr >= 0.25 GROUP BY source
+    """
+
+
+_REGISTRY["quality_quartile_filter"].sql = _quartile_oracle_sql()
