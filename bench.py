@@ -56,6 +56,8 @@ HEADLINE = (
     "token_counts_bpe",
     "salted_join_revenue",
     "distinct_users_by_type",
+    "decontaminate_vs_benchmark",
+    "mixture_resample",
     "corpus_curation",
 )
 

@@ -505,13 +505,39 @@ def contaminated_by_shingles(
     """
 
     def explode_shingles(df: DataFrame) -> DataFrame:
+        # NOT the array-building shingles() helper: a Generate over an
+        # array-valued lambda re-evaluates the whole transform per output
+        # row (~8 s at sf0.1).  Instead explode a cheap integer index
+        # sequence and assemble each shingle with codegen'd scalar
+        # element_at calls over the words array, materialized once behind
+        # the Exchange (projection-collapse barrier, as minhash).  Per-doc
+        # distinctness is skipped — the semi-join + final distinct make it
+        # irrelevant to the contamination set.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        w = F.col("__w")
         return (
             df.select(
                 F.col(id_col).alias("id"), words(F.col(text_col)).alias("__w")
             )
-            .select("id", shingles(F.col("__w"), shingle_k).alias("toks"))
-            .filter(F.size("toks") > 0)
-            .select("id", F.explode("toks").alias("shingle"))
+            .repartition(par, "id")
+            .filter(F.size(w) >= shingle_k)
+            .select(
+                "id",
+                "__w",
+                F.explode(
+                    F.sequence(F.lit(0), F.size(w) - shingle_k)
+                ).alias("i"),
+            )
+            .select(
+                "id",
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(w, F.col("i") + j + 1)
+                        for j in range(shingle_k)
+                    ],
+                ).alias("shingle"),
+            )
         )
 
     bench_sh = explode_shingles(bench).select("shingle").distinct()
