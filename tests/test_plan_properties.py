@@ -72,6 +72,22 @@ def test_daily_delta_windows_after_aggregate(spark):
     assert "partial_count" in plan  # agg happens below the window
 
 
+def test_decontaminate_broadcast_semi_join(spark):
+    """The benchmark shingle set broadcasts into a left-semi join — the
+    training side must never shuffle for the join itself (its only
+    Exchanges are the two projection-collapse barriers + final agg)."""
+    plan = _plan(spark, "decontaminate_vs_benchmark")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_mixture_resample_is_pure_filter(spark):
+    """Stratified hash sampling is a scan-side filter: exactly the one
+    aggregation Exchange, no join, no window, no Python."""
+    plan = _plan(spark, "mixture_resample")
+    assert _shuffles(plan) == 1
+    assert "Join" not in plan and "EvalPython" not in plan
+
+
 @pytest.mark.parametrize(
     "name", ["pricing_summary", "quality_scores", "token_counts_bpe"]
 )
