@@ -48,29 +48,43 @@ def rrf_fuse(
     """W6/V4 (J3 rank alignment): Reciprocal Rank Fusion.
 
     ``score(d) = Σᵢ wᵢ/(k + rankᵢ(d))`` over both ranked lists, absent
-    ranks contribute 0 (full-outer join + coalesce —
-    ``enhanced_search_service.py:379-459``).  Result carries each side's
-    contribution for explainability, like the reference's fusion stats.
+    ranks contribute 0 (``enhanced_search_service.py:379-459``).  Result
+    carries each side's contribution for explainability, like the
+    reference's fusion stats.
+
+    The rank alignment (J3) is a union + groupBy, not a full-outer
+    join: identical results (each id keeps its per-source rank, absent
+    sides stay null), but the plan is one map-side-combinable hash
+    aggregate instead of a sort-merge join — no per-side sort, and it
+    scales to fusing N sources with the same single shuffle.
     """
     a = add_rank(summary_scored, id_col).select(
         F.col(id_col),
         F.col("rank").alias("rank_summary"),
-        F.col("score").alias("score_summary"),
+        F.lit(None).cast("int").alias("rank_chunks"),
     )
     b = add_rank(chunk_scored, id_col).select(
         F.col(id_col),
+        F.lit(None).cast("int").alias("rank_summary"),
         F.col("rank").alias("rank_chunks"),
-        F.col("score").alias("score_chunks"),
     )
-    fused = a.join(b, on=id_col, how="full_outer").select(
-        id_col,
-        "rank_summary",
-        "rank_chunks",
-        F.round(
-            F.coalesce(w_summary / (k + F.col("rank_summary")), F.lit(0.0))
-            + F.coalesce(w_chunks / (k + F.col("rank_chunks")), F.lit(0.0)),
-            6,
-        ).alias("rrf_score"),
+    fused = (
+        a.unionByName(b)
+        .groupBy(id_col)
+        .agg(
+            F.max("rank_summary").alias("rank_summary"),
+            F.max("rank_chunks").alias("rank_chunks"),
+        )
+        .select(
+            id_col,
+            "rank_summary",
+            "rank_chunks",
+            F.round(
+                F.coalesce(w_summary / (k + F.col("rank_summary")), F.lit(0.0))
+                + F.coalesce(w_chunks / (k + F.col("rank_chunks")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
     )
     return fused.orderBy(
         F.col("rrf_score").desc(), F.col(id_col).asc()
