@@ -553,3 +553,30 @@ def _quartile_oracle_sql() -> str:
 
 
 _REGISTRY["quality_quartile_filter"].sql = _quartile_oracle_sql()
+
+
+@register(
+    "latency_percentiles_approx",
+    None,  # sketch-based; engine-specific numeric results (rows-only)
+    note="The 100 TB twin of latency_percentiles: approx_percentile "
+    "(Greenwald-Khanna sketch, bounded memory per group, "
+    "accuracy 10000) — same plan shape as the exact version; sketches "
+    "merge associatively so partial aggregation still applies.",
+)
+def q_latency_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.expr("approx_percentile(value, 0.50, 10000)"), 6
+            ).alias("p50"),
+            F.round(
+                F.expr("approx_percentile(value, 0.90, 10000)"), 6
+            ).alias("p90"),
+            F.round(
+                F.expr("approx_percentile(value, 0.99, 10000)"), 6
+            ).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -133,3 +133,46 @@ def test_streaming_dedup_state_across_batches(spark, tmp_path):
     )
     # doc 1 or 2 wins its fp depending on file order, but never both
     assert len(got) == 2 and 3 in got
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    """A train doc sharing a 5-word run with a bench doc is flagged;
+    disjoint docs are not."""
+    from sortify_spark.dedup import contaminated_by_shingles
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps right out"),
+            (2, "completely different words with no shared run at all"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r.id
+        for r in contaminated_by_shingles(train, bench, shingle_k=5).collect()
+    }
+    assert flagged == {1}
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    from sortify_spark.all_queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    exact = {
+        r.event_type: r.p50
+        for r in REGISTRY["latency_percentiles"].fn(spark, SF_DIR).collect()
+    }
+    approx = {
+        r.event_type: r.p50
+        for r in REGISTRY["latency_percentiles_approx"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        assert abs(exact[k] - approx[k]) <= max(0.05 * abs(exact[k]), 1e-6)
