@@ -115,13 +115,26 @@ class SortifyEngine:
         )
 
     def _scored(self, query_text: str, vtype: str, k: int) -> DataFrame:
+        """Top-k scored list deduped to the BEST chunk per document.
+
+        ``brute_force_topk`` over chunk vectors returns chunk-level rows,
+        so one document can appear once per chunk; rank fusion requires
+        unique ids per list (``fusion.rrf_fuse`` contract; reference
+        dedupes + re-ranks in ``enhanced_search_service.py:404-419``).
+        The groupBy-max runs over a k-bounded list — trivial shuffle.
+        """
         q = self._query_df(query_text)
-        return brute_force_topk(
-            self.vectors.filter(F.col("vtype") == vtype),
-            q,
-            id_col="document_id",
-            k=k,
-        ).select(F.col("document_id").alias("id"), "score")
+        return (
+            brute_force_topk(
+                self.vectors.filter(F.col("vtype") == vtype),
+                q,
+                id_col="document_id",
+                k=k,
+            )
+            .select(F.col("document_id").alias("id"), "score")
+            .groupBy("id")
+            .agg(F.max("score").alias("score"))
+        )
 
     def semantic_search(
         self,

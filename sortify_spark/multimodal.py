@@ -100,7 +100,11 @@ def sample_frames(
     n = F.coalesce(
         F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0)
     )
-    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n))
+    # n == 0 (missing/zero n_frames) must yield NO frames, not a phantom
+    # frame 0 — sequence(0, greatest(n-1, 0)) would emit [0] for n=0.
+    idx = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_n))
+    ).otherwise(F.array().cast("array<int>"))
     return (
         media.filter(F.col("media_type") == "video")
         .select(

@@ -27,12 +27,34 @@ RRF_WEIGHT_CHUNKS = 1.0
 VARIANT_WEIGHTS = (1.3, 1.1, 1.0)
 
 
+#: Hard bound on ``add_rank`` input size: a global rank window is a
+#: single-partition sort, which is only acceptable on top-k-bounded
+#: lists.  ``add_rank`` enforces the bound structurally (TakeOrdered
+#: pre-limit) so an unbounded caller can't silently plan a 1-partition
+#: sort over a large input at scale.
+ADD_RANK_MAX_ROWS = 10_000
+
+
 def add_rank(
-    scored: DataFrame, id_col: str = "id", score_col: str = "score"
+    scored: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+    input_bound: int | None = ADD_RANK_MAX_ROWS,
 ) -> DataFrame:
     """W1: dense 1-based rank, deterministic (score desc, id asc).
-    Input lists are top-k-bounded, so the single-partition window is safe."""
-    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+
+    Contract: inputs are scored top-k lists with UNIQUE ids (one row per
+    candidate).  The global window is a single-partition sort, so the
+    input is structurally bounded first: ``orderBy().limit(input_bound)``
+    plans a distributed TakeOrdered, and the window then runs over at
+    most ``input_bound`` rows.  Ranks for the surviving rows are
+    identical to the unbounded form (same total order).  Pass
+    ``input_bound=None`` only when the caller proves boundedness itself.
+    """
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    if input_bound is not None:
+        scored = scored.orderBy(*order).limit(input_bound)
+    w = Window.orderBy(*order)
     return scored.withColumn("rank", F.row_number().over(w))
 
 
@@ -57,6 +79,13 @@ def rrf_fuse(
     sides stay null), but the plan is one map-side-combinable hash
     aggregate instead of a sort-merge join — no per-side sort, and it
     scales to fusing N sources with the same single shuffle.
+
+    Input contract: each scored list has UNIQUE ids (one row per doc —
+    dedupe multi-chunk lists to the best chunk per doc first, as the
+    reference does in ``enhanced_search_service.py:404-419``).  The
+    union+groupBy form equals the full-outer join ONLY under that
+    contract; defensively, duplicate ids take their BEST (minimum) rank
+    per source rather than failing silently with the worst.
     """
     a = add_rank(summary_scored, id_col).select(
         F.col(id_col),
@@ -72,8 +101,8 @@ def rrf_fuse(
         a.unionByName(b)
         .groupBy(id_col)
         .agg(
-            F.max("rank_summary").alias("rank_summary"),
-            F.max("rank_chunks").alias("rank_chunks"),
+            F.min("rank_summary").alias("rank_summary"),
+            F.min("rank_chunks").alias("rank_chunks"),
         )
         .select(
             id_col,

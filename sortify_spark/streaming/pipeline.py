@@ -10,6 +10,9 @@ code path by construction.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -146,19 +149,43 @@ def count_threshold_trigger(
     recluster".  The callback runs on the driver; the heavy work it
     launches (e.g. ``clustering.cluster_per_owner``) is a normal batch
     job over the updated tables.
+
+    Restart safety: the counter is persisted batch_id-keyed alongside
+    the checkpoint (``<checkpoint_dir>/counter_state.json``).  On a
+    restart Structured Streaming may REPLAY the last uncommitted batch;
+    a replayed batch_id ≤ the persisted one is skipped, so the every-N
+    trigger neither double-counts nor resets across restarts.  The
+    callback itself remains at-least-once (a crash between callback and
+    state write re-fires it) — callers needing exactly-once must make
+    ``on_threshold`` idempotent, same as any foreachBatch side effect.
     """
-    state = {"count": 0}
+    state_path = os.path.join(checkpoint_dir, "counter_state.json")
+    state = {"count": 0, "last_batch_id": -1}
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            state.update(json.load(fh))
     docs = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
         .format("parquet")
         .load(input_dir)
     )
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last_batch_id"]:
+            return  # replayed batch after restart — already counted
         state["count"] += batch_df.count()
-        if state["count"] >= threshold:
-            on_threshold(state["count"])
+        state["last_batch_id"] = batch_id
+        fired = state["count"] >= threshold
+        total = state["count"]
+        if fired:
             state["count"] = 0
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, state_path)
+        if fired:
+            on_threshold(total)
 
     writer = docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -155,6 +155,25 @@ def test_multimodal_features(spark):
     assert fr and all(r["count"] <= 4 for r in fr)
 
 
+def test_sample_frames_no_phantom_frame(spark):
+    """Videos with missing/zero n_frames meta must emit NO frames, not
+    a phantom frame_index 0."""
+    from sortify_spark.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rows = [
+        ("v0", "video", bytearray(b"x"), {}),                 # missing meta
+        ("v1", "video", bytearray(b"x"), {"n_frames": "0"}),  # zero frames
+        ("v2", "video", bytearray(b"x"), {"n_frames": "25"}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames(media, every_n=10, max_frames=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_index"])
+    assert "v0" not in by_id and "v1" not in by_id
+    assert sorted(by_id["v2"]) == [0, 10, 20]
+
+
 def test_facade_end_to_end(spark):
     from sortify_spark.facade import SortifyEngine
     from sortify_spark.operators.filters import DocumentFilter

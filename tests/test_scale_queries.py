@@ -84,6 +84,31 @@ def test_count_threshold_trigger(spark, tmp_path):
     assert fired and fired[0] >= 10
 
 
+def test_count_threshold_trigger_restart_safe(spark, tmp_path):
+    """A restart over the same checkpoint must not re-count already
+    committed batches (batch_id-keyed persisted counter)."""
+    from sortify_spark.streaming.pipeline import count_threshold_trigger
+    from sortify_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(8)
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").write.parquet(inp)
+    fired = []
+    q = count_threshold_trigger(spark, inp, ckpt, threshold=10, on_threshold=fired.append)
+    q.awaitTermination(120)
+    assert not fired  # 8 < 10, counter persisted at 8
+    # restart: no new files — the drained source must not re-fire or
+    # re-count; the persisted count survives
+    q2 = count_threshold_trigger(spark, inp, ckpt, threshold=10, on_threshold=fired.append)
+    q2.awaitTermination(120)
+    assert not fired
+    import json as _json
+
+    state = _json.load(open(ckpt + "/counter_state.json"))
+    assert state["count"] == 8
+
+
 def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     """Single-batch availableNow run must equal batch drop_exact_duplicates."""
     from sortify_spark.dedup import drop_exact_duplicates
