@@ -82,12 +82,17 @@ def main() -> None:
         except Exception:
             pass  # warm-up is best-effort; the measured run reports errors
 
-    # Best-of-2: single-shot timings swing 2-4x under GC/scheduler noise
-    # on a busy host; min-of-N estimates the plan's intrinsic cost.
+    # Best-of-2 CONSECUTIVE runs per query: single-shot timings swing
+    # 2-4x under GC/scheduler noise, and the first run of a query after a
+    # heavy neighbor pays that neighbor's GC debt (round-1 bench reported
+    # pricing_summary at 8.15s vs ~1.5s steady-state because both
+    # loop-interleaved runs followed the heaviest query).  Running each
+    # query's repetitions back-to-back gives the later run identical
+    # preconditions, so min-of-N estimates the plan's intrinsic cost.
     timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in HEADLINE:
-            fn = REGISTRY[name].fn
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        for _ in range(2):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = round(time.time() - t0, 3)
