@@ -1,0 +1,348 @@
+"""Operator-suite queries: several already-implemented operators folded
+into ONE driver-checkable query each.
+
+Motivation: the driver's CORRECTNESS gate verifies the first N registry
+entries, so window slots are scarce.  Each suite re-runs a family of
+operator queries (the SAME registered plans — not re-implementations),
+projects every result onto one common row shape, and unions them, so a
+single green driver row hash-confirms the whole family.  The oracle is
+composed from the member queries' own oracle SQL, keeping both sides in
+lockstep by construction.
+
+Common row shape: ``(op, key1, key2, cnt, val, val2)`` — op names the
+member query, key1/key2 carry its group keys as strings, cnt its bigint
+measure, val/val2 its double measures; unused slots are NULL.  Integer →
+string casts are engine-stable; doubles are NEVER stringified (float
+formatting differs between engines).  Both sides order by all six
+columns with NULLS FIRST (Spark's ASC default; DuckDB needs it spelled
+out).
+
+Scale note: a suite is a union of independently scale-safe plans; the
+union adds no shuffle of its own (the final sort is driver-gate cosmetic
+over a few hundred rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sortify_spark.queries import REGISTRY, register, _t
+from sortify_spark.search import knn
+
+_COLS = ("op", "key1", "key2", "cnt", "val", "val2")
+
+
+def _shape_df(
+    df: DataFrame,
+    op: str,
+    key1: str = "NULL",
+    key2: str = "NULL",
+    cnt: str = "NULL",
+    val: str = "NULL",
+    val2: str = "NULL",
+) -> DataFrame:
+    return df.selectExpr(
+        f"'{op}' AS op",
+        f"CAST({key1} AS STRING) AS key1",
+        f"CAST({key2} AS STRING) AS key2",
+        f"CAST({cnt} AS BIGINT) AS cnt",
+        f"CAST({val} AS DOUBLE) AS val",
+        f"CAST({val2} AS DOUBLE) AS val2",
+    )
+
+
+def _shape_sql(
+    op: str,
+    sql: str,
+    key1: str = "NULL",
+    key2: str = "NULL",
+    cnt: str = "NULL",
+    val: str = "NULL",
+    val2: str = "NULL",
+) -> str:
+    return (
+        f"SELECT '{op}' AS op, CAST({key1} AS STRING) AS key1, "
+        f"CAST({key2} AS STRING) AS key2, CAST({cnt} AS BIGINT) AS cnt, "
+        f"CAST({val} AS DOUBLE) AS val, CAST({val2} AS DOUBLE) AS val2 "
+        f"FROM ({sql}) __c"
+    )
+
+
+_ORDER_SQL = "ORDER BY " + ", ".join(f"{c} ASC NULLS FIRST" for c in _COLS)
+
+
+def _suite(name: str, spec: list[tuple[str, dict]], note: str):
+    """Register a suite query + composed oracle from member (op, shape)
+    specs.  Shape expressions must be portable Spark-SQL/DuckDB scalar
+    expressions over the member query's output columns."""
+    missing = [op for op, _ in spec if REGISTRY[op].sql is None]
+    assert not missing, f"suite {name}: members without oracle: {missing}"
+    sql = "\nUNION ALL\n".join(
+        _shape_sql(op, REGISTRY[op].sql, **kw) for op, kw in spec
+    )
+    sql = f"SELECT * FROM (\n{sql}\n) __s\n{_ORDER_SQL}"
+
+    @register(name, sql, note=note)
+    def suite_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        parts = [
+            _shape_df(REGISTRY[op].fn(spark, sf_dir), op, **kw)
+            for op, kw in spec
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy(*[F.asc_nulls_first(c) for c in _COLS])
+
+    return suite_fn
+
+
+# --- §2.4 scalar aggregates: A1 dashboard, A2 global sum, A3 windowed
+# count, A5 overall stats — single-row outputs unpivoted to (metric, value).
+_suite(
+    "suite_scalar_aggs",
+    [
+        ("dashboard_counts", dict(key1="'total_events'", cnt="total_events")),
+        ("dashboard_counts", dict(key1="'error_events'", cnt="error_events")),
+        (
+            "dashboard_counts",
+            dict(key1="'purchase_events'", cnt="purchase_events"),
+        ),
+        (
+            "dashboard_counts",
+            dict(key1="'engagement_events'", cnt="engagement_events"),
+        ),
+        ("dashboard_counts", dict(key1="'active_users'", cnt="active_users")),
+        ("global_sum_mb", dict(key1="'total_mb'", val="total_mb")),
+        ("count_with_filter", dict(key1="'total'", cnt="total")),
+        ("recent_error_count", dict(key1="'recent_count'", cnt="recent_count")),
+        ("overall_stats", dict(key1="'total'", cnt="total")),
+        ("overall_stats", dict(key1="'purchase_count'", cnt="purchase_count")),
+        ("overall_stats", dict(key1="'avg_value'", val="avg_value")),
+        ("overall_stats", dict(key1="'total_value'", val="total_value")),
+        ("overall_stats", dict(key1="'purchase_rate'", val="purchase_rate")),
+    ],
+    note="Suite: A1/A2/A3/A5/A11 scalar aggregates (dashboard_counts, "
+    "global_sum_mb, count_with_filter, recent_error_count, "
+    "overall_stats) unpivoted into one hash-checked result.",
+)
+
+# --- §2.4 grouped aggregates + grouping sets: A4 group stats, A6 daily
+# trend, A7 status distribution, A8 keyword top-k, A9 cluster sizes,
+# plus the ROLLUP / CUBE beyond-ops.
+_suite(
+    "suite_group_aggs",
+    [
+        (
+            "group_stats",
+            dict(key1="event_type", cnt="cnt", val="avg_value", val2="sum_value"),
+        ),
+        ("daily_trend", dict(key1="day", cnt="cnt", val="avg_value")),
+        (
+            "status_distribution",
+            dict(key1="o_orderstatus", cnt="cnt", val="share"),
+        ),
+        ("keyword_topk", dict(key1="token", cnt="freq")),
+        ("centroid_assign_sizes", dict(key1="assigned", cnt="cnt")),
+        (
+            "orders_rollup",
+            dict(key1="status", key2="priority", cnt="cnt", val="total_value"),
+        ),
+        (
+            "status_year_cube",
+            dict(key1="status", key2="order_year", cnt="cnt", val="total_value"),
+        ),
+    ],
+    note="Suite: A4/A6/A7/A8/A9 grouped aggregates + ROLLUP/CUBE "
+    "grouping-set ops, shaped to (key, cnt, val) rows.",
+)
+
+# --- §2.3 / §2.7 / §2.5 relational: semi/anti joins, set ops, point
+# lookup, broadcast hydrate, rank + latest-per-key windows.
+_suite(
+    "suite_relational",
+    [
+        (
+            "semi_join_segment",
+            dict(key1="'BUILDING'", cnt="order_count", val="total_value"),
+        ),
+        (
+            "anti_join_no_orders",
+            dict(key1="c_mktsegment", cnt="customers_without_orders"),
+        ),
+        (
+            "set_difference_custkeys",
+            dict(key1="'only_open'", cnt="only_open_customers"),
+        ),
+        (
+            "set_intersection_custkeys",
+            dict(key1="'both_status'", cnt="both_status_customers"),
+        ),
+        (
+            "point_lookup",
+            dict(
+                key1="CAST(l_orderkey AS STRING) || '#' || CAST(l_linenumber AS STRING)",
+                key2="ship_date",
+                cnt="l_partkey",
+                val="quantity",
+            ),
+        ),
+        (
+            "hydrate_top_orders",
+            dict(
+                key1="CAST(o_orderkey AS STRING)",
+                key2="c_name || '|' || c_mktsegment",
+                val="total_price",
+            ),
+        ),
+        (
+            "global_rank_top20",
+            dict(
+                key1="CAST(rank AS STRING)",
+                key2="CAST(o_orderkey AS STRING)",
+                val="total_price",
+            ),
+        ),
+        (
+            "latest_event_per_user",
+            dict(
+                key1="CAST(user_id AS STRING)",
+                key2="event_type || '|' || ts_s",
+                cnt="event_id",
+            ),
+        ),
+    ],
+    note="Suite: J1 semi-join, SO4 anti-join, SO2 set difference + "
+    "intersection, P3 point lookup, J2 broadcast hydrate, W1 global "
+    "rank, W7 latest-per-user.",
+)
+
+# --- text analysis: language ID, per-source token stats, JSON extraction.
+_suite(
+    "suite_text",
+    [
+        ("lang_distribution", dict(key1="lang_pred", cnt="cnt")),
+        (
+            "token_stats_by_source",
+            dict(key1="source", cnt="total_tokens", val="avg_tokens", val2="docs"),
+        ),
+        (
+            "json_extract_stats",
+            dict(key1="event_type", cnt="cnt", val="k_sum"),
+        ),
+    ],
+    note="Suite: n-gram language ID distribution, per-source token "
+    "statistics, JSON props extraction rollup.",
+)
+
+# --- §2.9 clustering + eval metrics: M5 centroid assignment (full
+# per-vector rows), cluster confidence, M3 keyword labels, A12 per-query
+# retrieval metrics + their summary.
+_suite(
+    "suite_cluster_metrics",
+    [
+        (
+            "centroid_assign",
+            dict(
+                key1="CAST(vec_id AS STRING)",
+                key2="CAST(assigned AS STRING)",
+                val="best_score",
+            ),
+        ),
+        (
+            "cluster_confidence",
+            dict(key1="CAST(label AS STRING)", cnt="n", val="confidence"),
+        ),
+        (
+            "cluster_keyword_labels",
+            dict(key1="CAST(label AS STRING)", key2="cluster_name"),
+        ),
+        (
+            "retrieval_metrics",
+            dict(
+                key1="CAST(query_id AS STRING)",
+                key2="CAST(hit_1 AS STRING) || CAST(hit_3 AS STRING) || "
+                "CAST(hit_5 AS STRING) || CAST(hit_10 AS STRING)",
+                val="mrr",
+                val2="composite",
+            ),
+        ),
+        ("metrics_summary", dict(key1="'avg_hit_1'", val="avg_hit_1")),
+        ("metrics_summary", dict(key1="'avg_mrr'", val="avg_mrr")),
+        ("metrics_summary", dict(key1="'avg_ndcg_10'", val="avg_ndcg_10")),
+        ("metrics_summary", dict(key1="'avg_composite'", val="avg_composite")),
+        ("metrics_summary", dict(key1="'n_queries'", cnt="n_queries")),
+    ],
+    note="Suite: M5 centroid assignment (all rows), cluster confidence, "
+    "M3 keyword labels, A12 retrieval metrics per query + summary.",
+)
+
+# --- window frame specs: 7-day moving average + lead/lag deltas.
+_suite(
+    "suite_window_frames",
+    [
+        ("moving_avg_7d", dict(key1="day", cnt="cnt", val="ma7")),
+        (
+            "daily_order_delta",
+            dict(key1="day", cnt="cnt", val="delta_prev", val2="delta_next"),
+        ),
+    ],
+    note="Suite: rangeBetween moving average + lead/lag day-over-day "
+    "deltas.",
+)
+
+
+# --- ANN recall contract (verdict item 6): IVF top-k overlap against the
+# exact brute-force top-k as a deterministic, oracle-checked aggregate.
+
+_IVF_RECALL_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0),
+cd AS (SELECT label, r.range AS i, AVG(CAST(embedding[r.range] AS DOUBLE)) AS m
+       FROM embeddings, range(1, 65) r GROUP BY label, r.range),
+cent AS (SELECT label, list(m ORDER BY i) AS centroid FROM cd GROUP BY label),
+bb AS (SELECT cent.label FROM cent, q
+       ORDER BY ROUND(list_cosine_similarity(centroid, qe), 6) DESC,
+                label ASC
+       LIMIT 3),
+ivf AS (SELECT vec_id AS id,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6)
+                   AS score
+        FROM embeddings, q
+        WHERE vec_id <> 0 AND label IN (SELECT label FROM bb)
+        ORDER BY score DESC, id ASC LIMIT 10),
+ex AS (SELECT vec_id AS id FROM embeddings, q
+       WHERE vec_id <> 0
+       ORDER BY ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6)
+                    DESC, vec_id ASC
+       LIMIT 10)
+SELECT COUNT(*) AS overlap_at_10, CAST(10 AS INT) AS k
+FROM ivf WHERE id IN (SELECT id FROM ex)
+"""
+
+
+@register(
+    "ivf_recall_at_10",
+    _IVF_RECALL_SQL,
+    note="ANN recall contract: |IVF(nprobe=3) top-10 ∩ exact top-10| as "
+    "one deterministic row.  The oracle replays the whole IVF pipeline "
+    "(label-mean centroids, rounded bucket ranking with id tie-break, "
+    "exact rerank inside probed buckets) in SQL, so the approximate "
+    "index itself is hash-checked — not just property-tested.",
+)
+def q_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    probe = emb.filter(F.col("vec_id") == 0)
+    centroids = knn.build_centroids(emb, "label")
+    ivf = knn.ivf_topk(
+        data, centroids, probe, k=10, nprobe=3, bscore_round=6
+    ).select(F.col("vec_id").alias("id"))
+    exact = knn.brute_force_topk(data, probe, k=10).select(
+        F.col("vec_id").alias("id")
+    )
+    return (
+        ivf.join(exact, "id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("overlap_at_10"))
+        .select("overlap_at_10", F.lit(10).cast("int").alias("k"))
+    )

@@ -115,6 +115,7 @@ def ivf_topk(
     assign_col: str = "label",
     k: int = DEFAULT_TOP_K,
     nprobe: int = 2,
+    bscore_round: int | None = None,
 ) -> DataFrame:
     """IVF top-k: rank buckets by centroid similarity to the query, scan
     only the best ``nprobe`` buckets, brute-force inside them.
@@ -122,14 +123,17 @@ def ivf_topk(
     At scale the vectors table is partitioned by bucket, so the bucket
     restriction is partition pruning — the scan reads nprobe/nlist of the
     data.  Recall < 1 by construction; nprobe trades recall for cost.
+    ``bscore_round`` rounds the bucket-ranking score (with the bucket id
+    as tie-break) so the probe choice is reproducible across engines —
+    used by the oracle-checked recall query.
     """
     q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    bscore = cosine(F.col("centroid"), F.col("__qvec"))
+    if bscore_round is not None:
+        bscore = F.round(bscore, bscore_round)
     best_buckets = (
         centroids.crossJoin(q)
-        .select(
-            "bucket",
-            cosine(F.col("centroid"), F.col("__qvec")).alias("bscore"),
-        )
+        .select("bucket", bscore.alias("bscore"))
         .orderBy(F.col("bscore").desc(), F.col("bucket").asc())
         .limit(nprobe)
         .select(F.col("bucket").alias(assign_col))
