@@ -448,12 +448,25 @@ def embedding_neardup_topk(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     k: int = 20,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """Top-k most-similar same-block pairs by cosine.  Blocking keeps the
     pair space at Σ block² — with an IVF-style coarse assignment as the
-    block at scale (see search.knn), this is the embedding-dedup plan."""
+    block at scale (see search.knn), this is the embedding-dedup plan.
+
+    ``block_col=None`` plans an ALL-PAIRS self-join (n² rows) — a scale
+    cliff, so it is rejected unless the caller opts in explicitly with
+    ``allow_unblocked=True`` (acceptable only for small, bounded inputs;
+    at scale derive a block with ``search.knn.build_centroids`` +
+    centroid assignment first)."""
     from sortify_spark.functions.vectors import cosine_given_norms, l2_norm
 
+    if block_col is None and not allow_unblocked:
+        raise ValueError(
+            "embedding_neardup_topk without block_col is an all-pairs n² "
+            "self-join; pass a blocking column (e.g. an IVF assignment) "
+            "or opt in with allow_unblocked=True for small inputs"
+        )
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
     if block_col:
         cols.append(F.col(block_col).alias("block"))

@@ -6,20 +6,38 @@ images (S5) — dispatched on extension/MIME (S6,
 ``document_processing_service.py:20-140``).
 
 Spark shape: a ``binaryFile``-source DataFrame (path, content) →
-type-dispatch column → per-type Arrow-batched extractor UDFs.  PDF/DOCX/
-OCR libraries are absent in this container, so those kernels are STUBS:
-``NotImplementedError`` for the real path, an injectable fake for tests.
+type-dispatch column → per-type Arrow-batched extractor UDFs.  The PDF
+and DOCX kernels are import-gated: when pypdf / python-docx are
+installed they extract for real (page-concat / paragraph-join, matching
+the reference); when absent (as in this container) they raise a clear
+``NotImplementedError`` that ``extract_text`` captures per row, and
+tests inject fake parsers to exercise the real branch.  Image OCR stays
+a stub by design (external vision model, injected like every LLM stage).
 TXT decoding is real (and the only one exercised by the synthetic data).
 """
 
 from __future__ import annotations
 
+import io
 from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Import gates, resolved once per process (worker-side too: the kernels
+# run inside mapInPandas).  Tests monkeypatch these to fakes to exercise
+# the library branch without the library.
+try:  # pragma: no cover — absent in the test container
+    from pypdf import PdfReader as _PdfReader
+except ImportError:
+    _PdfReader = None
+
+try:  # pragma: no cover — absent in the test container
+    from docx import Document as _DocxDocument
+except ImportError:
+    _DocxDocument = None
 
 #: S6 dispatch table — extension → extractor kind
 #: (``document_processing_service.py:20-24``).
@@ -52,17 +70,34 @@ def extract_txt(payload: bytes | None) -> str | None:
 
 
 def extract_pdf(payload: bytes | None) -> str | None:
-    """S2 stub: real implementation needs pypdf (absent here)."""
-    raise NotImplementedError(
-        "pdf extraction requires pypdf; inject via extract_text(kernels=...)"
-    )
+    """S2: pypdf page-text concat, newline-joined — the reference's PDF
+    path (``document_processing_service.py:40-56``).  Import-gated:
+    without pypdf this raises, which ``extract_text`` records as the
+    row's ``extract_error``."""
+    if payload is None:
+        return None
+    if _PdfReader is None:
+        raise NotImplementedError(
+            "pdf extraction requires pypdf; install it or inject a kernel "
+            "via extract_text(kernels={'pdf': ...})"
+        )
+    reader = _PdfReader(io.BytesIO(bytes(payload)))
+    return "\n".join((page.extract_text() or "") for page in reader.pages)
 
 
 def extract_docx(payload: bytes | None) -> str | None:
-    """S3 stub: real implementation needs python-docx (absent here)."""
-    raise NotImplementedError(
-        "docx extraction requires python-docx; inject via extract_text(kernels=...)"
-    )
+    """S3: python-docx paragraph join — the reference's DOCX path
+    (``document_processing_service.py:58-75``).  Import-gated like
+    :func:`extract_pdf`."""
+    if payload is None:
+        return None
+    if _DocxDocument is None:
+        raise NotImplementedError(
+            "docx extraction requires python-docx; install it or inject a "
+            "kernel via extract_text(kernels={'docx': ...})"
+        )
+    doc = _DocxDocument(io.BytesIO(bytes(payload)))
+    return "\n".join(p.text for p in doc.paragraphs)
 
 
 def extract_image_ocr(payload: bytes | None) -> str | None:

@@ -50,6 +50,57 @@ def test_extract_text_kernel_injection(spark):
     assert out["text"] == "decoded 9 bytes"
 
 
+def test_extract_pdf_docx_library_branch(monkeypatch):
+    """When pypdf / python-docx ARE importable, the kernels extract for
+    real (page-concat / paragraph-join).  The libraries are absent in
+    this container, so fake parsers stand in through the import gate."""
+    from sortify_spark.sources import extractors
+
+    class FakePage:
+        def __init__(self, t):
+            self._t = t
+
+        def extract_text(self):
+            return self._t
+
+    class FakePdfReader:
+        def __init__(self, fh):
+            assert fh.read(4) == b"%PDF"
+            self.pages = [FakePage("page one"), FakePage(None)]
+
+    class FakePara:
+        def __init__(self, t):
+            self.text = t
+
+    def fake_document(fh):
+        assert fh.read(2) == b"PK"
+        doc = type("Doc", (), {})()
+        doc.paragraphs = [FakePara("alpha"), FakePara("beta")]
+        return doc
+
+    monkeypatch.setattr(extractors, "_PdfReader", FakePdfReader)
+    monkeypatch.setattr(extractors, "_DocxDocument", fake_document)
+    assert extractors.extract_pdf(b"%PDF-rest") == "page one\n"
+    assert extractors.extract_docx(b"PK-zip-rest") == "alpha\nbeta"
+    assert extractors.extract_pdf(None) is None
+    assert extractors.extract_docx(None) is None
+
+
+def test_extract_pdf_docx_fallback_without_library(monkeypatch):
+    """Without the libraries the kernels raise NotImplementedError (which
+    extract_text captures per row — see error-capture test above)."""
+    import pytest
+
+    from sortify_spark.sources import extractors
+
+    monkeypatch.setattr(extractors, "_PdfReader", None)
+    monkeypatch.setattr(extractors, "_DocxDocument", None)
+    with pytest.raises(NotImplementedError):
+        extractors.extract_pdf(b"%PDF-fake")
+    with pytest.raises(NotImplementedError):
+        extractors.extract_docx(b"PK-fake")
+
+
 def test_html_to_text(spark):
     from sortify_spark.sources.email import html_to_text
 
@@ -115,3 +166,53 @@ def test_append_rows_layout(spark):
         assert "PartitionFilters: [" in plan and "p_date" in plan.split(
             "PartitionFilters"
         )[1][:200]
+
+
+def test_upsert_partitioned_roundtrip(spark, tmp_path):
+    """write → cluster → write-back → re-read: updated keys take the new
+    clustering_status, untouched partitions stay byte-identical rows."""
+    from sortify_spark.sources.sinks import upsert_partitioned
+
+    path = str(tmp_path / "docs_table")
+    base = spark.createDataFrame(
+        [
+            (i, f"text {i}", i % 3, "pending")
+            for i in range(30)
+        ],
+        "doc_id long, text string, p_owner_bucket int, clustering_status string",
+    )
+    upsert_partitioned(base, path, keys=["doc_id"], partition_cols=["p_owner_bucket"])
+
+    # cluster write-back touches only bucket 1 docs
+    updates = spark.createDataFrame(
+        [(i, f"text {i}", 1, "clustered") for i in range(1, 30, 3)],
+        "doc_id long, text string, p_owner_bucket int, clustering_status string",
+    )
+    upsert_partitioned(updates, path, keys=["doc_id"], partition_cols=["p_owner_bucket"])
+
+    got = {r["doc_id"]: r for r in spark.read.parquet(path).collect()}
+    assert len(got) == 30
+    for i in range(30):
+        want = "clustered" if i % 3 == 1 else "pending"
+        assert got[i]["clustering_status"] == want, i
+        assert got[i]["text"] == f"text {i}"
+
+
+def test_upsert_plan_broadcasts(spark, tmp_path):
+    """The merge plan must broadcast the update side (semi on partitions,
+    anti on keys) — the existing table never shuffles."""
+    from sortify_spark.sources.sinks import _merge_plan
+
+    existing = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(id % 7 AS INT) AS p_owner_bucket", "'pending' AS s"
+    )
+    updates = spark.range(10).selectExpr(
+        "id AS doc_id", "CAST(1 AS INT) AS p_owner_bucket", "'clustered' AS s"
+    )
+    plan = _merge_plan(
+        existing, updates, keys=["doc_id"], partition_cols=["p_owner_bucket"]
+    )
+    explained = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in explained
+    assert "LeftSemi" in explained and "LeftAnti" in explained
+    assert "SortMergeJoin" not in explained

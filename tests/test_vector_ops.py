@@ -61,3 +61,20 @@ def test_centroids_match_numpy(spark):
     for label, grp in emb.groupby("label"):
         want = np.mean(np.stack(grp["embedding"].map(np.asarray)), axis=0)
         assert np.allclose(got[label], want, atol=1e-9), label
+
+
+def test_embedding_neardup_rejects_unblocked(spark):
+    """block_col=None is an all-pairs n² cliff — rejected unless the
+    caller opts in explicitly."""
+    import pytest
+
+    from sortify_spark.dedup import embedding_neardup_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_neardup_topk(emb, block_col=None)
+    # explicit opt-in still works on a small bounded input
+    out = embedding_neardup_topk(
+        emb.limit(50), block_col=None, k=5, allow_unblocked=True
+    ).collect()
+    assert len(out) == 5
