@@ -200,3 +200,29 @@ def test_facade_end_to_end(spark):
     )
     assert detail.count() == 1
     assert eng.dashboard().first()["total_events"] > 0
+
+
+def test_facade_search_at_reference_dimension(spark):
+    """The facade e2e at dim=768 — the reference's embedding width
+    (``config.py`` embedding model dim).  Same contract as the dim-16
+    fast tests: k bound, unique doc ids, deterministic (score desc, id
+    asc) ordering, scores in [-1, 1]."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+
+    eng = SortifyEngine(spark, SF_DIR, dim=768)
+    for stype in ("summary_only", "hybrid", "rrf_fusion", "traditional"):
+        rows = eng.semantic_search("data query join", search_type=stype).collect()
+        assert rows, stype
+        assert len(rows) <= 10, stype
+        ids = [r["id"] for r in rows]
+        assert len(ids) == len(set(ids)), f"{stype}: duplicate doc ids"
+        score_col = "rrf_score" if stype == "rrf_fusion" else "score"
+        if score_col in rows[0].asDict():
+            scores = [r[score_col] for r in rows]
+            if stype != "hybrid":  # hybrid orders by (tier, score)
+                assert scores == sorted(scores, reverse=True), stype
+            assert all(-1.0 <= s <= 1.0 for s in scores), stype
+    # repeat search must be deterministic (hash-embed stub + fixed plans)
+    a = eng.semantic_search("storage cost", search_type="rrf_fusion").collect()
+    b = eng.semantic_search("storage cost", search_type="rrf_fusion").collect()
+    assert a == b
