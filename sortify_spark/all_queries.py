@@ -60,7 +60,7 @@ PRIORITY = (
     "ivf_recall_at_10",
     # dedup family
     "minhash_lsh_pairs",
-    "simhash_pairs",
+    "simhash_pairs_banded",
     "embedding_neardup_topk",
     "dedup_exact_stats",
     # sources / functions / beyond-ops (driver-unchecked in round 1)

@@ -400,6 +400,120 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_banded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 12,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with ROTATED (banded) blocking — the
+    recall upgrade over :func:`simhash_pairs`'s single top-16-bit prefix.
+
+    The 60-bit signature splits into ``n_bands`` disjoint 15-bit bands;
+    a pair is a candidate when ANY band matches (explode → equi-join per
+    band, the Hamming-space analog of MinHash banding).  By pigeonhole,
+    every pair with hamming < n_bands is guaranteed to share an intact
+    band, so recall is exact for distances below the band count and
+    probabilistic above — versus the single-prefix variant, which misses
+    any near-dup whose differing bits land in the prefix.  Candidate
+    volume stays Σ band-bucket², and the distinct() dedupes pairs caught
+    by several bands before the (cheap, post-filter) verify."""
+    assert SIMHASH_BITS % n_bands == 0, "bands must tile the signature"
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .repartition(par, "id")
+        .select("id", token_set(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select("id", simhash_sig(F.col("__toks")).alias("sig"))
+    )
+    bands = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("sig"), r * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for r in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sig", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_sig_ctes() -> str:
+    """Shared oracle CTE chain: documents → token sets → per-bit votes →
+    60-bit signature (generated from the same constants as the Spark
+    expression so engine and oracle cannot drift)."""
+    vote_cols = ", ".join(
+        f"SUM(CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE 0 END) AS b{bit}"
+        for bit in range(SIMHASH_BITS)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN b{bit} * 2 > n THEN {1 << bit} ELSE 0 END)"
+        for bit in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS toks
+      FROM documents
+    ),
+    base AS (SELECT id, toks FROM toks WHERE len(toks) > 0),
+    sh AS (SELECT id, unnest(toks) AS t FROM base),
+    hh AS (SELECT id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+           FROM sh),
+    votes AS (
+      SELECT id, COUNT(*) AS n, {vote_cols}
+      FROM hh GROUP BY id
+    ),
+    sig AS (SELECT id, CAST({sig_expr} AS BIGINT) AS sig FROM votes)
+    """
+
+
+def simhash_banded_oracle_sql(max_hamming: int = 12, n_bands: int = 4) -> str:
+    """DuckDB rendering of :func:`simhash_pairs_banded`."""
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    any_band = " OR ".join(
+        f"((a.sig >> {r * width}) & {mask}) = ((b.sig >> {r * width}) & {mask})"
+        for r in range(n_bands)
+    )
+    return f"""
+    {_simhash_sig_ctes()}
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM sig a JOIN sig b
+      ON a.id < b.id AND ({any_band})
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
 def simhash_oracle_sql(max_hamming: int = 16) -> str:
     """DuckDB rendering of :func:`simhash_pairs` over the ``documents``
     view — generated from the SAME bit-width/blocking constants so the

@@ -15,6 +15,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sortify_spark.cache import QueryResultCache
 from sortify_spark.functions.vectors import hash_embed_text
 from sortify_spark.operators.aggregates import dashboard_counts
 from sortify_spark.operators.filters import DocumentFilter
@@ -77,6 +78,9 @@ class SortifyEngine:
         self.vectors = ingest_vectorize(
             self.documents, chunk_size=128, overlap=32, dim=dim
         ).persist()
+        #: Result cache for repeated searches (reference caches AI search
+        #: responses keyed by question hash, ``ai_cache_manager.py:244-257``).
+        self.result_cache = QueryResultCache()
 
     # -- documents ---------------------------------------------------------
 
@@ -180,6 +184,23 @@ class SortifyEngine:
 
         return fusion.two_stage_hybrid(
             summary, chunk_scored_fn, stage1_k=STAGE1_K, top_k=STAGE2_K
+        )
+
+    def cached_search(
+        self,
+        query_text: str,
+        search_type: str = "hybrid",
+        cfg: SearchConfig | None = None,
+    ) -> DataFrame:
+        """semantic_search through the TTL result cache: a repeat of the
+        same (query, strategy, config) returns the persisted result
+        without re-planning (the reference's cached AI-response path)."""
+        cfg = cfg or SearchConfig()
+        key = QueryResultCache.cache_key(
+            f"{search_type}|{self.dim}|{cfg}|{query_text}", prefix="search:"
+        )
+        return self.result_cache.get_or_compute(
+            key, lambda: self.semantic_search(query_text, search_type, cfg)
         )
 
     def document_chunks(

@@ -406,6 +406,21 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_pairs_banded",
+    dedup.simhash_banded_oracle_sql(max_hamming=12, n_bands=4),
+    note="SimHash near-dup with rotated blocking: 4 disjoint 15-bit "
+    "bands, candidate on ANY band match — pigeonhole-exact recall for "
+    "hamming < 4 and strictly higher recall than the single-prefix "
+    "variant at equal verify cost per candidate. Oracle generated from "
+    "the same band constants.",
+)
+def q_simhash_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs_banded(
+        _t(spark, sf_dir, "documents"), max_hamming=12, n_bands=4
+    )
+
+
+@register(
     "knn_ivf",
     None,  # approximate by construction; recall property-tested locally
     note="IVF top-k: label-mean centroids (built by build_centroids), "

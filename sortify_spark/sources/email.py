@@ -68,6 +68,51 @@ def parse_raw_emails(raw: DataFrame, raw_col: str = "raw") -> DataFrame:
     )
 
 
+def parse_attachments(raw: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """S7 attachment stage: MIME multipart metadata, one row per
+    attachment — ``(message_id, att_filename, att_content_type,
+    att_size_bytes)``.
+
+    The reference walks ``payload.parts`` collecting filename / mimeType
+    / body size (``gmail_service.py:330-398``).  Here the raw message is
+    split on its declared MIME boundary (per-row regex split — all JVM
+    expressions, no UDF), each part's headers are regexp-parsed, and the
+    decoded size is estimated from the base64 payload length (3/4 of the
+    b64 characters, padding-adjusted).  Parts without an attachment
+    disposition (inline bodies) are dropped.  Folded (multi-line)
+    filename headers are out of scope, matching the reference's use of
+    the pre-flattened API field.
+    """
+    c = F.col(raw_col)
+    head = F.regexp_extract(c, r"(?s)^(.*?)\r?\n\r?\n", 1)
+    mid = F.regexp_extract(head, r"(?im)^Message-ID:\s*(.*)$", 1)
+    boundary = F.regexp_extract(head, r'(?i)boundary="?([^";\r\n]+)"?', 1)
+    # The boundary is data used as a regex — escape metacharacters first.
+    esc = F.regexp_replace(boundary, r"([.*+?^${}()|\[\]\\])", r"\\$1")
+    parts = F.split(c, F.concat(F.lit("--"), esc))
+    exploded = raw.select(
+        mid.alias("message_id"),
+        F.explode(parts).alias("part"),
+    ).filter(
+        F.col("part").rlike(r"(?i)content-disposition:\s*attachment")
+    )
+    payload = F.regexp_extract(F.col("part"), r"(?s)\r?\n\r?\n(.*)$", 1)
+    b64 = F.regexp_replace(payload, r"[^A-Za-z0-9+/=]", "")
+    pad = F.length(F.regexp_extract(b64, r"(=*)$", 1))
+    return exploded.select(
+        "message_id",
+        F.regexp_extract(
+            F.col("part"),
+            r'(?i)content-disposition:\s*attachment;[^\r\n]*filename="?([^";\r\n]+)"?',
+            1,
+        ).alias("att_filename"),
+        F.regexp_extract(
+            F.col("part"), r"(?i)content-type:\s*([^;\s]+)", 1
+        ).alias("att_content_type"),
+        (F.length(b64) * 3 / 4 - pad).cast("long").alias("att_size_bytes"),
+    )
+
+
 def emails_to_documents(
     parsed: DataFrame, owner_id: str = "default"
 ) -> DataFrame:

@@ -143,6 +143,53 @@ def test_parse_raw_emails_and_import(spark):
     assert doc["extracted_text"] == "Please find the report attached."
 
 
+MULTIPART_EMAIL = (
+    "Message-ID: <mp1@x>\r\n"
+    "Subject: With files\r\n"
+    "From: alice@example.com\r\n"
+    'Content-Type: multipart/mixed; boundary="=_Part_42.7"\r\n'
+    "\r\n"
+    "--=_Part_42.7\r\n"
+    "Content-Type: text/plain\r\n"
+    "\r\n"
+    "See attachments.\r\n"
+    "--=_Part_42.7\r\n"
+    "Content-Type: application/pdf; name=report.pdf\r\n"
+    'Content-Disposition: attachment; filename="report.pdf"\r\n'
+    "Content-Transfer-Encoding: base64\r\n"
+    "\r\n"
+    + "QUJDREVGR0g=\r\n"  # "ABCDEFGH" → 8 decoded bytes
+    + "--=_Part_42.7\r\n"
+    "Content-Type: image/png\r\n"
+    "Content-Disposition: attachment; filename=chart.png\r\n"
+    "\r\n"
+    + "aWNvbg==\r\n"  # "icon" → 4 decoded bytes
+    + "--=_Part_42.7--\r\n"
+)
+
+
+def test_parse_attachments(spark):
+    from sortify_spark.sources.email import parse_attachments
+
+    atts = parse_attachments(
+        spark.createDataFrame([(MULTIPART_EMAIL,)], ["raw"])
+    ).collect()
+    by_name = {r["att_filename"]: r for r in atts}
+    assert set(by_name) == {"report.pdf", "chart.png"}
+    assert by_name["report.pdf"]["message_id"] == "<mp1@x>"
+    assert by_name["report.pdf"]["att_content_type"] == "application/pdf"
+    assert by_name["report.pdf"]["att_size_bytes"] == 8
+    assert by_name["chart.png"]["att_content_type"] == "image/png"
+    assert by_name["chart.png"]["att_size_bytes"] == 4
+    # non-multipart messages produce no attachment rows
+    from tests.test_sources import RAW_EMAIL
+
+    none = parse_attachments(
+        spark.createDataFrame([(RAW_EMAIL,)], ["raw"])
+    ).collect()
+    assert none == []
+
+
 def test_append_rows_layout(spark):
     from sortify_spark.sources.sinks import append_rows
     from sortify_spark.tables import load_table
