@@ -96,3 +96,41 @@ def test_no_python_udf_in_jvm_only_queries(spark, name):
     would show up as ArrowEvalPython/BatchEvalPython."""
     plan = _plan(spark, name)
     assert "EvalPython" not in plan
+
+
+def test_simhash_banded_no_nested_loop(spark):
+    """The rotated-band candidate join must stay an equi-join on
+    (band_idx, band_val) — never a nested-loop over signature pairs."""
+    plan = _plan(spark, "simhash_pairs_banded")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_recall_prunes_buckets(spark):
+    """IVF side must restrict the scan to the probed buckets via a
+    broadcast semi-join (the partition-pruning shape at scale).  The
+    plan's only nested-loop joins are the documented broadcast 1-row
+    query-vector crossJoins (score_vectors), never a data×data product."""
+    plan = _plan(spark, "ivf_recall_at_10")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # every nested-loop is a Cross against an Identity-broadcast side
+    # (the 1-row query), which is how Spark plans crossJoin(broadcast(q))
+    assert plan.count("BroadcastNestedLoopJoin BuildRight, Cross") == plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+
+
+def test_suite_union_adds_no_python_udf(spark):
+    """Suites re-run registered JVM-only plans; the union must not drag
+    in Python evaluation."""
+    for name in (
+        "suite_scalar_aggs",
+        "suite_group_aggs",
+        "suite_relational",
+        "suite_text",
+        "suite_window_frames",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
