@@ -295,22 +295,10 @@ _suite(
 # --- ANN recall contract (verdict item 6): IVF top-k overlap against the
 # exact brute-force top-k as a deterministic, oracle-checked aggregate.
 
-_IVF_RECALL_SQL = """
-WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
-           FROM embeddings WHERE vec_id = 0),
-cd AS (SELECT label, r.range AS i, AVG(CAST(embedding[r.range] AS DOUBLE)) AS m
-       FROM embeddings, range(1, 65) r GROUP BY label, r.range),
-cent AS (SELECT label, list(m ORDER BY i) AS centroid FROM cd GROUP BY label),
-bb AS (SELECT cent.label FROM cent, q
-       ORDER BY ROUND(list_cosine_similarity(centroid, qe), 6) DESC,
-                label ASC
-       LIMIT 3),
-ivf AS (SELECT vec_id AS id,
-               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6)
-                   AS score
-        FROM embeddings, q
-        WHERE vec_id <> 0 AND label IN (SELECT label FROM bb)
-        ORDER BY score DESC, id ASC LIMIT 10),
+from sortify_spark.queries_vector import ivf_ctes  # noqa: E402
+
+_IVF_RECALL_SQL = f"""
+WITH {ivf_ctes(nprobe=3, dim=64, k=10)},
 ex AS (SELECT vec_id AS id FROM embeddings, q
        WHERE vec_id <> 0
        ORDER BY ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 6)

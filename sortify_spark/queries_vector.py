@@ -420,13 +420,45 @@ def q_simhash_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_ctes(nprobe: int = 3, dim: int = 64, k: int = 10) -> str:
+    """Shared oracle CTE chain replaying the whole IVF pipeline in SQL:
+    probe vector → per-label mean centroids → rounded bucket ranking
+    (label tie-break) → exact rerank inside the probed buckets.  Used by
+    the ``knn_ivf`` oracle and the ``ivf_recall_at_10`` contract query —
+    generated from the same (nprobe, dim, k) constants as the Spark
+    plan so engine and oracle cannot drift."""
+    return f"""
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id = 0),
+    cd AS (SELECT label, r.range AS i,
+                  AVG(CAST(embedding[r.range] AS DOUBLE)) AS m
+           FROM embeddings, range(1, {dim + 1}) r GROUP BY label, r.range),
+    cent AS (SELECT label, list(m ORDER BY i) AS centroid
+             FROM cd GROUP BY label),
+    bb AS (SELECT cent.label FROM cent, q
+           ORDER BY ROUND(list_cosine_similarity(centroid, qe), 6) DESC,
+                    label ASC
+           LIMIT {nprobe}),
+    ivf AS (SELECT vec_id AS id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), qe), 6) AS score
+            FROM embeddings, q
+            WHERE vec_id <> 0 AND label IN (SELECT label FROM bb)
+            ORDER BY score DESC, id ASC LIMIT {k})
+    """
+
+
 @register(
     "knn_ivf",
-    None,  # approximate by construction; recall property-tested locally
+    f"""
+    WITH {ivf_ctes()}
+    SELECT id, score FROM ivf ORDER BY score DESC, id ASC
+    """,
     note="IVF top-k: label-mean centroids (built by build_centroids), "
-    "nprobe=3 bucket pruning, exact rerank inside probed buckets. "
-    "Approximate ⇒ rows-only driver check; recall vs brute force "
-    "asserted in tests/test_vector_ops.py.",
+    "nprobe=3 bucket pruning (rounded bucket ranking, label tie-break), "
+    "exact rerank inside probed buckets. The oracle replays the full "
+    "pipeline in SQL; recall vs brute force additionally asserted in "
+    "tests/test_vector_ops.py and hash-checked by ivf_recall_at_10.",
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -437,4 +469,5 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") == 0),
         k=10,
         nprobe=3,
+        bscore_round=6,
     ).select(F.col("vec_id").alias("id"), "score")
