@@ -266,3 +266,120 @@ def run_daily_trend_stream(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    gap_min: int = 30,
+    watermark: str = "1 minute",
+    out_table: str = "sessions_stream_out",
+    max_files_per_trigger: int | None = None,
+):
+    """Custom stateful streaming operator #2: per-user SESSIONIZATION at
+    ingest — the streaming twin of the batch ``user_sessions`` query
+    (same >gap_min-gap split semantics).
+
+    ``applyInPandasWithState`` keyed by user: state carries the OPEN
+    session (start, last-event, count).  Each batch folds its events
+    into the state in timestamp order, emitting every session the gap
+    rule closes; the still-open session stays in state with an
+    EVENT-TIME TIMEOUT at ``last_event + gap``.  When the watermark
+    passes that point — no event can extend the session anymore — the
+    timeout fires and the session is emitted.  State per user is O(1)
+    (three numbers), so total state is bounded by active users, not
+    events; in-order arrival per user gives batch-identical output
+    (late out-of-order events within a batch are sorted, across batches
+    they would start a new session — the standard streaming trade-off,
+    bounded by the watermark).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_min * 60 * 1_000_000
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = (
+        reader.load(input_dir)
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", "event_id")
+    )
+
+    def _sessionize(key, pdf_iter, state):
+        if state.hasTimedOut:
+            start, last, n, idx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_idx": [idx],
+                    "n_events": [n],
+                    "duration_us": [last - start],
+                }
+            )
+            return
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()
+        if state.exists:
+            start, last, n, idx = state.get
+        else:
+            start, last, n, idx = None, None, 0, 0
+        closed = []
+        for t in ts_us:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((idx, start, last, n))
+                idx += 1
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n, idx))
+        # fire once no in-order event can extend the open session
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "session_idx": [c[0] for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "duration_us": [c[2] - c[1] for c in closed],
+                }
+            )
+
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=(
+            "user_id long, session_idx long, n_events long, duration_us long"
+        ),
+        stateStructType=(
+            "start_us long, last_us long, n long, session_idx long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        return (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(out_table)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -201,3 +201,59 @@ def test_approx_percentiles_close_to_exact(spark):
     assert set(exact) == set(approx)
     for k in exact:
         assert abs(exact[k] - approx[k]) <= max(0.05 * abs(exact[k]), 1e-6)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Streaming sessionization (stateful, event-time timeout) must equal
+    the batch user_sessions windows: closed sessions emit with the batch,
+    open sessions emit once the watermark passes last_event + gap."""
+    from sortify_spark.streaming.pipeline import streaming_sessionize
+    from sortify_spark.tables import load_table
+
+    events = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 10)
+        .select("event_id", "user_id", "ts")
+    )
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    events.coalesce(1).write.parquet(inp)
+
+    # Two sentinel far-future files: with one file per trigger, the
+    # watermark advances after each in-run batch, so by the last batch it
+    # has passed every real session's (last_event + gap) timeout and the
+    # open sessions flush — all within ONE availableNow run.
+    for days, eid in ((10, 999_998), (20, 999_999)):
+        far = events.agg(F.max("ts").alias("m")).select(
+            F.lit(eid).alias("event_id"),
+            F.lit(9_999).alias("user_id"),
+            (F.col("m") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+        )
+        far.coalesce(1).write.mode("append").parquet(inp)
+
+    q = streaming_sessionize(
+        spark, inp, ckpt, gap_min=30, out_table="sess_out",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.sql("SELECT * FROM sess_out")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "n_events", "duration_us")
+        .collect()
+    )
+
+    # batch reference: same gap rule via lag/running-sum windows
+    from sortify_spark.queries_scale import q_user_sessions  # noqa: F401
+    from sortify_spark.queries import REGISTRY
+
+    want = (
+        REGISTRY["user_sessions"]
+        .fn(spark, SF_DIR)
+        .filter(F.col("user_id") < 10)
+        .select("user_id", "n_events", "duration_us")
+        .collect()
+    )
+    key = lambda r: (r["user_id"], r["n_events"], r["duration_us"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
