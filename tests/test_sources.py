@@ -263,3 +263,61 @@ def test_upsert_plan_broadcasts(spark, tmp_path):
     assert "BroadcastHashJoin" in explained
     assert "LeftSemi" in explained and "LeftAnti" in explained
     assert "SortMergeJoin" not in explained
+
+
+def test_read_corpus_formats_roundtrip(spark, tmp_path):
+    """CSV / JSONL / parquet corpus drops all land on the same canonical
+    schema with identical rows; malformed records are quarantined, not
+    fatal."""
+    from sortify_spark.sources.formats import read_corpus
+    from sortify_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .filter(F.col("doc_id") < 40)
+        # newlines/quotes in text stress the csv writer+reader round-trip
+    )
+    want = sorted(tuple(r) for r in docs.collect())
+
+    pq = str(tmp_path / "pq"); docs.write.parquet(pq)
+    cv = str(tmp_path / "cv")
+    docs.write.option("header", "true").option("quoteAll", "true").csv(cv)
+    jl = str(tmp_path / "jl"); docs.write.json(jl)
+
+    for fmt, path, opts in (
+        ("parquet", pq, None),
+        ("csv", cv, {"escape": '"'}),
+        ("jsonl", jl, None),
+    ):
+        out = read_corpus(spark, path, fmt, csv_options=opts)
+        assert out.filter(F.col("ingest_error").isNotNull()).count() == 0, fmt
+        got = sorted(
+            tuple(r)
+            for r in out.select(
+                "doc_id", "text", "lang", "source", "n_chars"
+            ).collect()
+        )
+        assert got == want, fmt
+
+    # malformed jsonl rows quarantine instead of failing
+    bad = str(tmp_path / "bad")
+    import os
+
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-0.jsonl"), "w") as f:
+        f.write('{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n')
+        f.write("{not json at all\n")
+    out = read_corpus(spark, bad, "jsonl")
+    rows = out.collect()
+    assert len(rows) == 2
+    assert sum(r["ingest_error"] is not None for r in rows) == 1
+    ok = [r for r in rows if r["ingest_error"] is None][0]
+    assert ok["doc_id"] == 1 and ok["text"] == "ok"
+
+    # unsupported format is an explicit error
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported"):
+        read_corpus(spark, pq, "xml")
