@@ -17,11 +17,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on sf0.001: the corpus-curation pipeline (exact
-    dedup → MinHash-LSH near-dup drop → quality/language filter →
+    """Flagship query on sf0.001: the COMPLETE corpus-curation pipeline
+    (exact dedup → MinHash-LSH near-dup drop → benchmark decontamination
+    → quality/language filter → deterministic mixture resample →
     per-source token budget) — the engine's training-data use case in
     one lazy plan."""
-    return REGISTRY["corpus_curation"].fn(spark, SMOKE_SF_DIR)
+    return REGISTRY["corpus_curation_full"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

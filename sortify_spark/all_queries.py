@@ -34,7 +34,7 @@ import sortify_spark.queries_suites  # noqa: F401, E402 — must import LAST
 #: window is ever smaller than 50.
 PRIORITY = (
     # scale/pipeline flagships (driver-unchecked in round 1)
-    "corpus_curation",
+    "corpus_curation_full",
     "decontaminate_vs_benchmark",
     "asof_join_attribution",
     "range_join_clicks_1h",

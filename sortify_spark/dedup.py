@@ -676,6 +676,38 @@ def contaminated_by_shingles(
     )
 
 
+def _shingle_list_expr(shingle_k: int) -> str:
+    """Shared DuckDB k-word-shingle list expression over a words column
+    ``w`` — single source for every oracle that shingles."""
+    return (
+        f"list_distinct(list_transform(range(1, len(w) - {shingle_k} + 2), i -> "
+        + " || ' ' || ".join(f"w[i+{j}]" for j in range(shingle_k))
+        + "))"
+    ).replace("w[i+0]", "w[i]")
+
+
+def decontaminate_ids_sql(
+    shingle_k: int = 5, bench_mod: int = 53, source: str = "documents"
+) -> str:
+    """Contaminated (doc_id) set as a full SELECT — the composable core
+    of :func:`decontaminate_oracle_sql`, nested by pipeline oracles that
+    need to anti-filter on it (e.g. the full curation flagship)."""
+    shingle_expr = _shingle_list_expr(shingle_k)
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM {source}
+    ),
+    base AS (SELECT doc_id, {shingle_expr} AS toks FROM w),
+    sh AS (SELECT doc_id, unnest(toks) AS shingle
+           FROM base WHERE len(toks) > 0)
+    SELECT DISTINCT doc_id FROM sh
+    WHERE doc_id % {bench_mod} <> 0
+      AND shingle IN (SELECT shingle FROM sh WHERE doc_id % {bench_mod} = 0)
+    """
+
+
 def decontaminate_oracle_sql(
     shingle_k: int = 5, bench_mod: int = 53, source: str = "documents"
 ) -> str:
@@ -683,11 +715,7 @@ def decontaminate_oracle_sql(
     benchmark side defined as ``doc_id % bench_mod = 0`` — same shingle
     construction as :func:`minhash_lsh_oracle_sql` so engine and oracle
     cannot drift."""
-    shingle_expr = (
-        f"list_distinct(list_transform(range(1, len(w) - {shingle_k} + 2), i -> "
-        + " || ' ' || ".join(f"w[i+{j}]" for j in range(shingle_k))
-        + "))"
-    ).replace("w[i+0]", "w[i]")
+    shingle_expr = _shingle_list_expr(shingle_k)
     return f"""
     WITH w AS (
       SELECT doc_id, source,

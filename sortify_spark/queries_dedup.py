@@ -167,3 +167,97 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("contaminated_docs"))
     )
+
+
+def _curation_full_oracle() -> str:
+    """The complete pipeline oracle: every stage's SQL nested as a CTE —
+    exact dedup → near-dup drop → benchmark decontamination → quality +
+    language filter → mixture resample → per-source budget."""
+    from sortify_spark.operators.sampling import stratified_oracle_predicate
+    from sortify_spark.queries_scale import _MIX_DEFAULT, _MIX_RATES
+
+    fp = ts.FINGERPRINT_SQL.format(t="text")
+    pairs = dedup.minhash_lsh_oracle_sql(
+        threshold=0.5, shingle_k=3, source="kept_exact"
+    )
+    cont = dedup.decontaminate_ids_sql(
+        shingle_k=5, bench_mod=53, source="unioned"
+    )
+    quality = ts.quality_score_sql("text", "n_chars")
+    tokens = ts.TOKEN_COUNT_SQL.format(t="text")
+    mix_pred = stratified_oracle_predicate(
+        "source", _MIX_RATES, _MIX_DEFAULT, "doc_id"
+    )
+    return f"""
+    WITH kept_exact AS (
+      SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY {fp}
+                                     ORDER BY doc_id) AS rn
+        FROM documents WHERE doc_id % 53 <> 0
+      ) WHERE rn = 1
+    ),
+    pairs AS ({pairs}),
+    kept AS (
+      SELECT * FROM kept_exact
+      WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    ),
+    unioned AS (
+      SELECT doc_id, text FROM kept
+      UNION ALL
+      SELECT doc_id, text FROM documents WHERE doc_id % 53 = 0
+    ),
+    cont AS ({cont}),
+    decon AS (
+      SELECT * FROM kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    filtered AS (
+      SELECT * FROM decon
+      WHERE {quality} >= 0.5 AND lang IN ('en', 'de', 'fr', 'es')
+    ),
+    sampled AS (SELECT * FROM filtered WHERE {mix_pred})
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM({tokens}) AS BIGINT) AS token_budget
+    FROM sampled GROUP BY source
+    """
+
+
+@register(
+    "corpus_curation_full",
+    _curation_full_oracle(),
+    note="The COMPLETE training-data curation pipeline in one lazy plan: "
+    "exact dedup (fingerprint window) → MinHash-LSH near-dup drop → "
+    "benchmark decontamination (broadcast shingle semi-join against the "
+    "doc_id % 53 held-out slice) → quality ≥ 0.5 + language filter → "
+    "deterministic mixture resample (hash-bucket rates) → per-source "
+    "token budget. Six independently oracle-checked stages, one composed "
+    "oracle, no stage materializes.",
+)
+def q_corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.operators.sampling import stratified_hash_sample
+    from sortify_spark.queries_scale import _MIX_DEFAULT, _MIX_RATES
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    train = docs.filter(F.col("doc_id") % 53 != 0)
+    kept_exact = dedup.drop_exact_duplicates(train)
+    pairs = dedup.minhash_lsh_pairs(kept_exact, threshold=0.5, use_shingles=3)
+    kept = dedup.drop_near_duplicates(kept_exact, pairs)
+    cont = dedup.contaminated_by_shingles(kept, bench, shingle_k=5)
+    decon = kept.join(
+        cont.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
+    )
+    filtered = decon.filter(
+        (ts.quality_score(F.col("text"), F.col("n_chars")) >= 0.5)
+        & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    sampled = stratified_hash_sample(
+        filtered, "source", _MIX_RATES, _MIX_DEFAULT, "doc_id"
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(ts.token_count(F.col("text"))).cast("bigint").alias(
+            "token_budget"
+        ),
+    )
