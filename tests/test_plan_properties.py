@@ -134,3 +134,12 @@ def test_suite_union_adds_no_python_udf(spark):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_curation_full_no_quadratic_joins(spark):
+    """The six-stage pipeline must stay equi/semi/anti joins end-to-end:
+    no nested-loop or cartesian anywhere in the composed plan."""
+    plan = _plan(spark, "corpus_curation_full")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan  # near-dup drop + decontamination filters
