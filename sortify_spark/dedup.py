@@ -152,23 +152,21 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(F.lit(union) == 0, F.lit(0.0)).otherwise(inter / union)
 
 
-def minhash_lsh_pairs(
+def signature_bands(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
-    threshold: float = 0.5,
     use_shingles: int | None = None,
-) -> DataFrame:
-    """Near-duplicate pairs: minhash → band → bucket self-join → exact
-    Jaccard verify ≥ threshold.
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash front half: ``(base, banded)`` where ``base`` is
+    ``(id, toks)`` (persisted — token sets for the verify step) and
+    ``banded`` is ``(id, band_idx, band_key)``.
 
-    Scale shape: the only join is *within band buckets* (equi-join on the
-    band key), so cost is Σ bucket² not n² — the standard LSH bound.  The
-    verify step re-joins token sets by id; at 100 TB you'd carry the token
-    arrays through the bucket join only for bucketed candidates (done
-    here), never for the full corpus.
+    Both the self-join pair finder (:func:`minhash_lsh_pairs`) and the
+    batch-vs-corpus incremental path build on this so their bucketing is
+    identical by construction.
     """
     # Small single-file sources arrive as one partition; fan out the RAW
     # text before deriving shingles so the expression work parallelizes
@@ -215,6 +213,30 @@ def minhash_lsh_pairs(
         band_cols.append(key)
     banded = sig.select(
         "id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    )
+    return base, banded
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    threshold: float = 0.5,
+    use_shingles: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs: minhash → band → bucket self-join → exact
+    Jaccard verify ≥ threshold.
+
+    Scale shape: the only join is *within band buckets* (equi-join on the
+    band key), so cost is Σ bucket² not n² — the standard LSH bound.  The
+    verify step re-joins token sets by id; at 100 TB you'd carry the token
+    arrays through the bucket join only for bucketed candidates (done
+    here), never for the full corpus.
+    """
+    base, banded = signature_bands(
+        df, id_col, text_col, num_hashes, band_size, use_shingles
     )
     # Plain-key equi-join (hash join on the band key); the aliased
     # self-join form can degrade to a nested-loop join re-evaluating the
@@ -307,6 +329,119 @@ def minhash_lsh_oracle_sql(
       JOIN base2 y ON y.id = cand.id_b
     )
     SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-graph resolution: connected components
+# ---------------------------------------------------------------------------
+#
+# Pairwise near-dup output is not yet a dedup decision: if A~B and B~C,
+# dropping "the b of every pair" can drop B and C while keeping A, or
+# orphan C depending on pair order.  The principled resolution is the
+# connected component of the duplicate graph: every doc in a component is
+# a copy-cluster, keep exactly one representative (the min id).
+# Reference behaviour is per-pair (no transitive closure); this is the
+# "beyond" operator every large corpus pipeline (C4, Gopher, RefinedWeb)
+# actually runs after LSH.
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """``(node, component)`` for every node in ``pairs``; component =
+    min node id reachable through the undirected pair graph.
+
+    Algorithm: alternating *neighbor-min propagation* + *pointer
+    jumping* (label ← label[label]), the standard Spark idiom — each
+    iteration is two shuffles over (node, comp) rows, and pointer
+    jumping halves the remaining label-tree depth, so convergence is
+    O(log diameter) iterations, not O(diameter).  Duplicate clusters
+    from LSH are near-cliques (diameter ≤ 3 typically), so 2-3
+    iterations settle real corpora; ``max_iters`` is a safety bound.
+
+    Scale notes (100 TB): label state is ONE row per node — orders of
+    magnitude smaller than the corpus; every join is an equi-join on
+    node id; ``localCheckpoint`` truncates the lineage each iteration so
+    the plan does not double (at cluster scale use ``checkpoint`` to
+    reliable storage instead).  The per-iteration convergence check is
+    an O(nodes) aggregate, not a collect.
+    """
+    edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    lab = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                lab.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("dst_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+            .select(F.col("src").alias("node"), "nbr_comp")
+        )
+        stepped = lab.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+        )
+        # Pointer jumping: follow the label's own label one hop.
+        parent = stepped.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
+        jumped = (
+            stepped.join(parent, "comp", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("comp2", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(lab.select("node", F.col("comp").alias("old")), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        lab = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return lab.select("node", "comp")
+
+
+def components_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB rendering of :func:`connected_components` over the pair
+    statement ``pairs_sql`` (any SELECT yielding ``id_a, id_b``): a
+    recursive reachability closure, then min label per node."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node, MIN(lab) AS comp FROM reach GROUP BY node
     """
 
 
