@@ -63,12 +63,12 @@ PRIORITY = (
     "minhash_lsh_pairs",
     "simhash_pairs_banded",
     "embedding_neardup_topk",
-    "dedup_exact_stats",
+    "neardup_components",
+    "dedup_keep_component_rep",
     # sources / functions / beyond-ops (driver-unchecked in round 1)
     "conversation_counters",
     "html_strip",
     "vector_delete_rewrite",
-    "sampled_scan",
     "monthly_status_pivot",
     "rolling_fingerprints",
     "schema_discovery",
@@ -78,7 +78,6 @@ PRIORITY = (
     "latency_percentiles",
     "token_counts_bpe",
     "quality_quartile_filter",
-    "distinct_users_by_type",
     "activity_feed",
     "multimodal_frame_sample",
     "streaming_dedup",
@@ -90,6 +89,7 @@ PRIORITY = (
     "suite_text",
     "suite_cluster_metrics",
     "suite_window_frames",
+    "suite_curation_ops",
 )
 
 _unknown = set(PRIORITY) - set(REGISTRY)

@@ -161,3 +161,46 @@ def truncate_col(col: Column | str, max_length: int) -> Column:
     return F.when(F.length(c) <= max_length, c).otherwise(
         F.concat(F.substring(c, 1, max_length), F.lit("..."))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data pipeline hygiene)
+# ---------------------------------------------------------------------------
+
+#: Deliberately conservative, precision-first patterns (the C4/RefinedWeb
+#: practice): emails, international-ish phone numbers, and 16-digit card
+#: numbers.  Recall-first PII detection needs a model pass; these regexes
+#: are the cheap JVM-side sweep that runs over every byte of a 100 TB
+#: corpus, so they must stay whole-stage-codegen expressions — no UDF.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b(?:\d[ -]?){15}\d\b", "<CARD>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its placeholder token, in pattern
+    order — card MUST precede phone (the looser phone pattern would
+    otherwise consume 16-digit card groups first).  Chained
+    ``regexp_replace`` stays inside codegen — one projection, no
+    shuffle, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts(col: Column | str) -> Column:
+    """``map<string,int>`` of per-category match counts for audit
+    dashboards (docs flagged, redactions applied) — counting before
+    redacting lets the pipeline emit both in one pass.  Categories are
+    counted independently on the raw text, so a card number also counts
+    as a phone-shaped match; redaction order (see above) decides the
+    emitted token."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.map_from_arrays(
+        F.array(*[F.lit(name) for name, _, _ in PII_PATTERNS]),
+        F.array(*[F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+                  for _, pat, _ in PII_PATTERNS]),
+    )

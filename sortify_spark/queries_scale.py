@@ -646,3 +646,83 @@ def q_latency_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "stratified_sample_per_source",
+    """
+    SELECT source, doc_id, sample_rank FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 5
+    ORDER BY source, doc_id
+    """,
+    note="Stratified exact-N sampling: 5 docs per source stratum, chosen "
+    "by content-hash order so the sample is deterministic, stable under "
+    "repartitioning, and oracle-checkable (seeded Bernoulli is neither). "
+    "One shuffle on the stratum key; rank state is O(1) per partition "
+    "stream. When N must scale with stratum size, prefer the pure "
+    "hash-predicate sample (sampled_scan) — no window, no skew exposure; "
+    "exact-N per stratum inherently keys on the stratum and inherits its "
+    "skew (salt + two-phase top-N if a stratum dominates).",
+)
+def q_stratified_sample_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")),
+            F.col("doc_id"),
+        )
+    )
+    return (
+        docs.select("source", "doc_id", rn.alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 5)
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "sliding_window_counts",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 AS w0
+      FROM events
+    ),
+    x AS (SELECT event_type, unnest([w0, w0 - 1800]) AS ws FROM e)
+    SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S')
+               AS win_start,
+           event_type,
+           COUNT(*) AS cnt
+    FROM x GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    note="Sliding-window aggregation: 1-hour windows every 30 minutes "
+    "(each event lands in exactly 2 windows). Spark's window() expands "
+    "rows window-count-fold BEFORE the aggregate, so the shuffle carries "
+    "len/slide x rows — the reason hopping windows should keep small "
+    "len/slide ratios at scale. Oracle derives the same epoch-aligned "
+    "window starts arithmetically. Batch twin of the streaming "
+    "windowed-agg in streaming/pipeline.py.",
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "cnt",
+        )
+        .orderBy("win_start", "event_type")
+    )

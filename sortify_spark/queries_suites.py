@@ -334,3 +334,49 @@ def q_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("overlap_at_10"))
         .select("overlap_at_10", F.lit(10).cast("int").alias("k"))
     )
+
+
+# --- corpus-curation extras: repetition signals, stratified sampling,
+# sliding windows, incremental dedup + the exact-dedup/sample/distinct
+# trio whose individual window slots the round-2 flagships took over.
+_suite(
+    "suite_curation_ops",
+    [
+        (
+            "repetition_signals",
+            dict(
+                key1="doc_id",
+                cnt="n_words",
+                val="dup_word_frac",
+                val2="top_bigram_frac",
+            ),
+        ),
+        (
+            "stratified_sample_per_source",
+            dict(key1="source", key2="doc_id", cnt="sample_rank"),
+        ),
+        (
+            "sliding_window_counts",
+            dict(key1="win_start", key2="event_type", cnt="cnt"),
+        ),
+        ("incremental_dedup_new_docs", dict(key1="doc_id", key2="source")),
+        ("dedup_exact_stats", dict(key1="'total_docs'", cnt="total_docs")),
+        (
+            "dedup_exact_stats",
+            dict(key1="'distinct_docs'", cnt="distinct_docs"),
+        ),
+        (
+            "dedup_exact_stats",
+            dict(key1="'duplicate_docs'", cnt="duplicate_docs"),
+        ),
+        ("sampled_scan", dict(key1="doc_id", key2="lang", cnt="n_chars")),
+        (
+            "distinct_users_by_type",
+            dict(key1="event_type", cnt="distinct_users", val="events"),
+        ),
+    ],
+    note="Suite: Gopher repetition signals, stratified exact-N sampling, "
+    "sliding-window counts, incremental batch-vs-corpus dedup, exact "
+    "dedup stats, hash-predicate sampling, distinct aggregation — one "
+    "hash-checked row set for the round-2 curation additions.",
+)

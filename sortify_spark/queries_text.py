@@ -156,3 +156,75 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chunks",
         F.length("chunk_text").alias("chunk_len"),
     )
+
+
+@register(
+    "repetition_signals",
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    base AS (SELECT * FROM w WHERE len(w) >= 2),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM base
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_bg FROM (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.w) AS n_words,
+           ROUND(1 - len(list_distinct(b.w)) / CAST(len(b.w) AS DOUBLE), 6)
+               AS dup_word_frac,
+           ROUND(t.top_bg / CAST(len(b.w) - 1 AS DOUBLE), 6)
+               AS top_bigram_frac
+    FROM base b JOIN top t USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    note="Gopher-style repetition signals per doc: duplicate-word "
+    "fraction and most-frequent-bigram fraction (the 'fraction of "
+    "content in top n-gram' family used by Gopher/RefinedWeb quality "
+    "rules). Bigrams via zip_with over two array slices — no UDF; the "
+    "explode shuffles on (doc_id, bigram) with map-side combine, then "
+    "one more combine down to per-doc maxima. Both shuffles carry "
+    "~tokens-per-doc rows, never corpus²; scale-safe.",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.dedup import words
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", words(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.expr(
+            "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), "
+            "(a, b) -> concat(a, ' ', b))"
+        ).alias("bgs"),
+    )
+    top = (
+        bigrams.select("doc_id", "n_words", "n_distinct", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "n_words", "n_distinct", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_words", "n_distinct")
+        .agg(F.max("c").alias("top_bg"))
+    )
+    return top.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.lit(1) - F.col("n_distinct") / F.col("n_words").cast("double"), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            F.col("top_bg") / (F.col("n_words") - 1).cast("double"), 6
+        ).alias("top_bigram_frac"),
+    ).orderBy("doc_id")

@@ -119,3 +119,40 @@ def test_diversity_reselect():
     ]
     out = diversity_reselect(rows, "text", top_k=3, overlap_limit=4)
     assert [r["id"] for r in out] == [1, 3]
+
+
+def test_pii_redaction_and_counts(spark):
+    from sortify_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        ("mail a.b+c@ex-ample.co.uk now",),
+        ("call +1 (555) 123-4567 today",),
+        ("card 4111 1111 1111 1111 end",),
+        ("clean text with no identifiers",),
+    ]
+    df = spark.createDataFrame(rows, ["t"])
+    out = df.select(
+        redact_pii("t").alias("r"), pii_counts("t").alias("c")
+    ).collect()
+    assert out[0].r == "mail <EMAIL> now" and out[0].c["email"] == 1
+    assert out[1].r == "call <PHONE> today" and out[1].c["phone"] == 1
+    # Card precedes phone in redaction order: the 16-digit group must
+    # emit <CARD>, not <PHONE>, even though both patterns match it.
+    assert out[2].r == "card <CARD> end" and out[2].c["card"] == 1
+    assert out[3].r == rows[3][0]
+    assert all(v == 0 for v in out[3].c.values())
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A~B~C chain collapses to one component (the per-pair heuristic
+    would not); disjoint pair stays its own component."""
+    from sortify_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r.node: r.comp for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
