@@ -143,3 +143,38 @@ def test_curation_full_no_quadratic_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan  # near-dup drop + decontamination filters
+
+
+def test_component_rep_broadcasts_drop_set(spark):
+    """Final kept-corpus anti-join must broadcast the (small) drop set so
+    the corpus never shuffles; no nested-loop joins anywhere."""
+    plan = _plan(spark, "dedup_keep_component_rep")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_equi_joins_only(spark):
+    """Batch-vs-corpus bucket join is an equi-join on (band_idx,
+    band_key); verify and anti-join stages stay hash joins."""
+    plan = _plan(spark, "incremental_dedup_new_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_repetition_signals_map_side_combine(spark):
+    """Bigram counting must partial-aggregate before both shuffles and
+    contain no Python UDF (pure zip_with/explode expressions)."""
+    plan = _plan(spark, "repetition_signals")
+    assert "partial_" in plan
+    assert "Generate" in plan  # the bigram explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_single_shuffle(spark):
+    plan = _plan(spark, "stratified_sample_per_source")
+    # One shuffle for the stratum window; the final presentation sort may
+    # add one more, but no join may appear at all.
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
