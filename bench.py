@@ -59,6 +59,9 @@ HEADLINE = (
     "decontaminate_vs_benchmark",
     "mixture_resample",
     "corpus_curation",
+    "neardup_components",
+    "repetition_signals",
+    "incremental_dedup_new_docs",
 )
 
 

@@ -59,3 +59,59 @@ def stratified_oracle_predicate(
         f"% {BUCKETS} < CASE {strata_col} {cases} "
         f"ELSE {int(default_rate * BUCKETS)} END"
     )
+
+
+def budget_balanced_rates(
+    doc_tokens: DataFrame,
+    strata_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-stratum keep rates that split a global token ``budget``
+    equally across strata: ``rate_s = min(1, (budget/n_strata) /
+    tokens_s)``.  Input is ``(strata_col, tok)`` per document; output
+    ``(strata_col, rate)`` — one tiny row per stratum.
+
+    The n_strata count comes from an unpartitioned window over the
+    ALREADY-AGGREGATED per-stratum frame (rows = number of strata, i.e.
+    data sources — dozens, not documents), so the single-partition
+    window is bounded by construction.
+    """
+    from pyspark.sql.window import Window
+
+    per = doc_tokens.groupBy(strata_col).agg(
+        F.sum(F.col("tok")).cast("bigint").alias("toks")
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    return per.select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(budget)) / n) / F.col("toks").cast("double"),
+        ).alias("rate"),
+    )
+
+
+def budget_balanced_sample(
+    df: DataFrame,
+    strata_col: str,
+    tok_col: Column,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Keep each row iff its id-hash bucket clears its stratum's
+    budget-derived rate — the self-tuning form of
+    :func:`stratified_hash_sample`: rates follow the data (two-pass:
+    tiny per-stratum aggregate, broadcast back, pure filter) instead of
+    a hand-written policy table.  Deterministic end-to-end: same data +
+    budget → same kept set, stable under repartitioning."""
+    rates = budget_balanced_rates(
+        df.select(strata_col, tok_col.alias("tok")), strata_col, budget
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(
+            hash_bucket(id_col)
+            < F.floor(F.col("rate") * BUCKETS).cast("bigint")
+        )
+        .drop("rate")
+    )

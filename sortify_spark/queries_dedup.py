@@ -197,9 +197,24 @@ def _curation_full_oracle() -> str:
       ) WHERE rn = 1
     ),
     pairs AS ({pairs}),
+    comp AS (
+      SELECT node, MIN(lab) AS comp FROM (
+        WITH RECURSIVE edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(node, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node, lab FROM reach
+      ) GROUP BY node
+    ),
     kept AS (
       SELECT * FROM kept_exact
-      WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+      WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)
     ),
     unioned AS (
       SELECT doc_id, text FROM kept
@@ -226,13 +241,16 @@ def _curation_full_oracle() -> str:
 @register(
     "corpus_curation_full",
     _curation_full_oracle(),
-    note="The COMPLETE training-data curation pipeline in one lazy plan: "
-    "exact dedup (fingerprint window) → MinHash-LSH near-dup drop → "
-    "benchmark decontamination (broadcast shingle semi-join against the "
-    "doc_id % 53 held-out slice) → quality ≥ 0.5 + language filter → "
-    "deterministic mixture resample (hash-bucket rates) → per-source "
-    "token budget. Six independently oracle-checked stages, one composed "
-    "oracle, no stage materializes.",
+    note="The COMPLETE training-data curation pipeline: exact dedup "
+    "(fingerprint window) → near-dup CONNECTED-COMPONENT resolution "
+    "(MinHash-LSH pairs → transitive closure → keep min-id "
+    "representative per duplicate cluster; the per-pair variant is "
+    "corpus_after_neardup) → benchmark decontamination (broadcast "
+    "shingle semi-join against the doc_id % 53 held-out slice) → "
+    "quality ≥ 0.5 + language filter → deterministic mixture resample "
+    "(hash-bucket rates) → per-source token budget. Every stage is "
+    "independently oracle-checked; only the component labels "
+    "materialize (iterative by nature), the rest stays one lazy plan.",
 )
 def q_corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sortify_spark.operators.sampling import stratified_hash_sample
@@ -243,7 +261,11 @@ def q_corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 53 != 0)
     kept_exact = dedup.drop_exact_duplicates(train)
     pairs = dedup.minhash_lsh_pairs(kept_exact, threshold=0.5, use_shingles=3)
-    kept = dedup.drop_near_duplicates(kept_exact, pairs)
+    comp = dedup.connected_components(pairs)
+    drops = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = kept_exact.join(F.broadcast(drops), "doc_id", "left_anti")
     cont = dedup.contaminated_by_shingles(kept, bench, shingle_k=5)
     decon = kept.join(
         cont.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"

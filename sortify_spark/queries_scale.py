@@ -726,3 +726,60 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start", "event_type")
     )
+
+
+from sortify_spark.textstats import TOKEN_COUNT_SQL as _TOK_SQL  # noqa: E402
+
+
+@register(
+    "token_budget_mixture",
+    f"""
+    WITH tok AS (
+      SELECT source, doc_id,
+             {{tokens}} AS tok
+      FROM documents
+    ),
+    per AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS toks
+            FROM tok GROUP BY source),
+    rates AS (
+      SELECT source,
+             LEAST(1.0, (10000.0 / (SELECT COUNT(*) FROM per))
+                        / CAST(toks AS DOUBLE)) AS rate
+      FROM per
+    )
+    SELECT t.source,
+           COUNT(*) AS docs_kept,
+           CAST(SUM(t.tok) AS BIGINT) AS tokens_kept
+    FROM tok t JOIN rates r ON t.source = r.source
+    WHERE ('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 7))::BIGINT
+          % 1000 < CAST(FLOOR(r.rate * 1000) AS BIGINT)
+    GROUP BY t.source
+    ORDER BY t.source
+    """.replace("{tokens}", _TOK_SQL.format(t="text")),
+    note="Self-tuning mixture: a global 10k-token budget split equally "
+    "across sources; per-source keep rate = min(1, share/tokens). "
+    "Two-pass plan — a per-source aggregate the size of the source "
+    "list, broadcast back, then a pure deterministic hash filter "
+    "(the fixed-rate policy variant is mixture_resample). The "
+    "single-partition window counting strata runs over the aggregated "
+    "frame (dozens of rows), bounded by construction.",
+)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark import textstats as ts
+    from sortify_spark.operators.sampling import budget_balanced_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    tok = ts.token_count(F.col("text"))
+    kept = budget_balanced_sample(
+        docs.withColumn("tok", tok), "source", F.col("tok"), "doc_id", 10_000
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("tok").cast("bigint").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

@@ -152,7 +152,13 @@ def test_connected_components_chain_and_clique(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
         ["id_a", "id_b"],
     )
-    got = {
-        r.node: r.comp for r in connected_components(pairs).collect()
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # Driver union-find path (default) and distributed min-propagation
+    # path (forced by a zero driver budget) must agree exactly.
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == want
+    dist = {
+        r.node: r.comp
+        for r in connected_components(pairs, driver_max_edges=0).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert dist == want
