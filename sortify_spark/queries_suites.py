@@ -360,6 +360,10 @@ _suite(
             dict(key1="win_start", key2="event_type", cnt="cnt"),
         ),
         ("incremental_dedup_new_docs", dict(key1="doc_id", key2="source")),
+        (
+            "token_budget_mixture",
+            dict(key1="source", cnt="docs_kept", val="tokens_kept"),
+        ),
         ("dedup_exact_stats", dict(key1="'total_docs'", cnt="total_docs")),
         (
             "dedup_exact_stats",
