@@ -383,3 +383,52 @@ def streaming_sessionize(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def upsert_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...] = ("doc_id",),
+    partition_cols: tuple[str, ...] = ("source",),
+    available_now: bool = True,
+):
+    """Streaming keyed upsert: every micro-batch MERGEs into the
+    partitioned parquet table via :func:`sinks.upsert_partitioned` —
+    the CDC-style sink the reference's in-place Mongo updates imply
+    (``document_service`` update paths), expressed as stream →
+    foreachBatch → keyed partition overwrite.
+
+    Replay safety: a restart may re-deliver the last uncommitted batch,
+    and keyed upsert is idempotent (re-applying rewrites the same rows
+    with the same values), so the table converges to exactly-once
+    CONTENT even though foreachBatch is at-least-once.  Within one
+    batch, later duplicates of a key win deterministically only if the
+    batch is key-unique — dedupe upstream (streaming_exact_dedup) when
+    sources can repeat a key inside a single batch.
+
+    At 100 TB: each micro-batch rewrites only the partitions its keys
+    touch (the merge plan broadcasts the batch, the table never
+    shuffles); partition layout chooses the rewrite amplification.
+    """
+    from sortify_spark.sources.sinks import upsert_partitioned
+
+    docs = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_partitioned(
+            batch_df, table_path, keys=list(keys),
+            partition_cols=list(partition_cols),
+        )
+
+    writer = docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -226,3 +226,32 @@ def test_facade_search_at_reference_dimension(spark):
     a = eng.semantic_search("storage cost", search_type="rrf_fusion").collect()
     b = eng.semantic_search("storage cost", search_type="rrf_fusion").collect()
     assert a == b
+
+
+def test_upsert_stream_merges_and_survives_restart(spark, docs):
+    """Two availableNow runs over a growing input dir: the second batch
+    updates half the first batch's keys and adds new ones; the table
+    must converge to one row per key with latest values."""
+    from sortify_spark.streaming.pipeline import upsert_stream
+
+    tmp = tempfile.mkdtemp(prefix="sortify_upstream_")
+    base = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    v1 = base.filter(F.col("doc_id") < 10)
+    v1.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+    q = upsert_stream(spark, f"{tmp}/in", f"{tmp}/table", f"{tmp}/ckpt")
+    q.awaitTermination(120)
+    t1 = spark.read.parquet(f"{tmp}/table")
+    assert t1.count() == v1.count()
+
+    v2 = (
+        base.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 15))
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+    )
+    v2.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+    # New query object, same checkpoint — the restart path.
+    q = upsert_stream(spark, f"{tmp}/in", f"{tmp}/table", f"{tmp}/ckpt")
+    q.awaitTermination(120)
+    t2 = spark.read.parquet(f"{tmp}/table")
+    assert t2.count() == 15  # 0-14, one row per key
+    assert t2.filter(F.col("doc_id") == 7).first().text.startswith("v2 ")
+    assert not t2.filter(F.col("doc_id") == 2).first().text.startswith("v2 ")
