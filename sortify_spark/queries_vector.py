@@ -471,3 +471,67 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=3,
         bscore_round=6,
     ).select(F.col("vec_id").alias("id"), "score")
+
+
+@register(
+    "embedding_quantize_stats",
+    """
+    WITH q AS (
+      SELECT label,
+             CAST(embedding AS DOUBLE[]) AS e,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS m
+      FROM embeddings
+    ),
+    per AS (
+      SELECT label,
+             ROUND(CASE WHEN m = 0 THEN 0.0 ELSE
+               list_max(list_transform(e,
+                 x -> abs(x - round(x * 127 / m) * m / 127)))
+             END, 6) AS qerr
+      FROM q
+    )
+    SELECT label,
+           COUNT(*) AS vectors,
+           ROUND(CAST(SUM(CAST(qerr AS DECIMAL(38,10))) AS DOUBLE)
+                 / COUNT(qerr), 4) AS avg_qerr,
+           ROUND(MAX(qerr), 6) AS max_qerr
+    FROM per GROUP BY label ORDER BY label
+    """,
+    note="int8 symmetric quantization audit: per-vector scale = "
+    "max|x|/127, worst-element dequantization error per vector (MAX is "
+    "summation-order-free, so engine-portable unlike an L2 error), "
+    "decimal-averaged per label. The quantize itself is a pure "
+    "transform() projection — at 100 TB this is the 4x storage / "
+    "bandwidth lever for the ANN index, and the stats query is the "
+    "guardrail that the chosen scale keeps error bounded.",
+)
+def q_embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    m = F.array_max(F.transform("e", lambda x: F.abs(x)))
+    df = emb.withColumn("m", m)
+    err_el = lambda x: F.abs(  # noqa: E731
+        x - F.round(x * 127 / F.col("m")) * F.col("m") / 127
+    )
+    qerr = F.round(
+        F.when(F.col("m") == 0, F.lit(0.0)).otherwise(
+            F.array_max(F.transform("e", err_el))
+        ),
+        6,
+    )
+    per = df.select("label", qerr.alias("qerr"))
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("vectors"),
+            F.round(
+                F.sum(F.col("qerr").cast("decimal(38,10)")).cast("double")
+                / F.count("qerr"),
+                4,
+            ).alias("avg_qerr"),
+            F.round(F.max("qerr"), 6).alias("max_qerr"),
+        )
+        .orderBy("label")
+    )
