@@ -82,12 +82,18 @@ def budget_balanced_rates(
         F.sum(F.col("tok")).cast("bigint").alias("toks")
     )
     n = F.count(F.lit(1)).over(Window.partitionBy())
+    # A zero-token stratum (empty or binary-only source) clamps to
+    # keep-all: under ANSI mode the bare division would abort the job.
     return per.select(
         strata_col,
-        F.least(
-            F.lit(1.0),
-            (F.lit(float(budget)) / n) / F.col("toks").cast("double"),
-        ).alias("rate"),
+        F.when(F.col("toks") == 0, F.lit(1.0))
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(budget)) / n) / F.col("toks").cast("double"),
+            )
+        )
+        .alias("rate"),
     )
 
 

@@ -95,3 +95,35 @@ def test_empty_table_pipelines(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert ingest_vectorize(empty, dim=4).count() == 0
+
+
+def test_connected_components_empty_pairs(spark):
+    from sortify_spark.dedup import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    assert connected_components(empty, driver_max_edges=0).count() == 0
+
+
+def test_repetition_words_null_and_short(spark, dirty_docs):
+    """Null/empty/whitespace docs and one-word docs must be excluded
+    (no divide-by-zero), normal docs scored."""
+    from sortify_spark.dedup import words
+
+    base = dirty_docs.select(
+        "doc_id", words(F.col("text")).alias("w")
+    ).filter(F.size("w") >= 2)
+    ids = {r.doc_id for r in base.collect()}
+    assert ids == {1, 5, 6}
+
+
+def test_budget_sample_zero_token_stratum(spark):
+    """A stratum whose token total is 0 must not produce NaN/err rates;
+    its rate clamps to 1.0 and its (empty-token) rows pass through."""
+    from sortify_spark.operators.sampling import budget_balanced_sample
+
+    rows = [("a", 1, 10), ("a", 2, 30), ("b", 3, 0), ("b", 4, 0)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "tok"])
+    kept = budget_balanced_sample(df, "source", F.col("tok"), "doc_id", 100)
+    srcs = {r.source for r in kept.collect()}
+    assert "b" in srcs  # inf-rate clamps to keep-all, never drops or errors
