@@ -535,3 +535,47 @@ def q_embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _lsh_bit_sql(j: int) -> str:
+    from sortify_spark.search.knn import LSH_A, LSH_C, LSH_J, LSH_M
+
+    return (
+        f"CASE WHEN list_sum(list_transform(range(1, len(e) + 1), i -> "
+        f"e[i] * ((CAST(({LSH_A}::BIGINT * ({j} * {LSH_J} + (i - 1)) "
+        f"+ {LSH_C}) % {LSH_M} AS DOUBLE) - 1000) / 1000.0))) >= 0 "
+        f"THEN {2**j} ELSE 0 END"
+    )
+
+
+@register(
+    "knn_lsh_portable",
+    f"""
+    WITH keyed AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             {' + '.join(_lsh_bit_sql(j) for j in range(4))} AS key
+      FROM embeddings
+    ),
+    q AS (SELECT e AS qe, key AS qkey FROM keyed WHERE vec_id = 0)
+    SELECT k.vec_id AS id, k.label,
+           ROUND(list_cosine_similarity(k.e, q.qe), 6) AS score
+    FROM keyed k, q
+    WHERE k.key = q.qkey AND k.vec_id <> 0
+    ORDER BY score DESC, id ASC LIMIT 10
+    """,
+    note="ANN via PORTABLE hyperplane LSH: bucket key from LCG-derived "
+    "hyperplane signs (pure integer arithmetic both engines reproduce), "
+    "probe = equi-join on the query's bucket, exact cosine rerank "
+    "inside. Unlike the MLlib BucketedRandomProjectionLSH variant "
+    "(knn_lsh, seed-internal → rows-only), the whole approximate index "
+    "is value-hash-checked against the oracle.",
+)
+def q_knn_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn.lsh_portable_topk(
+        emb.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") == 0),
+        k=10,
+        nbits=4,
+        carry_cols=("label",),
+    ).select(F.col("vec_id").alias("id"), "label", "score")

@@ -189,3 +189,66 @@ def brute_force_topk_np(
         _score, f"{id_col} long, score double"
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Portable hyperplane LSH (oracle-checkable ANN)
+# ---------------------------------------------------------------------------
+
+#: LCG constants for hyperplane components: pure integer arithmetic that
+#: any engine reproduces bit-identically — unlike seeded RNG hyperplanes
+#: (MLlib's BucketedRandomProjectionLSH), the index itself becomes
+#: oracle-checkable.  Component (j, i) = ((A*(j*J + i) + C) % M - 1000)/1000
+#: ∈ [-1, 1], plenty uniform for sign buckets.
+LSH_A, LSH_C, LSH_M, LSH_J = 1103515245, 12345, 2001, 1000003
+
+
+def lsh_portable_key(vec_col: str, nbits: int = 4) -> Column:
+    """Hyperplane-sign bucket key: bit j = sign(v · h_j) with h_j derived
+    from the LCG above.  One interpreted fold per bit; at scale this is
+    a write-once index column, not a per-query cost."""
+    key = F.lit(0)
+    for j in range(nbits):
+        dot = F.expr(
+            f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), "
+            f"sequence(0, size({vec_col}) - 1), (x, i) -> x * ("
+            f"(CAST((CAST({LSH_A} AS BIGINT) * ({j} * {LSH_J} + i) "
+            f"+ {LSH_C}) % {LSH_M} AS DOUBLE) - 1000) / 1000.0)), "
+            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        key = key + F.when(dot >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    return key
+
+
+def lsh_portable_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = DEFAULT_TOP_K,
+    nbits: int = 4,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """ANN top-k through the portable LSH: score ONLY the query's
+    bucket (expected n/2^nbits candidates), exact cosine rerank inside.
+    The probe is an equi-join on the bucket key — at 100 TB the table
+    is stored partitioned by key, so a probe reads one partition
+    (same shape as `ivf_topk`'s nprobe pruning)."""
+    keyed = vectors.withColumn("__lsh", lsh_portable_key(vec_col, nbits))
+    q = F.broadcast(
+        query.select(F.col(vec_col).alias("__qvec"))
+        .withColumn("__lsh", lsh_portable_key("__qvec", nbits))
+        .withColumn("__qn", l2_norm("__qvec"))
+    )
+    cand = keyed.join(q, "__lsh").withColumn("__vn", l2_norm(vec_col))
+    scored = cand.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.round(
+            cosine_given_norms(
+                F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+            ),
+            6,
+        ).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
