@@ -92,17 +92,31 @@ def main() -> None:
     # loop-interleaved runs followed the heaviest query).  Running each
     # query's repetitions back-to-back gives the later run identical
     # preconditions, so min-of-N estimates the plan's intrinsic cost.
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: one broken query must not abort the whole
+    # bench (round 2 lost its entire perf signal to a single analysis
+    # exception).  Failures report as {"name": "error: ..."} and are
+    # excluded from the total.
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         for _ in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.time() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
+            try:
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                elapsed = round(time.time() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — report, keep going
+                errors[name] = f"error: {type(exc).__name__}: {exc}"[:300]
+                break
+            prev = timings.get(name)
+            if not isinstance(prev, float) or elapsed < prev:
                 timings[name] = elapsed
+    for name, msg in errors.items():
+        timings[name] = msg
 
-    total = round(sum(timings.values()), 3)
+    total = round(
+        sum(v for v in timings.values() if isinstance(v, float)), 3
+    )
     print(
         json.dumps(
             {
