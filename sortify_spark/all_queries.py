@@ -74,15 +74,15 @@ PRIORITY = (
     "schema_discovery",
     "chunk_fixed_width",
     "json_roundtrip",
-    "daily_trend_streamed",
+    "pii_scrub_audit",
     "latency_percentiles",
     "token_counts_bpe",
     "quality_quartile_filter",
     "activity_feed",
     "multimodal_frame_sample",
     "streaming_dedup",
-    "quality_scores",
     # operator suites (families of round-1-green operators, one row each)
+    "suite_ann_contracts",
     "suite_scalar_aggs",
     "suite_group_aggs",
     "suite_relational",

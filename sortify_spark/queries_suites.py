@@ -339,6 +339,44 @@ def q_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- corpus-curation extras: repetition signals, stratified sampling,
 # sliding windows, incremental dedup + the exact-dedup/sample/distinct
 # trio whose individual window slots the round-2 flagships took over.
+# --- ANN + streaming contracts: portable-LSH index, int8 quantization
+# audit, stateful streaming sessionization, quality scores, streamed
+# daily trend — the round-2 post-window queries folded into one row
+# (VERDICT r2 item 5) plus the two singles whose window slots this suite
+# and pii_scrub_audit take over.
+_suite(
+    "suite_ann_contracts",
+    [
+        (
+            "knn_lsh_portable",
+            dict(key1="CAST(id AS STRING)", key2="label", val="score"),
+        ),
+        (
+            "embedding_quantize_stats",
+            dict(
+                key1="CAST(label AS STRING)",
+                cnt="vectors",
+                val="avg_qerr",
+                val2="max_qerr",
+            ),
+        ),
+        (
+            "streaming_sessions",
+            dict(key1="CAST(user_id AS STRING)", cnt="n_events", val="duration_us"),
+        ),
+        (
+            "quality_scores",
+            dict(key1="CAST(doc_id AS STRING)", cnt="tokens", val="quality"),
+        ),
+        ("daily_trend_streamed", dict(key1="day", cnt="cnt", val="avg_value")),
+    ],
+    note="Suite: portable hyperplane-LSH ANN (value-hash-checked index), "
+    "int8 quantization error audit, stateful streaming sessionization "
+    "(applyInPandasWithState vs batch window oracle), per-doc quality "
+    "scores, and the streamed daily trend — ANN + streaming contracts "
+    "in one driver row.",
+)
+
 _suite(
     "suite_curation_ops",
     [

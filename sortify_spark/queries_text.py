@@ -228,3 +228,88 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_bg") / (F.col("n_words") - 1).cast("double"), 6
         ).alias("top_bigram_frac"),
     ).orderBy("doc_id")
+
+
+def _pii_audit_sql() -> str:
+    """Oracle for ``pii_scrub_audit``: plants the same deterministic
+    PII-shaped tokens and replays the engine's chained-regexp redaction
+    (``functions/text.py:PII_PATTERNS``) in DuckDB.  Patterns are shared
+    constants, so engine and oracle cannot drift."""
+    from sortify_spark.functions.text import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(SUM(len(regexp_extract_all(text_p, '{pat}'))) AS BIGINT)"
+        f" AS {name}_hits"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text_p"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+    WITH planted AS (
+      SELECT source,
+             text
+             || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                  || CAST(doc_id AS VARCHAR) || '@example.com now'
+                ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' card 4111 1111 1111 1111 on file' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                THEN ' call +1 (555) 123-4567 today' ELSE '' END AS text_p
+      FROM documents
+    )
+    SELECT source, {counts},
+           CAST(SUM(length({red})) AS BIGINT) AS redacted_chars,
+           COUNT(*) AS docs
+    FROM planted GROUP BY source
+    """
+
+
+@register(
+    "pii_scrub_audit",
+    _pii_audit_sql(),
+    note="PII scrubbing audit (text hygiene for the curation pipeline — "
+    "reference stores raw extracted text; a training pipeline must scrub "
+    "it): deterministic PII-shaped tokens (email/card/phone) are planted "
+    "on doc_id strata, then redact_pii + pii_counts run over every doc. "
+    "Per-source hit counts AND the total redacted length are hash-checked,"
+    " so both the counters and the actual rewritten text are verified. "
+    "Chained regexp_replace stays whole-stage-codegen — no UDF, no "
+    "shuffle beyond the final small groupBy.",
+)
+def q_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.functions.text import PII_PATTERNS, pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    text_p = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit(" card 4111 1111 1111 1111 on file"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit(" call +1 (555) 123-4567 today"),
+        ).otherwise(F.lit("")),
+    )
+    audited = docs.select(
+        "source",
+        pii_counts(text_p).alias("counts"),
+        F.length(redact_pii(text_p)).alias("red_len"),
+    )
+    return audited.groupBy("source").agg(
+        *[
+            F.sum(F.col("counts")[name]).cast("bigint").alias(f"{name}_hits")
+            for name, _, _ in PII_PATTERNS
+        ],
+        F.sum("red_len").cast("bigint").alias("redacted_chars"),
+        F.count(F.lit(1)).alias("docs"),
+    )
