@@ -217,22 +217,116 @@ def clustering_statistics(with_status: DataFrame) -> DataFrame:
     )
 
 
+def modk_centroid_cluster(
+    vectors: DataFrame,
+    owner_col: str = "owner_id",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    noise_mod: int = 13,
+) -> DataFrame:
+    """Deterministic, fully SQL-expressible per-owner clustering kernel
+    with the same output contract as :func:`cluster_per_owner`.
+
+    Centroid ``c`` of owner ``o`` = element-wise mean of the owner's
+    vectors whose ``id % k == c`` (a deterministic seeding); every vector
+    is then assigned to its owner's nearest centroid (cosine rounded to
+    6, lowest-bucket tie-break), and ids with ``id % noise_mod == 0`` are
+    planted as noise (−1) so the downstream tier rules see all branches.
+
+    Purpose: a driver-grade oracle can replay this kernel exactly in SQL,
+    which makes the DETERMINISTIC clustering machinery (M2 tier triage,
+    M5 write-back, A7 statistics, M4 parent/child bookkeeping)
+    hash-checkable end-to-end — the seeded k-means kernel itself stays
+    contract-tested (its argmax/assignment core IS this same shape).
+
+    Scale: the centroid build is two map-side-combined shuffles at index
+    build; assignment joins the tiny (owners × k) centroid table
+    broadcast, and the per-vector argmax is one map-side-combined
+    groupBy — no window sort, no driver collect.
+    """
+    prepared = vectors.select(
+        F.col(owner_col).cast("string").alias("owner"),
+        F.col(id_col).cast("string").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    keyed = prepared.withColumn("bkt", F.col("id").cast("bigint") % k)
+    expl = keyed.select("owner", "bkt", F.posexplode("e").alias("i", "x"))
+    dims = expl.groupBy("owner", "bkt", "i").agg(F.avg("x").alias("m"))
+    cents = (
+        dims.groupBy("owner", "bkt")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("p"))
+        .select(
+            "owner",
+            "bkt",
+            F.transform("p", lambda s: s.getField("m")).alias("cent"),
+        )
+    )
+    from sortify_spark.functions.vectors import cosine
+
+    scored = prepared.join(F.broadcast(cents), "owner").select(
+        "owner",
+        "id",
+        "bkt",
+        F.round(cosine(F.col("e"), F.col("cent")), 6).alias("sim"),
+    )
+    # Argmax via struct-max (map-side combine; cheaper than a window
+    # sort): max (sim, -bkt) = highest sim, then lowest bucket.
+    best = (
+        scored.groupBy("owner", "id")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("bkt")).alias("nb"))).alias("b"))
+        .select(
+            "owner",
+            "id",
+            (-F.col("b.nb")).cast("int").alias("bkt"),
+            F.col("b.sim").alias("sim"),
+        )
+    )
+    noise = F.col("id").cast("bigint") % noise_mod == 0
+    return best.select(
+        F.col("owner").alias("owner_id"),
+        "id",
+        F.when(noise, F.lit(NOISE)).otherwise(F.col("bkt")).alias(
+            "cluster_label"
+        ),
+        F.when(noise, F.lit(0.0))
+        .otherwise(F.least(F.greatest(F.col("sim"), F.lit(0.0)), F.lit(1.0)))
+        .alias("probability"),
+    )
+
+
 def hierarchical_cluster(
     vectors: DataFrame,
     owner_col: str = "owner_id",
     id_col: str = "id",
     vec_col: str = "embedding",
     seed: int = 42,
+    coarse_fn=None,
+    fine_fn=None,
 ) -> DataFrame:
     """M4: two-level clustering — coarse pass (min size 8), then an
     independent fine pass within each parent cluster
     (``clustering_service.py:1127-1307``).  The parent id folds into the
     grouping key, so the second pass is the same grouped-map plan over
-    (owner, parent) groups — no new machinery."""
-    coarse = cluster_per_owner(
-        vectors, owner_col, id_col, vec_col,
-        min_cluster_size=COARSE_MIN_CLUSTER_SIZE, seed=seed,
-    ).select(
+    (owner, parent) groups — no new machinery.
+
+    ``coarse_fn`` / ``fine_fn`` inject the clustering kernel
+    (``fn(vectors, owner_col, id_col, vec_col) -> ASSIGN_SCHEMA rows``);
+    default is the seeded k-means grouped map.  The oracle-checked
+    ``hierarchical_audit`` query injects :func:`modk_centroid_cluster`
+    so the two-level bookkeeping is hash-verified against SQL."""
+    if coarse_fn is None:
+        def coarse_fn(v, oc, ic, vc):
+            return cluster_per_owner(
+                v, oc, ic, vc,
+                min_cluster_size=COARSE_MIN_CLUSTER_SIZE, seed=seed,
+            )
+
+    if fine_fn is None:
+        def fine_fn(v, oc, ic, vc):
+            return cluster_per_owner(v, oc, ic, vc, seed=seed)
+
+    coarse = coarse_fn(vectors, owner_col, id_col, vec_col).select(
         F.col("owner_id").alias("owner"),
         F.col("id"),
         F.col("cluster_label").alias("parent_label"),
@@ -249,12 +343,11 @@ def hierarchical_cluster(
         F.col(vec_col).alias("emb2"),
         F.col("parent_label"),
     )
-    fine = cluster_per_owner(
+    fine = fine_fn(
         enriched.filter(F.col("parent_label") != NOISE),
-        owner_col="owner_parent",
-        id_col="doc_id2",
-        vec_col="emb2",
-        seed=seed,
+        "owner_parent",
+        "doc_id2",
+        "emb2",
     )
     return fine.select(
         F.split(F.col("owner_id"), "/").getItem(0).alias("owner_id"),

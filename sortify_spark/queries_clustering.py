@@ -72,3 +72,201 @@ def q_hierarchical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("owner_id", "parent_label", "child_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked clustering contracts (VERDICT r2 item 6): the deterministic
+# half of M1/M2/M4/M5/A7 — tier rules, sizes, member bookkeeping, write-back
+# statistics, parent/child arithmetic — hash-checked by replaying the
+# SQL-expressible modk kernel (clustering.modk_centroid_cluster) in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _modk_sql(prefix: str, src: str, k: int = 3, noise_mod: int = 13) -> str:
+    """DuckDB CTE chain replaying modk_centroid_cluster over ``src``
+    (owner VARCHAR, id VARCHAR, e DOUBLE[]) — emits ``{prefix}_assign``
+    with (owner, id, cluster_label, probability)."""
+    return f"""
+    {prefix}_expl AS (
+      SELECT owner, CAST(id AS BIGINT) % {k} AS bkt,
+             unnest(range(1, len(e) + 1)) AS i, unnest(e) AS x
+      FROM {src}
+    ),
+    {prefix}_dims AS (
+      SELECT owner, bkt, i, AVG(x) AS m
+      FROM {prefix}_expl GROUP BY owner, bkt, i
+    ),
+    {prefix}_cents AS (
+      SELECT owner, bkt, list(m ORDER BY i) AS cent
+      FROM {prefix}_dims GROUP BY owner, bkt
+    ),
+    {prefix}_scored AS (
+      SELECT s.owner, s.id, c.bkt,
+             ROUND(list_cosine_similarity(s.e, c.cent), 6) AS sim
+      FROM {src} s JOIN {prefix}_cents c ON s.owner = c.owner
+    ),
+    {prefix}_best AS (
+      SELECT owner, id, bkt, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY owner, id
+                                     ORDER BY sim DESC, bkt ASC) AS rn
+        FROM {prefix}_scored
+      ) WHERE rn = 1
+    ),
+    {prefix}_assign AS (
+      SELECT owner, id,
+             CASE WHEN CAST(id AS BIGINT) % {noise_mod} = 0 THEN -1
+                  ELSE CAST(bkt AS INT) END AS cluster_label,
+             CASE WHEN CAST(id AS BIGINT) % {noise_mod} = 0 THEN 0.0
+                  ELSE LEAST(GREATEST(sim, 0.0), 1.0) END AS probability
+      FROM {prefix}_best
+    )"""
+
+
+_ORGANIZE_OWNER_MOD = 101  # fine split → main/small/excluded tiers all occur
+
+
+@register(
+    "cluster_organize_audit",
+    f"""
+    WITH src AS (
+      SELECT CAST(vec_id % {_ORGANIZE_OWNER_MOD} AS VARCHAR) AS owner,
+             CAST(vec_id AS VARCHAR) AS id,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    {_modk_sql('m', 'src')}
+    SELECT owner AS owner_id, cluster_label,
+           COUNT(*) AS document_count,
+           CASE WHEN cluster_label = -1 THEN 'excluded'
+                WHEN COUNT(*) >= 3 THEN 'main'
+                WHEN COUNT(*) = 2 THEN 'small'
+                ELSE 'excluded' END AS tier,
+           ROUND(LEAST(0.95, 0.5 + COUNT(*) / 100.0), 4) AS confidence,
+           MIN(id) AS member_min, MAX(id) AS member_max
+    FROM m_assign GROUP BY owner, cluster_label
+    """,
+    note="M2 tier triage + F14 confidence, hash-checked: the "
+    "organize_clusters machinery (groupBy + member lists + tier rules) "
+    "runs over the deterministic modk kernel, and the oracle replays "
+    "kernel AND triage in SQL. Fine owner split (mod 101) makes every "
+    "tier branch (main/small/excluded-noise/excluded-singleton) occur.",
+)
+def q_cluster_organize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % _ORGANIZE_OWNER_MOD).cast("string").alias("owner_id"),
+        F.col("vec_id").cast("string").alias("id"),
+        "embedding",
+    )
+    assigns = clustering.modk_centroid_cluster(emb)
+    organized = clustering.organize_clusters(assigns)
+    return organized.select(
+        "owner_id",
+        "cluster_label",
+        "document_count",
+        "tier",
+        "confidence",
+        F.element_at("member_ids", 1).alias("member_min"),
+        F.element_at("member_ids", -1).alias("member_max"),
+    )
+
+
+@register(
+    "clustering_stats_audit",
+    f"""
+    WITH src AS (
+      SELECT CAST(vec_id % 4 AS VARCHAR) AS owner,
+             CAST(vec_id AS VARCHAR) AS id,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+      WHERE vec_id % 11 <> 3
+    ),
+    {_modk_sql('m', 'src')},
+    tiers AS (
+      SELECT owner, cluster_label, COUNT(*) AS n,
+             CASE WHEN cluster_label = -1 THEN 'excluded'
+                  WHEN COUNT(*) >= 3 THEN 'main'
+                  WHEN COUNT(*) = 2 THEN 'small'
+                  ELSE 'excluded' END AS tier
+      FROM m_assign GROUP BY owner, cluster_label
+    ),
+    status AS (
+      SELECT e.vec_id,
+             CASE WHEN t.tier IS NULL THEN 'pending'
+                  WHEN t.tier = 'excluded' THEN 'excluded'
+                  ELSE 'clustered' END AS s
+      FROM embeddings e
+      LEFT JOIN m_assign a ON CAST(e.vec_id AS VARCHAR) = a.id
+      LEFT JOIN tiers t ON a.owner = t.owner
+                       AND a.cluster_label = t.cluster_label
+    )
+    SELECT COUNT(*) AS total_docs,
+           COUNT(CASE WHEN s = 'clustered' THEN 1 END) AS clustered_docs,
+           COUNT(CASE WHEN s = 'excluded' THEN 1 END) AS excluded_docs,
+           COUNT(CASE WHEN s = 'pending' THEN 1 END) AS pending_docs,
+           ROUND(COUNT(CASE WHEN s = 'clustered' THEN 1 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 100, 2) AS coverage_pct
+    FROM status
+    """,
+    note="M5 write-back + A7 statistics, hash-checked: assignments from "
+    "the modk kernel (with a held-out stratum, vec_id % 11 = 3, left "
+    "unclustered) are written back onto the corpus via the broadcast "
+    "member-explode join, then pending/clustered/excluded counts and "
+    "coverage replay in SQL — every status branch is exercised.",
+)
+def q_clustering_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    clustered_in = emb.filter(F.col("vec_id") % 11 != 3).select(
+        (F.col("vec_id") % 4).cast("string").alias("owner_id"),
+        F.col("vec_id").cast("string").alias("id"),
+        "embedding",
+    )
+    assigns = clustering.modk_centroid_cluster(clustered_in)
+    organized = clustering.organize_clusters(assigns)
+    with_status = clustering.write_back_assignments(
+        emb, organized, doc_id_col="vec_id"
+    )
+    return clustering.clustering_statistics(with_status)
+
+
+@register(
+    "hierarchical_audit",
+    f"""
+    WITH src1 AS (
+      SELECT CAST(vec_id % 4 AS VARCHAR) AS owner,
+             CAST(vec_id AS VARCHAR) AS id,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ),
+    {_modk_sql('l1', 'src1')},
+    src2 AS (
+      SELECT a.owner || '/' || CAST(a.cluster_label AS VARCHAR) AS owner,
+             s.id, s.e
+      FROM l1_assign a
+      JOIN src1 s ON a.owner = s.owner AND a.id = s.id
+      WHERE a.cluster_label <> -1
+    ),
+    {_modk_sql('l2', 'src2')}
+    SELECT string_split(owner, '/')[1] AS owner_id,
+           CAST(string_split(owner, '/')[2] AS INT) AS parent_label,
+           cluster_label AS child_label,
+           COUNT(*) AS n_docs, MIN(id) AS min_id, MAX(id) AS max_id
+    FROM l2_assign GROUP BY 1, 2, 3
+    """,
+    note="M4 two-level bookkeeping, hash-checked: hierarchical_cluster "
+    "with the modk kernel injected at both levels — parent-id folding "
+    "into the grouping key, noise exclusion between passes, and the "
+    "owner/parent split-back are all replayed in SQL "
+    "(clustering_service.py:1127-1307 contract).",
+)
+def q_hierarchical_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def kernel(v, oc, ic, vc):
+        return clustering.modk_centroid_cluster(v, oc, ic, vc)
+
+    fine = clustering.hierarchical_cluster(
+        _vectors_with_owner(spark, sf_dir), coarse_fn=kernel, fine_fn=kernel
+    )
+    return fine.groupBy("owner_id", "parent_label", "child_label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

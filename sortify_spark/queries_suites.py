@@ -272,9 +272,41 @@ _suite(
         ("metrics_summary", dict(key1="'avg_ndcg_10'", val="avg_ndcg_10")),
         ("metrics_summary", dict(key1="'avg_composite'", val="avg_composite")),
         ("metrics_summary", dict(key1="'n_queries'", cnt="n_queries")),
+        (
+            "cluster_organize_audit",
+            dict(
+                key1="owner_id || '#' || CAST(cluster_label AS STRING)",
+                key2="tier || '|' || member_min || '|' || member_max",
+                cnt="document_count",
+                val="confidence",
+            ),
+        ),
+        (
+            "clustering_stats_audit",
+            dict(
+                key1="'stats'",
+                key2="CAST(clustered_docs AS STRING) || '/' || "
+                "CAST(excluded_docs AS STRING) || '/' || "
+                "CAST(pending_docs AS STRING)",
+                cnt="total_docs",
+                val="coverage_pct",
+            ),
+        ),
+        (
+            "hierarchical_audit",
+            dict(
+                key1="owner_id || '#' || CAST(parent_label AS STRING) || "
+                "'#' || CAST(child_label AS STRING)",
+                key2="min_id || '|' || max_id",
+                cnt="n_docs",
+            ),
+        ),
     ],
     note="Suite: M5 centroid assignment (all rows), cluster confidence, "
-    "M3 keyword labels, A12 retrieval metrics per query + summary.",
+    "M3 keyword labels, A12 retrieval metrics per query + summary, plus "
+    "the M2/M5/A7/M4 contract audits over the SQL-replayable modk "
+    "kernel (tier triage, write-back statistics, two-level "
+    "parent/child bookkeeping).",
 )
 
 # --- window frame specs: 7-day moving average + lead/lag deltas.
