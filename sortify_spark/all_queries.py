@@ -79,7 +79,7 @@ PRIORITY = (
     "token_counts_bpe",
     "quality_quartile_filter",
     "activity_feed",
-    "multimodal_frame_sample",
+    "suite_multimodal",
     "streaming_dedup",
     # operator suites (families of round-1-green operators, one row each)
     "suite_ann_contracts",

@@ -114,18 +114,139 @@ def sample_frames(
     )
 
 
+def fit_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving fit into a max_side box, never upscaling —
+    integer-only arithmetic so an SQL oracle replays it exactly."""
+    if w <= max_side and h <= max_side:
+        return w, h
+    if w >= h:
+        return max_side, (h * max_side) // w
+    return (w * max_side) // h, max_side
+
+
+def fake_resize(payload: bytes | None, out_w: int, out_h: int) -> bytes:
+    """Deterministic resize stand-in: (out_w·out_h)//64 pseudo-pixel
+    bytes derived from the payload hash — byte COUNT is pure dimension
+    arithmetic (SQL-replayable), byte CONTENT is payload-deterministic."""
+    n = max((out_w * out_h) // 64, 1)
+    seed = hashlib.sha256(bytes(payload or b"")).digest()
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("n_bytes_out", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256, resizer=fake_resize
+) -> DataFrame:
+    """Image resize stage: metadata width/height → aspect-fit target dims
+    → per-batch resize kernel (real decoder/resizer injectable; the
+    deterministic stub stands in here).  Same scale shape as
+    :func:`extract_features`: payload bytes stream executor-side through
+    Arrow, one narrow map, no shuffle, no collect."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {k: [] for k in RESIZE_SCHEMA.fieldNames()}
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                meta = meta or {}
+                w, h = int(meta.get("width", 0)), int(meta.get("height", 0))
+                ow, oh = fit_dims(w, h, max_side) if w > 0 and h > 0 else (0, 0)
+                resized = resizer(payload, ow, oh) if ow and oh else None
+                out_rows["media_id"].append(mid)
+                out_rows["width"].append(w)
+                out_rows["height"].append(h)
+                out_rows["out_w"].append(ow)
+                out_rows["out_h"].append(oh)
+                out_rows["n_bytes_out"].append(
+                    len(resized) if resized is not None else 0
+                )
+                out_rows["payload"].append(resized)
+            yield pd.DataFrame(out_rows)
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return (
+        media.filter(F.col("media_type") == "image")
+        .repartition(par)
+        .mapInPandas(_resize, RESIZE_SCHEMA)
+    )
+
+
+def audio_windows(
+    media: DataFrame, window_ms: int = 250, max_windows: int = 12
+) -> DataFrame:
+    """Audio windowing stage: metadata (sample_rate, n_samples) →
+    (window_index, start_sample, samples_per_window) rows — the explode
+    shape a PCM feature extractor consumes, derived JVM-side from typed
+    metadata without touching payload bytes (the decode itself is the
+    injectable kernel, as in :func:`extract_features`)."""
+    a = media.filter(F.col("media_type") == "audio").select(
+        "media_id",
+        F.element_at(F.col("meta"), "sample_rate").cast("long").alias("sr"),
+        F.element_at(F.col("meta"), "n_samples").cast("long").alias("ns"),
+    )
+    a = (
+        a.withColumn("spw", F.expr(f"(sr * {window_ms}) div 1000"))
+        .filter((F.col("spw") > 0) & (F.col("ns") > 0))
+        .withColumn(
+            "nw",
+            F.least(F.expr("(ns + spw - 1) div spw"), F.lit(max_windows)),
+        )
+    )
+    return a.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("nw") - 1).cast("int"))
+        ).alias("window_index"),
+        "spw",
+    ).select(
+        "media_id",
+        "window_index",
+        (F.col("window_index") * F.col("spw")).alias("start_sample"),
+        F.col("spw").alias("samples_per_window"),
+    )
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic in-memory media table for tests/benchmarks."""
+    """Deterministic in-memory media table for tests/benchmarks.  Typed
+    metadata per modality: images carry width/height (some under, some
+    over the resize box), audio carries sample_rate/n_samples, video
+    carries n_frames — each stage's oracle re-derives from the same
+    formulas."""
+    # Queries over synthetic media never touch tables.load_table, so the
+    # executor-side package bootstrap (needed by the mapInPandas kernels
+    # when the driver found the package via a bare sys.path entry) must
+    # happen here.
+    from sortify_spark._bootstrap import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     rows = []
     for i in range(n):
         mtype = ("image", "audio", "video")[i % 3]
         payload = hashlib.sha256(str(i).encode()).digest() * (i % 7 + 1)
-        rows.append(
-            (
-                f"m{i}",
-                mtype,
-                bytearray(payload),
-                {"n_frames": str(30 * (i % 5 + 1))} if mtype == "video" else {},
-            )
-        )
+        if mtype == "video":
+            meta = {"n_frames": str(30 * (i % 5 + 1))}
+        elif mtype == "image":
+            meta = {
+                "width": str(120 + 80 * (i % 5)),
+                "height": str(90 + 70 * (i % 7)),
+            }
+        else:
+            meta = {
+                "sample_rate": "16000",
+                "n_samples": str(16000 * (i % 7 + 1)),
+            }
+        rows.append((f"m{i}", mtype, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

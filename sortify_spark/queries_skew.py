@@ -147,3 +147,80 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sortify_spark.multimodal import sample_frames, synthetic_media
 
     return sample_frames(synthetic_media(spark, 64), every_n=10, max_frames=8)
+
+
+def _resize_oracle() -> str:
+    """DuckDB twin over the same synthetic image metadata (images are
+    i % 3 == 0 with w = 120+80·(i%5), h = 90+70·(i%7)): replay the
+    integer aspect-fit and the stub's dimension-derived byte count."""
+    imgs = ", ".join(
+        f"('m{i}', {120 + 80 * (i % 5)}, {90 + 70 * (i % 7)})"
+        for i in range(64)
+        if i % 3 == 0
+    )
+    return f"""
+    WITH img(media_id, w, h) AS (VALUES {imgs}),
+    f AS (
+      SELECT media_id, w, h,
+             CASE WHEN w <= 256 AND h <= 256 THEN w
+                  WHEN w >= h THEN 256
+                  ELSE (w * 256) // h END AS ow,
+             CASE WHEN w <= 256 AND h <= 256 THEN h
+                  WHEN w >= h THEN (h * 256) // w
+                  ELSE 256 END AS oh
+      FROM img
+    )
+    SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+           CAST((ow * oh) // 64 AS BIGINT) AS n_bytes_out
+    FROM f
+    """
+
+
+@register(
+    "multimodal_resize_plan",
+    _resize_oracle(),
+    note="Image resize stage: metadata dims → integer aspect-fit (no "
+    "upscale) → per-batch resize kernel (stub; real resizer injectable "
+    "via resize_images(resizer=...)). Output dims AND the stub's "
+    "dimension-derived byte count are hash-checked; payload bytes "
+    "stay executor-side (multimodal.py).",
+)
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.multimodal import resize_images, synthetic_media
+
+    return resize_images(synthetic_media(spark, 64), max_side=256).drop(
+        "payload"
+    )
+
+
+def _audio_window_oracle() -> str:
+    """DuckDB twin: audio items are i % 3 == 1 with sample_rate 16000,
+    n_samples = 16000·(i%7+1); 250 ms windows → 4000 samples/window,
+    count = ceil(ns/4000) capped at 12."""
+    auds = ", ".join(
+        f"('m{i}', {16000 * (i % 7 + 1)})" for i in range(64) if i % 3 == 1
+    )
+    return f"""
+    WITH aud(media_id, ns) AS (VALUES {auds}),
+    w AS (SELECT media_id, LEAST((ns + 3999) // 4000, 12) AS nw FROM aud)
+    SELECT media_id,
+           CAST(unnest(range(0, nw)) AS INT) AS window_index,
+           CAST(unnest(range(0, nw)) * 4000 AS BIGINT) AS start_sample,
+           CAST(4000 AS BIGINT) AS samples_per_window
+    FROM w
+    """
+
+
+@register(
+    "audio_window_plan",
+    _audio_window_oracle(),
+    note="Audio windowing stage: typed metadata (sample_rate, n_samples) "
+    "→ (window_index, start_sample, samples_per_window) explode, derived "
+    "JVM-side without touching payload bytes — the shape a PCM feature "
+    "extractor consumes (multimodal.py; decode kernel injectable).",
+)
+def q_audio_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.multimodal import audio_windows, synthetic_media
+
+    return audio_windows(synthetic_media(spark, 64), window_ms=250, max_windows=12)

@@ -368,6 +368,37 @@ def q_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal plumbing: frame sampling, image resize, audio windows —
+# every metadata-driven multimodal stage in one hash-checked row.
+_suite(
+    "suite_multimodal",
+    [
+        ("multimodal_frame_sample", dict(key1="media_id", cnt="frame_index")),
+        (
+            "multimodal_resize_plan",
+            dict(
+                key1="media_id",
+                key2="CAST(width AS STRING) || 'x' || CAST(height AS STRING) "
+                "|| '->' || CAST(out_w AS STRING) || 'x' || "
+                "CAST(out_h AS STRING)",
+                cnt="n_bytes_out",
+            ),
+        ),
+        (
+            "audio_window_plan",
+            dict(
+                key1="media_id",
+                key2="CAST(window_index AS STRING)",
+                cnt="start_sample",
+                val="samples_per_window",
+            ),
+        ),
+    ],
+    note="Suite: multimodal stages — video frame sampling, image "
+    "aspect-fit resize (dims + stub byte count), audio windowing — "
+    "metadata-driven plumbing hash-checked in one row.",
+)
+
 # --- corpus-curation extras: repetition signals, stratified sampling,
 # sliding windows, incremental dedup + the exact-dedup/sample/distinct
 # trio whose individual window slots the round-2 flagships took over.

@@ -255,3 +255,35 @@ def test_upsert_stream_merges_and_survives_restart(spark, docs):
     assert t2.count() == 15  # 0-14, one row per key
     assert t2.filter(F.col("doc_id") == 7).first().text.startswith("v2 ")
     assert not t2.filter(F.col("doc_id") == 2).first().text.startswith("v2 ")
+
+
+def test_fit_dims_contract():
+    from sortify_spark.multimodal import fit_dims
+
+    assert fit_dims(100, 100, 256) == (100, 100)  # no upscale
+    assert fit_dims(512, 256, 256) == (256, 128)  # landscape
+    assert fit_dims(256, 512, 256) == (128, 256)  # portrait
+    assert fit_dims(256, 256, 256) == (256, 256)  # exact fit
+    assert fit_dims(1000, 10, 256) == (256, 2)    # extreme aspect
+
+
+def test_audio_windows_empty_and_cap(spark):
+    from sortify_spark.multimodal import MEDIA_SCHEMA, audio_windows
+
+    media = spark.createDataFrame(
+        [
+            ("a0", "audio", None, {"sample_rate": "16000", "n_samples": "0"}),
+            ("a1", "audio", None, {"sample_rate": "16000",
+                                   "n_samples": "99999999"}),
+            ("a2", "audio", None, {}),  # missing meta → no rows, no crash
+            ("v0", "video", None, {"n_frames": "30"}),  # filtered out
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = audio_windows(media, window_ms=250, max_windows=12).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert "a0" not in by_id and "a2" not in by_id and "v0" not in by_id
+    assert len(by_id["a1"]) == 12  # capped
+    assert by_id["a1"][0]["samples_per_window"] == 4000
