@@ -178,3 +178,39 @@ def test_stratified_sample_single_shuffle(spark):
     # add one more, but no join may appear at all.
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pii_scrub_audit_jvm_only_partial_agg(spark):
+    """The PII sweep must stay whole-stage codegen (chained
+    regexp_replace, no Python) with map-side combine before the one
+    per-source shuffle."""
+    plan = _plan(spark, "pii_scrub_audit")
+    assert "EvalPython" not in plan
+    assert "partial_" in plan
+    assert _shuffles(plan) == 1
+
+
+def test_modk_cluster_broadcasts_centroids_no_window(spark):
+    """modk assignment must broadcast the tiny centroid table and do the
+    per-vector argmax as a map-side-combined aggregate — no window sort,
+    no Python, no cartesian."""
+    plan = _plan(spark, "cluster_organize_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hierarchical_audit_no_quadratic_joins(spark):
+    plan = _plan(spark, "hierarchical_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_audio_window_plan_jvm_only(spark):
+    """Metadata-driven audio windowing never touches payload bytes —
+    pure JVM explode, no Python evaluation."""
+    plan = _plan(spark, "audio_window_plan")
+    assert "EvalPython" not in plan
+    assert "Generate" in plan  # the window explode
