@@ -94,6 +94,9 @@ PRIORITY = (
 
 _unknown = set(PRIORITY) - set(REGISTRY)
 assert not _unknown, f"PRIORITY names not in REGISTRY: {sorted(_unknown)}"
+# The driver verifies exactly the first 50 entries; a longer list would
+# silently push verified flagships out of the window.
+assert len(PRIORITY) == 50, f"driver window must stay 50, got {len(PRIORITY)}"
 _no_oracle_in_window = [n for n in PRIORITY if REGISTRY[n].sql is None]
 assert not _no_oracle_in_window, (
     f"no-oracle queries waste driver window slots: {_no_oracle_in_window}"
