@@ -62,6 +62,10 @@ HEADLINE = (
     "neardup_components",
     "repetition_signals",
     "incremental_dedup_new_docs",
+    # round 3: full-corpus codegen PII sweep; distributed deterministic
+    # clustering kernel + tier triage
+    "pii_scrub_audit",
+    "cluster_organize_audit",
 )
 
 
