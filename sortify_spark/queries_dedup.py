@@ -283,3 +283,35 @@ def q_corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_budget"
         ),
     )
+
+
+@register(
+    "shard_balance_stats",
+    """
+    SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+               % 16 AS shard,
+           COUNT(*) AS docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents GROUP BY 1
+    """,
+    note="Training-shard export audit (sinks.export_training_shards): "
+    "deterministic md5-bucket shard assignment over the kept corpus — "
+    "per-shard doc/char totals and id ranges hash-checked, proving both "
+    "the assignment and the size balance the training loader depends on. "
+    "Pure expression + one map-side-combined aggregate.",
+)
+def q_shard_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("shard", hash_bucket("doc_id", 16))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

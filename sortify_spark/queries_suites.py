@@ -479,6 +479,15 @@ _suite(
             "distinct_users_by_type",
             dict(key1="event_type", cnt="distinct_users", val="events"),
         ),
+        (
+            "shard_balance_stats",
+            dict(
+                key1="CAST(shard AS STRING)",
+                key2="CAST(min_doc AS STRING) || '|' || CAST(max_doc AS STRING)",
+                cnt="docs",
+                val="chars",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "

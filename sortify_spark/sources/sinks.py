@@ -144,3 +144,34 @@ def write_bucketed(
         .sortBy(key)
         .saveAsTable(table)
     )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Final curation stage: write the kept corpus as ``n_shards``
+    deterministic, size-balanced training shards (``shard=K/`` parquet
+    partitions, one file per shard).
+
+    Shard assignment is the portable md5 hash bucket
+    (``operators/sampling.hash_bucket``) — stable under repartitioning
+    and re-runs, auditable row-by-row, and SQL-replayable (the
+    ``shard_balance_stats`` query hash-checks both the assignment and
+    the balance).  ``repartition(n, shard)`` makes each shard exactly
+    one write task: at 100 TB you raise n_shards, never file counts —
+    the downstream training loader streams shard directories without a
+    small-files problem."""
+    from sortify_spark.operators.sampling import hash_bucket
+
+    sharded = df.withColumn(
+        "shard", hash_bucket(id_col, n_shards).cast("int")
+    )
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -445,3 +445,31 @@ def test_load_table_normalizes_timestamp_ntz(spark):
         ).timestamp() * 1_000_000
     )
     assert row["us"] == expected
+
+
+def test_export_training_shards_roundtrip(spark):
+    """Shard export writes one file per shard dir, every row lands in its
+    md5-bucket shard, and the union reads back exactly the input."""
+    import glob
+
+    from sortify_spark.operators.sampling import hash_bucket
+    from sortify_spark.sources.sinks import export_training_shards
+    from sortify_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "n_chars"
+    )
+    n = docs.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        export_training_shards(docs, f"{tmp}/shards", n_shards=8)
+        back = spark.read.parquet(f"{tmp}/shards")
+        assert back.count() == n
+        # every row is in the shard its id hashes to
+        mismatched = back.filter(
+            F.col("shard") != hash_bucket("doc_id", 8).cast("int")
+        ).count()
+        assert mismatched == 0
+        # one parquet file per shard directory
+        for d in glob.glob(f"{tmp}/shards/shard=*"):
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1, d
