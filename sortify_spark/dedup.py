@@ -351,7 +351,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 25,
-    driver_max_edges: int = 1_000_000,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """``(node, component)`` for every node in ``pairs``; component =
     min node id reachable through the undirected pair graph.
@@ -375,6 +375,15 @@ def connected_components(
       ``localCheckpoint`` truncates lineage each iteration (use
       ``checkpoint`` to reliable storage on a real cluster).
     """
+    if driver_max_edges is None:
+        # Deploy-time tunable: a boilerplate-heavy crawl can exceed any
+        # fixed bound, and the right cutover depends on driver memory —
+        # lower it in cluster conf rather than editing code.
+        import os
+
+        driver_max_edges = int(
+            os.environ.get("SORTIFY_CC_DRIVER_MAX_EDGES", "1000000")
+        )
     edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     edges = (
         edges.union(
