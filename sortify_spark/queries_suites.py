@@ -230,9 +230,14 @@ _suite(
             "json_extract_stats",
             dict(key1="event_type", cnt="cnt", val="k_sum"),
         ),
+        (
+            "bm25_keyword_search",
+            dict(key1="CAST(doc_id AS STRING)", val="score"),
+        ),
     ],
     note="Suite: n-gram language ID distribution, per-source token "
-    "statistics, JSON props extraction rollup.",
+    "statistics, JSON props extraction rollup, BM25 keyword top-10 "
+    "(the lexical retrieval leg, scored end-to-end).",
 )
 
 # --- §2.9 clustering + eval metrics: M5 centroid assignment (full
@@ -432,12 +437,21 @@ _suite(
             dict(key1="CAST(doc_id AS STRING)", cnt="tokens", val="quality"),
         ),
         ("daily_trend_streamed", dict(key1="day", cnt="cnt", val="avg_value")),
+        (
+            "knn_batch_queries",
+            dict(
+                key1="CAST(query_id AS STRING)",
+                key2="CAST(id AS STRING)",
+                val="score",
+            ),
+        ),
     ],
     note="Suite: portable hyperplane-LSH ANN (value-hash-checked index), "
     "int8 quantization error audit, stateful streaming sessionization "
     "(applyInPandasWithState vs batch window oracle), per-doc quality "
-    "scores, and the streamed daily trend — ANN + streaming contracts "
-    "in one driver row.",
+    "scores, the streamed daily trend, and batched multi-query top-k "
+    "(whole query batch in one scan) — ANN + streaming contracts in "
+    "one driver row.",
 )
 
 _suite(

@@ -313,3 +313,112 @@ def q_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("red_len").cast("bigint").alias("redacted_chars"),
         F.count(F.lit(1)).alias("docs"),
     )
+
+
+# --- BM25 keyword retrieval ------------------------------------------------
+
+_BM25_TERMS = ("data", "query", "join")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    """DuckDB twin of the BM25 plan below: identical tokenization,
+    decimal-exact (rounded) avgdl, same idf/tf saturation formula,
+    score rounded to 4 to absorb libm ulp differences in ln()."""
+    tfs = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1) * tf{i} * {_BM25_K1 + 1}"
+        f" / (tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    any_tf = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    per AS (SELECT doc_id, len(w) AS dl, {tfs} FROM toks),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(dl AS DECIMAL(38,10))) AS DOUBLE)
+                   / COUNT(dl), 4) AS avgdl,
+             {dfs}
+      FROM per
+    )
+    SELECT doc_id, ROUND({score}, 4) AS score
+    FROM per, stats
+    WHERE {any_tf} > 0
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+
+
+@register(
+    "bm25_keyword_search",
+    _bm25_sql(),
+    note="BM25 keyword retrieval (k1=1.2, b=0.75) — the lexical leg a "
+    "hybrid search pairs with the vector leg: per-doc term frequencies "
+    "and length from one codegen projection, corpus stats (N, decimal-"
+    "exact avgdl, per-term document frequencies) from ONE tiny aggregate "
+    "broadcast back, top-k via TakeOrdered. Two scans total, no explode, "
+    "no shuffle beyond the stats aggregate — at 100 TB the stats side is "
+    "an index-build artifact and scoring is a single map over the scan.",
+)
+def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.functions.numeric import _DEC
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+
+    def tf(term: str):
+        # NB: a two-arg lambda in F.filter means (element, index) — the
+        # closure keeps the term a plain literal.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = F.broadcast(
+        per.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("dl").cast(_DEC)).cast("double") / F.count("dl"), 4
+            ).alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+                for i in range(len(_BM25_TERMS))
+            ],
+        )
+    )
+    k1, b = _BM25_K1, _BM25_B
+    parts = [
+        F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1
+        )
+        * F.col(f"tf{i}")
+        * (k1 + 1)
+        / (
+            F.col(f"tf{i}")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        for i in range(len(_BM25_TERMS))
+    ]
+    score = F.round(sum(parts[1:], parts[0]), 4)
+    any_tf = sum(
+        (F.col(f"tf{i}") for i in range(1, len(_BM25_TERMS))), F.col("tf0")
+    )
+    return (
+        per.crossJoin(stats)
+        .filter(any_tf > 0)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from sortify_spark import dedup
 from sortify_spark.queries import register, _t
 from sortify_spark.search import fusion, knn
-from sortify_spark.functions.vectors import cosine_given_norms, l2_norm
+from sortify_spark.functions.vectors import cosine, cosine_given_norms, l2_norm
 
 # --- shared scorer builders -------------------------------------------------
 
@@ -579,3 +579,54 @@ def q_knn_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbits=4,
         carry_cols=("label",),
     ).select(F.col("vec_id").alias("id"), "label", "score")
+
+
+@register(
+    "knn_batch_queries",
+    """
+    WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id NOT IN (0, 100, 200)),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id IN (0, 100, 200)),
+    s AS (SELECT q.query_id, d.vec_id AS id,
+                 ROUND(list_cosine_similarity(d.e, q.qe), 6) AS score
+          FROM d, q),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, id ASC) AS rn
+          FROM s)
+    SELECT query_id, id, score FROM r WHERE rn <= 5
+    """,
+    note="Batched multi-query retrieval: the whole query batch "
+    "broadcasts into ONE scan of the vectors table (n_q scores per "
+    "row), then W2 per-group top-k — the batch-inference shape that "
+    "replaces n_q separate scans at 100 TB. Queries are rows, not "
+    "parameters: the same plan serves 3 or 3000 queries.",
+)
+def q_knn_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = (0, 100, 200)
+    data = emb.filter(~F.col("vec_id").isin(*qids)).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id").isin(*qids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qe"),
+        )
+    )
+    scored = data.crossJoin(queries).select(
+        "query_id",
+        "id",
+        F.round(cosine(F.col("e"), F.col("qe")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "id", "score")
+    )
