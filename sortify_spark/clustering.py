@@ -244,13 +244,29 @@ def modk_centroid_cluster(
     build; assignment joins the tiny (owners × k) centroid table
     broadcast, and the per-vector argmax is one map-side-combined
     groupBy — no window sort, no driver collect.
+
+    Ids must be castable to bigint (the DuckDB twin's CAST hard-errors on
+    non-numeric ids); a non-castable id raises at execution time instead
+    of silently landing in a NULL bucket.
     """
     prepared = vectors.select(
         F.col(owner_col).cast("string").alias("owner"),
         F.col(id_col).cast("string").alias("id"),
         F.col(vec_col).cast("array<double>").alias("e"),
     )
-    keyed = prepared.withColumn("bkt", F.col("id").cast("bigint") % k)
+    bkt_raw = F.col("id").cast("bigint")
+    keyed = prepared.withColumn(
+        "bkt",
+        F.when(
+            bkt_raw.isNull() & F.col("id").isNotNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("modk_centroid_cluster: non-numeric id "),
+                    F.col("id"),
+                )
+            ).cast("bigint"),
+        ).otherwise(bkt_raw % k),
+    )
     expl = keyed.select("owner", "bkt", F.posexplode("e").alias("i", "x"))
     dims = expl.groupBy("owner", "bkt", "i").agg(F.avg("x").alias("m"))
     cents = (

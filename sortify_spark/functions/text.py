@@ -172,6 +172,11 @@ def truncate_col(col: Column | str, max_length: int) -> Column:
 #: numbers.  Recall-first PII detection needs a model pass; these regexes
 #: are the cheap JVM-side sweep that runs over every byte of a 100 TB
 #: corpus, so they must stay whole-stage-codegen expressions — no UDF.
+#: CONSTRAINT: each pattern must stay inside the Java-regex / RE2 common
+#: subset (no lookbehind, no backreferences, no possessive quantifiers)
+#: because the DuckDB oracle replays them with RE2, and must contain no
+#: single quote — the oracle splices them into single-quoted SQL
+#: literals verbatim (_pii_audit_sql asserts this at oracle-build time).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("card", r"\b(?:\d[ -]?){15}\d\b", "<CARD>"),

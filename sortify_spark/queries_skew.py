@@ -172,7 +172,7 @@ def _resize_oracle() -> str:
     )
     SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
            CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
-           CAST((ow * oh) // 64 AS BIGINT) AS n_bytes_out
+           CAST(GREATEST((ow * oh) // 64, 1) AS BIGINT) AS n_bytes_out
     FROM f
     """
 

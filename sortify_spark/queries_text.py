@@ -234,8 +234,18 @@ def _pii_audit_sql() -> str:
     """Oracle for ``pii_scrub_audit``: plants the same deterministic
     PII-shaped tokens and replays the engine's chained-regexp redaction
     (``functions/text.py:PII_PATTERNS``) in DuckDB.  Patterns are shared
-    constants, so engine and oracle cannot drift."""
+    constants, so engine and oracle cannot drift.  Patterns are spliced
+    verbatim into single-quoted SQL literals, so they must contain no
+    single quote and must stay in the Java-regex/RE2 common subset (see
+    the constraint note on ``PII_PATTERNS``)."""
     from sortify_spark.functions.text import PII_PATTERNS
+
+    for name, pat, token in PII_PATTERNS:
+        if "'" in pat or "'" in token:
+            raise ValueError(
+                f"PII pattern {name!r} contains a single quote; the DuckDB "
+                "oracle splices patterns into single-quoted literals"
+            )
 
     counts = ", ".join(
         f"CAST(SUM(len(regexp_extract_all(text_p, '{pat}'))) AS BIGINT)"
