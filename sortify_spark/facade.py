@@ -20,7 +20,7 @@ from sortify_spark.functions.vectors import hash_embed_text
 from sortify_spark.operators.aggregates import dashboard_counts
 from sortify_spark.operators.filters import DocumentFilter
 from sortify_spark.operators.pagination import page_with_total, validated_order
-from sortify_spark.pipelines import ingest_vectorize
+from sortify_spark.pipelines import ingest_vectorize, ingest_vectorize_expr
 from sortify_spark.plans.query_spec import QuerySpec, compile_spec
 from sortify_spark.search import fusion
 from sortify_spark.search.knn import brute_force_topk
@@ -42,40 +42,73 @@ class SearchConfig:
     w_chunks: float = fusion.RRF_WEIGHT_CHUNKS
 
 
-#: Engines keyed by (applicationId, sf_dir, dim) — the vector index is a
-#: persistent artifact (the reference keeps ChromaDB resident across
-#: requests, ``vector_db_service.py:18-20``), so repeated searches must
-#: not pay the ingest/vectorize build again.
-_ENGINE_CACHE: dict[tuple[str, str, int], "SortifyEngine"] = {}
+#: Engines keyed by (applicationId, sf_dir, dim, embed, doc_limit) — the
+#: vector index is a persistent artifact (the reference keeps ChromaDB
+#: resident across requests, ``vector_db_service.py:18-20``), so repeated
+#: searches must not pay the ingest/vectorize build again.
+_ENGINE_CACHE: dict[tuple, "SortifyEngine"] = {}
 
 
 def get_engine(
-    spark: SparkSession, sf_dir: str, dim: int = 64
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int = 64,
+    embed: str = "hash",
+    doc_limit: int | None = None,
 ) -> "SortifyEngine":
-    """Shared engine per (session, sf_dir, dim); builds + persists the
-    vector index on first use."""
-    key = (spark.sparkContext.applicationId or "local", sf_dir, dim)
+    """Shared engine per (session, sf_dir, dim, embed, doc_limit); builds
+    + persists the vector index on first use."""
+    key = (
+        spark.sparkContext.applicationId or "local",
+        sf_dir,
+        dim,
+        embed,
+        doc_limit,
+    )
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
-        eng = _ENGINE_CACHE[key] = SortifyEngine(spark, sf_dir, dim=dim)
+        eng = _ENGINE_CACHE[key] = SortifyEngine(
+            spark, sf_dir, dim=dim, embed=embed, doc_limit=doc_limit
+        )
     return eng
 
 
 class SortifyEngine:
-    """Facade over one sf_dir's tables + a derived vectors table."""
+    """Facade over one sf_dir's tables + a derived vectors table.
+
+    ``embed`` selects the encoder stub: ``"hash"`` (default) is the
+    sha1-numpy Arrow-batched UDF — the shape a real model swaps into;
+    ``"expr"`` is the md5 Catalyst expression encoder
+    (``functions/sql_embed``) whose entire pipeline a DuckDB oracle
+    replays bit-exactly, making the e2e search paths hash-checkable.
+    ``doc_limit`` optionally bounds the indexed corpus (``doc_id <
+    doc_limit``) — used by the oracle-backed e2e queries to keep the
+    two-engine replay affordable at driver SF.
+    """
 
     def __init__(
-        self, spark: SparkSession, sf_dir: str, dim: int = 64
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        dim: int = 64,
+        embed: str = "hash",
+        doc_limit: int | None = None,
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
         self.dim = dim
+        self.embed = embed
         self.documents = load_table(spark, sf_dir, "documents")
+        if doc_limit is not None:
+            self.documents = self.documents.filter(
+                F.col("doc_id") < doc_limit
+            )
         self.events = load_table(spark, sf_dir, "events")
         # Vector index: built once per engine, cached — the batch
         # ingest/vectorize pipeline output (chunk 128/32 keeps multi-chunk
         # behavior on the short synthetic docs).
-        self.vectors = ingest_vectorize(
+        build = ingest_vectorize_expr if embed == "expr" else ingest_vectorize
+        self.vectors = build(
             self.documents, chunk_size=128, overlap=32, dim=dim
         ).persist()
         #: Result cache for repeated searches (reference caches AI search
@@ -113,6 +146,12 @@ class SortifyEngine:
     # -- search ------------------------------------------------------------
 
     def _query_df(self, query_text: str) -> DataFrame:
+        if self.embed == "expr":
+            from sortify_spark.functions.sql_embed import expr_embed
+
+            return self.spark.createDataFrame(
+                [(query_text[:512],)], "t string"
+            ).select(expr_embed(F.col("t"), self.dim).alias("embedding"))
         vec = hash_embed_text(query_text[:512], self.dim)
         return self.spark.createDataFrame(
             [(vec,)], f"embedding array<float>"

@@ -87,6 +87,133 @@ def ingest_vectorize(
     )
 
 
+def ingest_vectorize_expr(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    owner_col: str | None = None,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+    dim: int = 16,
+) -> DataFrame:
+    """:func:`ingest_vectorize`'s fully SQL-replayable twin: fixed-width
+    chunking (stride = size − overlap, same shape as the oracle-green
+    ``chunk_fixed_width`` query) and the md5 expression embedder
+    (``functions/sql_embed.expr_embed``) instead of the sentence-snap
+    chunker UDF + sha1-numpy encoder.
+
+    Same output schema and same plan shape (two branches off one scan,
+    union), but **zero Python in the plan** — every stage is Catalyst
+    expressions, so (a) a DuckDB oracle can replay the entire write path
+    bit-exactly, and (b) at 100 TB the ingest runs whole-stage-codegen'd
+    with no Python workers.  The UDF variant remains the swap-in point
+    for a real model encoder.
+    """
+    from sortify_spark.functions.sql_embed import expr_embed
+
+    stride = chunk_size - overlap
+
+    def owner_expr():
+        return (
+            F.col(owner_col).cast("string") if owner_col else F.lit("default")
+        )
+
+    summary = documents.select(
+        F.col(id_col).cast("string").alias("document_id"),
+        owner_expr().alias("owner_id"),
+        F.lit("summary").alias("vtype"),
+        F.lit(0).alias("chunk_index"),
+        F.lit(1).alias("total_chunks"),
+        truncate_col(F.col(text_col), SUMMARY_MAX_CHARS).alias("chunk_text"),
+    )
+    n_chunks = F.ceil(
+        F.greatest(F.length(text_col) - overlap, F.lit(1)) / stride
+    ).cast("int")
+    chunks = (
+        documents.filter(F.length(text_col) > 0)
+        .select(
+            F.col(id_col).cast("string").alias("document_id"),
+            owner_expr().alias("owner_id"),
+            n_chunks.alias("total_chunks"),
+            F.posexplode(
+                F.sequence(F.lit(1), n_chunks)
+            ).alias("chunk_index", "__x"),
+            F.col(text_col),
+        )
+        .select(
+            "document_id",
+            "owner_id",
+            F.lit("chunk").alias("vtype"),
+            F.col("chunk_index"),
+            "total_chunks",
+            F.col(text_col)
+            .substr(F.col("chunk_index") * stride + 1, F.lit(chunk_size))
+            .alias("chunk_text"),
+        )
+    )
+    unioned = summary.unionByName(chunks, allowMissingColumns=False)
+    return unioned.select(
+        F.concat_ws(
+            "#", "document_id", "vtype", F.col("chunk_index").cast("string")
+        ).alias("vector_id"),
+        "document_id",
+        "owner_id",
+        "vtype",
+        "chunk_index",
+        "total_chunks",
+        "chunk_text",
+        expr_embed(F.col("chunk_text"), dim).alias("embedding"),
+    )
+
+
+def ingest_vectorize_expr_oracle_sql(
+    doc_limit: int | None = None,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+    dim: int = 16,
+) -> str:
+    """DuckDB CTE chain replaying :func:`ingest_vectorize_expr` over the
+    ``documents`` view bit-exactly — generated from the same constants so
+    engine and oracle cannot drift.  Yields CTEs ending in
+    ``vec(document_id, vtype, chunk_index, total_chunks, chunk_text, e,
+    vn)`` where ``e`` is the normalized embedding and ``vn`` its fold
+    norm (≈1; kept because the engine re-folds norms when scoring)."""
+    from sortify_spark.functions import sql_embed as SE
+
+    stride = chunk_size - overlap
+    where = f"WHERE doc_id < {doc_limit}" if doc_limit is not None else ""
+    return f"""
+    src AS (SELECT doc_id, text FROM documents {where}),
+    vsrc AS (
+      SELECT CAST(doc_id AS VARCHAR) AS document_id, 'summary' AS vtype,
+             0 AS chunk_index, 1 AS total_chunks,
+             CASE WHEN length(text) <= {SUMMARY_MAX_CHARS} THEN text
+                  ELSE substr(text, 1, {SUMMARY_MAX_CHARS}) || '...'
+             END AS chunk_text
+      FROM src
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR), 'chunk',
+             CAST(i AS INT),
+             CAST(ceil(greatest(length(text) - {overlap}, 1)
+                       / {stride}.0) AS INT),
+             substr(text, CAST(i * {stride} + 1 AS BIGINT), {chunk_size})
+      FROM src, LATERAL unnest(range(0,
+           CAST(ceil(greatest(length(text) - {overlap}, 1)
+                     / {stride}.0) AS BIGINT))) AS u(i)
+      WHERE length(text) > 0
+    ),
+    tokd AS (SELECT *, {SE.tokens_sql('chunk_text')} AS toks FROM vsrc),
+    rawe AS (SELECT *, {SE.raw_embed_sql('toks', dim)} AS re FROM tokd),
+    nrm AS (SELECT *, {SE.norm_sql('re')} AS n0 FROM rawe),
+    vec AS (
+      SELECT document_id, vtype, chunk_index, total_chunks, chunk_text,
+             {SE.normalize_sql('re', 'n0')} AS e,
+             {SE.norm_sql(SE.normalize_sql('re', 'n0'))} AS vn
+      FROM nrm
+    )
+    """
+
+
 def delete_vectors_for_docs(
     vectors: DataFrame, doc_ids: DataFrame, key: str = "document_id"
 ) -> DataFrame:

@@ -445,13 +445,43 @@ _suite(
                 val="score",
             ),
         ),
+        # round 4: the e2e facade pipelines on the md5 expression encoder
+        # — ingest audit + all four search strategies, each oracle
+        # replaying the ENTIRE pipeline from raw text (queries_e2e).
+        (
+            "e2e_index_stats",
+            dict(
+                key1="vtype",
+                key2="CAST(n_docs AS STRING)",
+                cnt="cnt",
+                val="emb_checksum",
+                val2="CAST(sum_chars AS DOUBLE)",
+            ),
+        ),
+        ("e2e_search_summary_only", dict(key1="id", val="score")),
+        (
+            "e2e_search_hybrid",
+            dict(key1="id", key2="CAST(tier AS STRING)", val="score"),
+        ),
+        (
+            "e2e_search_rrf",
+            dict(
+                key1="id",
+                key2="CAST(rank_chunks AS STRING)",
+                cnt="rank_summary",
+                val="rrf_score",
+            ),
+        ),
+        ("e2e_search_traditional", dict(key1="id", val="score")),
     ],
     note="Suite: portable hyperplane-LSH ANN (value-hash-checked index), "
     "int8 quantization error audit, stateful streaming sessionization "
     "(applyInPandasWithState vs batch window oracle), per-doc quality "
-    "scores, the streamed daily trend, and batched multi-query top-k "
-    "(whole query batch in one scan) — ANN + streaming contracts in "
-    "one driver row.",
+    "scores, the streamed daily trend, batched multi-query top-k "
+    "(whole query batch in one scan), and — round 4 — the five e2e "
+    "facade rows (ingest audit + summary_only/hybrid/RRF/traditional "
+    "search) whose oracles replay the full pipeline from raw text — "
+    "ANN + streaming + e2e-pipeline contracts in one driver row.",
 )
 
 _suite(

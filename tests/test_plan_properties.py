@@ -214,3 +214,16 @@ def test_audio_window_plan_jvm_only(spark):
     plan = _plan(spark, "audio_window_plan")
     assert "EvalPython" not in plan
     assert "Generate" in plan  # the window explode
+
+
+def test_e2e_expr_pipeline_python_free(spark):
+    """The md5 expression encoder makes the ENTIRE e2e search plan pure
+    Catalyst: ingest (chunk explode + embed + normalize), query embed,
+    cosine scoring, fusion — no Python eval anywhere, candidates
+    broadcast in the two-stage path."""
+    plan = _plan(spark, "e2e_search_hybrid")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    stats_plan = _plan(spark, "e2e_index_stats")
+    assert "EvalPython" not in stats_plan
+    assert "partial_" in stats_plan  # map-side combine under the stats agg
