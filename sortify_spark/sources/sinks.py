@@ -151,27 +151,55 @@ def export_training_shards(
     path: str,
     n_shards: int,
     id_col: str = "doc_id",
+    files_per_shard: int = 1,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Final curation stage: write the kept corpus as ``n_shards``
     deterministic, size-balanced training shards (``shard=K/`` parquet
-    partitions, one file per shard).
+    partitions).
 
     Shard assignment is the portable md5 hash bucket
     (``operators/sampling.hash_bucket``) — stable under repartitioning
     and re-runs, auditable row-by-row, and SQL-replayable (the
     ``shard_balance_stats`` query hash-checks both the assignment and
-    the balance).  ``repartition(n, shard)`` makes each shard exactly
-    one write task: at 100 TB you raise n_shards, never file counts —
-    the downstream training loader streams shard directories without a
-    small-files problem."""
+    the balance).
+
+    Shard COUNT is a training-loader contract; write PARALLELISM and
+    file sizing are storage concerns — they are decoupled:
+
+    * ``files_per_shard`` splits each shard across that many write
+      tasks via a secondary salted hash bucket, so a shard that would
+      serialize ~100 GB in one straggler task at 100 TB becomes N
+      parallel tasks producing N files under the same ``shard=K/``
+      directory (assignment unchanged — the loader still streams the
+      directory).
+    * ``max_records_per_file`` additionally caps rows per written file
+      (Spark's ``maxRecordsPerFile``) for object-store-friendly sizes
+      without changing task parallelism.
+
+    Defaults keep the one-file-per-shard layout for small exports."""
     from sortify_spark.operators.sampling import hash_bucket
 
     sharded = df.withColumn(
         "shard", hash_bucket(id_col, n_shards).cast("int")
     )
-    (
-        sharded.repartition(n_shards, F.col("shard"))
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(path)
-    )
+    if files_per_shard > 1:
+        # Salted secondary bucket: independent of the shard hash (md5 of
+        # id + salt), deterministic across re-runs.
+        sub = hash_bucket(
+            F.concat(F.col(id_col).cast("string"), F.lit("#subfile")),
+            files_per_shard,
+        ).cast("int")
+        out = (
+            sharded.withColumn("__sub", sub)
+            .repartition(
+                n_shards * files_per_shard, F.col("shard"), F.col("__sub")
+            )
+            .drop("__sub")
+        )
+    else:
+        out = sharded.repartition(n_shards, F.col("shard"))
+    writer = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("shard").parquet(path)

@@ -473,3 +473,77 @@ def test_export_training_shards_roundtrip(spark):
         for d in glob.glob(f"{tmp}/shards/shard=*"):
             files = [f for f in os.listdir(d) if f.endswith(".parquet")]
             assert len(files) == 1, d
+
+
+def test_export_training_shards_multi_file(spark):
+    """files_per_shard decouples write parallelism from shard count: a
+    shard spans >1 file, the md5 assignment is unchanged, and the
+    read-back equals the input exactly (VERDICT r3 item 4)."""
+    import glob
+
+    from sortify_spark.operators.sampling import hash_bucket
+    from sortify_spark.sources.sinks import export_training_shards
+    from sortify_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "n_chars"
+    )
+    n = docs.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        export_training_shards(
+            docs, f"{tmp}/shards", n_shards=4, files_per_shard=3
+        )
+        back = spark.read.parquet(f"{tmp}/shards")
+        assert back.count() == n
+        # assignment identical to the single-file layout
+        assert (
+            back.filter(
+                F.col("shard") != hash_bucket("doc_id", 4).cast("int")
+            ).count()
+            == 0
+        )
+        # at least one shard directory spans multiple files, and no
+        # directory exceeds the parallelism bound (each write task emits
+        # at most one file per shard dir without a record cap)
+        counts = []
+        for d in glob.glob(f"{tmp}/shards/shard=*"):
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            counts.append(len(files))
+            assert len(files) <= 3, d
+        assert max(counts) > 1, counts
+        # the record cap additionally splits oversized task outputs
+        export_training_shards(
+            docs,
+            f"{tmp}/capped",
+            n_shards=2,
+            max_records_per_file=10,
+        )
+        capped = spark.read.parquet(f"{tmp}/capped")
+        assert capped.count() == n
+        for d in glob.glob(f"{tmp}/capped/shard=*"):
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) > 1, d  # every shard holds >10 rows here
+        # per-shard totals match the direct aggregation (the
+        # shard_balance_stats contract is layout-independent)
+        got = {
+            r["shard"]: (r["docs"], r["chars"])
+            for r in back.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_chars").cast("bigint").alias("chars"),
+            )
+            .collect()
+        }
+        want = {
+            r["shard"]: (r["docs"], r["chars"])
+            for r in docs.withColumn(
+                "shard", hash_bucket("doc_id", 4).cast("int")
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_chars").cast("bigint").alias("chars"),
+            )
+            .collect()
+        }
+        assert got == want
