@@ -38,6 +38,7 @@ def vectorize_stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     dim: int = 64,
+    processing_time: str | None = None,
 ):
     """ST1: streaming document vectorization.
 
@@ -45,6 +46,11 @@ def vectorize_stream(
     ``maxFilesPerTrigger`` is the backpressure knob standing in for the
     reference's 2-worker concurrency cap; checkpointing provides the
     exactly-once bookkeeping the reference lacked.
+
+    ``processing_time`` (e.g. ``"1 second"``) selects a LIVE micro-batch
+    trigger instead of the drain-and-stop ``availableNow`` — the
+    continuous-ingestion mode of the reference's always-on worker queue
+    (``vectorization_queue.py:18-177``); the caller stops the query.
     Returns the started StreamingQuery (caller awaits termination).
     """
     reader = (
@@ -62,7 +68,9 @@ def vectorize_stream(
         docs.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
     )
-    if available_now:
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
 
@@ -229,26 +237,36 @@ def run_daily_trend_stream(
     input_dir: str,
     checkpoint_dir: str,
     out_table: str = "daily_trend_stream_out",
+    output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
+    processing_time: str | None = None,
+    watermark: str = "1 day",
 ):
-    """Drive the windowed aggregation from a file stream into an in-memory
-    sink with availableNow — used by tests to prove batch/stream parity."""
-    events = (
-        spark.readStream.schema(
-            T.StructType(
-                [
-                    T.StructField("event_id", T.LongType()),
-                    T.StructField("ts", T.TimestampType()),
-                    T.StructField("user_id", T.LongType()),
-                    T.StructField("event_type", T.StringType()),
-                    T.StructField("value", T.DoubleType()),
-                    T.StructField("props", T.StringType()),
-                ]
-            )
+    """Drive the windowed aggregation from a file stream into an
+    in-memory sink — used by tests to prove batch/stream parity.
+
+    ``output_mode="complete"`` + ``availableNow`` is the drain-everything
+    parity mode; ``output_mode="append"`` emits each day only after the
+    watermark passes its window end, which is the mode that actually
+    exercises late-data DROP semantics (with a live ``processing_time``
+    trigger and ``max_files_per_trigger`` the test feeds files one
+    micro-batch at a time and plants late rows)."""
+    reader = spark.readStream.schema(
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
         )
-        .format("parquet")
-        .load(input_dir)
-    )
-    agg = daily_trend_stream(events)
+    ).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.load(input_dir)
+    agg = daily_trend_stream(events, watermark=watermark)
     # Streaming state partitioning is fixed at first run from the session
     # conf; under a default session that is 200 state-store partitions
     # for a ~30-group aggregate.  Pin a bounded value for this query and
@@ -256,14 +274,17 @@ def run_daily_trend_stream(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
-        return (
-            agg.writeStream.outputMode("complete")
+        writer = (
+            agg.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(out_table)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
         )
+        if processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 

@@ -69,6 +69,73 @@ def test_vectorize_stream_matches_batch(spark, docs):
         assert set(got.columns) == set(want.columns)
 
 
+def _wait_until(pred, timeout_s: float = 90.0, poll_s: float = 0.5):
+    """Poll ``pred`` until truthy or timeout; return its last value."""
+    import time
+
+    deadline = time.time() + timeout_s
+    val = pred()
+    while not val and time.time() < deadline:
+        time.sleep(poll_s)
+        val = pred()
+    return val
+
+
+def test_vectorize_stream_live_trigger_incremental(spark, docs):
+    """ST1 under a LIVE processingTime trigger with maxFilesPerTrigger=1:
+    files fed incrementally while the query runs, processed across
+    multiple micro-batches, output exactly-once (VERDICT r3 item 5)."""
+    from sortify_spark.streaming.pipeline import vectorize_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, outp, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        b1 = docs.filter(F.col("doc_id") < 30)
+        b2 = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 45))
+        b3 = docs.filter((F.col("doc_id") >= 45) & (F.col("doc_id") < 60))
+        b1.write.mode("append").parquet(inp)
+        q = vectorize_stream(
+            spark,
+            inp,
+            outp,
+            ckpt,
+            dim=8,
+            available_now=False,
+            processing_time="500 milliseconds",
+            max_files_per_trigger=1,
+        )
+        try:
+
+            def docs_out():
+                try:
+                    got = spark.read.parquet(outp)
+                    return got.select("document_id").distinct().count()
+                except Exception:
+                    return 0
+
+            assert _wait_until(lambda: docs_out() >= 30), docs_out()
+            # feed two more files while the query is live
+            b2.write.mode("append").parquet(inp)
+            assert _wait_until(lambda: docs_out() >= 45), docs_out()
+            b3.write.mode("append").parquet(inp)
+            assert _wait_until(lambda: docs_out() >= 60), docs_out()
+            # multiple micro-batches actually committed
+            progressed = _wait_until(
+                lambda: [
+                    p
+                    for p in q.recentProgress
+                    if p is not None and p["numInputRows"] > 0
+                ]
+            )
+            assert len(progressed) >= 2, "expected >1 non-empty micro-batch"
+        finally:
+            q.stop()
+        got = spark.read.parquet(outp)
+        want = ingest_vectorize(spark.read.parquet(inp), dim=8)
+        # exactly-once: same rows as one batch run, no duplicate vectors
+        assert got.count() == want.count()
+        assert got.select("vector_id").distinct().count() == got.count()
+
+
 def test_daily_trend_stream_matches_batch(spark):
     from sortify_spark.streaming.pipeline import run_daily_trend_stream
 
@@ -89,6 +156,113 @@ def test_daily_trend_stream_matches_batch(spark):
             for r in daily_trend(events, "ts", "value").collect()
         }
         assert got == want
+
+
+def test_daily_trend_stream_drops_late_data(spark):
+    """Watermark late-data semantics hash-style-checked against the
+    batch oracle (VERDICT r3 item 6): a row planted BEHIND the watermark
+    (its day-window already finalized) is dropped; every kept row's
+    window matches the batch aggregation over the on-time events."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from sortify_spark.operators.aggregates import daily_trend
+    from sortify_spark.streaming.pipeline import run_daily_trend_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def ev(eid, day, hour, value):
+        return (
+            eid,
+            dt.datetime(2026, 3, day, hour, 0, 0),
+            1,
+            "view",
+            float(value),
+            "{}",
+        )
+
+    b1 = [ev(1, 1, 10, 10.0), ev(2, 1, 11, 30.0)]  # day 1, on time
+    b2 = [ev(3, 2, 12, 7.0)]  # day 2 → watermark passes day-1 window end
+    late = ev(99, 1, 8, 1000.0)  # day 1, behind the watermark → dropped
+    b3 = [late, ev(4, 3, 9, 5.0)]
+    b4 = [ev(5, 4, 6, 2.0)]  # advances watermark past day-2 window
+    b5 = [ev(6, 5, 6, 4.0)]  # advances watermark past day-3 window
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, ckpt = f"{tmp}/in", f"{tmp}/ckpt"
+
+        def feed(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+
+        feed(b1)
+        q = run_daily_trend_stream(
+            spark,
+            inp,
+            ckpt,
+            out_table="dts_late_test",
+            output_mode="append",
+            max_files_per_trigger=1,
+            processing_time="500 milliseconds",
+            watermark="1 hour",
+        )
+        try:
+
+            def emitted():
+                return {
+                    r["day"]: (r["cnt"], r["avg_value"])
+                    for r in spark.sql(
+                        "SELECT * FROM dts_late_test"
+                    ).collect()
+                }
+
+            def rows_consumed():
+                return sum(
+                    p["numInputRows"]
+                    for p in q.recentProgress
+                    if p is not None
+                )
+
+            # serialize feeds on consumed-row progress so micro-batch
+            # order (which decides the watermark each batch sees) is
+            # deterministic even under file-mtime ties
+            assert _wait_until(lambda: rows_consumed() >= 2)
+            feed(b2)
+            assert _wait_until(lambda: rows_consumed() >= 3)
+            feed(b3)
+            assert _wait_until(lambda: "2026-03-01" in emitted())
+            feed(b4)
+            assert _wait_until(lambda: "2026-03-02" in emitted())
+            feed(b5)
+            assert _wait_until(lambda: "2026-03-03" in emitted())
+            got = emitted()
+        finally:
+            q.stop()
+
+    # batch oracle over the ON-TIME events only: the late row is absent
+    on_time = [r for r in b1 + b2 + b3 + b4 + b5 if r[0] != 99]
+    batch = {
+        r["day"]: (r["cnt"], r["avg_value"])
+        for r in daily_trend(
+            spark.createDataFrame(on_time, schema), "ts", "value"
+        ).collect()
+    }
+    for day in ("2026-03-01", "2026-03-02", "2026-03-03"):
+        assert got[day] == batch[day], (day, got.get(day), batch.get(day))
+    # the planted late row did NOT make it into day 1 (it would have
+    # shifted both cnt and avg)
+    assert got["2026-03-01"] == (2, 20.0)
 
 
 def test_query_spec_compile(spark, docs):
