@@ -110,3 +110,42 @@ _rest.sort(key=lambda n: REGISTRY[n].sql is None)  # stable: oracles first
 _ordered = {n: REGISTRY[n] for n in (*PRIORITY, *_rest)}
 REGISTRY.clear()
 REGISTRY.update(_ordered)
+
+# Window-discipline guard (VERDICT r3 item 7): every oracle-backed query
+# must be reachable from a driver-verified row — either in the window
+# itself or a member of an in-window suite.  The grandfathered set below
+# is the frozen round-3 remainder: each is a redundant TWIN of an
+# in-window flagship (alternate implementation / superseded variant /
+# bench-only relational query), DuckDB-verified locally by
+# tests/test_oracle_parity.py.  A NEW oracle-backed query must earn a
+# suite fold instead of growing this list.
+from sortify_spark.queries_suites import SUITE_MEMBERS  # noqa: E402
+
+_WINDOW_LOCAL_ONLY = frozenset(
+    {
+        "corpus_after_neardup",  # stage of corpus_curation_full (in window)
+        "corpus_curation",  # superseded by corpus_curation_full
+        "keep_max_merge",  # W4 twin of multi_query_merge
+        "knn_bruteforce_np",  # numpy twin of knn_bruteforce (bench path)
+        "knn_ivf",  # pipeline behind ivf_recall_at_10 (in window)
+        "knn_per_label_topk",  # W2 twin of top_order_per_customer
+        "ngram_jaccard_sample",  # verify stage of minhash_lsh_pairs
+        "regional_revenue",  # bench-only TPC-H-ish star join
+        "revenue_topk_orders",  # bench-only join+topk
+        "simhash_pairs",  # superseded by simhash_pairs_banded
+    }
+)
+_reachable = set(PRIORITY)
+for _s in PRIORITY:
+    _reachable |= set(SUITE_MEMBERS.get(_s, ()))
+_unreachable = [
+    n
+    for n, qd in REGISTRY.items()
+    if qd.sql is not None
+    and n not in _reachable
+    and n not in _WINDOW_LOCAL_ONLY
+]
+assert not _unreachable, (
+    "oracle-backed queries not reachable from any driver-window row "
+    f"(fold them into an in-window suite): {_unreachable}"
+)

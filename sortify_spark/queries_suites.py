@@ -71,6 +71,10 @@ def _shape_sql(
 
 _ORDER_SQL = "ORDER BY " + ", ".join(f"{c} ASC NULLS FIRST" for c in _COLS)
 
+#: suite name → member query names; ``all_queries`` uses this to assert
+#: every oracle-backed query is reachable from a driver-window row.
+SUITE_MEMBERS: dict[str, tuple[str, ...]] = {}
+
 
 def _suite(name: str, spec: list[tuple[str, dict]], note: str):
     """Register a suite query + composed oracle from member (op, shape)
@@ -78,6 +82,7 @@ def _suite(name: str, spec: list[tuple[str, dict]], note: str):
     expressions over the member query's output columns."""
     missing = [op for op, _ in spec if REGISTRY[op].sql is None]
     assert not missing, f"suite {name}: members without oracle: {missing}"
+    SUITE_MEMBERS[name] = tuple(dict.fromkeys(op for op, _ in spec))
     sql = "\nUNION ALL\n".join(
         _shape_sql(op, REGISTRY[op].sql, **kw) for op, kw in spec
     )
