@@ -110,3 +110,111 @@ def q_chunks_for_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.document_chunks("7", owner_id="default").select(
         "document_id", "chunk_index", "total_chunks", "chunk_text"
     )
+
+
+# --- small keyed collections (§1.2 tail: suggested_questions /
+# device_tokens lifecycle over operators/keyed_tables) ----------------------
+
+
+@register(
+    "suggested_questions_lifecycle",
+    """
+    SELECT user_id, event_type AS question,
+           COUNT(*) AS use_count,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_used_us
+    FROM events GROUP BY user_id, event_type
+    """,
+    note="suggested_questions $inc-upsert algebra "
+    "(crud_suggested_questions.py:132-186): per-user question counters "
+    "built in TWO batches and merged with inc_upsert (counters add, "
+    "last-used takes greatest) must equal ONE aggregation over all "
+    "events — the keyed-counter upsert contract hash-checked. "
+    "Full-outer join of two small keyed aggregates; the corpus-side "
+    "aggregation is map-side combined.",
+)
+def q_suggested_questions_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sortify_spark.operators.keyed_tables import inc_upsert
+
+    events = _t(spark, sf_dir, "events")
+
+    def batch(pred):
+        return (
+            events.filter(pred)
+            .groupBy("user_id", F.col("event_type").alias("question"))
+            .agg(
+                F.count(F.lit(1)).alias("use_count"),
+                F.unix_micros(F.max("ts")).alias("last_used_us"),
+            )
+        )
+
+    a = batch(F.col("event_id") % 3 != 0)
+    b = batch(F.col("event_id") % 3 == 0)
+    return inc_upsert(
+        a,
+        b,
+        keys=["user_id", "question"],
+        inc_cols=["use_count"],
+        max_cols=["last_used_us"],
+    )
+
+
+@register(
+    "device_token_rotate",
+    """
+    WITH base AS (
+      SELECT CAST(user_id % 20 AS BIGINT) AS device_id,
+             MAX(ts) AS max_ts
+      FROM events GROUP BY 1
+    ),
+    final AS (
+      SELECT device_id,
+             CASE WHEN device_id < 10
+                  THEN md5('rotated' || CAST(device_id AS VARCHAR))
+                  ELSE md5('initial' || CAST(device_id AS VARCHAR))
+             END AS refresh_token,
+             CAST(epoch_us(max_ts) AS BIGINT) AS last_used_us,
+             NOT (device_id % 7 = 0) AS is_active
+      FROM base
+    )
+    SELECT device_id, refresh_token, last_used_us, is_active FROM final
+    """,
+    note="device_tokens lifecycle (crud_device_tokens.py:66-256): "
+    "create → rotate refresh token for half the devices (keyed $set "
+    "upsert, last write wins) → deactivate every 7th device — the final "
+    "table state hash-checked. Updates broadcast; the token table never "
+    "shuffles.",
+)
+def q_device_token_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.operators.keyed_tables import (
+        deactivate_tokens,
+        keyed_set_upsert,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    base = (
+        events.groupBy((F.col("user_id") % 20).alias("device_id"))
+        .agg(F.unix_micros(F.max("ts")).alias("last_used_us"))
+    )
+    initial = base.select(
+        "device_id",
+        F.md5(
+            F.concat(F.lit("initial"), F.col("device_id").cast("string"))
+            .cast("binary")
+        ).alias("refresh_token"),
+        "last_used_us",
+        F.lit(True).alias("is_active"),
+    )
+    rotated = initial.filter(F.col("device_id") < 10).withColumn(
+        "refresh_token",
+        F.md5(
+            F.concat(F.lit("rotated"), F.col("device_id").cast("string"))
+            .cast("binary")
+        ),
+    )
+    upserted = keyed_set_upsert(initial, rotated, ["device_id"])
+    stale = upserted.filter(F.col("device_id") % 7 == 0).select("device_id")
+    return deactivate_tokens(upserted, stale).select(
+        "device_id", "refresh_token", "last_used_us", "is_active"
+    )

@@ -208,6 +208,26 @@ _suite(
                 val="total_price",
             ),
         ),
+        # round 4: small keyed collections — $inc-upsert counter algebra
+        # and device-token rotate/deactivate lifecycle (queries_sources,
+        # operators/keyed_tables).
+        (
+            "suggested_questions_lifecycle",
+            dict(
+                key1="CAST(user_id AS STRING)",
+                key2="question",
+                cnt="use_count",
+                val="CAST(last_used_us AS DOUBLE)",
+            ),
+        ),
+        (
+            "device_token_rotate",
+            dict(
+                key1="CAST(device_id AS STRING)",
+                key2="refresh_token || '|' || CAST(is_active AS STRING)",
+                cnt="last_used_us",
+            ),
+        ),
         (
             "latest_event_per_user",
             dict(

@@ -547,3 +547,91 @@ def test_export_training_shards_multi_file(spark):
             .collect()
         }
         assert got == want
+
+
+def test_keyed_tables_mark_question_used(spark):
+    """Positional array update ($inc use_count + $set last_used_at on the
+    matched element only — crud_suggested_questions.py:148-186)."""
+    import datetime as dt
+
+    from sortify_spark.operators.keyed_tables import (
+        SUGGESTED_QUESTIONS_SCHEMA,
+        mark_question_used,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (
+            "u1",
+            [("q1", "what is A?", 2, t0), ("q2", "what is B?", 0, None)],
+            t0,
+            10,
+            1,
+        ),
+        ("u2", [("q1", "other user same id", 5, t0)], t0, 3, 1),
+    ]
+    df = spark.createDataFrame(rows, SUGGESTED_QUESTIONS_SCHEMA)
+    now = dt.datetime(2026, 2, 2, 12, 0, 0)
+    out = {
+        r["user_id"]: {q["id"]: (q["use_count"], q["last_used_at"]) for q in r["questions"]}
+        for r in mark_question_used(df, "u1", "q2", now).collect()
+    }
+    assert out["u1"]["q2"] == (1, now)  # matched element bumped + stamped
+    assert out["u1"]["q1"] == (2, t0)  # sibling untouched
+    assert out["u2"]["q1"] == (5, t0)  # other user untouched
+
+
+def test_keyed_tables_should_regenerate(spark):
+    """Regeneration triggers: missing record / ≥1.2x doc growth / zero
+    stored count / >30d staleness (crud_suggested_questions.py:216-262)."""
+    import datetime as dt
+
+    from sortify_spark.operators.keyed_tables import should_regenerate
+
+    now = dt.datetime(2026, 6, 1)
+    fresh = now - dt.timedelta(days=5)
+    old = now - dt.timedelta(days=40)
+    q = spark.createDataFrame(
+        [
+            ("grown", 10, fresh),
+            ("steady", 10, fresh),
+            ("zero", 0, fresh),
+            ("stale", 10, old),
+        ],
+        "user_id string, total_documents long, last_generated timestamp",
+    )
+    counts = spark.createDataFrame(
+        [("grown", 12), ("steady", 11), ("zero", 1), ("stale", 10),
+         ("newuser", 4)],
+        "user_id string, doc_count long",
+    )
+    got = {
+        r["user_id"]: r["regenerate"]
+        for r in should_regenerate(q, counts, now).collect()
+    }
+    assert got == {
+        "grown": True,  # 12/10 ≥ 1.2
+        "steady": False,  # 11/10 < 1.2, fresh
+        "zero": True,  # zero stored count
+        "stale": True,  # > 30 days
+        "newuser": True,  # no record
+    }
+
+
+def test_keyed_tables_config_singleton(spark):
+    """system_config singleton merge: updates win per key, other keys
+    carry through, insert-if-absent (crud_settings.py singleton)."""
+    from sortify_spark.operators.keyed_tables import (
+        SYSTEM_CONFIG_SCHEMA,
+        config_get,
+        config_set,
+    )
+
+    empty = spark.createDataFrame([], SYSTEM_CONFIG_SCHEMA)
+    v1 = config_set(empty, {"model": "m1", "auto_sync": "true"})
+    assert config_get(v1, "model") == "m1"
+    v2 = config_set(v1, {"model": "m2"})
+    assert config_get(v2, "model") == "m2"  # update wins
+    assert config_get(v2, "auto_sync") == "true"  # carried through
+    assert v2.count() == 1  # still a singleton
+    assert config_get(v2, "missing") is None
