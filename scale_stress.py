@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Scale-stress harness: run the curation flagships on a ~10x-inflated
+corpus with the driver-side connected-components path DISABLED.
+
+The per-round bench (bench.py) measures steady-state per-query cost at
+sf0.1 (~5 k documents).  This script answers the next question — do the
+100x design claims hold when the data grows past the comfortable
+single-batch regime?  It:
+
+1. derives a seeded inflated corpus from sf0.1 ``documents``:
+   ``INFLATE`` replicas per doc with remapped ids; replica 0 is the
+   original, replicas 1..EXACT_COPIES are byte-identical (exact-dedup
+   stress), the rest carry a per-replica suffix token (near-dup stress
+   — same shingle mass, distinct fingerprints);
+2. forces ``SORTIFY_CC_DRIVER_MAX_EDGES=0`` so connected components run
+   the distributed min-propagation + pointer-jumping loop, never the
+   driver union-find;
+3. runs the full curation pipeline stage by stage with persists between
+   stages, timing each increment honestly, plus the standalone
+   ``neardup_components`` aggregate;
+4. prints ONE JSON object (also written to ``SCALE_STRESS_r{N}.json``
+   by the caller) with per-stage rows/seconds.
+
+Usage:  python scale_stress.py [--inflate 10] [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Must be set before the engine reads it (connected_components reads the
+# env at call time; set defensively before any import side effects).
+os.environ["SORTIFY_CC_DRIVER_MAX_EDGES"] = "0"
+
+EXACT_COPIES = 4  # replicas 1..4 byte-identical to replica 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inflate", type=int, default=10)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--keep-data", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from sortify_spark import dedup, textstats as ts
+    from sortify_spark.operators.sampling import stratified_hash_sample
+    from sortify_spark.queries_scale import _MIX_DEFAULT, _MIX_RATES
+    from sortify_spark.session import get_spark
+    from sortify_spark.tables import load_table
+
+    spark = get_spark("sortify-scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    stages: dict[str, dict] = {}
+
+    def stage(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        stages[name] = {"sec": round(time.time() - t0, 2), **(out or {})}
+        print(f"  [{name}] {stages[name]}", file=sys.stderr)
+        return out
+
+    work = tempfile.mkdtemp(prefix="sortify_scale_")
+    derived = os.path.join(work, "derived")
+    os.makedirs(derived, exist_ok=True)
+    try:
+        base = load_table(spark, args.sf_dir, "documents")
+        n_base = base.count()
+
+        # -- stage 0: seeded inflation ----------------------------------
+        # crossJoin with a broadcast replica range (ONE plan node however
+        # large the factor — a per-replica union would explode the plan at
+        # --inflate 1000).  Replicas ≤ EXACT_COPIES are byte-identical
+        # (exact-dedup stress); the rest carry a suffix token cycling
+        # through SUFFIX_CLASSES variants, so the DISTINCT text count per
+        # base doc stays bounded (1 + SUFFIX_CLASSES) and the near-dup
+        # pair space stays Σ-bucket-bounded at any inflation factor —
+        # exactly the boilerplate-heavy-crawl shape real corpora have.
+        SUFFIX_CLASSES = 13
+
+        def inflate():
+            reps = F.broadcast(
+                spark.range(args.inflate).select(
+                    F.col("id").cast("int").alias("rep")
+                )
+            )
+            out = base.select("doc_id", "text", "lang", "source").crossJoin(
+                reps
+            )
+            out = out.select(
+                (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+                F.when(F.col("rep") <= EXACT_COPIES, F.col("text"))
+                .otherwise(
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" rtag"),
+                        (F.col("rep") % SUFFIX_CLASSES).cast("string"),
+                    )
+                )
+                .alias("text"),
+                "lang",
+                "source",
+            ).withColumn("n_chars", F.length("text"))
+            out.repartition(64).write.mode("overwrite").parquet(
+                os.path.join(derived, "documents.parquet")
+            )
+            return {"rows": n_base * args.inflate}
+
+        stage("inflate_write", inflate)
+        docs = load_table(spark, derived, "documents")
+
+        # -- curation pipeline, stage by stage --------------------------
+        # Replica-stable held-out split: a BASE doc and all its inflated
+        # variants land on the same side (benchmark docs must not appear
+        # in training in any near-duplicate variant — the split that
+        # makes decontamination meaningful on an inflated corpus).
+        base_id = F.col("doc_id") % 1_000_000
+        bench = docs.filter(base_id % 53 == 0)
+        train = docs.filter(base_id % 53 != 0)
+
+        kept_exact = dedup.drop_exact_duplicates(train).persist()
+        stage("exact_dedup", lambda: {"rows": kept_exact.count()})
+
+        pairs = dedup.minhash_lsh_pairs(
+            kept_exact, threshold=0.5, use_shingles=3
+        ).persist()
+        stage("lsh_pairs", lambda: {"rows": pairs.count()})
+
+        # connected_components iterates EAGERLY inside the call (per-
+        # iteration fixpoint probes), so the construction itself must sit
+        # inside the stage timer.
+        comp_box: list = []
+
+        def run_cc():
+            c = dedup.connected_components(pairs).persist()
+            comp_box.append(c)
+            return {
+                "rows": c.count(),
+                "driver_max_edges": os.environ[
+                    "SORTIFY_CC_DRIVER_MAX_EDGES"
+                ],
+            }
+
+        stage("connected_components_distributed", run_cc)
+        comp = comp_box[0]
+
+        drops = comp.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias("doc_id")
+        )
+        kept = kept_exact.join(F.broadcast(drops), "doc_id", "left_anti")
+        cont = dedup.contaminated_by_shingles(kept, bench, shingle_k=5)
+        decon = kept.join(
+            cont.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
+        ).persist()
+        stage("decontaminate", lambda: {"rows": decon.count()})
+
+        filtered = decon.filter(
+            (ts.quality_score(F.col("text"), F.col("n_chars")) >= 0.5)
+            & F.col("lang").isin("en", "de", "fr", "es")
+        )
+        sampled = stratified_hash_sample(
+            filtered, "source", _MIX_RATES, _MIX_DEFAULT, "doc_id"
+        )
+        final = sampled.groupBy("source").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(ts.token_count(F.col("text"))).cast("bigint").alias(
+                "token_budget"
+            ),
+        )
+        rows = stage(
+            "quality_mix_budget",
+            lambda: {"rows": len(final.collect())},
+        )
+
+        # -- standalone neardup_components aggregate --------------------
+        def neardup():
+            agg = (
+                comp.groupBy(F.col("comp").alias("component"))
+                .agg(F.count(F.lit(1)).alias("size"))
+                .orderBy(F.desc("size"), F.asc("component"))
+            )
+            r = agg.collect()
+            return {"rows": len(r), "max_component": int(r[0]["size"])}
+
+        stage("neardup_component_sizes", neardup)
+
+        total = round(sum(s["sec"] for s in stages.values()), 2)
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_stress_total",
+                    "value": total,
+                    "unit": "sec",
+                    "inflate": args.inflate,
+                    "base_rows": n_base,
+                    "rows": n_base * args.inflate,
+                    "cc_driver_max_edges": 0,
+                    "stages": stages,
+                    "sf_dir": args.sf_dir,
+                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                }
+            )
+        )
+    finally:
+        if not args.keep_data:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
