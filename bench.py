@@ -66,6 +66,9 @@ HEADLINE = (
     # clustering kernel + tier triage
     "pii_scrub_audit",
     "cluster_organize_audit",
+    # round 4: the e2e facade search on the pure-Catalyst md5 expression
+    # encoder (ingest + embed + two-stage fusion, zero Python in plan)
+    "e2e_search_hybrid",
 )
 
 

@@ -44,35 +44,74 @@ def _engine(spark: SparkSession, sf_dir: str):
     )
 
 
-def _base_ctes() -> str:
-    """Shared CTE prefix: the full ingest replay (→ ``vec``) plus the
-    embedded query literal (→ ``q(qe, qn)``)."""
-    ingest = ingest_vectorize_expr_oracle_sql(
+def _ingest_ctes() -> str:
+    """The full ingest replay (→ ``vec``)."""
+    return ingest_vectorize_expr_oracle_sql(
         doc_limit=E2E_DOC_LIMIT, chunk_size=128, overlap=32, dim=E2E_DIM
     )
-    return f"""{ingest},
-    qt AS (SELECT '{E2E_QUERY}' AS t),
-    qtok AS (SELECT {SE.tokens_sql('t')} AS toks FROM qt),
-    qraw AS (SELECT {SE.raw_embed_sql('toks', E2E_DIM)} AS re FROM qtok),
-    qn0 AS (SELECT re, {SE.norm_sql('re')} AS n0 FROM qraw),
-    q AS (SELECT {SE.normalize_sql('re', 'n0')} AS qe,
-                 {SE.norm_sql(SE.normalize_sql('re', 'n0'))} AS qn
-          FROM qn0)
+
+
+def _query_ctes(text: str, qref: str = "q") -> str:
+    """Embed a query literal (→ ``{qref}(qe, qn)``).  ``text`` must not
+    contain a single quote."""
+    assert "'" not in text, "query literal would break the SQL oracle"
+    return f"""
+    {qref}t AS (SELECT '{text}' AS t),
+    {qref}tok AS (SELECT {SE.tokens_sql('t')} AS toks FROM {qref}t),
+    {qref}raw AS (SELECT {SE.raw_embed_sql('toks', E2E_DIM)} AS re
+                  FROM {qref}tok),
+    {qref}n0 AS (SELECT re, {SE.norm_sql('re')} AS n0 FROM {qref}raw),
+    {qref} AS (SELECT {SE.normalize_sql('re', 'n0')} AS qe,
+                      {SE.norm_sql(SE.normalize_sql('re', 'n0'))} AS qn
+               FROM {qref}n0)
     """
 
 
-def _scored_ctes(vtype: str, k: int, prefix: str) -> str:
+def _base_ctes() -> str:
+    """Shared CTE prefix: ingest replay + the default query literal."""
+    return f"{_ingest_ctes()}, {_query_ctes(E2E_QUERY)}"
+
+
+def _scored_ctes(
+    vtype: str, k: int, prefix: str, qref: str = "q"
+) -> str:
     """Oracle replay of ``SortifyEngine._scored``: cosine against the
     broadcast query (rounded 6), top-k at vector granularity with
     (score desc, document_id asc) tie-break, then best-per-document."""
-    cos = SE.cosine_sql("v.e", "q.qe", "v.vn", "q.qn", E2E_DIM)
+    cos = SE.cosine_sql("v.e", f"{qref}.qe", "v.vn", f"{qref}.qn", E2E_DIM)
     return f"""
     {prefix}sc AS (SELECT v.document_id, ROUND({cos}, 6) AS score
-                   FROM vec v, q WHERE v.vtype = '{vtype}'),
+                   FROM vec v, {qref} WHERE v.vtype = '{vtype}'),
     {prefix}tk AS (SELECT document_id, score FROM {prefix}sc
                    ORDER BY score DESC, document_id ASC LIMIT {k}),
     {prefix}s AS (SELECT document_id AS id, MAX(score) AS score
                   FROM {prefix}tk GROUP BY document_id)
+    """
+
+
+def _hybrid_ctes(prefix: str, qref: str = "q") -> str:
+    """Oracle replay of the facade two-stage hybrid for one query (→
+    ``{prefix}final(id, score, tier)``, ≤5 rows)."""
+    cos = SE.cosine_sql("v.e", f"{qref}.qe", "v.vn", f"{qref}.qn", E2E_DIM)
+    return f"""
+    {_scored_ctes("summary", 10, prefix + "h", qref)},
+    {prefix}s1r AS (SELECT id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rank
+            FROM {prefix}hs QUALIFY rank <= 10),
+    {prefix}csc AS (SELECT v.document_id, ROUND({cos}, 6) AS score
+            FROM vec v, {qref}
+            WHERE v.vtype = 'chunk'
+              AND v.document_id IN (SELECT id FROM {prefix}s1r)),
+    {prefix}ctk AS (SELECT document_id, score FROM {prefix}csc
+            ORDER BY score DESC, document_id ASC LIMIT 10),
+    {prefix}u AS (SELECT document_id AS id, score, 0 AS tier
+                  FROM {prefix}ctk
+          UNION ALL SELECT id, score, 1 AS tier FROM {prefix}s1r),
+    {prefix}d AS (SELECT id, score, tier FROM {prefix}u
+          QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY id ORDER BY tier ASC, score DESC) = 1),
+    {prefix}final AS (SELECT id, score, tier FROM {prefix}d
+          ORDER BY tier ASC, score DESC, id ASC LIMIT 5)
     """
 
 
@@ -134,25 +173,9 @@ def q_e2e_search_summary_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e2e_search_hybrid",
     f"""
     WITH {_base_ctes()},
-    {_scored_ctes("summary", 10, "h")},
-    s1r AS (SELECT id, score,
-                   ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rank
-            FROM hs QUALIFY rank <= 10),
-    csc AS (SELECT v.document_id,
-                   ROUND({SE.cosine_sql("v.e", "q.qe", "v.vn", "q.qn", E2E_DIM)}, 6)
-                       AS score
-            FROM vec v, q
-            WHERE v.vtype = 'chunk'
-              AND v.document_id IN (SELECT id FROM s1r)),
-    ctk AS (SELECT document_id, score FROM csc
-            ORDER BY score DESC, document_id ASC LIMIT 10),
-    u AS (SELECT document_id AS id, score, 0 AS tier FROM ctk
-          UNION ALL SELECT id, score, 1 AS tier FROM s1r),
-    d AS (SELECT id, score, tier FROM u
-          QUALIFY ROW_NUMBER() OVER (
-              PARTITION BY id ORDER BY tier ASC, score DESC) = 1)
-    SELECT id, score, tier FROM d
-    ORDER BY tier ASC, score DESC, id ASC LIMIT 5
+    {_hybrid_ctes("z")}
+    SELECT id, score, tier FROM zfinal
+    ORDER BY tier ASC, score DESC, id ASC
     """,
     note="E2E V3 two-stage hybrid through the facade: stage-1 summary "
     "top-10 → candidate semi-join → stage-2 chunk top-10 → tier dedup "
@@ -208,3 +231,93 @@ def q_e2e_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_e2e_search_traditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark, sf_dir).semantic_search(E2E_QUERY, "traditional")
+
+
+# --- QA document_search e2e (V6) and chunks-by-document (V8) ---------------
+
+#: Classifies as document_search ("find" + "about" cues, confidence 0.9,
+#: strategy hybrid) and rewrites into itself + the keyword variant —
+#: both stages are deterministic Python shared by engine and oracle
+#: builder, so the generated SQL cannot drift from the plan.
+E2E_QA_QUESTION = "find documents about data pipeline quality"
+
+
+def _qa_variants() -> list[str]:
+    from sortify_spark.qa import classify_question, rewrite_query
+
+    cls = classify_question(E2E_QA_QUESTION)
+    assert cls.intent == "document_search" and cls.strategy == "hybrid", (
+        "E2E_QA_QUESTION must route to the hybrid document_search path"
+    )
+    return rewrite_query(E2E_QA_QUESTION)
+
+
+def _qa_oracle() -> str:
+    from sortify_spark.search.fusion import VARIANT_WEIGHTS
+
+    variants = _qa_variants()
+    ctes = [_ingest_ctes()]
+    finals = []
+    for i, v in enumerate(variants):
+        qref = f"vq{i}"
+        ctes.append(_query_ctes(v, qref))
+        ctes.append(_hybrid_ctes(f"v{i}", qref))
+        w = VARIANT_WEIGHTS[min(i, len(VARIANT_WEIGHTS) - 1)]
+        finals.append(
+            f"SELECT id, ROUND(score * {w}, 6) AS score FROM v{i}final"
+        )
+    union = " UNION ALL ".join(finals)
+    return f"""
+    WITH {", ".join(ctes)},
+    allv AS ({union})
+    SELECT id, MAX(score) AS score FROM allv GROUP BY id
+    ORDER BY score DESC, id ASC LIMIT 10
+    """
+
+
+@register(
+    "e2e_qa_document_search",
+    _qa_oracle(),
+    note="E2E QA document_search data plane (§3.3: qa.answer_question "
+    "over the expression-encoder facade): deterministic classify → "
+    "rewrite into 2 weighted variants (F18 {1.3, 1.1}) → per-variant "
+    "two-stage hybrid search → keep-max merge (V6/W4, "
+    "qa_search_coordinator.py:119-205). The oracle regenerates the "
+    "variant list from the SAME classifier/rewriter code and replays "
+    "both full hybrid pipelines from raw text — the QA pipeline's "
+    "entire data plane in one hash-checked row.",
+)
+def q_e2e_qa_document_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.qa import answer_question
+
+    res = answer_question(_engine(spark, sf_dir), E2E_QA_QUESTION, top_k=10)
+    assert res.intent == "document_search" and res.results is not None
+    return res.results
+
+
+@register(
+    "e2e_chunks_for_document",
+    f"""
+    WITH {_ingest_ctes()}
+    SELECT document_id, chunk_index, total_chunks, chunk_text,
+           ROUND(list_reduce(e, (a, b) -> a + b), 6) AS emb_sum
+    FROM vec
+    WHERE vtype = 'chunk' AND document_id = '42'
+    ORDER BY chunk_index
+    """,
+    note="E2E V8 fetch-all-chunks-by-document through the facade "
+    "(vector_db_service.py:429-474: Chroma .get with document_id+owner "
+    "filter): chunk order, boundaries, text, and a per-chunk embedding "
+    "fold checksum all oracle-recomputed from raw text.",
+)
+def q_e2e_chunks_for_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vec = _engine(spark, sf_dir).document_chunks("42", owner_id="default")
+    return vec.select(
+        "document_id",
+        "chunk_index",
+        "total_chunks",
+        "chunk_text",
+        F.round(
+            F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("emb_sum"),
+    )

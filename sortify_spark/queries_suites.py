@@ -498,6 +498,20 @@ _suite(
             ),
         ),
         ("e2e_search_traditional", dict(key1="id", val="score")),
+        (
+            "e2e_qa_document_search",
+            dict(key1="id", val="score"),
+        ),
+        (
+            "e2e_chunks_for_document",
+            dict(
+                key1="document_id",
+                key2="chunk_text",
+                cnt="chunk_index",
+                val="emb_sum",
+                val2="CAST(total_chunks AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: portable hyperplane-LSH ANN (value-hash-checked index), "
     "int8 quantization error audit, stateful streaming sessionization "
