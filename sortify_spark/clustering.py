@@ -254,7 +254,10 @@ def modk_centroid_cluster(
         F.col(id_col).cast("string").alias("id"),
         F.col(vec_col).cast("array<double>").alias("e"),
     )
-    bkt_raw = F.col("id").cast("bigint")
+    # try_cast (not cast): under ANSI a plain cast throws a generic
+    # NumberFormatException mid-codegen; try_cast + raise_error names the
+    # function and the offending id.
+    bkt_raw = F.expr("try_cast(id AS bigint)")
     keyed = prepared.withColumn(
         "bkt",
         F.when(

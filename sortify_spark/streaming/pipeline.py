@@ -39,6 +39,7 @@ def vectorize_stream(
     max_files_per_trigger: int | None = None,
     dim: int = 64,
     processing_time: str | None = None,
+    embed_mode: str = "hash",
 ):
     """ST1: streaming document vectorization.
 
@@ -51,17 +52,25 @@ def vectorize_stream(
     trigger instead of the drain-and-stop ``availableNow`` — the
     continuous-ingestion mode of the reference's always-on worker queue
     (``vectorization_queue.py:18-177``); the caller stops the query.
+
+    ``embed_mode="expr"`` runs the pure-Catalyst md5 encoder
+    (``pipelines.ingest_vectorize_expr``) instead of the Arrow-batched
+    UDF stub — the zero-Python ingest plan under streaming: batch and
+    stream share one SQL-replayable code path.
     Returns the started StreamingQuery (caller awaits termination).
     """
+    from sortify_spark.pipelines import ingest_vectorize_expr
+
     reader = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA).format("parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.load(input_dir)
+    build = ingest_vectorize_expr if embed_mode == "expr" else ingest_vectorize
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        out = ingest_vectorize(batch_df, dim=dim)
+        out = build(batch_df, dim=dim)
         out.write.mode("append").parquet(output_dir)
 
     writer = (

@@ -91,3 +91,29 @@ def test_hierarchical_runs(spark, vectors):
     rows = fine.collect()
     assert rows
     assert {r["parent_label"] for r in rows} - {-1}, "parents exist"
+
+
+def test_modk_rejects_non_numeric_ids(spark):
+    """Library misuse fails loudly: a non-bigint-castable id must raise
+    at execution time instead of silently landing in a NULL bucket (the
+    DuckDB twin's CAST hard-errors on the same input)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    bad = spark.createDataFrame(
+        [("u1", "doc-abc", [1.0, 0.0]), ("u1", "7", [0.0, 1.0]),
+         ("u1", "8", [0.5, 0.5])],
+        "owner_id string, id string, embedding array<double>",
+    )
+    out = clustering.modk_centroid_cluster(bad, k=2)
+    with pytest.raises((Py4JJavaError, Exception), match="non-numeric id"):
+        out.collect()
+
+
+def test_modk_numeric_ids_still_pass(spark):
+    ok = spark.createDataFrame(
+        [("u1", str(i), [float(i % 3), 1.0]) for i in range(12)],
+        "owner_id string, id string, embedding array<double>",
+    )
+    rows = clustering.modk_centroid_cluster(ok, k=3).collect()
+    assert len(rows) == 12

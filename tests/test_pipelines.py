@@ -461,3 +461,28 @@ def test_audio_windows_empty_and_cap(spark):
     assert "a0" not in by_id and "a2" not in by_id and "v0" not in by_id
     assert len(by_id["a1"]) == 12  # capped
     assert by_id["a1"][0]["samples_per_window"] == 4000
+
+
+def test_vectorize_stream_expr_mode_matches_batch(spark, docs):
+    """embed_mode='expr': the zero-Python ingest plan under streaming
+    produces BIT-IDENTICAL vectors to the batch ingest_vectorize_expr
+    run (deterministic md5 encoder, same code path)."""
+    from sortify_spark.pipelines import ingest_vectorize_expr
+    from sortify_spark.streaming.pipeline import vectorize_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, outp, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        docs.filter(F.col("doc_id") < 40).write.parquet(inp)
+        q = vectorize_stream(spark, inp, outp, ckpt, dim=8, embed_mode="expr")
+        q.awaitTermination(120)
+        got = {
+            r["vector_id"]: (r["chunk_text"], list(r["embedding"]))
+            for r in spark.read.parquet(outp).collect()
+        }
+        want = {
+            r["vector_id"]: (r["chunk_text"], list(r["embedding"]))
+            for r in ingest_vectorize_expr(
+                spark.read.parquet(inp), dim=8
+            ).collect()
+        }
+        assert got == want

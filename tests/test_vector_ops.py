@@ -78,3 +78,64 @@ def test_embedding_neardup_rejects_unblocked(spark):
         emb.limit(50), block_col=None, k=5, allow_unblocked=True
     ).collect()
     assert len(out) == 5
+
+
+def test_expr_embed_properties(spark):
+    """md5 expression embedder invariants: unit norm for non-empty text,
+    zero vector for empty/whitespace text, determinism across plans,
+    512-char truncation parity with the facade query path."""
+    import math
+
+    from sortify_spark.functions.sql_embed import expr_embed
+
+    texts = [
+        ("a", "hello world"),
+        ("b", "hello world"),  # same text → same vector
+        ("c", ""),
+        ("d", "   "),
+        ("e", "one-token"),
+        ("f", "x " * 600),  # long text
+    ]
+    df = spark.createDataFrame(texts, "id string, t string")
+    out = {
+        r["id"]: r["e"]
+        for r in df.select("id", expr_embed("t", dim=8).alias("e")).collect()
+    }
+    assert out["a"] == out["b"]
+    assert out["c"] == [0.0] * 8 and out["d"] == [0.0] * 8
+    for k in ("a", "e", "f"):
+        assert math.isclose(
+            sum(x * x for x in out[k]) ** 0.5, 1.0, rel_tol=1e-9
+        ), k
+    # re-running the same plan is bit-identical
+    out2 = {
+        r["id"]: r["e"]
+        for r in df.select("id", expr_embed("t", dim=8).alias("e")).collect()
+    }
+    assert out == out2
+
+
+def test_expr_embed_duckdb_bit_parity(spark, duck):
+    """The DuckDB rendering produces BIT-IDENTICAL embeddings (no
+    rounding anywhere) — the property the whole e2e oracle family
+    stands on."""
+    from sortify_spark.functions import sql_embed as SE
+
+    texts = ["the quick brown fox", "data pipeline quality", "x", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {
+        r["t"]: list(r["e"])
+        for r in df.select(
+            "t", SE.expr_embed("t", dim=6).alias("e")
+        ).collect()
+    }
+    vals = ", ".join(f"('{t}')" for t in texts)
+    sql = f"""
+    WITH src(t) AS (VALUES {vals}),
+    tok AS (SELECT t, {SE.tokens_sql('t')} AS toks FROM src),
+    r AS (SELECT t, {SE.raw_embed_sql('toks', 6)} AS re FROM tok),
+    n AS (SELECT t, re, {SE.norm_sql('re')} AS n0 FROM r)
+    SELECT t, {SE.normalize_sql('re', 'n0')} AS e FROM n
+    """
+    want = {r[0]: list(r[1]) for r in duck.sql(sql).fetchall()}
+    assert got == want  # exact float equality, not approx
