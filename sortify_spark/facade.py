@@ -40,6 +40,12 @@ class SearchConfig:
     rrf_k: int = fusion.RRF_K
     w_summary: float = fusion.RRF_WEIGHT_SUMMARY
     w_chunks: float = fusion.RRF_WEIGHT_CHUNKS
+    #: ``"exact"`` = brute-force cosine (the reference's behavior at its
+    #: scale); ``"lsh"`` = portable hyperplane-LSH bucket probe + exact
+    #: rerank inside the bucket — the ANN path that replaces Chroma's
+    #: HNSW at 100 TB (probe = one bucket partition, not the corpus).
+    ann: str = "exact"
+    lsh_nbits: int = 4
 
 
 #: Engines keyed by (applicationId, sf_dir, dim, embed, doc_limit) — the
@@ -157,7 +163,9 @@ class SortifyEngine:
             [(vec,)], f"embedding array<float>"
         )
 
-    def _scored(self, query_text: str, vtype: str, k: int) -> DataFrame:
+    def _scored(
+        self, query_text: str, vtype: str, k: int, cfg: SearchConfig | None = None
+    ) -> DataFrame:
         """Top-k scored list deduped to the BEST chunk per document.
 
         ``brute_force_topk`` over chunk vectors returns chunk-level rows,
@@ -165,16 +173,34 @@ class SortifyEngine:
         unique ids per list (``fusion.rrf_fuse`` contract; reference
         dedupes + re-ranks in ``enhanced_search_service.py:404-419``).
         The groupBy-max runs over a k-bounded list — trivial shuffle.
+
+        ``cfg.ann == "lsh"`` swaps the scan for the portable-LSH bucket
+        probe (``knn.lsh_portable_topk``): only the query's bucket is
+        scored, exact cosine rerank inside — recall < 1 by construction,
+        cost 1/2^nbits of the scan.
         """
+        from sortify_spark.search.knn import embedding_mean, lsh_portable_topk
+
         q = self._query_df(query_text)
-        return (
-            brute_force_topk(
-                self.vectors.filter(F.col("vtype") == vtype),
+        base = self.vectors.filter(F.col("vtype") == vtype)
+        if cfg is not None and cfg.ann == "lsh":
+            # Centered hyperplanes: same-vocabulary corpora embed into a
+            # narrow cone, so origin hyperplanes degenerate to one hot
+            # bucket (measured: 165/300 docs in bucket 0, query alone in
+            # an empty one).  The deterministic rounded mean keeps the
+            # key oracle-reproducible.
+            topk = lsh_portable_topk(
+                base,
                 q,
                 id_col="document_id",
                 k=k,
+                nbits=cfg.lsh_nbits,
+                center=embedding_mean(base),
             )
-            .select(F.col("document_id").alias("id"), "score")
+        else:
+            topk = brute_force_topk(base, q, id_col="document_id", k=k)
+        return (
+            topk.select(F.col("document_id").alias("id"), "score")
             .groupBy("id")
             .agg(F.max("score").alias("score"))
         )
@@ -188,14 +214,14 @@ class SortifyEngine:
         """POST /semantic-search: strategy dispatch V7 over V1-V5 plans."""
         cfg = cfg or SearchConfig()
         if search_type == "summary_only":
-            return self._scored(query_text, "summary", cfg.top_k)
+            return self._scored(query_text, "summary", cfg.top_k, cfg)
         if search_type == "chunks_only":
-            return self._scored(query_text, "chunk", cfg.top_k)
+            return self._scored(query_text, "chunk", cfg.top_k, cfg)
         if search_type == "rrf_fusion":
             # O5: bounded candidate over-fetch (k*2) before fusion/rerank.
             return fusion.rrf_fuse(
-                self._scored(query_text, "summary", cfg.top_k * 2),
-                self._scored(query_text, "chunk", cfg.top_k * 2),
+                self._scored(query_text, "summary", cfg.top_k * 2, cfg),
+                self._scored(query_text, "chunk", cfg.top_k * 2, cfg),
                 k=cfg.rrf_k,
                 w_summary=cfg.w_summary,
                 w_chunks=cfg.w_chunks,
@@ -203,12 +229,12 @@ class SortifyEngine:
             )
         if search_type == "traditional":
             return fusion.traditional_merge(
-                self._scored(query_text, "summary", cfg.top_k * 2),
-                self._scored(query_text, "chunk", cfg.top_k * 2),
+                self._scored(query_text, "summary", cfg.top_k * 2, cfg),
+                self._scored(query_text, "chunk", cfg.top_k * 2, cfg),
                 top_k=cfg.top_k,
             )
         # default: two-stage hybrid (V3)
-        summary = self._scored(query_text, "summary", STAGE1_K)
+        summary = self._scored(query_text, "summary", STAGE1_K, cfg)
 
         def chunk_scored_fn(candidates: DataFrame) -> DataFrame:
             q = self._query_df(query_text)

@@ -321,3 +321,48 @@ def q_e2e_chunks_for_document(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x), 6
         ).alias("emb_sum"),
     )
+
+
+def _lsh_oracle() -> str:
+    from sortify_spark.search.knn import embedding_mean_sql, lsh_key_sql
+
+    cos = SE.cosine_sql("k.e", "qz.qe", "k.vn", "qz.qn", E2E_DIM)
+    mean = embedding_mean_sql(
+        "(SELECT e FROM vec WHERE vtype = 'summary') __sv", E2E_DIM
+    )
+    return f"""
+    WITH {_base_ctes()},
+    ctr AS ({mean}),
+    kz AS (SELECT document_id, e, vn,
+                  {lsh_key_sql('e', 4, 'ctr.c')} AS bkt
+           FROM vec, ctr WHERE vtype = 'summary'),
+    qz AS (SELECT qe, qn, {lsh_key_sql('qe', 4, 'ctr.c')} AS bkt
+           FROM q, ctr),
+    cz AS (SELECT k.document_id, ROUND({cos}, 6) AS score
+           FROM kz k JOIN qz ON k.bkt = qz.bkt),
+    tz AS (SELECT document_id, score FROM cz
+           ORDER BY score DESC, document_id ASC LIMIT 10)
+    SELECT document_id AS id, MAX(score) AS score FROM tz
+    GROUP BY document_id ORDER BY score DESC, id ASC
+    """
+
+
+@register(
+    "e2e_search_lsh",
+    _lsh_oracle(),
+    note="E2E ANN through the facade: portable hyperplane-LSH bucket "
+    "probe (SearchConfig(ann='lsh')) with CENTERED hyperplanes — "
+    "bag-of-token embeddings cluster in a cone, so planes through the "
+    "deterministic rounded data centroid restore balanced buckets. "
+    "Only the query's bucket is scored, exact cosine rerank inside "
+    "(the HNSW replacement shape at scale: the probe reads 1/2^nbits "
+    "of the index, a partition prune when the table is stored bucketed "
+    "by key). Oracle replays ingest, embedding, the centered LCG "
+    "bucket keys, and the probe from raw text.",
+)
+def q_e2e_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.facade import SearchConfig
+
+    return _engine(spark, sf_dir).semantic_search(
+        E2E_QUERY, "summary_only", SearchConfig(ann="lsh", lsh_nbits=4)
+    )

@@ -502,6 +502,7 @@ _suite(
             "e2e_qa_document_search",
             dict(key1="id", val="score"),
         ),
+        ("e2e_search_lsh", dict(key1="id", val="score")),
         (
             "e2e_chunks_for_document",
             dict(

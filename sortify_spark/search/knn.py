@@ -220,6 +220,100 @@ def lsh_portable_key(vec_col: str, nbits: int = 4) -> Column:
     return key
 
 
+def lsh_key_sql(
+    arr_expr: str, nbits: int = 4, center_expr: str | None = None
+) -> str:
+    """DuckDB rendering of :func:`lsh_portable_key` /
+    :func:`lsh_portable_key_centered` over an arbitrary DOUBLE[]
+    expression — same LCG constants, so the bucket key is bit-identical
+    across engines (the property `knn_lsh_portable` hash-checks; the
+    e2e facade ANN oracle reuses this)."""
+    el = (
+        f"({arr_expr}[i] - {center_expr}[i])"
+        if center_expr
+        else f"{arr_expr}[i]"
+    )
+    bits = []
+    for j in range(nbits):
+        bits.append(
+            f"CASE WHEN list_sum(list_transform("
+            f"range(1, len({arr_expr}) + 1), i -> "
+            f"{el} * ((CAST(({LSH_A}::BIGINT * ({j} * {LSH_J} "
+            f"+ (i - 1)) + {LSH_C}) % {LSH_M} AS DOUBLE) - 1000) "
+            f"/ 1000.0))) >= 0 THEN {2**j} ELSE 0 END"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def embedding_mean(
+    vectors: DataFrame, vec_col: str = "embedding", round_to: int = 6
+) -> DataFrame:
+    """1-row DataFrame ``(c: array<double>)`` — the per-dimension mean,
+    accumulated in DECIMAL (order-independent) and rounded, so any
+    engine derives the IDENTICAL center from the same rows.  Index-build
+    cost (two tiny shuffles), not a per-query cost."""
+    exploded = vectors.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x")
+    )
+    per_dim = exploded.groupBy("i").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+            / F.count("x"),
+            round_to,
+        ).alias("m")
+    )
+    return (
+        per_dim.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("m")))
+            ).alias("p")
+        )
+        .select(F.transform("p", lambda s: s.getField("m")).alias("c"))
+    )
+
+
+def embedding_mean_sql(
+    vec_rel: str, dim: int, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`embedding_mean` as a CTE body over a
+    relation exposing DOUBLE[] column ``e`` (→ one row ``(c)``)."""
+    return f"""
+    SELECT list(m ORDER BY i) AS c FROM (
+      SELECT r.range AS i,
+             ROUND(CAST(SUM(CAST(e[r.range] AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*), {round_to}) AS m
+      FROM {vec_rel}, range(1, {dim + 1}) r GROUP BY 1
+    ) __m
+    """
+
+
+def lsh_portable_key_centered(
+    vec_col: str, center_col: str, nbits: int = 4
+) -> Column:
+    """:func:`lsh_portable_key` with the hyperplanes through a data
+    centroid instead of the origin: bit j = sign((v − c) · h_j).
+
+    Bag-of-token embeddings of same-vocabulary corpora live in a narrow
+    cone, so origin hyperplanes put most vectors on the same side of
+    every plane (one hot bucket + an empty probe for atypical queries);
+    centering restores a balanced split.  ``center_col`` must hold the
+    SAME rounded values both engines derive (see
+    :func:`embedding_mean`)."""
+    key = F.lit(0)
+    for j in range(nbits):
+        dot = F.expr(
+            f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), "
+            f"sequence(0, size({vec_col}) - 1), (x, i) -> "
+            f"(x - element_at({center_col}, i + 1)) * ("
+            f"(CAST((CAST({LSH_A} AS BIGINT) * ({j} * {LSH_J} + i) "
+            f"+ {LSH_C}) % {LSH_M} AS DOUBLE) - 1000) / 1000.0)), "
+            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        key = key + F.when(dot >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    return key
+
+
 def lsh_portable_topk(
     vectors: DataFrame,
     query: DataFrame,
@@ -228,18 +322,39 @@ def lsh_portable_topk(
     k: int = DEFAULT_TOP_K,
     nbits: int = 4,
     carry_cols: tuple[str, ...] = (),
+    center: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k through the portable LSH: score ONLY the query's
     bucket (expected n/2^nbits candidates), exact cosine rerank inside.
     The probe is an equi-join on the bucket key — at 100 TB the table
     is stored partitioned by key, so a probe reads one partition
-    (same shape as `ivf_topk`'s nprobe pruning)."""
-    keyed = vectors.withColumn("__lsh", lsh_portable_key(vec_col, nbits))
-    q = F.broadcast(
-        query.select(F.col(vec_col).alias("__qvec"))
-        .withColumn("__lsh", lsh_portable_key("__qvec", nbits))
-        .withColumn("__qn", l2_norm("__qvec"))
-    )
+    (same shape as `ivf_topk`'s nprobe pruning).
+
+    ``center`` (a 1-row ``(c array<double>)`` DataFrame, see
+    :func:`embedding_mean`) switches to centered hyperplanes — required
+    for cone-clustered embeddings where origin hyperplanes degenerate
+    to one hot bucket."""
+    if center is not None:
+        c = F.broadcast(center)
+        keyed = vectors.crossJoin(c).withColumn(
+            "__lsh", lsh_portable_key_centered(vec_col, "c", nbits)
+        ).drop("c")
+        q = F.broadcast(
+            query.select(F.col(vec_col).alias("__qvec"))
+            .crossJoin(c)
+            .withColumn(
+                "__lsh", lsh_portable_key_centered("__qvec", "c", nbits)
+            )
+            .drop("c")
+            .withColumn("__qn", l2_norm("__qvec"))
+        )
+    else:
+        keyed = vectors.withColumn("__lsh", lsh_portable_key(vec_col, nbits))
+        q = F.broadcast(
+            query.select(F.col(vec_col).alias("__qvec"))
+            .withColumn("__lsh", lsh_portable_key("__qvec", nbits))
+            .withColumn("__qn", l2_norm("__qvec"))
+        )
     cand = keyed.join(q, "__lsh").withColumn("__vn", l2_norm(vec_col))
     scored = cand.select(
         F.col(id_col),
