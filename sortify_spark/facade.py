@@ -46,6 +46,10 @@ class SearchConfig:
     #: HNSW at 100 TB (probe = one bucket partition, not the corpus).
     ann: str = "exact"
     lsh_nbits: int = 4
+    #: Multi-probe radius: 1 probes the query bucket plus every
+    #: one-bit-flip neighbor (the recall lever; cost (nbits+1)/2^nbits
+    #: of the scan).
+    lsh_probe_hamming: int = 1
 
 
 #: Engines keyed by (applicationId, sf_dir, dim, embed, doc_limit) — the
@@ -196,6 +200,7 @@ class SortifyEngine:
                 k=k,
                 nbits=cfg.lsh_nbits,
                 center=embedding_mean(base),
+                probe_hamming=cfg.lsh_probe_hamming,
             )
         else:
             topk = brute_force_topk(base, q, id_col="document_id", k=k)

@@ -336,8 +336,10 @@ def _lsh_oracle() -> str:
     kz AS (SELECT document_id, e, vn,
                   {lsh_key_sql('e', 4, 'ctr.c')} AS bkt
            FROM vec, ctr WHERE vtype = 'summary'),
-    qz AS (SELECT qe, qn, {lsh_key_sql('qe', 4, 'ctr.c')} AS bkt
+    qz0 AS (SELECT qe, qn, {lsh_key_sql('qe', 4, 'ctr.c')} AS bkt
            FROM q, ctr),
+    qz AS (SELECT qe, qn, xor(bkt, f.v) AS bkt
+           FROM qz0, (SELECT unnest([0, 1, 2, 4, 8]) AS v) f),
     cz AS (SELECT k.document_id, ROUND({cos}, 6) AS score
            FROM kz k JOIN qz ON k.bkt = qz.bkt),
     tz AS (SELECT document_id, score FROM cz
@@ -365,4 +367,71 @@ def q_e2e_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _engine(spark, sf_dir).semantic_search(
         E2E_QUERY, "summary_only", SearchConfig(ann="lsh", lsh_nbits=4)
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    from sortify_spark.search.knn import embedding_mean_sql, lsh_key_sql
+
+    cos = SE.cosine_sql("k.e", "qz.qe", "k.vn", "qz.qn", E2E_DIM)
+    mean = embedding_mean_sql(
+        "(SELECT e FROM vec WHERE vtype = 'summary') __sv", E2E_DIM
+    )
+    return f"""
+    WITH {_base_ctes()},
+    {_scored_ctes("summary", 10, "ex")},
+    ctr AS ({mean}),
+    kz AS (SELECT document_id, e, vn,
+                  {lsh_key_sql('e', 4, 'ctr.c')} AS bkt
+           FROM vec, ctr WHERE vtype = 'summary'),
+    qz0 AS (SELECT qe, qn, {lsh_key_sql('qe', 4, 'ctr.c')} AS bkt
+           FROM q, ctr),
+    qz AS (SELECT qe, qn, xor(bkt, f.v) AS bkt
+           FROM qz0, (SELECT unnest([0, 1, 2, 4, 8]) AS v) f),
+    cz AS (SELECT k.document_id, ROUND({cos}, 6) AS score
+           FROM kz k JOIN qz ON k.bkt = qz.bkt),
+    tz AS (SELECT document_id, score FROM cz
+           ORDER BY score DESC, document_id ASC LIMIT 10),
+    lz AS (SELECT document_id AS id FROM tz GROUP BY document_id)
+    SELECT (SELECT COUNT(*) FROM exs) AS n_exact,
+           (SELECT COUNT(*) FROM lz) AS n_lsh,
+           (SELECT COUNT(*) FROM exs JOIN lz ON exs.id = lz.id)
+               AS n_overlap,
+           ROUND((SELECT COUNT(*) FROM exs JOIN lz ON exs.id = lz.id)
+                 / CAST((SELECT COUNT(*) FROM exs) AS DOUBLE), 4)
+               AS recall_at_10
+    """
+
+
+@register(
+    "facade_lsh_recall",
+    _lsh_recall_oracle(),
+    note="ANN quality contract for the facade LSH probe (the "
+    "ivf_recall_at_10 pattern): recall@10 of the centered-LSH bucket "
+    "probe against the exact brute-force top-10 — BOTH sides replayed "
+    "from raw text by the oracle, so the recall number itself is "
+    "hash-checked, not just reported. Recall < 1 is the designed "
+    "trade (probe cost 1/2^nbits of the scan).",
+)
+def q_facade_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.facade import SearchConfig
+
+    eng = _engine(spark, sf_dir)
+    exact = eng.semantic_search(E2E_QUERY, "summary_only").select("id")
+    approx = eng.semantic_search(
+        E2E_QUERY, "summary_only", SearchConfig(ann="lsh", lsh_nbits=4)
+    ).select("id")
+    overlap = exact.join(approx, "id", "inner")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(overlap.agg(F.count(F.lit(1)).alias("n_overlap")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap") / F.col("n_exact").cast("double"), 4
+            ).alias("recall_at_10"),
+        )
     )

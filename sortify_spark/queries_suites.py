@@ -504,6 +504,15 @@ _suite(
         ),
         ("e2e_search_lsh", dict(key1="id", val="score")),
         (
+            "facade_lsh_recall",
+            dict(
+                key1="CAST(n_exact AS STRING)",
+                key2="CAST(n_lsh AS STRING)",
+                cnt="n_overlap",
+                val="recall_at_10",
+            ),
+        ),
+        (
             "e2e_chunks_for_document",
             dict(
                 key1="document_id",

@@ -323,6 +323,7 @@ def lsh_portable_topk(
     nbits: int = 4,
     carry_cols: tuple[str, ...] = (),
     center: DataFrame | None = None,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """ANN top-k through the portable LSH: score ONLY the query's
     bucket (expected n/2^nbits candidates), exact cosine rerank inside.
@@ -333,13 +334,19 @@ def lsh_portable_topk(
     ``center`` (a 1-row ``(c array<double>)`` DataFrame, see
     :func:`embedding_mean`) switches to centered hyperplanes — required
     for cone-clustered embeddings where origin hyperplanes degenerate
-    to one hot bucket."""
+    to one hot bucket.
+
+    ``probe_hamming=1`` additionally probes every bucket whose key is
+    one bit-flip from the query's (nbits+1 probes of 2^nbits buckets) —
+    the standard multi-probe recall lever: each flipped plane admits
+    the neighbors that fell just on the other side of it, for
+    (nbits+1)/2^nbits of the scan instead of 1/2^nbits."""
     if center is not None:
         c = F.broadcast(center)
         keyed = vectors.crossJoin(c).withColumn(
             "__lsh", lsh_portable_key_centered(vec_col, "c", nbits)
         ).drop("c")
-        q = F.broadcast(
+        q0 = (
             query.select(F.col(vec_col).alias("__qvec"))
             .crossJoin(c)
             .withColumn(
@@ -350,11 +357,17 @@ def lsh_portable_topk(
         )
     else:
         keyed = vectors.withColumn("__lsh", lsh_portable_key(vec_col, nbits))
-        q = F.broadcast(
+        q0 = (
             query.select(F.col(vec_col).alias("__qvec"))
             .withColumn("__lsh", lsh_portable_key("__qvec", nbits))
             .withColumn("__qn", l2_norm("__qvec"))
         )
+    if probe_hamming >= 1:
+        flips = [F.col("__lsh")] + [
+            F.col("__lsh").bitwiseXOR(F.lit(1 << b)) for b in range(nbits)
+        ]
+        q0 = q0.withColumn("__lsh", F.explode(F.array(*flips)))
+    q = F.broadcast(q0)
     cand = keyed.join(q, "__lsh").withColumn("__vn", l2_norm(vec_col))
     scored = cand.select(
         F.col(id_col),
