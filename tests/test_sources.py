@@ -635,3 +635,49 @@ def test_keyed_tables_config_singleton(spark):
     assert config_get(v2, "auto_sync") == "true"  # carried through
     assert v2.count() == 1  # still a singleton
     assert config_get(v2, "missing") is None
+
+
+def test_inc_upsert_fold_equals_total(spark):
+    """$inc-upsert algebra under arbitrary batch splits: folding any
+    partition of the event stream through inc_upsert equals one direct
+    aggregation (associativity the driver query checks for ONE split;
+    here several seeded splits and a 3-way fold)."""
+    import random
+
+    from sortify_spark.operators.keyed_tables import inc_upsert
+
+    rows = [(f"u{i % 7}", f"q{i % 5}", 1, 100 + i) for i in range(200)]
+
+    def agg(batch):
+        df = spark.createDataFrame(
+            batch, "user_id string, question string, n long, ts long"
+        )
+        return df.groupBy("user_id", "question").agg(
+            F.sum("n").alias("use_count"), F.max("ts").alias("last_used_us")
+        )
+
+    want = {
+        (r["user_id"], r["question"]): (r["use_count"], r["last_used_us"])
+        for r in agg(rows).collect()
+    }
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        batches = [[], [], []]
+        for r in rows:
+            batches[rng.randrange(3)].append(r)
+        state = agg(batches[0])
+        for b in batches[1:]:
+            if not b:
+                continue
+            state = inc_upsert(
+                state,
+                agg(b),
+                keys=["user_id", "question"],
+                inc_cols=["use_count"],
+                max_cols=["last_used_us"],
+            )
+        got = {
+            (r["user_id"], r["question"]): (r["use_count"], r["last_used_us"])
+            for r in state.collect()
+        }
+        assert got == want, f"seed {seed}"
