@@ -7,18 +7,23 @@ images (S5) — dispatched on extension/MIME (S6,
 
 Spark shape: a ``binaryFile``-source DataFrame (path, content) →
 type-dispatch column → per-type Arrow-batched extractor UDFs.  The PDF
-and DOCX kernels are import-gated: when pypdf / python-docx are
-installed they extract for real (page-concat / paragraph-join, matching
-the reference); when absent (as in this container) they raise a clear
-``NotImplementedError`` that ``extract_text`` captures per row, and
-tests inject fake parsers to exercise the real branch.  Image OCR stays
-a stub by design (external vision model, injected like every LLM stage).
-TXT decoding is real (and the only one exercised by the synthetic data).
+and DOCX kernels prefer pypdf / python-docx when installed (page-concat
+/ paragraph-join, matching the reference) and otherwise fall back to
+REAL stdlib parsers: DOCX is a zip of XML (``zipfile`` +
+``ElementTree`` — a complete paragraph/run extraction with no external
+dependency), and PDF text lives in content streams (plain or
+FlateDecode, which ``zlib`` inflates) whose ``Tj``/``TJ`` operators the
+fallback decodes — full coverage for plain/Flate PDFs, a captured
+per-row error for exotic encodings.  Image OCR stays a stub by design
+(external vision model, injected like every LLM stage).  TXT decoding
+is real (and the only one exercised by the synthetic data).
 """
 
 from __future__ import annotations
 
 import io
+import re
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -69,33 +74,117 @@ def extract_txt(payload: bytes | None) -> str | None:
     return bytes(payload).decode("utf-8", errors="replace")
 
 
+#: PDF content stream bodies (plain or FlateDecode).
+_PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.S)
+#: Literal-string text operators inside a content stream, matched as one
+#: alternation so ``Tj`` and ``TJ`` decode in STREAM ORDER.
+_PDF_TEXTOP_RE = re.compile(
+    rb"\(((?:\\.|[^\\()])*)\)\s*Tj|\[((?:\\.|[^\]])*)\]\s*TJ"
+)
+_PDF_LIT_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_literal(raw: bytes) -> str:
+    """Decode a PDF literal string body: named escapes + octal \\ddd."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            if nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, len(raw)) and raw[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            out += _PDF_ESCAPES.get(nxt, nxt)
+            i += 2
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def _extract_pdf_stdlib(payload: bytes) -> str:
+    """Best-effort pure-stdlib PDF text extraction: inflate FlateDecode
+    content streams (``zlib``), decode every ``Tj`` / ``TJ`` literal in
+    stream order.  Covers the plain/Flate PDFs that dominate generated
+    documents; raises (→ per-row error capture) when no text operator
+    is found, e.g. exotic filters or image-only pages."""
+    parts: list[str] = []
+    for m in _PDF_STREAM_RE.finditer(payload):
+        data = m.group(1)
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            pass  # not Flate-compressed — treat as a plain stream
+        chunks: list[str] = []
+        for tm in _PDF_TEXTOP_RE.finditer(data):
+            if tm.group(1) is not None:  # (…) Tj
+                chunks.append(_pdf_literal(tm.group(1)))
+            else:  # [ (…) kern (…) ] TJ
+                for lm in _PDF_LIT_RE.finditer(tm.group(2)):
+                    chunks.append(_pdf_literal(lm.group(1)))
+        if chunks:
+            parts.append("".join(chunks))
+    if not parts:
+        raise ValueError(
+            "no text operators found (stdlib PDF fallback handles "
+            "plain/FlateDecode content streams; install pypdf for full "
+            "coverage or inject a kernel via extract_text(kernels=...))"
+        )
+    return "\n".join(parts)
+
+
 def extract_pdf(payload: bytes | None) -> str | None:
-    """S2: pypdf page-text concat, newline-joined — the reference's PDF
-    path (``document_processing_service.py:40-56``).  Import-gated:
-    without pypdf this raises, which ``extract_text`` records as the
-    row's ``extract_error``."""
+    """S2: PDF page-text concat, newline-joined — the reference's PDF
+    path (``document_processing_service.py:40-56``).  Uses pypdf when
+    installed; otherwise the REAL stdlib fallback
+    (:func:`_extract_pdf_stdlib`) parses plain/Flate content streams,
+    raising only for encodings it cannot handle (captured per row)."""
     if payload is None:
         return None
     if _PdfReader is None:
-        raise NotImplementedError(
-            "pdf extraction requires pypdf; install it or inject a kernel "
-            "via extract_text(kernels={'pdf': ...})"
-        )
+        return _extract_pdf_stdlib(bytes(payload))
     reader = _PdfReader(io.BytesIO(bytes(payload)))
     return "\n".join((page.extract_text() or "") for page in reader.pages)
 
 
+_DOCX_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def _extract_docx_stdlib(payload: bytes) -> str:
+    """Pure-stdlib OOXML extraction: a .docx is a zip whose
+    ``word/document.xml`` holds paragraphs (``w:p``) of runs with text
+    (``w:t``) — the same paragraph-join python-docx performs, with no
+    external dependency."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    paras = [
+        "".join(t.text or "" for t in p.iter(f"{_DOCX_W}t"))
+        for p in root.iter(f"{_DOCX_W}p")
+    ]
+    return "\n".join(paras)
+
+
 def extract_docx(payload: bytes | None) -> str | None:
-    """S3: python-docx paragraph join — the reference's DOCX path
-    (``document_processing_service.py:58-75``).  Import-gated like
-    :func:`extract_pdf`."""
+    """S3: DOCX paragraph join — the reference's DOCX path
+    (``document_processing_service.py:58-75``).  Uses python-docx when
+    installed; otherwise the REAL stdlib zip+XML parse
+    (:func:`_extract_docx_stdlib`)."""
     if payload is None:
         return None
     if _DocxDocument is None:
-        raise NotImplementedError(
-            "docx extraction requires python-docx; install it or inject a "
-            "kernel via extract_text(kernels={'docx': ...})"
-        )
+        return _extract_docx_stdlib(bytes(payload))
     doc = _DocxDocument(io.BytesIO(bytes(payload)))
     return "\n".join(p.text for p in doc.paragraphs)
 

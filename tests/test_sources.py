@@ -32,9 +32,10 @@ def test_extract_text_txt_and_error_capture(spark):
         out = {r["kind"]: r for r in extract_text(files).collect()}
     assert out["txt"]["text"] == "hello wörld"
     assert out["txt"]["extract_error"] is None
-    # pdf kernel is a stub → captured per-row, not a job failure
+    # a structureless pdf fails INSIDE its row (no streams to parse),
+    # captured per-row, not a job failure
     assert out["pdf"]["text"] is None
-    assert "NotImplementedError" in out["pdf"]["extract_error"]
+    assert "no text operators" in out["pdf"]["extract_error"]
 
 
 def test_extract_text_kernel_injection(spark):
@@ -86,18 +87,36 @@ def test_extract_pdf_docx_library_branch(monkeypatch):
     assert extractors.extract_docx(None) is None
 
 
-def test_extract_pdf_docx_fallback_without_library(monkeypatch):
-    """Without the libraries the kernels raise NotImplementedError (which
-    extract_text captures per row — see error-capture test above)."""
+def test_extract_pdf_docx_stdlib_fallback(monkeypatch):
+    """Without the libraries the kernels extract FOR REAL via the
+    stdlib parsers (zip+XML for DOCX, content-stream Tj/TJ decode for
+    PDF); only genuinely unparseable bytes raise (captured per row)."""
     import pytest
 
     from sortify_spark.sources import extractors
 
     monkeypatch.setattr(extractors, "_PdfReader", None)
     monkeypatch.setattr(extractors, "_DocxDocument", None)
-    with pytest.raises(NotImplementedError):
+    assert (
+        extractors.extract_pdf(_minimal_pdf_bytes("Real PDF text"))
+        == "Real PDF text"
+    )
+    assert (
+        extractors.extract_docx(_minimal_docx_bytes("Real DOCX text"))
+        == "Real DOCX text"
+    )
+    # escapes + TJ arrays decode too
+    stream = rb"BT [ (A\(b\)) -120 (c) ] TJ (\110i) Tj ET"
+    pdf = _pdf_with_stream(stream)
+    assert extractors.extract_pdf(pdf) == "A(b)cHi"
+    # FlateDecode streams inflate via zlib
+    import zlib as _z
+
+    flate = _pdf_with_stream(_z.compress(b"BT (Deflated body) Tj ET"))
+    assert extractors.extract_pdf(flate) == "Deflated body"
+    with pytest.raises(ValueError):
         extractors.extract_pdf(b"%PDF-fake")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception):
         extractors.extract_docx(b"PK-fake")
 
 
@@ -323,6 +342,20 @@ def test_read_corpus_formats_roundtrip(spark, tmp_path):
         read_corpus(spark, pq, "xml")
 
 
+def _pdf_with_stream(stream: bytes) -> bytes:
+    """Wrap an arbitrary content stream in minimal valid PDF structure."""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(stream)).encode() + b" >> stream\n"
+        + stream + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
 def _minimal_pdf_bytes(text: str) -> bytes:
     """A structurally valid single-page PDF with one text-draw operator —
     real bytes through the real parser when pypdf is installed."""
@@ -386,12 +419,10 @@ def _minimal_docx_bytes(text: str) -> bytes:
 
 
 def test_extract_real_bytes_golden(spark):
-    """VERDICT r2 item 7: real (structurally valid) PDF/DOCX bytes
-    through the NON-monkeypatched dispatch.  With the libraries absent
-    (this container) the import gate is captured per-row while sibling
-    rows keep extracting; with them present the kernels extract the
-    planted sentence for real — the same test passes in both worlds."""
-    from sortify_spark.sources import extractors
+    """VERDICT r2 item 7 → closed in r4: real (structurally valid)
+    PDF/DOCX bytes through the NON-monkeypatched dispatch extract the
+    planted sentence FOR REAL in both worlds — via pypdf/python-docx
+    when installed, via the stdlib fallback parsers otherwise."""
     from sortify_spark.sources.extractors import extract_text, read_binary_files
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -406,16 +437,10 @@ def test_extract_real_bytes_golden(spark):
 
     assert out["txt"]["text"] == "plain text row"
     assert out["txt"]["extract_error"] is None
-    if extractors._PdfReader is None:
-        assert out["pdf"]["text"] is None
-        assert "NotImplementedError" in out["pdf"]["extract_error"]
-    else:  # pragma: no cover — library not in this container
-        assert "Hello Spark PDF" in out["pdf"]["text"]
-    if extractors._DocxDocument is None:
-        assert out["docx"]["text"] is None
-        assert "NotImplementedError" in out["docx"]["extract_error"]
-    else:  # pragma: no cover
-        assert "Hello Spark DOCX" in out["docx"]["text"]
+    assert "Hello Spark PDF" in out["pdf"]["text"]
+    assert out["pdf"]["extract_error"] is None
+    assert "Hello Spark DOCX" in out["docx"]["text"]
+    assert out["docx"]["extract_error"] is None
 
 
 def test_load_table_normalizes_timestamp_ntz(spark):
