@@ -190,7 +190,10 @@ def main() -> None:
                 .orderBy(F.desc("size"), F.asc("component"))
             )
             r = agg.collect()
-            return {"rows": len(r), "max_component": int(r[0]["size"])}
+            return {
+                "rows": len(r),
+                "max_component": int(r[0]["size"]) if r else 0,
+            }
 
         stage("neardup_component_sizes", neardup)
 

@@ -124,6 +124,10 @@ class SortifyEngine:
         #: Result cache for repeated searches (reference caches AI search
         #: responses keyed by question hash, ``ai_cache_manager.py:244-257``).
         self.result_cache = QueryResultCache()
+        #: Per-(vtype, nbits) LSH index: (center, keyed vectors) built
+        #: once and persisted — a query probe must not pay the
+        #: center/key build again (write-once index, like self.vectors).
+        self._lsh_cache: dict[tuple[str, int], tuple[DataFrame, DataFrame]] = {}
 
     # -- documents ---------------------------------------------------------
 
@@ -183,32 +187,61 @@ class SortifyEngine:
         scored, exact cosine rerank inside — recall < 1 by construction,
         cost 1/2^nbits of the scan.
         """
-        from sortify_spark.search.knn import embedding_mean, lsh_portable_topk
+        from sortify_spark.search.knn import lsh_portable_topk
 
         q = self._query_df(query_text)
-        base = self.vectors.filter(F.col("vtype") == vtype)
         if cfg is not None and cfg.ann == "lsh":
-            # Centered hyperplanes: same-vocabulary corpora embed into a
-            # narrow cone, so origin hyperplanes degenerate to one hot
-            # bucket (measured: 165/300 docs in bucket 0, query alone in
-            # an empty one).  The deterministic rounded mean keeps the
-            # key oracle-reproducible.
+            center, keyed = self._lsh_index(vtype, cfg.lsh_nbits)
             topk = lsh_portable_topk(
-                base,
+                keyed,
                 q,
                 id_col="document_id",
                 k=k,
                 nbits=cfg.lsh_nbits,
-                center=embedding_mean(base),
+                center=center,
                 probe_hamming=cfg.lsh_probe_hamming,
+                pre_keyed=True,
             )
         else:
+            base = self.vectors.filter(F.col("vtype") == vtype)
             topk = brute_force_topk(base, q, id_col="document_id", k=k)
         return (
             topk.select(F.col("document_id").alias("id"), "score")
             .groupBy("id")
             .agg(F.max("score").alias("score"))
         )
+
+    def _lsh_index(
+        self, vtype: str, nbits: int
+    ) -> tuple[DataFrame, DataFrame]:
+        """Build-once (center, keyed-vectors) LSH index per vtype.
+
+        Centered hyperplanes: same-vocabulary corpora embed into a
+        narrow cone, so origin hyperplanes degenerate to one hot bucket
+        (measured: 165/300 docs in bucket 0, query alone in an empty
+        one).  The deterministic rounded mean keeps the key
+        oracle-reproducible.  Both halves persist — a probe pays only
+        the query keying + bucket join, never the index build."""
+        from sortify_spark.search.knn import (
+            embedding_mean,
+            lsh_portable_key_centered,
+        )
+
+        key = (vtype, nbits)
+        if key not in self._lsh_cache:
+            base = self.vectors.filter(F.col("vtype") == vtype)
+            center = embedding_mean(base).persist()
+            keyed = (
+                base.crossJoin(F.broadcast(center))
+                .withColumn(
+                    "__lsh",
+                    lsh_portable_key_centered("embedding", "c", nbits),
+                )
+                .drop("c")
+                .persist()
+            )
+            self._lsh_cache[key] = (center, keyed)
+        return self._lsh_cache[key]
 
     def semantic_search(
         self,

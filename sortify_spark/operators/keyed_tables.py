@@ -80,7 +80,13 @@ def keyed_set_upsert(
     operation: rows of ``existing`` whose key has an update are replaced
     wholesale, unmatched updates insert (crud_suggested_questions.py:
     132-148, crud_device_tokens.py rotate path).  The update side
-    broadcasts; the table never shuffles."""
+    broadcasts; the table never shuffles.
+
+    The one-row-per-key table invariant is enforced: duplicate keys in
+    one update batch are collapsed (``dropDuplicates`` — ARBITRARY
+    winner, like a racing pair of ``update_one`` calls; dedupe upstream
+    when the winner matters, same caveat as ``upsert_stream``)."""
+    updates = updates.dropDuplicates(list(keys))
     keep = existing.join(
         F.broadcast(updates.select(*keys).distinct()), keys, "left_anti"
     )
@@ -141,7 +147,11 @@ def mark_question_used(
             F.struct(
                 q.getField("id").alias("id"),
                 q.getField("question").alias("question"),
-                (q.getField("use_count") + 1).alias("use_count"),
+                # $inc on a missing counter creates it as 1 — a null
+                # use_count must not null-poison the increment
+                (
+                    F.coalesce(q.getField("use_count"), F.lit(0)) + 1
+                ).alias("use_count"),
                 F.lit(now).cast("timestamp").alias("last_used_at"),
             ),
         ).otherwise(q),
@@ -189,9 +199,15 @@ def deactivate_tokens(
     tokens: DataFrame, device_ids: DataFrame
 ) -> DataFrame:
     """``is_active=False`` for the listed devices (crud_device_tokens.py
-    deactivate path) — broadcast semi-membership flag, no shuffle."""
+    deactivate path) — broadcast semi-membership flag, no shuffle.
+    The id list is deduplicated so a device deactivated twice in one
+    batch cannot duplicate its token row through the join."""
     flagged = tokens.join(
-        F.broadcast(device_ids.select("device_id").withColumn("__hit", F.lit(True))),
+        F.broadcast(
+            device_ids.select("device_id")
+            .distinct()
+            .withColumn("__hit", F.lit(True))
+        ),
         "device_id",
         "left_outer",
     )

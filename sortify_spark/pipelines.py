@@ -24,6 +24,48 @@ from sortify_spark.functions.vectors import hash_embed_udf
 SUMMARY_MAX_CHARS = 512  # reference embedding input truncation
 
 
+def _owner_expr(owner_col: str | None):
+    return F.col(owner_col).cast("string") if owner_col else F.lit("default")
+
+
+def _summary_branch(
+    documents: DataFrame, id_col: str, text_col: str, owner_col: str | None
+) -> DataFrame:
+    """The summary half of the write path, shared by both encoders:
+    1 row per doc, text hard-truncated to the reference's embedding
+    input budget."""
+    return documents.select(
+        F.col(id_col).cast("string").alias("document_id"),
+        _owner_expr(owner_col).alias("owner_id"),
+        F.lit("summary").alias("vtype"),
+        F.lit(0).alias("chunk_index"),
+        F.lit(1).alias("total_chunks"),
+        truncate_col(F.col(text_col), SUMMARY_MAX_CHARS).alias("chunk_text"),
+    )
+
+
+def _assemble_vectors(
+    summary: DataFrame, chunks: DataFrame, embed_col
+) -> DataFrame:
+    """Union the two branches onto the vectors-table schema and attach
+    embeddings — the shared tail of both write paths (editing the
+    vector_id format or output schema in one place keeps the hash-mode
+    and expr-mode indexes in lockstep)."""
+    unioned = summary.unionByName(chunks)
+    return unioned.select(
+        F.concat_ws(
+            "#", "document_id", "vtype", F.col("chunk_index").cast("string")
+        ).alias("vector_id"),
+        "document_id",
+        "owner_id",
+        "vtype",
+        "chunk_index",
+        "total_chunks",
+        "chunk_text",
+        embed_col(F.col("chunk_text")).alias("embedding"),
+    )
+
+
 def ingest_vectorize(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -43,20 +85,7 @@ def ingest_vectorize(
     streaming.vectorize_stream for the same plan under foreachBatch).
     """
     embed = hash_embed_udf(dim)
-
-    def owner_expr():
-        return (
-            F.col(owner_col).cast("string") if owner_col else F.lit("default")
-        )
-
-    summary = documents.select(
-        F.col(id_col).cast("string").alias("document_id"),
-        owner_expr().alias("owner_id"),
-        F.lit("summary").alias("vtype"),
-        F.lit(0).alias("chunk_index"),
-        F.lit(1).alias("total_chunks"),
-        truncate_col(F.col(text_col), SUMMARY_MAX_CHARS).alias("chunk_text"),
-    )
+    summary = _summary_branch(documents, id_col, text_col, owner_col)
     chunks = explode_chunks(
         documents,
         id_col,
@@ -66,25 +95,13 @@ def ingest_vectorize(
         carry_cols=(owner_col,) if owner_col else (),
     ).select(
         F.col(id_col).cast("string").alias("document_id"),
-        owner_expr().alias("owner_id"),
+        _owner_expr(owner_col).alias("owner_id"),
         F.lit("chunk").alias("vtype"),
         F.col("chunk_index"),
         F.col("total_chunks"),
         F.col("chunk_text"),
     )
-    unioned = summary.unionByName(chunks)
-    return unioned.select(
-        F.concat_ws("#", "document_id", "vtype", F.col("chunk_index").cast("string")).alias(
-            "vector_id"
-        ),
-        "document_id",
-        "owner_id",
-        "vtype",
-        "chunk_index",
-        "total_chunks",
-        "chunk_text",
-        embed(F.col("chunk_text")).alias("embedding"),
-    )
+    return _assemble_vectors(summary, chunks, lambda c: embed(c))
 
 
 def ingest_vectorize_expr(
@@ -112,20 +129,7 @@ def ingest_vectorize_expr(
     from sortify_spark.functions.sql_embed import expr_embed
 
     stride = chunk_size - overlap
-
-    def owner_expr():
-        return (
-            F.col(owner_col).cast("string") if owner_col else F.lit("default")
-        )
-
-    summary = documents.select(
-        F.col(id_col).cast("string").alias("document_id"),
-        owner_expr().alias("owner_id"),
-        F.lit("summary").alias("vtype"),
-        F.lit(0).alias("chunk_index"),
-        F.lit(1).alias("total_chunks"),
-        truncate_col(F.col(text_col), SUMMARY_MAX_CHARS).alias("chunk_text"),
-    )
+    summary = _summary_branch(documents, id_col, text_col, owner_col)
     n_chunks = F.ceil(
         F.greatest(F.length(text_col) - overlap, F.lit(1)) / stride
     ).cast("int")
@@ -133,7 +137,7 @@ def ingest_vectorize_expr(
         documents.filter(F.length(text_col) > 0)
         .select(
             F.col(id_col).cast("string").alias("document_id"),
-            owner_expr().alias("owner_id"),
+            _owner_expr(owner_col).alias("owner_id"),
             n_chunks.alias("total_chunks"),
             F.posexplode(
                 F.sequence(F.lit(1), n_chunks)
@@ -151,18 +155,8 @@ def ingest_vectorize_expr(
             .alias("chunk_text"),
         )
     )
-    unioned = summary.unionByName(chunks, allowMissingColumns=False)
-    return unioned.select(
-        F.concat_ws(
-            "#", "document_id", "vtype", F.col("chunk_index").cast("string")
-        ).alias("vector_id"),
-        "document_id",
-        "owner_id",
-        "vtype",
-        "chunk_index",
-        "total_chunks",
-        "chunk_text",
-        expr_embed(F.col("chunk_text"), dim).alias("embedding"),
+    return _assemble_vectors(
+        summary, chunks, lambda c: expr_embed(c, dim)
     )
 
 

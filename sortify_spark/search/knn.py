@@ -324,6 +324,7 @@ def lsh_portable_topk(
     carry_cols: tuple[str, ...] = (),
     center: DataFrame | None = None,
     probe_hamming: int = 0,
+    pre_keyed: bool = False,
 ) -> DataFrame:
     """ANN top-k through the portable LSH: score ONLY the query's
     bucket (expected n/2^nbits candidates), exact cosine rerank inside.
@@ -340,12 +341,20 @@ def lsh_portable_topk(
     one bit-flip from the query's (nbits+1 probes of 2^nbits buckets) —
     the standard multi-probe recall lever: each flipped plane admits
     the neighbors that fell just on the other side of it, for
-    (nbits+1)/2^nbits of the scan instead of 1/2^nbits."""
+    (nbits+1)/2^nbits of the scan instead of 1/2^nbits.
+
+    ``pre_keyed=True`` means ``vectors`` already carries the ``__lsh``
+    key column (a persisted, write-once index — the shape repeated
+    queries should use; the facade caches it per engine) and only the
+    query side is keyed here."""
     if center is not None:
         c = F.broadcast(center)
-        keyed = vectors.crossJoin(c).withColumn(
-            "__lsh", lsh_portable_key_centered(vec_col, "c", nbits)
-        ).drop("c")
+        if pre_keyed:
+            keyed = vectors
+        else:
+            keyed = vectors.crossJoin(c).withColumn(
+                "__lsh", lsh_portable_key_centered(vec_col, "c", nbits)
+            ).drop("c")
         q0 = (
             query.select(F.col(vec_col).alias("__qvec"))
             .crossJoin(c)
@@ -356,7 +365,11 @@ def lsh_portable_topk(
             .withColumn("__qn", l2_norm("__qvec"))
         )
     else:
-        keyed = vectors.withColumn("__lsh", lsh_portable_key(vec_col, nbits))
+        keyed = (
+            vectors
+            if pre_keyed
+            else vectors.withColumn("__lsh", lsh_portable_key(vec_col, nbits))
+        )
         q0 = (
             query.select(F.col(vec_col).alias("__qvec"))
             .withColumn("__lsh", lsh_portable_key("__qvec", nbits))

@@ -13,8 +13,10 @@ REAL stdlib parsers: DOCX is a zip of XML (``zipfile`` +
 ``ElementTree`` — a complete paragraph/run extraction with no external
 dependency), and PDF text lives in content streams (plain or
 FlateDecode, which ``zlib`` inflates) whose ``Tj``/``TJ`` operators the
-fallback decodes — full coverage for plain/Flate PDFs, a captured
-per-row error for exotic encodings.  Image OCR stays a stub by design
+fallback decodes — covers common plain/Flate PDFs (literal-string text
+operators, ≤1 level of nested parens); hex strings, exotic filters,
+and deeper nesting surface as a captured per-row error or partial
+text.  Image OCR stays a stub by design
 (external vision model, injected like every LLM stage).  TXT decoding
 is real (and the only one exercised by the synthetic data).
 """
@@ -76,12 +78,17 @@ def extract_txt(payload: bytes | None) -> str | None:
 
 #: PDF content stream bodies (plain or FlateDecode).
 _PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)(?:\r?\n)?endstream", re.S)
+#: One PDF literal-string body: escapes, plus ONE level of balanced
+#: unescaped nested parentheses (legal per spec; deeper nesting is rare
+#: and documented as out of the fallback's scope).
+_PDF_LIT_BODY = rb"(?:\\.|[^\\()]|\((?:\\.|[^\\()])*\))*"
 #: Literal-string text operators inside a content stream, matched as one
 #: alternation so ``Tj`` and ``TJ`` decode in STREAM ORDER.
 _PDF_TEXTOP_RE = re.compile(
-    rb"\(((?:\\.|[^\\()])*)\)\s*Tj|\[((?:\\.|[^\]])*)\]\s*TJ"
+    rb"\((" + _PDF_LIT_BODY + rb")\)\s*Tj"
+    rb"|\[((?:\\.|[^\]])*)\]\s*TJ"
 )
-_PDF_LIT_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
+_PDF_LIT_RE = re.compile(rb"\((" + _PDF_LIT_BODY + rb")\)")
 _PDF_ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
     b"(": b"(", b")": b")", b"\\": b"\\",
@@ -89,16 +96,21 @@ _PDF_ESCAPES = {
 
 
 def _pdf_literal(raw: bytes) -> str:
-    """Decode a PDF literal string body: named escapes + octal \\ddd."""
+    """Decode a PDF literal string body: named escapes + octal escapes
+    of 1-3 OCTAL digits (``\\8`` is a literal '8' per spec — only 0-7
+    participate in the octal form)."""
     out = bytearray()
     i = 0
     while i < len(raw):
         c = raw[i : i + 1]
         if c == b"\\" and i + 1 < len(raw):
             nxt = raw[i + 1 : i + 2]
-            if nxt.isdigit():
+            if b"0" <= nxt <= b"7":
                 j = i + 1
-                while j < min(i + 4, len(raw)) and raw[j : j + 1].isdigit():
+                while (
+                    j < min(i + 4, len(raw))
+                    and b"0" <= raw[j : j + 1] <= b"7"
+                ):
                     j += 1
                 out.append(int(raw[i + 1 : j], 8) & 0xFF)
                 i = j

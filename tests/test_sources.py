@@ -706,3 +706,56 @@ def test_inc_upsert_fold_equals_total(spark):
             for r in state.collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_pdf_literal_octal_spec_and_nested_parens():
+    """Review findings: \\8/\\9 are literal digits (octal uses 0-7 only,
+    1-3 digits); one level of balanced unescaped parens is legal and
+    must not drop the operator."""
+    from sortify_spark.sources import extractors
+
+    assert extractors._pdf_literal(rb"pct\9end") == "pct9end"
+    assert extractors._pdf_literal(rb"x\608y") == "x08y"  # \60='0', then 8
+    assert extractors._pdf_literal(rb"\101\102") == "AB"
+    pdf = _pdf_with_stream(rb"BT (a(b)c) Tj ET")
+    assert extractors._extract_pdf_stdlib(pdf) == "a(b)c"
+
+
+def test_keyed_tables_duplicate_key_batches(spark):
+    """Review findings: duplicate keys in an update batch must not break
+    the one-row-per-key invariant; duplicate ids in a deactivation list
+    must not duplicate token rows; a null use_count increments to 1."""
+    import datetime as dt
+
+    from sortify_spark.operators.keyed_tables import (
+        SUGGESTED_QUESTIONS_SCHEMA,
+        deactivate_tokens,
+        keyed_set_upsert,
+        mark_question_used,
+    )
+
+    tokens = spark.createDataFrame(
+        [("d1", "t1", True), ("d2", "t2", True)],
+        "device_id string, refresh_token string, is_active boolean",
+    )
+    dup_updates = spark.createDataFrame(
+        [("d1", "rot-a", True), ("d1", "rot-b", True)],
+        "device_id string, refresh_token string, is_active boolean",
+    )
+    merged = keyed_set_upsert(tokens, dup_updates, ["device_id"])
+    assert merged.filter(F.col("device_id") == "d1").count() == 1
+    assert merged.count() == 2
+
+    dup_ids = spark.createDataFrame(
+        [("d1",), ("d1",)], "device_id string"
+    )
+    deact = deactivate_tokens(tokens, dup_ids)
+    assert deact.count() == 2  # no row duplication
+    assert deact.filter(F.col("device_id") == "d1").first()["is_active"] is False
+
+    q = spark.createDataFrame(
+        [("u1", [("q1", "?", None, None)], dt.datetime(2026, 1, 1), 1, 1)],
+        SUGGESTED_QUESTIONS_SCHEMA,
+    )
+    out = mark_question_used(q, "u1", "q1", dt.datetime(2026, 2, 1)).first()
+    assert out["questions"][0]["use_count"] == 1  # null counter -> 1
