@@ -177,7 +177,7 @@ def main() -> None:
                 "token_budget"
             ),
         )
-        rows = stage(
+        stage(
             "quality_mix_budget",
             lambda: {"rows": len(final.collect())},
         )

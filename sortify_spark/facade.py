@@ -168,7 +168,7 @@ class SortifyEngine:
             ).select(expr_embed(F.col("t"), self.dim).alias("embedding"))
         vec = hash_embed_text(query_text[:512], self.dim)
         return self.spark.createDataFrame(
-            [(vec,)], f"embedding array<float>"
+            [(vec,)], "embedding array<float>"
         )
 
     def _scored(
