@@ -1,0 +1,195 @@
+"""Versioned parquet tables: atomic multi-partition upserts without a
+lakehouse dependency (the documented upgrade for ``upsert_partitioned``'s
+non-atomicity — SCALE.md "known trade-offs").
+
+Delta/Iceberg solve this with a transaction log; the same core idea fits
+in one small protocol over plain parquet:
+
+* data lives in immutable version directories ``v=N/<part>=<val>/``;
+  an upsert writes ONLY its affected partitions into a NEW version dir
+  (cost scales with the update's partition footprint, like
+  ``upsert_partitioned``);
+* a JSON **manifest** maps each partition value to the version dir that
+  last rewrote it; the manifest is swapped atomically
+  (``os.replace``), so readers see the old snapshot or the new one,
+  never a half-written mix — this is the commit point;
+* every committed manifest is retained as ``_MANIFEST.v<N>`` →
+  snapshot reads (time travel) and O(1) rollback for free.
+
+A writer crash before the manifest swap leaves an orphan ``v=N`` dir
+that no reader can observe; re-running the upsert is safe (next version
+number).  Concurrent WRITERS are out of scope (single-writer protocol,
+like a Delta table without a locking service); concurrent readers are
+always consistent because they resolve one manifest.
+
+At 100 TB the manifest would list files instead of partition dirs and
+live on the object store with put-if-absent commits — the protocol is
+the same; this module keeps it at partition granularity, which is
+already exactly the granularity ``upsert_partitioned`` rewrites.
+
+Reference anchor: the reference's in-place ``update_many`` mutations
+(``clustering_service.py:888-958``) assume Mongo's document atomicity;
+this gives the columnar store the equivalent all-or-nothing visibility.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "_MANIFEST"
+
+
+def _manifest_path(path: str, version: int | None = None) -> str:
+    return os.path.join(
+        path, _MANIFEST if version is None else f"{_MANIFEST}.v{version}"
+    )
+
+
+def read_manifest(path: str, version: int | None = None) -> dict:
+    """Current (or pinned-version) manifest; empty table → version 0."""
+    mp = _manifest_path(path, version)
+    if not os.path.exists(mp):
+        if version is not None:
+            raise FileNotFoundError(f"no manifest for version {version}")
+        return {"version": 0, "partitions": {}}
+    with open(mp) as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(path: str, manifest: dict) -> None:
+    """Write ``_MANIFEST.vN`` then atomically swap ``_MANIFEST`` — the
+    single commit point of the protocol."""
+    os.makedirs(path, exist_ok=True)
+    versioned = _manifest_path(path, manifest["version"])
+    with open(versioned, "w") as fh:
+        json.dump(manifest, fh)
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._manifest_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(path))
+
+
+def read_versioned(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read: resolve ONE manifest, union each partition's
+    current directory with the partition value restored.  ``version``
+    pins a historical snapshot (time travel)."""
+    manifest = read_manifest(path, version)
+    parts = manifest["partitions"]
+    if not parts:
+        raise FileNotFoundError(f"versioned table at {path} is empty")
+    out: DataFrame | None = None
+    for value, rel in sorted(parts.items()):
+        df = spark.read.parquet(os.path.join(path, rel)).withColumn(
+            partition_col, F.lit(value)
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def upsert_versioned(
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_col: str,
+) -> int:
+    """Keyed upsert as an atomic new version; returns the committed
+    version number.
+
+    Affected partitions = the update's distinct partition values; their
+    current rows load from the manifest's dirs, matched keys are
+    replaced (broadcast anti-join — the existing data never shuffles),
+    and the merged partitions write into ``v=N``.  Untouched partitions
+    are neither read nor written — the new manifest simply keeps
+    pointing at their old dirs.  Readers switch snapshots at the
+    manifest swap, atomically across ALL partitions."""
+    spark = updates.sparkSession
+    manifest = read_manifest(path)
+    new_version = manifest["version"] + 1
+    affected = [
+        str(r[0])
+        for r in updates.select(
+            F.col(partition_col).cast("string")
+        ).distinct().collect()
+    ]
+    merged: DataFrame | None = None
+    for value in affected:
+        upd = updates.filter(
+            F.col(partition_col).cast("string") == value
+        )
+        rel = manifest["partitions"].get(value)
+        if rel is None:
+            part_merged = upd
+        else:
+            existing = (
+                spark.read.parquet(os.path.join(path, rel))
+                .withColumn(partition_col, F.lit(value))
+            )
+            keep = existing.join(
+                F.broadcast(upd.select(*keys).distinct()),
+                list(keys),
+                "left_anti",
+            )
+            part_merged = keep.unionByName(upd.select(*keep.columns))
+        merged = (
+            part_merged
+            if merged is None
+            else merged.unionByName(part_merged)
+        )
+    vdir = os.path.join(path, f"v={new_version}")
+    (
+        merged.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(vdir)
+    )
+    new_parts = dict(manifest["partitions"])
+    for value in affected:
+        new_parts[value] = f"v={new_version}/{partition_col}={value}"
+    _commit_manifest(
+        path, {"version": new_version, "partitions": new_parts}
+    )
+    return new_version
+
+
+def rollback(path: str, version: int) -> None:
+    """O(1) rollback: re-commit a retained historical manifest as the
+    current one (data dirs are immutable, nothing is rewritten)."""
+    manifest = read_manifest(path, version)
+    _commit_manifest(path, manifest)
+
+
+def vacuum(path: str, keep_last: int = 2) -> list[int]:
+    """Delete version dirs (and retained manifests) not referenced by
+    the current manifest and older than the last ``keep_last``
+    committed versions.  Returns removed version numbers.  Run only
+    when no reader can hold a snapshot older than the horizon — same
+    contract as Delta's VACUUM."""
+    import shutil
+
+    manifest = read_manifest(path)
+    live = {
+        rel.split("/", 1)[0] for rel in manifest["partitions"].values()
+    }
+    horizon = manifest["version"] - keep_last
+    removed = []
+    for entry in os.listdir(path):
+        if entry.startswith("v="):
+            v = int(entry.split("=", 1)[1])
+            if v <= horizon and entry not in live:
+                shutil.rmtree(os.path.join(path, entry))
+                removed.append(v)
+        elif entry.startswith(f"{_MANIFEST}.v"):
+            v = int(entry.rsplit(".v", 1)[1])
+            if v <= horizon:
+                os.remove(os.path.join(path, entry))
+    return sorted(removed)

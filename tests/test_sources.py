@@ -759,3 +759,80 @@ def test_keyed_tables_duplicate_key_batches(spark):
     )
     out = mark_question_used(q, "u1", "q1", dt.datetime(2026, 2, 1)).first()
     assert out["questions"][0]["use_count"] == 1  # null counter -> 1
+
+
+def test_versioned_table_atomic_upsert_time_travel_rollback(spark):
+    """Versioned-table protocol: upserts commit atomically across
+    partitions via the manifest swap; pinned-version reads (time
+    travel) and rollback reconstruct earlier snapshots exactly; an
+    uncommitted version dir is invisible; vacuum removes only
+    unreferenced versions past the horizon."""
+    from sortify_spark.sources.versioned import (
+        read_manifest,
+        read_versioned,
+        rollback,
+        upsert_versioned,
+        vacuum,
+    )
+
+    def rows_of(df):
+        return {
+            (r["doc_id"], r["source"], r["n"]) for r in df.collect()
+        }
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/docs"
+        v1 = upsert_versioned(
+            spark.createDataFrame(
+                [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+                "doc_id long, source string, n long",
+            ),
+            path,
+            keys=["doc_id"],
+            partition_col="source",
+        )
+        assert v1 == 1
+        # v2 touches only partition a: replaces doc 1, inserts doc 4
+        v2 = upsert_versioned(
+            spark.createDataFrame(
+                [(1, "a", 11), (4, "a", 40)],
+                "doc_id long, source string, n long",
+            ),
+            path,
+            keys=["doc_id"],
+            partition_col="source",
+        )
+        assert v2 == 2
+        now = read_versioned(spark, path, "source")
+        assert rows_of(now) == {
+            (1, "a", 11), (2, "a", 20), (4, "a", 40), (3, "b", 30)
+        }
+        # untouched partition b still points at v=1 (never rewritten)
+        m = read_manifest(path)
+        assert m["partitions"]["b"].startswith("v=1/")
+        assert m["partitions"]["a"].startswith("v=2/")
+        # time travel reads snapshot 1 exactly
+        old = read_versioned(spark, path, "source", version=1)
+        assert rows_of(old) == {(1, "a", 10), (2, "a", 20), (3, "b", 30)}
+        # an orphan version dir without a manifest swap is invisible
+        os.makedirs(f"{path}/v=99/source=zzz", exist_ok=True)
+        assert "zzz" not in read_manifest(path)["partitions"]
+        # rollback = O(1) manifest re-commit
+        rollback(path, 1)
+        assert rows_of(read_versioned(spark, path, "source")) == rows_of(old)
+        # roll forward again and vacuum with a horizon keeping all
+        rollback(path, 2)
+        v3 = upsert_versioned(
+            spark.createDataFrame(
+                [(3, "b", 31)], "doc_id long, source string, n long"
+            ),
+            path,
+            keys=["doc_id"],
+            partition_col="source",
+        )
+        assert v3 == 3
+        removed = vacuum(path, keep_last=3)
+        assert removed == []  # nothing past the horizon
+        assert rows_of(read_versioned(spark, path, "source")) == {
+            (1, "a", 11), (2, "a", 20), (4, "a", 40), (3, "b", 31)
+        }
