@@ -423,12 +423,19 @@ def upsert_stream(
     keys: tuple[str, ...] = ("doc_id",),
     partition_cols: tuple[str, ...] = ("source",),
     available_now: bool = True,
+    versioned: bool = False,
 ):
     """Streaming keyed upsert: every micro-batch MERGEs into the
     partitioned parquet table via :func:`sinks.upsert_partitioned` —
     the CDC-style sink the reference's in-place Mongo updates imply
     (``document_service`` update paths), expressed as stream →
     foreachBatch → keyed partition overwrite.
+
+    ``versioned=True`` commits each micro-batch through
+    :mod:`sources.versioned` instead: the merge becomes an ATOMIC
+    manifest swap, so a reader never observes a half-applied batch and
+    every micro-batch is a time-travelable snapshot (one partition
+    column only — the protocol's granularity).
 
     Replay safety: a restart may re-deliver the last uncommitted batch,
     and keyed upsert is idempotent (re-applying rewrites the same rows
@@ -443,6 +450,10 @@ def upsert_stream(
     shuffles); partition layout chooses the rewrite amplification.
     """
     from sortify_spark.sources.sinks import upsert_partitioned
+    from sortify_spark.sources.versioned import upsert_versioned
+
+    if versioned and len(partition_cols) != 1:
+        raise ValueError("versioned upsert_stream needs ONE partition col")
 
     docs = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
@@ -451,10 +462,18 @@ def upsert_stream(
     )
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        upsert_partitioned(
-            batch_df, table_path, keys=list(keys),
-            partition_cols=list(partition_cols),
-        )
+        if versioned:
+            upsert_versioned(
+                batch_df,
+                table_path,
+                keys=list(keys),
+                partition_col=partition_cols[0],
+            )
+        else:
+            upsert_partitioned(
+                batch_df, table_path, keys=list(keys),
+                partition_cols=list(partition_cols),
+            )
 
     writer = docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -486,3 +486,45 @@ def test_vectorize_stream_expr_mode_matches_batch(spark, docs):
             ).collect()
         }
         assert got == want
+
+
+def test_upsert_stream_versioned_snapshots(spark, docs):
+    """versioned=True: each micro-batch commits through the manifest
+    swap — final content equals the keyed merge, and the pre-batch
+    snapshot remains time-travelable."""
+    from sortify_spark.sources.versioned import read_manifest, read_versioned
+    from sortify_spark.streaming.pipeline import upsert_stream
+
+    base = docs.filter(F.col("doc_id") < 20).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    update = base.filter(F.col("doc_id") < 5).withColumn(
+        "n_chars", F.col("n_chars") + 1000
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, table, ckpt = f"{tmp}/in", f"{tmp}/table", f"{tmp}/ckpt"
+        base.coalesce(1).write.mode("append").parquet(inp)
+        q = upsert_stream(
+            spark, inp, table, ckpt, keys=("doc_id",),
+            partition_cols=("source",), versioned=True,
+        )
+        q.awaitTermination(120)
+        update.coalesce(1).write.mode("append").parquet(inp)
+        q = upsert_stream(
+            spark, inp, table, f"{tmp}/ckpt", keys=("doc_id",),
+            partition_cols=("source",), versioned=True,
+        )
+        q.awaitTermination(120)
+        latest_version = read_manifest(table)["version"]
+        assert latest_version >= 2
+        now = read_versioned(spark, table, "source")
+        assert now.count() == 20
+        assert (
+            now.filter(
+                (F.col("doc_id") < 5) & (F.col("n_chars") < 1000)
+            ).count()
+            == 0
+        )
+        # the first batch's snapshot is still readable as-committed
+        first = read_versioned(spark, table, "source", version=1)
+        assert first.filter(F.col("n_chars") >= 1000).count() == 0
