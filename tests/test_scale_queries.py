@@ -257,3 +257,44 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     )
     key = lambda r: (r["user_id"], r["n_events"], r["duration_us"])  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_count_threshold_trigger_live_incremental(spark, tmp_path):
+    """ST2 under a LIVE trigger: files fed while the query runs; the
+    every-N callback fires only once the cumulative count crosses the
+    threshold, across micro-batches (the reference's auto-recluster
+    after N processed docs, document_tasks_service.py:448+)."""
+    import os
+    import time
+
+    from sortify_spark.streaming.pipeline import count_threshold_trigger
+    from sortify_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") < 10).select(*cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    fired = []
+    q = count_threshold_trigger(
+        spark, inp, ckpt, threshold=15, on_threshold=fired.append,
+        available_now=False,
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.exists(
+            ckpt + "/counter_state.json"
+        ):
+            time.sleep(0.5)
+        assert not fired  # 10 < 15 after the first batch
+        docs.filter(
+            (F.col("doc_id") >= 10) & (F.col("doc_id") < 20)
+        ).select(*cols).coalesce(1).write.mode("append").parquet(inp)
+        deadline = time.time() + 90
+        while time.time() < deadline and not fired:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert fired and fired[0] >= 15  # crossed on the second batch
