@@ -537,15 +537,13 @@ def q_embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_bit_sql(j: int) -> str:
-    from sortify_spark.search.knn import LSH_A, LSH_C, LSH_J, LSH_M
+def _lsh_key_sql() -> str:
+    """Shared renderer (search/knn.lsh_key_sql): left-to-right fold per
+    plane, so the sign decision is bit-identical to Spark's aggregate —
+    a near-zero dot cannot flip a bucket bit between engines."""
+    from sortify_spark.search.knn import lsh_key_sql
 
-    return (
-        f"CASE WHEN list_sum(list_transform(range(1, len(e) + 1), i -> "
-        f"e[i] * ((CAST(({LSH_A}::BIGINT * ({j} * {LSH_J} + (i - 1)) "
-        f"+ {LSH_C}) % {LSH_M} AS DOUBLE) - 1000) / 1000.0))) >= 0 "
-        f"THEN {2**j} ELSE 0 END"
-    )
+    return lsh_key_sql("e", 4)
 
 
 @register(
@@ -553,7 +551,7 @@ def _lsh_bit_sql(j: int) -> str:
     f"""
     WITH keyed AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
-             {' + '.join(_lsh_bit_sql(j) for j in range(4))} AS key
+             {_lsh_key_sql()} AS key
       FROM embeddings
     ),
     q AS (SELECT e AS qe, key AS qkey FROM keyed WHERE vec_id = 0)

@@ -227,7 +227,12 @@ def lsh_key_sql(
     :func:`lsh_portable_key_centered` over an arbitrary DOUBLE[]
     expression — same LCG constants, so the bucket key is bit-identical
     across engines (the property `knn_lsh_portable` hash-checks; the
-    e2e facade ANN oracle reuses this)."""
+    e2e facade ANN oracle reuses this).
+
+    The per-plane dot folds LEFT-TO-RIGHT (``list_reduce``, matching
+    Spark's ``aggregate``) — a ``list_sum`` would be
+    summation-order-free only in exact arithmetic, and a centered dot
+    near zero could flip the sign bit between engines."""
     el = (
         f"({arr_expr}[i] - {center_expr}[i])"
         if center_expr
@@ -236,11 +241,11 @@ def lsh_key_sql(
     bits = []
     for j in range(nbits):
         bits.append(
-            f"CASE WHEN list_sum(list_transform("
+            f"CASE WHEN list_reduce(list_transform("
             f"range(1, len({arr_expr}) + 1), i -> "
             f"{el} * ((CAST(({LSH_A}::BIGINT * ({j} * {LSH_J} "
             f"+ (i - 1)) + {LSH_C}) % {LSH_M} AS DOUBLE) - 1000) "
-            f"/ 1000.0))) >= 0 THEN {2**j} ELSE 0 END"
+            f"/ 1000.0)), (a, b) -> a + b) >= 0 THEN {2**j} ELSE 0 END"
         )
     return "(" + " + ".join(bits) + ")"
 
