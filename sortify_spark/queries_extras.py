@@ -224,3 +224,58 @@ def q_qa_document_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = get_engine(spark, sf_dir, dim=16)
     res = answer_question(eng, "find documents about data query join")
     return res.results
+
+
+# --- Z-order layout kernel (operators/zorder.py): the Morton-key
+# arithmetic that drives multi-dimensional data skipping, hash-checked
+# per cell.  The layout's pruning effect is asserted by
+# tests/test_zorder.py over parquet footer statistics; this query pins
+# the KEY computation itself to a DuckDB replay so the curve cannot
+# silently drift (a wrong interleave still "works" — it just stops
+# clustering — so only a value check catches it).
+
+from sortify_spark.operators.zorder import (  # noqa: E402
+    grid_coord,
+    grid_coord_sql,
+    zvalue,
+    zvalue_sql,
+)
+
+_ZC_X_SQL = grid_coord_sql("user_id", 0, 1024)
+_ZC_Y_SQL = grid_coord_sql(
+    "EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)", 0, 1440
+)
+
+_ZORDER_CELLS_SQL = f"""
+WITH g AS (
+  SELECT {zvalue_sql(_ZC_X_SQL, _ZC_Y_SQL)} AS z FROM events
+)
+SELECT (z >> 22) AS cell, COUNT(*) AS cnt,
+       MIN(z) AS min_z, MAX(z) AS max_z
+FROM g GROUP BY 1
+"""
+
+
+@register(
+    "zorder_cells",
+    _ZORDER_CELLS_SQL,
+    note="Z-order layout kernel: Morton keys of (user_id, minute-of-day) "
+    "on a 16-bit grid, aggregated per 1024-key cell.  Pure codegen "
+    "shift/mask arithmetic (operators/zorder.py) replayed bit-for-bit "
+    "in DuckDB; the layout writer (write_zordered) reuses exactly this "
+    "key.  Scale: one narrow projection + one groupBy — the layout "
+    "job itself is one range shuffle, the price of any sort layout.",
+)
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    x = grid_coord(F.col("user_id"), 0, 1024)
+    y = grid_coord(F.hour("ts") * 60 + F.minute("ts"), 0, 1440)
+    return (
+        ev.select(zvalue(x, y).alias("z"))
+        .groupBy(F.shiftright(F.col("z"), 22).alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("z").alias("min_z"),
+            F.max("z").alias("max_z"),
+        )
+    )

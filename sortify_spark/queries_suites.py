@@ -581,9 +581,22 @@ _suite(
                 val="chars",
             ),
         ),
+        # round 4: Morton-key kernel behind the z-order layout writer —
+        # interleave arithmetic hash-checked per cell (a drifted curve
+        # still runs, so only a value check catches it).
+        (
+            "zorder_cells",
+            dict(
+                key1="CAST(cell AS STRING)",
+                cnt="cnt",
+                val="CAST(min_z AS DOUBLE)",
+                val2="CAST(max_z AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "
-    "dedup stats, hash-predicate sampling, distinct aggregation — one "
-    "hash-checked row set for the round-2 curation additions.",
+    "dedup stats, hash-predicate sampling, distinct aggregation, and "
+    "the z-order Morton-key kernel — one hash-checked row set for the "
+    "curation + layout additions.",
 )
