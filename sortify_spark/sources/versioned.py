@@ -161,6 +161,215 @@ def upsert_versioned(
     return new_version
 
 
+def delete_versioned(
+    deletes: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_col: str,
+) -> int:
+    """Keyed delete as an atomic new version (the S10 vector-delete
+    semantics on the versioned store): affected partitions rewrite
+    WITHOUT the matched keys via the same broadcast anti-join as
+    ``upsert_versioned``; a partition emptied by the delete drops out
+    of the manifest.  Untouched partitions are never read."""
+    spark = deletes.sparkSession
+    manifest = read_manifest(path)
+    new_version = manifest["version"] + 1
+    affected = [
+        str(r[0])
+        for r in deletes.select(
+            F.col(partition_col).cast("string")
+        ).distinct().collect()
+        if str(r[0]) in manifest["partitions"]
+    ]
+    new_parts = dict(manifest["partitions"])
+    merged: DataFrame | None = None
+    kept_values = []
+    for value in affected:
+        rel = manifest["partitions"][value]
+        existing = spark.read.parquet(os.path.join(path, rel)).withColumn(
+            partition_col, F.lit(value)
+        )
+        doomed = deletes.filter(
+            F.col(partition_col).cast("string") == value
+        )
+        keep = existing.join(
+            F.broadcast(doomed.select(*keys).distinct()),
+            list(keys),
+            "left_anti",
+        )
+        if keep.isEmpty():
+            del new_parts[value]
+            continue
+        kept_values.append(value)
+        merged = keep if merged is None else merged.unionByName(keep)
+    if merged is not None:
+        vdir = os.path.join(path, f"v={new_version}")
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(vdir)
+        )
+        for value in kept_values:
+            new_parts[value] = f"v={new_version}/{partition_col}={value}"
+    _commit_manifest(
+        path, {"version": new_version, "partitions": new_parts}
+    )
+    return new_version
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    max_files_per_partition: int = 1,
+) -> int | None:
+    """OPTIMIZE: rewrite partitions whose current dir holds more than
+    ``max_files_per_partition`` parquet files into one new version with
+    consolidated files; commit atomically via the manifest swap.
+
+    Streaming upserts (``upsert_stream(versioned=True)``) commit one
+    version per micro-batch, so a hot partition accumulates one small
+    file per batch — the classic small-file problem.  Compaction is
+    pure layout: the committed snapshot's ROWS are untouched (asserted
+    by the round-trip test), historical manifests keep pointing at the
+    old immutable dirs, so time travel and rollback still work, and
+    ``vacuum`` reclaims the pre-compaction dirs once past the horizon.
+
+    One Spark job rewrites all selected partitions:
+    ``repartition(partition_col)`` lands each partition's rows in one
+    task → one file (Delta's OPTIMIZE default; at 100 TB set
+    ``spark.sql.files.maxRecordsPerFile`` to re-split giant partitions
+    — same decoupling as ``export_training_shards``).  Returns the new
+    version, or None when nothing needed compacting.
+    """
+    manifest = read_manifest(path)
+    todo = []
+    for value, rel in sorted(manifest["partitions"].items()):
+        pdir = os.path.join(path, rel)
+        n_files = sum(
+            1 for f in os.listdir(pdir) if f.endswith(".parquet")
+        )
+        if n_files > max_files_per_partition:
+            todo.append((value, rel))
+    if not todo:
+        return None
+    merged: DataFrame | None = None
+    for value, rel in todo:
+        df = spark.read.parquet(os.path.join(path, rel)).withColumn(
+            partition_col, F.lit(value)
+        )
+        merged = df if merged is None else merged.unionByName(df)
+    new_version = manifest["version"] + 1
+    vdir = os.path.join(path, f"v={new_version}")
+    (
+        merged.repartition(max(1, len(todo)), F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(vdir)
+    )
+    new_parts = dict(manifest["partitions"])
+    for value, _ in todo:
+        new_parts[value] = f"v={new_version}/{partition_col}={value}"
+    _commit_manifest(
+        path, {"version": new_version, "partitions": new_parts}
+    )
+    return new_version
+
+
+def diff(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keys: Sequence[str],
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Change-data-feed between two committed snapshots: every row with
+    a ``_change_type`` of ``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage`` (Delta CDF's contract,
+    computed after the fact from snapshots instead of logged at write
+    time).
+
+    Manifest-level pruning makes this scale: a partition whose manifest
+    entry is IDENTICAL in both versions points at the same immutable
+    dir, so it cannot contain changes and is never read — diff cost is
+    proportional to the *changed* partition footprint, not table size.
+    The changed partitions then full-outer-join on (partition, keys) —
+    one co-partitioned shuffle — and rows classify by null-side and a
+    null-safe struct comparison of the non-key columns.
+    """
+    m_to = read_manifest(path, v_to) if v_to is not None else read_manifest(path)
+    m_from = read_manifest(path, v_from)
+    changed = sorted(
+        set(m_from["partitions"].items()) ^ set(m_to["partitions"].items())
+    )
+    changed_values = sorted({v for v, _ in changed})
+
+    def _side(manifest: dict) -> DataFrame | None:
+        out: DataFrame | None = None
+        for value in changed_values:
+            rel = manifest["partitions"].get(value)
+            if rel is None:
+                continue
+            df = spark.read.parquet(os.path.join(path, rel)).withColumn(
+                partition_col, F.lit(value)
+            )
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    old, new = _side(m_from), _side(m_to)
+    if old is None and new is None:  # no changed partitions at all
+        tmpl = read_versioned(spark, path, partition_col, version=v_from)
+        return tmpl.withColumn(
+            "_change_type", F.lit("insert")
+        ).limit(0)
+    template = old if old is not None else new
+    cols = template.columns
+    join_keys = [partition_col, *[k for k in keys if k != partition_col]]
+    payload = [c for c in cols if c not in join_keys]
+
+    def _pack(df: DataFrame | None, name: str) -> DataFrame:
+        if df is None:
+            df = template.limit(0)
+        return df.select(
+            *join_keys,
+            F.struct(*[F.col(c) for c in payload]).alias(name),
+            F.lit(True).alias(f"_in_{name}"),
+        )
+
+    joined = _pack(old, "o").join(_pack(new, "n"), join_keys, "full_outer")
+    in_old, in_new = F.col("_in_o").isNotNull(), F.col("_in_n").isNotNull()
+    same = F.col("o").eqNullSafe(F.col("n"))
+    events = F.when(
+        in_old & ~in_new,
+        F.array(F.struct(F.lit("delete").alias("ct"), F.col("o").alias("row"))),
+    ).when(
+        ~in_old & in_new,
+        F.array(F.struct(F.lit("insert").alias("ct"), F.col("n").alias("row"))),
+    ).when(
+        ~same,
+        F.array(
+            F.struct(
+                F.lit("update_preimage").alias("ct"), F.col("o").alias("row")
+            ),
+            F.struct(
+                F.lit("update_postimage").alias("ct"), F.col("n").alias("row")
+            ),
+        ),
+    ).otherwise(F.array())  # unchanged row in a rewritten partition
+    exploded = joined.select(
+        *join_keys, F.explode(events).alias("e")
+    )
+    return exploded.select(
+        *[
+            F.col(f"e.row.{c}").alias(c) if c in payload else F.col(c)
+            for c in cols
+        ],
+        F.col("e.ct").alias("_change_type"),
+    )
+
+
 def rollback(path: str, version: int) -> None:
     """O(1) rollback: re-commit a retained historical manifest as the
     current one (data dirs are immutable, nothing is rewritten)."""

@@ -836,3 +836,109 @@ def test_versioned_table_atomic_upsert_time_travel_rollback(spark):
         assert rows_of(read_versioned(spark, path, "source")) == {
             (1, "a", 11), (2, "a", 20), (4, "a", 40), (3, "b", 31)
         }
+
+
+def test_versioned_compact_diff_delete(spark):
+    """Round-4 versioned-table extensions: OPTIMIZE-style compaction is
+    pure layout (rows identical, time travel intact, CDC-empty), diff
+    classifies insert/update pre+post/delete between any two snapshots
+    reading only changed partitions, and keyed deletes commit atomically
+    (emptied partitions drop out of the manifest)."""
+    from sortify_spark.sources.versioned import (
+        compact,
+        delete_versioned,
+        diff,
+        read_manifest,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    def rows_of(df):
+        return {(r["doc_id"], r["source"], r["n"]) for r in df.collect()}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/docs"
+        base = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b", i * 10) for i in range(1, 9)],
+            "doc_id long, source string, n long",
+        ).repartition(4)  # multi-file partitions on purpose
+        assert upsert_versioned(base, path, ["doc_id"], "source") == 1
+        # v2: update doc 1, insert doc 9 (both partition a)
+        upd = spark.createDataFrame(
+            [(1, "a", 11), (9, "a", 90)],
+            "doc_id long, source string, n long",
+        ).repartition(3)
+        assert upsert_versioned(upd, path, ["doc_id"], "source") == 2
+        snap2 = rows_of(read_versioned(spark, path, "source"))
+
+        # --- diff v1 → v2: one update (pre+post) + one insert, only
+        # partition a is a changed partition
+        cdc = diff(spark, path, "source", ["doc_id"], 1, 2)
+        got = {
+            (r["_change_type"], r["doc_id"], r["n"]) for r in cdc.collect()
+        }
+        assert got == {
+            ("update_preimage", 1, 10),
+            ("update_postimage", 1, 11),
+            ("insert", 9, 90),
+        }
+        # reverse diff flips the classification (insert ↔ delete)
+        rev = {
+            (r["_change_type"], r["doc_id"], r["n"])
+            for r in diff(spark, path, "source", ["doc_id"], 2, 1).collect()
+        }
+        assert rev == {
+            ("update_preimage", 1, 11),
+            ("update_postimage", 1, 10),
+            ("delete", 9, 90),
+        }
+
+        # --- compaction: partitions hold several small files
+        def files_in(rel):
+            d = os.path.join(path, rel)
+            return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+        m = read_manifest(path)
+        assert files_in(m["partitions"]["a"]) > 1
+        v3 = compact(spark, path, "source", max_files_per_partition=1)
+        assert v3 == 3
+        m3 = read_manifest(path)
+        assert all(files_in(rel) == 1 for rel in m3["partitions"].values())
+        # pure layout: same rows, empty CDC, old snapshot still readable
+        assert rows_of(read_versioned(spark, path, "source")) == snap2
+        assert diff(spark, path, "source", ["doc_id"], 2, 3).isEmpty()
+        assert rows_of(read_versioned(spark, path, "source", version=2)) == snap2
+        # idempotent: nothing left to compact
+        assert compact(spark, path, "source") is None
+
+        # --- keyed delete: drop doc 1; partition b untouched in manifest
+        v4 = delete_versioned(
+            spark.createDataFrame([(1, "a")], "doc_id long, source string"),
+            path,
+            ["doc_id"],
+            "source",
+        )
+        assert v4 == 4
+        now = rows_of(read_versioned(spark, path, "source"))
+        assert now == {t for t in snap2 if t[0] != 1}
+        m4 = read_manifest(path)
+        assert m4["partitions"]["b"] == m3["partitions"]["b"]
+        # CDC sees exactly the delete
+        dd = {
+            (r["_change_type"], r["doc_id"], r["n"])
+            for r in diff(spark, path, "source", ["doc_id"], 3, 4).collect()
+        }
+        assert dd == {("delete", 1, 11)}
+        # delete the whole b partition → drops out of the manifest
+        v5 = delete_versioned(
+            spark.createDataFrame(
+                [(i, "b") for i in (2, 4, 6, 8)],
+                "doc_id long, source string",
+            ),
+            path,
+            ["doc_id"],
+            "source",
+        )
+        assert "b" not in read_manifest(path)["partitions"]
+        assert {t[1] for t in rows_of(read_versioned(spark, path, "source"))} == {"a"}
+        assert v5 == 5
