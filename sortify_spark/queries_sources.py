@@ -218,3 +218,80 @@ def q_device_token_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deactivate_tokens(upserted, stale).select(
         "device_id", "refresh_token", "last_used_us", "is_active"
     )
+
+
+# --- CDC classification kernel (sources/versioned.classify_changes):
+# hash-checked over two DERIVED snapshots of events, so the versioned
+# store's diff logic is driver-verified without needing writable state
+# in an oracle query (same modeling move as vector_delete_rewrite).
+# Scenario: v2 deletes event_id%97==0, bumps value by 1.0 where
+# event_id%31==0, and inserts clones at event_id+10000000 where
+# event_id%113==0.
+
+_CDC_SQL = """
+WITH old AS (
+  SELECT event_id, user_id, event_type, value FROM events
+),
+new AS (
+  SELECT event_id, user_id, event_type,
+         value + (CASE WHEN event_id % 31 = 0 THEN 1.0 ELSE 0.0 END) AS value
+  FROM events WHERE event_id % 97 <> 0
+  UNION ALL
+  SELECT event_id + 10000000, user_id, event_type, value
+  FROM events WHERE event_id % 113 = 0
+),
+j AS (
+  SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+         o.event_id IS NOT NULL AS in_o, n.event_id IS NOT NULL AS in_n,
+         o.user_id AS o_user, o.event_type AS o_type, o.value AS o_value,
+         n.user_id AS n_user, n.event_type AS n_type, n.value AS n_value,
+         ((o.user_id IS DISTINCT FROM n.user_id)
+          OR (o.event_type IS DISTINCT FROM n.event_type)
+          OR (o.value IS DISTINCT FROM n.value)) AS changed
+  FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+)
+SELECT event_id, o_user AS user_id, o_type AS event_type,
+       o_value AS value, 'delete' AS _change_type
+FROM j WHERE in_o AND NOT in_n
+UNION ALL
+SELECT event_id, n_user, n_type, n_value, 'insert'
+FROM j WHERE in_n AND NOT in_o
+UNION ALL
+SELECT event_id, o_user, o_type, o_value, 'update_preimage'
+FROM j WHERE in_o AND in_n AND changed
+UNION ALL
+SELECT event_id, n_user, n_type, n_value, 'update_postimage'
+FROM j WHERE in_o AND in_n AND changed
+"""
+
+
+@register(
+    "cdc_classify",
+    _CDC_SQL,
+    note="CDC kernel of the versioned store (sources/versioned.py "
+    "classify_changes — the engine behind snapshot diff): insert / "
+    "delete / update-preimage+postimage classification via one "
+    "co-partitioned full-outer join and a null-safe payload compare, "
+    "hash-checked against a DuckDB replay over derived event "
+    "snapshots.  Scale: cost ∝ changed-partition footprint (manifest "
+    "pruning in diff()); the join shuffles both sides once on the key.",
+)
+def q_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.sources.versioned import classify_changes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    old = ev
+    new = ev.filter(F.col("event_id") % 97 != 0).withColumn(
+        "value",
+        F.col("value")
+        + F.when(F.col("event_id") % 31 == 0, F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        ),
+    ).unionByName(
+        ev.filter(F.col("event_id") % 113 == 0).withColumn(
+            "event_id", F.col("event_id") + F.lit(10000000)
+        )
+    )
+    return classify_changes(old, new, ["event_id"])

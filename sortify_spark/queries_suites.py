@@ -236,10 +236,22 @@ _suite(
                 cnt="event_id",
             ),
         ),
+        # round 4: the versioned store's CDC classification kernel over
+        # derived snapshots (insert/delete/update pre+post).
+        (
+            "cdc_classify",
+            dict(
+                key1="CAST(event_id AS STRING)",
+                key2="_change_type || '|' || COALESCE(event_type, '')",
+                cnt="user_id",
+                val="value",
+            ),
+        ),
     ],
     note="Suite: J1 semi-join, SO4 anti-join, SO2 set difference + "
     "intersection, P3 point lookup, J2 broadcast hydrate, W1 global "
-    "rank, W7 latest-per-user.",
+    "rank, W7 latest-per-user, and the versioned-store CDC "
+    "classification kernel.",
 )
 
 # --- text analysis: language ID, per-source token stats, JSON extraction.

@@ -324,9 +324,25 @@ def diff(
         return tmpl.withColumn(
             "_change_type", F.lit("insert")
         ).limit(0)
+    join_keys = [partition_col, *[k for k in keys if k != partition_col]]
+    return classify_changes(old, new, join_keys)
+
+
+def classify_changes(
+    old: DataFrame | None,
+    new: DataFrame | None,
+    join_keys: Sequence[str],
+) -> DataFrame:
+    """CDC classification kernel (the joint of :func:`diff`, also usable
+    on any two same-schema snapshots): full-outer join on ``join_keys``,
+    classify each key by null-side and a null-safe comparison of the
+    non-key columns, emit Delta-CDF-style rows (``insert`` / ``delete``
+    / ``update_preimage`` + ``update_postimage``; unchanged keys emit
+    nothing).  One co-partitioned shuffle + an explode of ≤2 elements —
+    no driver materialization.  Oracle-checked by ``cdc_classify``
+    (queries_sources) over derived snapshots."""
     template = old if old is not None else new
     cols = template.columns
-    join_keys = [partition_col, *[k for k in keys if k != partition_col]]
     payload = [c for c in cols if c not in join_keys]
 
     def _pack(df: DataFrame | None, name: str) -> DataFrame:
@@ -338,7 +354,7 @@ def diff(
             F.lit(True).alias(f"_in_{name}"),
         )
 
-    joined = _pack(old, "o").join(_pack(new, "n"), join_keys, "full_outer")
+    joined = _pack(old, "o").join(_pack(new, "n"), list(join_keys), "full_outer")
     in_old, in_new = F.col("_in_o").isNotNull(), F.col("_in_n").isNotNull()
     same = F.col("o").eqNullSafe(F.col("n"))
     events = F.when(
