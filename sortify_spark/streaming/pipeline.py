@@ -481,3 +481,129 @@ def upsert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def admission_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    partition_col: str = "source",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Streaming corpus admission: the full training-data front door as
+    one continuous pipeline — new documents stream in, every micro-batch
+    is deduplicated in-batch (exact, keep min doc_id), then screened
+    against the STANDING corpus (exact fingerprint twin OR verified
+    MinHash-LSH near-dup ⇒ rejected), and the admitted survivors commit
+    atomically through the versioned store (one time-travelable
+    snapshot per micro-batch).
+
+    This is the streaming composition of three independently
+    oracle-checked kernels: ``textstats.fingerprint`` (exact),
+    ``dedup.signature_bands`` + Jaccard verify (the
+    ``incremental_dedup_new_docs`` semantics, queries_graph), and
+    ``upsert_versioned`` (atomic commit).  Batch/stream parity is
+    therefore testable: replaying the same files in ONE batch must
+    yield the same final corpus (tests/test_pipelines.py).
+
+    Scale: the batch side is small per trigger — its signatures band
+    against the corpus bands with the batch side broadcast into the
+    bucket join; the corpus is only ever READ (its banded signatures
+    are recomputed here for simplicity; at 100 TB they persist as a
+    bucketed side table maintained by the same commits — the join shape
+    is unchanged).  Replay safety: a re-delivered batch re-screens
+    against a corpus that now contains its own docs' fingerprints —
+    re-admission is suppressed by the exact-twin check, so the table
+    converges under at-least-once foreachBatch.
+    """
+    from pyspark.sql.window import Window
+
+    from sortify_spark import dedup, textstats
+    from sortify_spark.sources.versioned import (
+        read_manifest,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    docs = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def _admit(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fp = textstats.fingerprint(F.col("text"))
+        # in-batch exact dedup: deterministic min-doc_id representative
+        w = F.row_number().over(
+            Window.partitionBy("__fp").orderBy("doc_id")
+        )
+        batch = (
+            batch_df.withColumn("__fp", fp)
+            .withColumn("__rn", w)
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        corpus = (
+            read_versioned(spark, table_path, partition_col)
+            if read_manifest(table_path)["partitions"]
+            else None
+        )
+        if corpus is not None:
+            # exact twin in corpus
+            cfp = corpus.select(fp.alias("__fp")).dropDuplicates(["__fp"])
+            batch = batch.join(F.broadcast(cfp), "__fp", "left_anti")
+            # near-dup vs corpus: shared banding, bucket join, verify
+            b_base, b_bands = dedup.signature_bands(
+                batch, use_shingles=shingle_k
+            )
+            c_base, c_bands = dedup.signature_bands(
+                corpus, use_shingles=shingle_k
+            )
+            near_hit = (
+                b_bands.select(F.col("id").alias("bid"), "band_idx", "band_key")
+                .join(
+                    c_bands.select(
+                        F.col("id").alias("cid"), "band_idx", "band_key"
+                    ),
+                    ["band_idx", "band_key"],
+                )
+                .select("bid", "cid")
+                .dropDuplicates(["bid", "cid"])
+                .join(
+                    b_base.select(
+                        F.col("id").alias("bid"), F.col("toks").alias("tb")
+                    ),
+                    "bid",
+                )
+                .join(
+                    c_base.select(
+                        F.col("id").alias("cid"), F.col("toks").alias("tc")
+                    ),
+                    "cid",
+                )
+                .filter(
+                    F.round(dedup.jaccard(F.col("tb"), F.col("tc")), 6)
+                    >= threshold
+                )
+                .select(F.col("bid").alias("doc_id"))
+                .distinct()
+            )
+            batch = batch.join(F.broadcast(near_hit), "doc_id", "left_anti")
+        admitted = batch.drop("__fp")
+        if not admitted.isEmpty():
+            upsert_versioned(
+                admitted, table_path, keys=["doc_id"],
+                partition_col=partition_col,
+            )
+
+    writer = docs.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -528,3 +528,78 @@ def test_upsert_stream_versioned_snapshots(spark, docs):
         # the first batch's snapshot is still readable as-committed
         first = read_versioned(spark, table, "source", version=1)
         assert first.filter(F.col("n_chars") >= 1000).count() == 0
+
+
+def test_admission_stream_dedups_against_corpus(spark):
+    """Streaming corpus admission: micro-batches are screened against
+    the standing versioned corpus — exact twins and verified LSH
+    near-dups rejected, in-batch exact dups collapsed to the min-id
+    representative — and admitted docs commit atomically.  A replayed
+    file is fully suppressed (convergence under at-least-once)."""
+    from sortify_spark.sources.versioned import read_manifest, read_versioned
+    from sortify_spark.streaming.pipeline import admission_stream
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    other = (
+        "completely different content about spark streaming pipelines "
+        "and atomic manifest commits for parquet tables"
+    )
+
+    def feed(rows, inp):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, table = f"{tmp}/in", f"{tmp}/table"
+
+        def run(ckpt):
+            q = admission_stream(spark, inp, table, f"{tmp}/{ckpt}")
+            q.awaitTermination(120)
+
+        # batch 1: two distinct docs + one in-batch exact dup of doc 1
+        feed(
+            [
+                (1, base_text, "en", "web", 99),
+                (2, other, "en", "web", 99),
+                (3, base_text, "en", "web", 99),  # in-batch dup → drop
+            ],
+            inp,
+        )
+        run("c1")
+        got1 = {r["doc_id"] for r in read_versioned(spark, table, "source").collect()}
+        assert got1 == {1, 2}
+
+        # batch 2: exact twin of corpus doc (drop), near-dup of corpus
+        # doc (one word changed → high Jaccard, drop), genuinely new doc
+        feed(
+            [
+                (10, base_text, "en", "web", 99),  # exact twin → drop
+                (11, base_text.replace("tonight", "today"), "en", "web", 99),
+                (12, "some entirely novel text with many fresh tokens "
+                     "never seen before in this corpus at all", "en",
+                 "mail", 99),
+            ],
+            inp,
+        )
+        run("c2")
+        now = read_versioned(spark, table, "source")
+        got2 = {r["doc_id"] for r in now.collect()}
+        assert got2 == {1, 2, 12}
+        # partition layout: admitted doc went to its own partition
+        assert set(read_manifest(table)["partitions"]) == {"web", "mail"}
+
+        # replay batch 2 with a FRESH checkpoint (simulated redelivery):
+        # everything suppressed, corpus unchanged
+        v_before = read_manifest(table)["version"]
+        run("c3")
+        assert {
+            r["doc_id"] for r in read_versioned(spark, table, "source").collect()
+        } == {1, 2, 12}
+        # replay admitted nothing (versions may advance only for
+        # batches that had no survivors — content is what converges)
+        assert read_versioned(spark, table, "source").count() == 3
+        assert read_manifest(table)["version"] >= v_before
