@@ -182,6 +182,55 @@ def main() -> None:
             lambda: {"rows": len(final.collect())},
         )
 
+        # -- z-order layout at scale ------------------------------------
+        # Write the post-dedup corpus z-ordered on (doc_id, n_chars) and
+        # measure, from parquet footer statistics, what fraction of row
+        # groups a 10% x 10% box predicate can skip — the multi-dim
+        # data-skipping claim (operators/zorder.py) exercised at the
+        # inflated scale rather than the unit-test toy grid.
+        def zorder_stage():
+            import glob
+
+            import pyarrow.parquet as pq
+
+            from sortify_spark.operators.zorder import write_zordered
+
+            zpath = os.path.join(derived, "docs_zordered.parquet")
+            id_hi = float(args.inflate * 1_000_000)
+            write_zordered(
+                kept_exact.select("doc_id", "n_chars", "source"),
+                zpath,
+                [("doc_id", 0.0, id_hi), ("n_chars", 0.0, 4096.0)],
+                n_files=64,
+            )
+            rgs = []
+            for f in glob.glob(os.path.join(zpath, "*.parquet")):
+                meta = pq.ParquetFile(f).metadata
+                names = {
+                    meta.schema.column(i).name: i
+                    for i in range(meta.num_columns)
+                }
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    sx = g.column(names["doc_id"]).statistics
+                    sy = g.column(names["n_chars"]).statistics
+                    rgs.append(((sx.min, sx.max), (sy.min, sy.max)))
+            bx = (0.45 * id_hi, 0.55 * id_hi)
+            by = (400, 800)
+            pruned = sum(
+                1
+                for s in rgs
+                if s[0][0] > bx[1] or s[0][1] < bx[0]
+                or s[1][0] > by[1] or s[1][1] < by[0]
+            )
+            return {
+                "rows": None,
+                "row_groups": len(rgs),
+                "box_prune_frac": round(pruned / max(len(rgs), 1), 3),
+            }
+
+        stage("zorder_layout_64files", zorder_stage)
+
         # -- standalone neardup_components aggregate --------------------
         def neardup():
             agg = (
