@@ -75,26 +75,44 @@ def _commit_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(path))
 
 
+def _read_partition_dirs(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    rels: Sequence[str],
+) -> DataFrame:
+    """ONE multi-path parquet scan over partition dirs, with the
+    partition value restored from the directory name
+    (``.../{col}=value/file.parquet``).  A per-partition union would
+    build an O(partitions) plan — at thousands of partitions that is a
+    driver-side analysis bottleneck; a single scan keeps the plan O(1)
+    and lets the scheduler parallelize file listing."""
+    df = spark.read.parquet(*[os.path.join(path, rel) for rel in rels])
+    value = F.url_decode(
+        F.regexp_extract(
+            F.input_file_name(), f"/{partition_col}=([^/]+)/", 1
+        )
+    )
+    return df.withColumn(partition_col, value)
+
+
 def read_versioned(
     spark: SparkSession,
     path: str,
     partition_col: str,
     version: int | None = None,
 ) -> DataFrame:
-    """Snapshot read: resolve ONE manifest, union each partition's
-    current directory with the partition value restored.  ``version``
-    pins a historical snapshot (time travel)."""
+    """Snapshot read: resolve ONE manifest, scan every partition's
+    current directory in a single multi-path read with the partition
+    value restored.  ``version`` pins a historical snapshot (time
+    travel)."""
     manifest = read_manifest(path, version)
     parts = manifest["partitions"]
     if not parts:
         raise FileNotFoundError(f"versioned table at {path} is empty")
-    out: DataFrame | None = None
-    for value, rel in sorted(parts.items()):
-        df = spark.read.parquet(os.path.join(path, rel)).withColumn(
-            partition_col, F.lit(value)
-        )
-        out = df if out is None else out.unionByName(df)
-    return out
+    return _read_partition_dirs(
+        spark, path, partition_col, [rel for _, rel in sorted(parts.items())]
+    )
 
 
 def upsert_versioned(
@@ -122,30 +140,26 @@ def upsert_versioned(
             F.col(partition_col).cast("string")
         ).distinct().collect()
     ]
-    merged: DataFrame | None = None
-    for value in affected:
-        upd = updates.filter(
-            F.col(partition_col).cast("string") == value
+    existing_rels = [
+        manifest["partitions"][v]
+        for v in affected
+        if v in manifest["partitions"]
+    ]
+    merged = updates
+    if existing_rels:
+        # ONE scan over all affected partitions' current dirs; matched
+        # keys drop via a broadcast anti-join on (partition, keys) —
+        # the existing data never shuffles, whatever the partition count.
+        existing = _read_partition_dirs(
+            spark, path, partition_col, existing_rels
         )
-        rel = manifest["partitions"].get(value)
-        if rel is None:
-            part_merged = upd
-        else:
-            existing = (
-                spark.read.parquet(os.path.join(path, rel))
-                .withColumn(partition_col, F.lit(value))
-            )
-            keep = existing.join(
-                F.broadcast(upd.select(*keys).distinct()),
-                list(keys),
-                "left_anti",
-            )
-            part_merged = keep.unionByName(upd.select(*keep.columns))
-        merged = (
-            part_merged
-            if merged is None
-            else merged.unionByName(part_merged)
+        anti_keys = list(dict.fromkeys([partition_col, *keys]))
+        keep = existing.join(
+            F.broadcast(updates.select(*anti_keys).distinct()),
+            anti_keys,
+            "left_anti",
         )
+        merged = keep.unionByName(updates.select(*keep.columns))
     vdir = os.path.join(path, f"v={new_version}")
     (
         merged.write.mode("overwrite")
@@ -183,35 +197,41 @@ def delete_versioned(
         if str(r[0]) in manifest["partitions"]
     ]
     new_parts = dict(manifest["partitions"])
-    merged: DataFrame | None = None
-    kept_values = []
-    for value in affected:
-        rel = manifest["partitions"][value]
-        existing = spark.read.parquet(os.path.join(path, rel)).withColumn(
-            partition_col, F.lit(value)
+    if affected:
+        # ONE scan of the affected dirs; survivors write in one job.  A
+        # partition the delete fully empties produces no output dir —
+        # detected from the written version dir and dropped from the
+        # manifest.
+        existing = _read_partition_dirs(
+            spark,
+            path,
+            partition_col,
+            [manifest["partitions"][v] for v in affected],
         )
-        doomed = deletes.filter(
-            F.col(partition_col).cast("string") == value
-        )
+        anti_keys = list(dict.fromkeys([partition_col, *keys]))
         keep = existing.join(
-            F.broadcast(doomed.select(*keys).distinct()),
-            list(keys),
+            F.broadcast(deletes.select(*anti_keys).distinct()),
+            anti_keys,
             "left_anti",
         )
-        if keep.isEmpty():
-            del new_parts[value]
-            continue
-        kept_values.append(value)
-        merged = keep if merged is None else merged.unionByName(keep)
-    if merged is not None:
         vdir = os.path.join(path, f"v={new_version}")
         (
-            merged.write.mode("overwrite")
+            keep.write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(vdir)
         )
-        for value in kept_values:
-            new_parts[value] = f"v={new_version}/{partition_col}={value}"
+        from urllib.parse import unquote
+
+        written = {
+            unquote(entry.split("=", 1)[1])
+            for entry in os.listdir(vdir)
+            if entry.startswith(f"{partition_col}=")
+        }
+        for value in affected:
+            if value in written:
+                new_parts[value] = f"v={new_version}/{partition_col}={value}"
+            else:
+                del new_parts[value]
     _commit_manifest(
         path, {"version": new_version, "partitions": new_parts}
     )
@@ -254,12 +274,9 @@ def compact(
             todo.append((value, rel))
     if not todo:
         return None
-    merged: DataFrame | None = None
-    for value, rel in todo:
-        df = spark.read.parquet(os.path.join(path, rel)).withColumn(
-            partition_col, F.lit(value)
-        )
-        merged = df if merged is None else merged.unionByName(df)
+    merged = _read_partition_dirs(
+        spark, path, partition_col, [rel for _, rel in todo]
+    )
     new_version = manifest["version"] + 1
     vdir = os.path.join(path, f"v={new_version}")
     (
@@ -307,16 +324,14 @@ def diff(
     changed_values = sorted({v for v, _ in changed})
 
     def _side(manifest: dict) -> DataFrame | None:
-        out: DataFrame | None = None
-        for value in changed_values:
-            rel = manifest["partitions"].get(value)
-            if rel is None:
-                continue
-            df = spark.read.parquet(os.path.join(path, rel)).withColumn(
-                partition_col, F.lit(value)
-            )
-            out = df if out is None else out.unionByName(df)
-        return out
+        rels = [
+            manifest["partitions"][v]
+            for v in changed_values
+            if v in manifest["partitions"]
+        ]
+        if not rels:
+            return None
+        return _read_partition_dirs(spark, path, partition_col, rels)
 
     old, new = _side(m_from), _side(m_to)
     if old is None and new is None:  # no changed partitions at all
