@@ -67,8 +67,12 @@ HEADLINE = (
     "pii_scrub_audit",
     "cluster_organize_audit",
     # round 4: the e2e facade search on the pure-Catalyst md5 expression
-    # encoder (ingest + embed + two-stage fusion, zero Python in plan)
+    # encoder (ingest + embed + two-stage fusion, zero Python in plan);
+    # the versioned store's CDC classification kernel (full-outer join +
+    # null-safe compare over events); the z-order Morton-key kernel.
     "e2e_search_hybrid",
+    "cdc_classify",
+    "zorder_cells",
 )
 
 
