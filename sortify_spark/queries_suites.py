@@ -534,6 +534,23 @@ _suite(
                 val2="CAST(total_chunks AS DOUBLE)",
             ),
         ),
+        # round 4 (second half): product quantization — codebook +
+        # encoding audit, ADC top-k, and the recall contract, all
+        # decimal-exact and fully replayed in the oracle (search/pq.py).
+        (
+            "pq_codes_stats",
+            dict(
+                key1="CAST(s AS STRING)",
+                key2="CAST(code AS STRING)",
+                cnt="vectors",
+                val="avg_d2",
+            ),
+        ),
+        ("knn_pq_adc", dict(key1="CAST(id AS STRING)", val="approx_d2")),
+        (
+            "pq_recall_at_10",
+            dict(cnt="overlap_at_10", key1="CAST(k AS STRING)"),
+        ),
     ],
     note="Suite: portable hyperplane-LSH ANN (value-hash-checked index), "
     "int8 quantization error audit, stateful streaming sessionization "

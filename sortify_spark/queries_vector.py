@@ -628,3 +628,138 @@ def q_knn_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "id", "score")
     )
+
+
+# --- product quantization (search/pq.py): codebook + encoding + ADC
+# ranking, every stage decimal-exact and replayed in DuckDB ----------------
+
+from sortify_spark.search import pq  # noqa: E402
+
+
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings")
+    el = pq.elements(emb)
+    data_el = el.filter(F.col("vec_id") != 0)
+    cb = pq.codebook(data_el)
+    return el, data_el, cb
+
+
+@register(
+    "pq_codes_stats",
+    f"""
+    WITH {pq.pq_ctes()}
+    SELECT c.s, c.code, COUNT(*) AS vectors,
+           ROUND(CAST(SUM(cell.d2) AS DOUBLE) / COUNT(*), 6) AS avg_d2
+    FROM codes c JOIN cell
+      ON cell.vec_id = c.vec_id AND cell.s = c.s AND cell.j = c.code
+    GROUP BY 1, 2
+    """,
+    note="PQ audit: per-(subspace, code) assignment histogram and mean "
+    "quantization error of the ASSIGNED cells — the codebook, the "
+    "encoding argmin, and the error accounting hash-checked in one "
+    "compact result (≤ M·K rows).  Distances accumulate as exact "
+    "decimals on a 1e-6 grid, so engine and oracle compare identical "
+    "values — no float-summation-order luck.  Scale: two hash "
+    "aggregates over the element grid; the codebook join side is M·K "
+    "rows, broadcast.",
+)
+def q_pq_codes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, data_el, cb = _pq_parts(spark, sf_dir)
+    cell = pq.cell_dists(data_el, cb)
+    codes = pq.encode(data_el, cb)
+    assigned = codes.join(
+        cell,
+        (codes.vec_id == cell.vec_id)
+        & (codes.s == cell.s)
+        & (codes.code == cell.j),
+    )
+    return (
+        assigned.groupBy(codes.s.alias("s"), F.col("code"))
+        .agg(
+            F.count(F.lit(1)).alias("vectors"),
+            F.round(
+                F.sum("d2").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_d2"),
+        )
+    )
+
+
+@register(
+    "knn_pq_adc",
+    f"""
+    WITH {pq.pq_ctes()}
+    SELECT id, approx_d2 FROM adc
+    ORDER BY approx_d2 ASC, id ASC LIMIT 10
+    """,
+    note="PQ-ADC top-k: the probe's M·K distance table (broadcast-tiny) "
+    "joins the 1-byte-per-subspace codes and sums exact decimals — "
+    "scoring cost per vector is M lookups instead of DIM multiplies, "
+    "the 100-TB memory/bandwidth lever (composes with IVF pruning). "
+    "The oracle replays codebook → codes → ADC end-to-end.",
+)
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    el, data_el, cb = _pq_parts(spark, sf_dir)
+    codes = pq.encode(data_el, cb)
+    qtab = (
+        pq.cell_dists(el.filter(F.col("vec_id") == 0), cb)
+        .select("s", "j", "d2")
+    )
+    return pq.adc_topk(codes, qtab, k=10)
+
+
+@register(
+    "pq_recall_at_10",
+    f"""
+    WITH {pq.pq_ctes()},
+    short AS (SELECT id FROM adc ORDER BY approx_d2 ASC, id ASC LIMIT 100),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id = 0),
+    rer AS (SELECT vec_id AS id FROM embeddings, q
+            WHERE vec_id IN (SELECT id FROM short)
+            ORDER BY ROUND(list_cosine_similarity(
+                         CAST(embedding AS DOUBLE[]), qe), 6) DESC,
+                     vec_id ASC
+            LIMIT 10),
+    ex AS (SELECT vec_id AS id FROM embeddings, q
+           WHERE vec_id <> 0
+           ORDER BY ROUND(list_cosine_similarity(
+                        CAST(embedding AS DOUBLE[]), qe), 6) DESC,
+                    vec_id ASC
+           LIMIT 10)
+    SELECT COUNT(*) AS overlap_at_10, CAST(10 AS INT) AS k
+    FROM rer WHERE id IN (SELECT id FROM ex)
+    """,
+    note="PQ quality contract, production shape: ADC shortlist (100 "
+    "compressed-score candidates) → exact cosine rerank → top-10, "
+    "overlapped against the full exact top-10 in one deterministic "
+    "row (the ivf_recall_at_10 pattern applied to PQ; recovers the "
+    "exact top-10 fully at the driver's verification scale — the "
+    "shortlist size is the recall/cost knob).",
+)
+def q_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.search import knn
+
+    el, data_el, cb = _pq_parts(spark, sf_dir)
+    codes = pq.encode(data_el, cb)
+    qtab = (
+        pq.cell_dists(el.filter(F.col("vec_id") == 0), cb)
+        .select("s", "j", "d2")
+    )
+    short = pq.adc_topk(codes, qtab, k=100).select("id")
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    probe = emb.filter(F.col("vec_id") == 0)
+    shortlisted = data.join(
+        F.broadcast(short), data.vec_id == short.id, "left_semi"
+    )
+    rer = knn.brute_force_topk(shortlisted, probe, k=10).select(
+        F.col("vec_id").alias("id")
+    )
+    exact = knn.brute_force_topk(data, probe, k=10).select(
+        F.col("vec_id").alias("id")
+    )
+    return (
+        rer.join(exact, "id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("overlap_at_10"))
+        .select("overlap_at_10", F.lit(10).cast("int").alias("k"))
+    )
