@@ -424,6 +424,7 @@ def upsert_stream(
     partition_cols: tuple[str, ...] = ("source",),
     available_now: bool = True,
     versioned: bool = False,
+    compact_files_over: int | None = None,
 ):
     """Streaming keyed upsert: every micro-batch MERGEs into the
     partitioned parquet table via :func:`sinks.upsert_partitioned` —
@@ -448,12 +449,21 @@ def upsert_stream(
     At 100 TB: each micro-batch rewrites only the partitions its keys
     touch (the merge plan broadcasts the batch, the table never
     shuffles); partition layout chooses the rewrite amplification.
+
+    ``compact_files_over=N`` (versioned only) closes the small-file
+    loop: after each commit, any partition whose current dir exceeds N
+    parquet files is rewritten through :func:`sources.versioned.compact`
+    — itself an atomic pure-layout version, so readers and time travel
+    are unaffected and the maintenance amortizes into the stream
+    instead of a separate nightly OPTIMIZE job.
     """
     from sortify_spark.sources.sinks import upsert_partitioned
-    from sortify_spark.sources.versioned import upsert_versioned
+    from sortify_spark.sources.versioned import compact, upsert_versioned
 
     if versioned and len(partition_cols) != 1:
         raise ValueError("versioned upsert_stream needs ONE partition col")
+    if compact_files_over is not None and not versioned:
+        raise ValueError("compact_files_over requires versioned=True")
 
     docs = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
@@ -469,6 +479,13 @@ def upsert_stream(
                 keys=list(keys),
                 partition_col=partition_cols[0],
             )
+            if compact_files_over is not None:
+                compact(
+                    spark,
+                    table_path,
+                    partition_cols[0],
+                    max_files_per_partition=compact_files_over,
+                )
         else:
             upsert_partitioned(
                 batch_df, table_path, keys=list(keys),

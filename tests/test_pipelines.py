@@ -603,3 +603,40 @@ def test_admission_stream_dedups_against_corpus(spark):
         # batches that had no survivors — content is what converges)
         assert read_versioned(spark, table, "source").count() == 3
         assert read_manifest(table)["version"] >= v_before
+
+
+def test_upsert_stream_auto_compaction(spark, docs):
+    """compact_files_over: streaming commits that fragment a partition
+    trigger an in-stream atomic compaction — file count bounded, rows
+    identical, historical snapshots still readable."""
+    import glob
+
+    from sortify_spark.sources.versioned import read_manifest, read_versioned
+    from sortify_spark.streaming.pipeline import upsert_stream
+
+    base = docs.filter(F.col("doc_id") < 30).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, table = f"{tmp}/in", f"{tmp}/table"
+        # 3 deliveries, each written fragmented (4 files per batch)
+        for i, lo in enumerate((0, 10, 20)):
+            batch = base.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)
+            ).repartition(4)
+            batch.write.mode("append").parquet(inp)
+            q = upsert_stream(
+                spark, inp, table, f"{tmp}/ckpt{i}", keys=("doc_id",),
+                partition_cols=("source",), versioned=True,
+                compact_files_over=2,
+            )
+            q.awaitTermination(120)
+        m = read_manifest(table)
+        for rel in m["partitions"].values():
+            n_files = len(glob.glob(f"{table}/{rel}/*.parquet"))
+            assert n_files <= 2, (rel, n_files)
+        now = read_versioned(spark, table, "source")
+        assert now.count() == 30
+        # compaction never forked content: latest snapshot equals the
+        # plain keyed merge of all deliveries
+        assert {r["doc_id"] for r in now.collect()} == set(range(30))
