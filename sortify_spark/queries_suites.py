@@ -547,6 +547,7 @@ _suite(
             ),
         ),
         ("knn_pq_adc", dict(key1="CAST(id AS STRING)", val="approx_d2")),
+        ("knn_ivfpq", dict(key1="CAST(id AS STRING)", val="score")),
         (
             "pq_recall_at_10",
             dict(cnt="overlap_at_10", key1="CAST(k AS STRING)"),

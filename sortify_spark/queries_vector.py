@@ -763,3 +763,65 @@ def q_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("overlap_at_10"))
         .select("overlap_at_10", F.lit(10).cast("int").alias("k"))
     )
+
+
+@register(
+    "knn_ivfpq",
+    f"""
+    WITH {pq.pq_ctes()},
+    cd2 AS (SELECT label, r.range AS i,
+                   AVG(CAST(embedding[r.range] AS DOUBLE)) AS mc
+            FROM embeddings, range(1, 65) r GROUP BY label, r.range),
+    cent2 AS (SELECT label, list(mc ORDER BY i) AS centroid
+              FROM cd2 GROUP BY label),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0),
+    bb2 AS (SELECT cent2.label FROM cent2, qv
+            ORDER BY ROUND(list_cosine_similarity(centroid, qe), 6) DESC,
+                     label ASC
+            LIMIT 3),
+    short AS (
+      SELECT adc.id FROM adc JOIN embeddings e ON adc.id = e.vec_id
+      WHERE e.label IN (SELECT label FROM bb2)
+      ORDER BY adc.approx_d2 ASC, adc.id ASC LIMIT 50),
+    rer AS (SELECT vec_id AS id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), qe), 6) AS score
+            FROM embeddings, qv WHERE vec_id IN (SELECT id FROM short)
+            ORDER BY score DESC, vec_id ASC LIMIT 10)
+    SELECT id, score FROM rer ORDER BY score DESC, id ASC
+    """,
+    note="IVF-PQ composition — the full 100-TB ANN shape: coarse "
+    "centroids prune to nprobe=3 buckets (partition pruning at scale), "
+    "ADC ranks the compressed codes inside the probed buckets "
+    "(M lookups per vector), a 50-candidate exact rerank restores "
+    "ordering fidelity.  The oracle replays ALL three stages — bucket "
+    "ranking, Lloyd-refined PQ, ADC, rerank — value-for-value.",
+)
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.search import knn
+
+    el, data_el, cb = _pq_parts(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    probe = emb.filter(F.col("vec_id") == 0)
+    buckets = knn.rank_buckets(
+        knn.build_centroids(emb, "label"), probe, nprobe=3, bscore_round=6
+    )
+    probed_ids = data.join(
+        F.broadcast(buckets), "label", "left_semi"
+    ).select("vec_id")
+    codes = pq.encode(data_el, cb).join(
+        probed_ids, "vec_id", "left_semi"
+    )
+    qtab = (
+        pq.cell_dists(el.filter(F.col("vec_id") == 0), cb)
+        .select("s", "j", "d2")
+    )
+    short = pq.adc_topk(codes, qtab, k=50).select("id")
+    shortlisted = data.join(
+        F.broadcast(short), data.vec_id == short.id, "left_semi"
+    )
+    return knn.brute_force_topk(shortlisted, probe, k=10).select(
+        F.col("vec_id").alias("id"), "score"
+    )

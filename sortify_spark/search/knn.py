@@ -127,19 +127,35 @@ def ivf_topk(
     as tie-break) so the probe choice is reproducible across engines —
     used by the oracle-checked recall query.
     """
+    best_buckets = rank_buckets(
+        centroids, query, vec_col, assign_col, nprobe, bscore_round
+    )
+    pruned = vectors.join(F.broadcast(best_buckets), assign_col, "left_semi")
+    return brute_force_topk(pruned, query, id_col, vec_col, k)
+
+
+def rank_buckets(
+    centroids: DataFrame,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    assign_col: str = "label",
+    nprobe: int = 2,
+    bscore_round: int | None = None,
+) -> DataFrame:
+    """The IVF coarse step alone: the ``nprobe`` buckets whose centroids
+    best match the query (rounded score, bucket-id tie-break) — shared
+    by exact-rerank IVF and the IVF-PQ composition."""
     q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
     bscore = cosine(F.col("centroid"), F.col("__qvec"))
     if bscore_round is not None:
         bscore = F.round(bscore, bscore_round)
-    best_buckets = (
+    return (
         centroids.crossJoin(q)
         .select("bucket", bscore.alias("bscore"))
         .orderBy(F.col("bscore").desc(), F.col("bucket").asc())
         .limit(nprobe)
         .select(F.col("bucket").alias(assign_col))
     )
-    pruned = vectors.join(F.broadcast(best_buckets), assign_col, "left_semi")
-    return brute_force_topk(pruned, query, id_col, vec_col, k)
 
 
 def brute_force_topk_np(
