@@ -624,3 +624,100 @@ def admission_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rollup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Incremental continuous aggregate (the Timescale-style rollup,
+    Spark-native): an events stream maintains a per-day rollup table
+    that is ALWAYS correct under late data and at-least-once redelivery.
+
+    Each micro-batch aggregates to per-(day, batch_id) PARTIALS —
+    ``cnt`` and an exact decimal ``sum_value`` — and commits them into
+    the versioned store keyed by (day, batch_id).  That key choice is
+    the exactly-once mechanism: a replayed batch rewrites ITS OWN
+    partial rows byte-identically instead of double-adding, with no
+    marker file that could desynchronize from the data commit (the
+    commit IS the marker).  Late events simply produce partials for old
+    days — no watermark drop, unlike the append-mode
+    ``daily_trend_stream`` twin, and no unbounded streaming state: the
+    state lives in the table, not the state store.
+
+    Readers fold partials with :func:`read_rollup` (decimal-exact sum →
+    count-weighted average).  At scale: each commit touches only the
+    months its batch's days fall in (partition footprint = batch time
+    locality), and partial rows per day grow by one per batch —
+    ``sources.versioned.compact`` bounds the file count and a periodic
+    keyed rewrite can fold old partials if their row count ever
+    matters (day-cardinality × batches is tiny relative to events).
+    """
+    from sortify_spark.sources.versioned import upsert_versioned
+
+    reader = spark.readStream.schema(
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+    ).format("parquet")
+    events = reader.load(input_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = (
+            batch_df.groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("day")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(38,10)")).alias(
+                    "sum_value"
+                ),
+            )
+            .select(
+                "day",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "cnt",
+                F.col("sum_value").cast("decimal(38,10)"),
+                F.substring("day", 1, 7).alias("month"),
+            )
+        )
+        upsert_versioned(
+            partial, table_path,
+            keys=["day", "batch_id"], partition_col="month",
+        )
+
+    writer = events.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(spark: SparkSession, table_path: str) -> DataFrame:
+    """Fold the rollup partials: (day, cnt, avg_value) with the same
+    decimal-exact average contract as the batch ``daily_trend``."""
+    from sortify_spark.sources.versioned import read_versioned
+
+    parts = read_versioned(spark, table_path, "month")
+    return (
+        parts.groupBy("day")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(
+                F.sum("sum_value").cast("double") / F.sum("cnt"), 4
+            ).alias("avg_value"),
+        )
+    )

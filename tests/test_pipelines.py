@@ -640,3 +640,75 @@ def test_upsert_stream_auto_compaction(spark, docs):
         # compaction never forked content: latest snapshot equals the
         # plain keyed merge of all deliveries
         assert {r["doc_id"] for r in now.collect()} == set(range(30))
+
+
+def test_rollup_stream_incremental_late_data_exactly_once(spark):
+    """Continuous aggregate: per-(day, batch_id) partials folded at read
+    time equal the batch aggregate over everything fed, late rows for
+    old days are incorporated (not dropped), and a restart on the same
+    checkpoint with no new input changes nothing."""
+    import datetime as dt
+
+    from sortify_spark.streaming.pipeline import read_rollup, rollup_stream
+
+    def ev(eid, day, hour, val):
+        return (
+            eid,
+            dt.datetime(2026, 3, day, hour, 0, 0),
+            eid % 7,
+            "view",
+            float(val),
+            "{}",
+        )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    fed = []
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, table, ckpt = f"{tmp}/in", f"{tmp}/rollup", f"{tmp}/ckpt"
+
+        def feed_and_run(rows):
+            fed.extend(rows)
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(inp)
+            rollup_stream(spark, inp, table, ckpt).awaitTermination(120)
+
+        feed_and_run([ev(1, 1, 9, 10.0), ev(2, 1, 10, 20.0), ev(3, 2, 9, 5.0)])
+        feed_and_run([ev(4, 2, 11, 7.0), ev(5, 3, 9, 1.0)])
+        # LATE: day 1 rows arriving two batches later — still merged
+        feed_and_run([ev(6, 1, 23, 30.0)])
+
+        def folded():
+            return {
+                r["day"]: (r["cnt"], r["avg_value"])
+                for r in read_rollup(spark, table).collect()
+            }
+
+        got = folded()
+        want = {
+            r["day"]: (r["cnt"], r["avg_value"])
+            for r in spark.createDataFrame(fed, schema)
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(38,10)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    4,
+                ).alias("avg_value"),
+            )
+            .collect()
+        }
+        assert got == want
+        assert got["2026-03-01"][0] == 3  # late row landed in day 1
+
+        # restart on the same checkpoint, no new files: nothing replays,
+        # nothing double-counts
+        rollup_stream(spark, inp, table, ckpt).awaitTermination(120)
+        assert folded() == want
