@@ -73,6 +73,13 @@ HEADLINE = (
     "e2e_search_hybrid",
     "cdc_classify",
     "zorder_cells",
+    # round 4 (second half): the published-pipeline curation quartet —
+    # C4 boilerplate spans, CCNet frequency tiers, GPT sequence packing,
+    # SemDeDup semantic pruning (queries_curation2.py).
+    "common_span_removal",
+    "corpus_freq_buckets",
+    "sequence_packing",
+    "semdedup_prune",
 )
 
 

@@ -1,0 +1,389 @@
+"""Round-4 curation operators: the published-pipeline quartet.
+
+Four ops a 100-TB training-data pipeline runs that the corpus-curation
+flagship did not yet cover, each with a DuckDB oracle built from the
+same constants as the Spark plan:
+
+- ``common_span_removal`` — C4/RefinedWeb-style boilerplate pruning:
+  non-overlapping k-word spans counted across the corpus; any span seen
+  in >= ``BOILER_MIN_DOCS`` distinct docs is boilerplate and its words
+  are deducted.  Explode -> hash-agg -> semi-join-back: every stage
+  map-side combines, the span key-space bounds the shuffle, never n².
+- ``corpus_freq_buckets`` — CCNet-style head/middle/tail tiering by a
+  corpus-statistics language-model proxy: per-doc mean corpus word
+  frequency (the unigram-LM likelihood with the log dropped, keeping
+  the score an exact bigint-sum / bigint-count so both engines get the
+  identical double).  ntile(3) per source with doc_id tie-break.
+- ``sequence_packing`` — GPT-style training-sequence packing: docs are
+  concatenated in deterministic (source, doc_id) order and cut every
+  ``PACK_BUDGET`` tokens; a doc belongs to the sequence where it
+  starts, and boundary-straddling docs are counted.  One window per
+  source partition; at 100 TB the partition key becomes
+  (source, shard-salt) so no single source serializes a window.
+- ``semdedup_prune`` — SemDeDup (Abbas et al. 2023) style semantic
+  dedup: within a semantic block (the embedding table's label — the
+  same IVF-bucket blocking ``embedding_neardup_topk`` uses), drop any
+  vector whose cosine to an EARLIER (lower-id) vector >= ``SEM_TAU``
+  (the greedy-by-id approximation of keep-one-per-cluster).  Pair
+  space is Σ block², never n²; at scale the block count grows with N
+  (SemDeDup sets k ∝ N) so block sizes stay bounded.
+
+Reference anchor: the reference's dedup/cleanup surface stops at exact
+hashes (backend/app/services/document/document_processing_service.py);
+these are the beyond-reference scale ops the build plan calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sortify_spark.functions.vectors import cosine_given_norms, l2_norm
+from sortify_spark.queries import register, _t
+
+SPAN_W = 8  #: words per boilerplate span (non-overlapping)
+BOILER_MIN_DOCS = 2  #: distinct-doc threshold for a span to be boilerplate
+PACK_BUDGET = 1024  #: tokens per packed training sequence
+SEM_TAU = 0.30  #: cosine threshold for semantic near-dup (synthetic corpus)
+
+
+def _words(col: str = "text"):
+    return F.filter(F.split(F.col(col), " "), lambda x: x != "")
+
+
+# ---------------------------------------------------------------------------
+# C4-style common-span (boilerplate) removal
+# ---------------------------------------------------------------------------
+
+_SPAN_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, len(w) // {SPAN_W}),
+             s -> array_to_string(
+                 w[s*{SPAN_W}+1 : s*{SPAN_W}+{SPAN_W}], ' '))) AS span
+  FROM w WHERE len(w) >= {SPAN_W}
+),
+boiler AS (
+  SELECT span FROM sp GROUP BY span
+  HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+),
+rem AS (
+  SELECT doc_id, COUNT(*) AS nrem FROM sp
+  WHERE span IN (SELECT span FROM boiler) GROUP BY doc_id
+),
+doc AS (SELECT doc_id, source, len(w) AS nw FROM w)
+SELECT source, COUNT(*) AS docs,
+       SUM(nw) AS words_total,
+       SUM(COALESCE(nrem, 0)) * {SPAN_W} AS words_removed,
+       ROUND(CAST(SUM(COALESCE(nrem, 0)) * {SPAN_W} AS DOUBLE)
+             / SUM(nw), 6) AS removed_frac
+FROM doc LEFT JOIN rem USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "common_span_removal",
+    _SPAN_SQL,
+    note="C4/RefinedWeb boilerplate pruning: non-overlapping "
+    f"{SPAN_W}-word spans, corpus-wide distinct-doc count per span, "
+    f"spans in >= {BOILER_MIN_DOCS} docs deducted.  Trailing partial "
+    "spans are never removable by design (kept words).  "
+    "explode -> map-side-combined hash-agg on span -> broadcast/semi "
+    "join back; shuffle volume bounded by the span key-space.",
+)
+def q_common_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", "source", _words().alias("w"))
+    sp = (
+        w.filter(F.size("w") >= SPAN_W)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(0), (F.size("w") / SPAN_W).cast("bigint") - 1
+                )
+            ).alias("s"),
+            F.col("w"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ", F.slice(F.col("w"), F.col("s") * SPAN_W + 1, SPAN_W)
+            ).alias("span"),
+        )
+    )
+    boiler = (
+        sp.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= BOILER_MIN_DOCS)
+        .select("span")
+    )
+    rem = (
+        sp.join(F.broadcast(boiler), "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nrem"))
+    )
+    doc = w.select("doc_id", "source", F.size("w").alias("nw"))
+    return (
+        doc.join(rem, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("nw").alias("words_total"),
+            (F.sum(F.coalesce(F.col("nrem"), F.lit(0))) * SPAN_W).alias(
+                "words_removed"
+            ),
+            F.round(
+                (
+                    F.sum(F.coalesce(F.col("nrem"), F.lit(0))) * SPAN_W
+                ).cast("double")
+                / F.sum("nw"),
+                6,
+            ).alias("removed_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style corpus-frequency tiering
+# ---------------------------------------------------------------------------
+
+_FREQ_SQL = """
+WITH wx AS (
+  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS wc FROM wx GROUP BY word),
+ds AS (
+  SELECT wx.doc_id, wx.source,
+         SUM(vocab.wc) AS fsum, COUNT(*) AS nw
+  FROM wx JOIN vocab USING (word)
+  GROUP BY wx.doc_id, wx.source
+),
+tiered AS (
+  SELECT source, fsum, nw,
+         NTILE(3) OVER (PARTITION BY source
+                        ORDER BY CAST(fsum AS DOUBLE) / nw DESC,
+                                 doc_id ASC) AS tier
+  FROM ds
+)
+SELECT source, tier, COUNT(*) AS docs, SUM(nw) AS words,
+       ROUND(CAST(SUM(fsum) AS DOUBLE) / SUM(nw), 6) AS avg_word_freq
+FROM tiered GROUP BY source, tier ORDER BY source, tier
+"""
+
+
+@register(
+    "corpus_freq_buckets",
+    _FREQ_SQL,
+    note="CCNet-style head/middle/tail tiering by self-trained corpus "
+    "statistics: per-doc mean corpus word count (exact bigint sum / "
+    "bigint count, one double division — engine-identical), ntile(3) "
+    "per source with doc_id tie-break.  Vocab build map-side combines; "
+    "the word join AQE-broadcasts a small vocab and falls back to a "
+    "skew-handled shuffle join when the vocab outgrows broadcast.",
+)
+def q_corpus_freq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    wx = docs.select(
+        "doc_id", "source", F.explode(_words()).alias("word")
+    )
+    vocab = wx.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    ds = (
+        wx.join(vocab, "word")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("wc").alias("fsum"), F.count(F.lit(1)).alias("nw"))
+    )
+    tier_w = Window.partitionBy("source").orderBy(
+        F.desc(F.col("fsum").cast("double") / F.col("nw")),
+        F.asc("doc_id"),
+    )
+    tiered = ds.select(
+        "source", "fsum", "nw", F.ntile(3).over(tier_w).alias("tier")
+    )
+    return (
+        tiered.groupBy("source", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("nw").alias("words"),
+            F.round(
+                F.sum("fsum").cast("double") / F.sum("nw"), 6
+            ).alias("avg_word_freq"),
+        )
+        .orderBy("source", "tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GPT-style sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+  FROM t
+),
+s AS (
+  SELECT source, n_tok, cum,
+         (cum - n_tok) // {PACK_BUDGET} AS seq_id,
+         CASE WHEN (cum - 1) // {PACK_BUDGET}
+              > (cum - n_tok) // {PACK_BUDGET}
+              THEN 1 ELSE 0 END AS straddle
+  FROM c
+)
+SELECT source, seq_id, COUNT(*) AS docs, SUM(n_tok) AS tokens,
+       SUM(straddle) AS straddles
+FROM s GROUP BY source, seq_id ORDER BY source, seq_id
+"""
+
+
+@register(
+    "sequence_packing",
+    _PACK_SQL,
+    note="GPT-style sequence packing: docs concatenated in "
+    "(source, doc_id) order, cut every "
+    f"{PACK_BUDGET} tokens; a doc joins the sequence where it starts "
+    "and boundary-straddlers are counted.  One running-sum window per "
+    "source; at 100 TB partition on (source, shard-salt) so no single "
+    "source serializes a window (packing only needs a deterministic "
+    "order WITHIN a shard, not globally).",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(_words()).alias("n_tok")
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(win))
+    s = c.select(
+        "source",
+        "n_tok",
+        F.expr(f"(cum - n_tok) div {PACK_BUDGET}").alias("seq_id"),
+        F.when(
+            F.expr(f"(cum - 1) div {PACK_BUDGET}")
+            > F.expr(f"(cum - n_tok) div {PACK_BUDGET}"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("straddle"),
+    )
+    return (
+        s.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.sum("straddle").alias("straddles"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic pruning
+# ---------------------------------------------------------------------------
+
+_SEM_SQL = f"""
+WITH b AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+d AS (
+  SELECT b2.label, b2.vec_id AS j
+  FROM b a JOIN b b2 ON a.label = b2.label AND a.vec_id < b2.vec_id
+  WHERE ROUND(list_cosine_similarity(a.e, b2.e), 6) >= {SEM_TAU}
+  GROUP BY b2.label, b2.vec_id
+)
+SELECT b.label, COUNT(*) AS n_vecs, COUNT(d.j) AS n_dropped,
+       COUNT(*) - COUNT(d.j) AS n_kept,
+       SUM(CASE WHEN d.j IS NULL THEN b.vec_id END) AS kept_id_sum
+FROM b LEFT JOIN d ON b.label = d.label AND b.vec_id = d.j
+GROUP BY b.label ORDER BY b.label
+"""
+
+
+@register(
+    "semdedup_prune",
+    _SEM_SQL,
+    note="SemDeDup semantic dedup: within each semantic block (label = "
+    "the IVF-bucket blocking of embedding_neardup_topk), drop any "
+    f"vector with cosine >= {SEM_TAU} to an earlier (lower-id) vector "
+    "— the greedy-by-id keep-first rule.  Norms computed once per row "
+    "below the self-join (N folds, not N²); pair space Σ block², and "
+    "at scale block count grows with N (SemDeDup sets k ∝ N) so block "
+    "sizes stay bounded.  kept_id_sum hash-pins the exact survivor "
+    "set, not just its size.",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    ).withColumn("nrm", l2_norm("e"))
+    a = b.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    bb = b.select(
+        F.col("label"),
+        F.col("vec_id").alias("j"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dropped = (
+        a.join(bb, "label")
+        .filter(F.col("id_a") < F.col("j"))
+        .filter(
+            F.round(
+                cosine_given_norms(
+                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            )
+            >= SEM_TAU
+        )
+        .select(F.col("label").alias("dlabel"), "j")
+        .distinct()
+    )
+    return (
+        b.join(
+            dropped,
+            (F.col("label") == F.col("dlabel"))
+            & (F.col("vec_id") == F.col("j")),
+            "left",
+        )
+        .select("label", "vec_id", "j")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("j").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("j")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("j").isNull(), F.col("vec_id"))
+            ).alias("kept_id_sum"),
+        )
+        .orderBy("label")
+    )

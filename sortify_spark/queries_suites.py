@@ -623,10 +623,55 @@ _suite(
                 val2="CAST(max_z AS DOUBLE)",
             ),
         ),
+        # round 4 (second half): the published-pipeline quartet
+        # (queries_curation2.py) — C4 boilerplate spans, CCNet frequency
+        # tiers, GPT sequence packing, SemDeDup semantic pruning.
+        (
+            "common_span_removal",
+            dict(
+                key1="source",
+                key2="CAST(docs AS STRING)",
+                cnt="words_total",
+                val="CAST(words_removed AS DOUBLE)",
+                val2="removed_frac",
+            ),
+        ),
+        (
+            "corpus_freq_buckets",
+            dict(
+                key1="source",
+                key2="CAST(tier AS STRING)",
+                cnt="docs",
+                val="CAST(words AS DOUBLE)",
+                val2="avg_word_freq",
+            ),
+        ),
+        (
+            "sequence_packing",
+            dict(
+                key1="source",
+                key2="CAST(seq_id AS STRING)",
+                cnt="tokens",
+                val="CAST(docs AS DOUBLE)",
+                val2="CAST(straddles AS DOUBLE)",
+            ),
+        ),
+        (
+            "semdedup_prune",
+            dict(
+                key1="CAST(label AS STRING)",
+                key2="CAST(n_kept AS STRING)",
+                cnt="kept_id_sum",
+                val="CAST(n_vecs AS DOUBLE)",
+                val2="CAST(n_dropped AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "
-    "dedup stats, hash-predicate sampling, distinct aggregation, and "
-    "the z-order Morton-key kernel — one hash-checked row set for the "
+    "dedup stats, hash-predicate sampling, distinct aggregation, the "
+    "z-order Morton-key kernel, and the round-4 published-pipeline "
+    "quartet (C4 boilerplate spans, CCNet frequency tiers, GPT "
+    "sequence packing, SemDeDup) — one hash-checked row set for the "
     "curation + layout additions.",
 )
