@@ -287,3 +287,51 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_span_removal_no_quadratic_joins(spark):
+    """Boilerplate-span removal must stay equi/semi-join shaped: the
+    span counting is a map-side-combined hash aggregate and the
+    boilerplate set broadcasts back — never a cartesian or nested loop,
+    never Python."""
+    plan = _plan(spark, "common_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_" in plan
+
+
+def test_corpus_freq_vocab_join_and_partial_agg(spark):
+    """CCNet tiering: vocab build map-side combines; the word join is an
+    equi-join (broadcast at this vocab size); ntile runs over the per-doc
+    aggregate, not the exploded words."""
+    plan = _plan(spark, "corpus_freq_buckets")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_" in plan
+    assert "Window" in plan
+
+
+def test_sequence_packing_one_window_partitioning(spark):
+    """Packing is one running-sum window per source plus the final
+    aggregate — the groupBy(source, seq_id) must reuse the window's
+    hash partitioning on source (partitioning on a key subset satisfies
+    the agg's clustered distribution), so the only hash Exchange in the
+    plan is the window's own; the second Exchange is the cosmetic final
+    orderBy range sort."""
+    plan = _plan(spark, "sequence_packing")
+    assert "Window" in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert _shuffles(plan) == 2
+
+
+def test_semdedup_blocked_equi_join(spark):
+    """SemDeDup's pair space is label-blocked: the self-join must be an
+    equi-join on label (Σ block², never n² via nested loop), with the
+    id ordering and cosine threshold as post-join filters."""
+    plan = _plan(spark, "semdedup_prune")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
