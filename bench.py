@@ -80,6 +80,7 @@ HEADLINE = (
     "corpus_freq_buckets",
     "sequence_packing",
     "semdedup_prune",
+    "semdedup_prune_np",
 )
 
 

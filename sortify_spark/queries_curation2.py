@@ -467,3 +467,14 @@ def semdedup_stats_np(emb: DataFrame, tau: float = SEM_TAU) -> DataFrame:
         .applyInPandas(block, schema)
         .orderBy("label")
     )
+
+
+@register(
+    "semdedup_prune_np",
+    None,  # rows-only: BLAS twin; equality with the oracle-checked
+    # expression kernel is unit-tested (test_scale_queries.py)
+    note="Arrow/BLAS twin of semdedup_prune — the throughput path "
+    "(bench row shows the kernel-swap win at identical output).",
+)
+def q_semdedup_prune_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_stats_np(_t(spark, sf_dir, "embeddings"))
