@@ -273,6 +273,20 @@ def main() -> None:
             lambda: {"rows": pack_sequences(docs).count()},
         )
 
+        # Skew case: collapse every doc into ONE source (the dominant-
+        # crawl shape).  Unsalted, the running-sum window is a single
+        # task over the whole corpus; salted (shards=32) it fans out to
+        # 32 independent windows — same token mass, bounded tail waste.
+        one_src = docs.withColumn("source", F.lit("crawl"))
+        stage(
+            "packing_one_source_single_window",
+            lambda: {"rows": pack_sequences(one_src).count()},
+        )
+        stage(
+            "packing_one_source_salted32",
+            lambda: {"rows": pack_sequences(one_src, shards=32).count()},
+        )
+
         def semdedup():
             emb = load_table(spark, args.sf_dir, "embeddings")
             reps = F.broadcast(

@@ -253,7 +253,8 @@ def freq_bucket_stats(docs: DataFrame) -> DataFrame:
 _PACK_SQL = f"""
 WITH t AS (
   SELECT doc_id, source,
-         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+         COALESCE(len(list_filter(string_split(text, ' '),
+                                  x -> x <> '')), 0) AS n_tok
   FROM documents
 ),
 c AS (
@@ -292,21 +293,50 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"))
 
 
-def pack_sequences(docs: DataFrame) -> DataFrame:
-    """Kernel over any (doc_id, source, text) frame."""
+def pack_sequences(docs: DataFrame, shards: int = 1) -> DataFrame:
+    """Kernel over any (doc_id, source, text) frame.
+
+    ``shards > 1`` is the skew path for when one source dominates the
+    corpus (the 100-TB common case — one crawl source holds most rows):
+    the running-sum window partitions on (source, crc32-shard) instead
+    of source alone, so no single source serializes one window task.
+    Packing only needs a deterministic order WITHIN a shard — each
+    shard packs its own token stream and sequence ids are namespaced as
+    ``shard · 10⁹ + seq`` so the output schema is shard-free and, at
+    ``shards=1``, byte-identical to the oracle-checked shape.  The cost
+    of salting is at most ``shards`` extra partially-filled tail
+    sequences per source (one per shard), which the balance stats
+    surface.
+    """
+    # null text → 0 tokens (joins the current sequence, adds nothing)
+    # rather than a NULL sequence bucket
     t = docs.select(
-        "doc_id", "source", F.size(_words()).alias("n_tok")
+        "doc_id",
+        "source",
+        F.coalesce(F.size(_words()), F.lit(0)).alias("n_tok"),
     )
+    if shards > 1:
+        t = t.withColumn(
+            "shard", F.pmod(F.crc32(F.col("doc_id").cast("string")), shards)
+        )
+        part_keys = ["source", "shard"]
+    else:
+        t = t.withColumn("shard", F.lit(0))
+        part_keys = ["source"]
     win = (
-        Window.partitionBy("source")
+        Window.partitionBy(*part_keys)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = t.withColumn("cum", F.sum("n_tok").over(win))
     s = c.select(
         "source",
+        "shard",
         "n_tok",
-        F.expr(f"(cum - n_tok) div {PACK_BUDGET}").alias("seq_id"),
+        (
+            F.col("shard").cast("bigint") * 1_000_000_000
+            + F.expr(f"(cum - n_tok) div {PACK_BUDGET}")
+        ).alias("seq_id"),
         F.when(
             F.expr(f"(cum - 1) div {PACK_BUDGET}")
             > F.expr(f"(cum - n_tok) div {PACK_BUDGET}"),
@@ -451,10 +481,17 @@ def semdedup_stats_np(emb: DataFrame, tau: float = SEM_TAU) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
+        embs = list(pdf["embedding"].iloc[order])
+        # null embeddings behave like the expression kernel: cosine is
+        # indeterminate → the row is never dropped; a zero row gives
+        # cosine 0 everywhere, which at tau > 0 is the same outcome
+        dim = next((len(e) for e in embs if e is not None), 1)
         M = np.stack(
             [
-                np.asarray(e, dtype=np.float64)
-                for e in pdf["embedding"].iloc[order]
+                np.zeros(dim)
+                if e is None
+                else np.asarray(e, dtype=np.float64)
+                for e in embs
             ]
         )
         n = np.linalg.norm(M, axis=1)

@@ -127,3 +127,66 @@ def test_budget_sample_zero_token_stratum(spark):
     kept = budget_balanced_sample(df, "source", F.col("tok"), "doc_id", 100)
     srcs = {r.source for r in kept.collect()}
     assert "b" in srcs  # inf-rate clamps to keep-all, never drops or errors
+
+
+@pytest.fixture()
+def dirty_src_docs(spark):
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p", "web"),
+        (2, None, "web"),
+        (3, "", "web"),
+        (4, "   ", "mail"),
+        (5, "a b c d e f g h i j k l m n o p", "mail"),  # shares spans w/ 1
+        (6, "short text", "mail"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_span_removal_nulls(dirty_src_docs):
+    from sortify_spark.queries_curation2 import span_removal_stats
+
+    out = {r["source"]: r for r in span_removal_stats(dirty_src_docs).collect()}
+    # null/empty docs count as docs with 0 words, contribute no spans
+    assert out["web"]["docs"] == 3 and out["mail"]["docs"] == 3
+    # docs 1 and 5 share both 8-word spans -> all 16 words removed each
+    assert out["web"]["words_removed"] == 16
+    assert out["mail"]["words_removed"] == 16
+
+
+def test_freq_buckets_skip_empty_docs(dirty_src_docs):
+    from sortify_spark.queries_curation2 import freq_bucket_stats
+
+    rows = freq_bucket_stats(dirty_src_docs).collect()
+    # empty/null docs have no word rows: they simply don't enter tiers
+    assert sum(r["docs"] for r in rows) == 3
+    assert all(r["words"] > 0 for r in rows)
+
+
+def test_sequence_packing_null_is_zero_tokens(dirty_src_docs):
+    from sortify_spark.queries_curation2 import pack_sequences
+
+    rows = pack_sequences(dirty_src_docs).collect()
+    # no NULL sequence bucket; every doc lands in sequence 0 per source
+    assert all(r["seq_id"] == 0 for r in rows)
+    by_src = {r["source"]: r for r in rows}
+    assert by_src["web"]["docs"] == 3 and by_src["web"]["tokens"] == 16
+    assert by_src["mail"]["docs"] == 3 and by_src["mail"]["tokens"] == 18
+
+
+def test_semdedup_null_embedding_never_dropped(spark):
+    from sortify_spark.queries_curation2 import (
+        semdedup_stats,
+        semdedup_stats_np,
+    )
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, None),               # null embedding
+        (3, 0, [1.0, 0.0]),         # dup of 1 -> dropped
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    a = [tuple(r) for r in semdedup_stats(emb).collect()]
+    b = [tuple(r) for r in semdedup_stats_np(emb).collect()]
+    assert a == b == [(0, 3, 1, 2, 1 + 2)]

@@ -345,3 +345,42 @@ def test_semdedup_np_twin_edge_blocks(spark):
     assert by_label[0][1:] == (4, 1, 3, 1 + 2 + 4)
     # label 7: singleton, nothing dropped
     assert by_label[7][1:] == (1, 0, 1, 9)
+
+
+def test_sequence_packing_salted_conserves_tokens(spark):
+    """The skew path (shards > 1) must conserve exactly the same token
+    mass and doc count per source as the single-window shape, keep
+    every sequence within budget except for straddle carryover, and pay
+    at most `shards` extra tail sequences per source."""
+    from sortify_spark.queries_curation2 import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+    from sortify_spark.tables import load_table
+    from tests.conftest import SF_DIR_MID
+
+    docs = load_table(spark, SF_DIR_MID, "documents")
+    base = pack_sequences(docs).collect()
+    salted = pack_sequences(docs, shards=4).collect()
+
+    def tot(rows):
+        out = {}
+        for r in rows:
+            d = out.setdefault(r["source"], [0, 0])
+            d[0] += r["docs"]
+            d[1] += r["tokens"]
+        return out
+
+    assert tot(base) == tot(salted)
+    # sequence ids are namespaced per shard
+    assert {r["seq_id"] // 1_000_000_000 for r in salted} == {0, 1, 2, 3}
+    # every non-tail sequence starts below budget (a doc is assigned to
+    # the sequence where it STARTS, so sums can straddle past budget by
+    # less than one doc)
+    max_doc = max(r["tokens"] / r["docs"] for r in salted)
+    assert all(
+        r["tokens"] < PACK_BUDGET + max_doc * r["docs"] for r in salted
+    )
+    # tail-sequence overhead bounded: shards × sources extra sequences
+    n_sources = len({r["source"] for r in base})
+    assert len(salted) <= len(base) + 4 * n_sources
