@@ -40,3 +40,36 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_stats")
+
+
+def test_semdedup_over_bucketed_embeddings_no_shuffle(spark):
+    """SemDeDup's only wide dependency is the group-by-label handoff to
+    the per-block kernel.  With the embeddings table bucketed BY label,
+    that distribution is already satisfied at read time — the BLAS
+    kernel's applyInPandas must run with ZERO shuffle exchanges, which
+    is the 100-TB layout: bucket the vector store once, run semantic
+    dedup forever without moving a vector."""
+    from sortify_spark.queries_curation2 import semdedup_stats_np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    write_bucketed(emb, "b_emb", "label", num_buckets=8)
+    try:
+        out = semdedup_stats_np(spark.table("b_emb"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        # the final orderBy is a cosmetic range exchange over 10 rows;
+        # the kernel itself must add none
+        kernel_plan = plan.split("Sort")[-1]
+        assert "FlatMapGroupsInPandas" in plan
+        assert (
+            kernel_plan.count("Exchange")
+            - kernel_plan.count("BroadcastExchange")
+            == 0
+        ), plan
+        assert n_shuffles <= 1, plan
+        # and it still computes the same answer as the unbucketed path
+        a = [tuple(r) for r in semdedup_stats_np(emb).collect()]
+        b = [tuple(r) for r in out.collect()]
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_emb")
