@@ -81,6 +81,7 @@ HEADLINE = (
     "sequence_packing",
     "semdedup_prune",
     "semdedup_prune_np",
+    "bpe_train_merges",
 )
 
 

@@ -1,0 +1,187 @@
+"""BPE vocabulary induction over the corpus — the trainer, not just the
+tokenizer.
+
+``token_counts_bpe`` (queries_text) counts tokens with a FIXED
+BPE-ish regex; this module learns the merge table itself, the way real
+BPE trainers do (Sennrich et al. 2016; HuggingFace tokenizers): the
+only corpus-scale pass builds the word-frequency table, and every merge
+iteration runs on that compact (distinct word, count) table — at 100 TB
+the wf table is millions of rows where the corpus is billions, so the
+iterative part never touches the corpus again.
+
+Merge semantics (the deterministic contract both engines share):
+words are split to characters plus an end-of-word marker ``_``; each
+iteration counts adjacent symbol pairs weighted by word count
+(map-side-combined explode over the wf table), picks the argmax with
+(count DESC, pair ASC) tie-break, and rewrites every word's symbol
+string with a single left-to-right non-overlapping ``replace`` of the
+space-delimited pair.  On runs of a repeated pair, an occurrence that
+shares its leading delimiter with the previous match is skipped (the
+match consumed it) — a documented divergence from HF's run handling,
+identical in Spark and DuckDB because both ``replace`` implementations
+scan left-to-right without overlap; pinned by
+``tests/test_text_ops.py::test_bpe_merge_semantics``.
+
+The argmax never leaves the plan: the 1-row best-pair aggregate is
+broadcast back into the rewrite via crossJoin, so K merges are K
+plan iterations with zero driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sortify_spark.queries import register, _t
+
+N_MERGES = 6  #: merge steps to learn
+EOW = "_"  #: end-of-word marker symbol
+
+
+def _wf(docs: DataFrame) -> DataFrame:
+    """Distinct-word frequency table with the initial symbol string —
+    the ONE corpus-scale pass."""
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("word")
+    )
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    return wf.withColumn(
+        "sym",
+        F.concat(F.array_join(chars, " "), F.lit(" " + EOW)),
+    )
+
+
+def _pair_counts(cur: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word frequency."""
+    a = F.split(F.col("sym"), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(a) - 1),
+        lambda i: F.concat(
+            F.element_at(a, i), F.lit(" "), F.element_at(a, i + 1)
+        ),
+    )
+    return (
+        cur.select("cnt", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pcnt"))
+    )
+
+
+def train_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges; returns
+    (step, pair, merged, pcnt) ordered by step."""
+    # Persist the compact per-iteration state (distinct words + symbol
+    # strings — the table real trainers materialize): without it every
+    # argmax subtree in the final union re-derives the corpus-scale
+    # word count, turning K merges into ~2K corpus passes.
+    cur = _wf(docs).persist()
+    merges = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _pair_counts(cur)
+            .orderBy(F.desc("pcnt"), F.asc("pair"))
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias(
+                    "merged"
+                ),
+                "pcnt",
+            )
+        )
+        bp = F.broadcast(best.select(F.col("pair").alias("__bp")))
+        cur = (
+            cur.crossJoin(bp)
+            .withColumn(
+                "sym",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("__bp"), F.lit(" ")),
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(
+                                F.col("__bp"), F.lit(" "), F.lit("")
+                            ),
+                            F.lit(" "),
+                        ),
+                    )
+                ),
+            )
+            .drop("__bp")
+            .persist()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("step")
+
+
+def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """Unrolled DuckDB replay of :func:`train_bpe_merges` — one CTE pair
+    (best_k, it_k) per merge step, generated from the same constants."""
+    sym0 = (
+        "array_to_string(list_transform(range(1, len(word) + 1), "
+        f"i -> word[i]), ' ') || ' {EOW}'"
+    )
+    parts = [
+        f"""it0 AS (
+  SELECT word, cnt, {sym0} AS sym FROM (
+    SELECT word, COUNT(*) AS cnt FROM (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                                x -> x <> '')) AS word
+      FROM documents) GROUP BY word)
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""b{k} AS (
+  SELECT pair, SUM(cnt) AS pcnt FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(a)),
+                       i -> a[i] || ' ' || a[i+1])) AS pair
+    FROM (SELECT cnt, string_split(sym, ' ') AS a FROM it{k - 1}))
+  GROUP BY pair ORDER BY pcnt DESC, pair ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""it{k} AS (
+  SELECT word, cnt,
+         trim(replace(' ' || sym || ' ',
+                      (SELECT ' ' || pair || ' ' FROM b{k}),
+                      (SELECT ' ' || replace(pair, ' ', '') || ' '
+                       FROM b{k}))) AS sym
+  FROM it{k - 1}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, pair, replace(pair, ' ', '') AS merged, "
+        f"pcnt FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"\n{selects}\nORDER BY step"
+    )
+
+
+@register(
+    "bpe_train_merges",
+    _bpe_oracle_sql(),
+    note=f"BPE trainer: first {N_MERGES} merges learned from the corpus "
+    "word-frequency table (the only corpus-scale pass), argmax pair per "
+    "step with (count DESC, pair ASC) tie-break, symbol rewrite via "
+    "delimiter-guarded left-to-right replace.  The 1-row argmax is "
+    "broadcast back into the plan — K merge steps, zero collects.  "
+    "Oracle is the same iteration unrolled into CTEs from the same "
+    "constants.",
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return train_bpe_merges(_t(spark, sf_dir, "documents"))

@@ -666,6 +666,12 @@ _suite(
                 val2="CAST(n_dropped AS DOUBLE)",
             ),
         ),
+        # round 4 (second half): the BPE trainer — merged symbol is
+        # derived from pair, so (step, pair, pcnt) pins the full table.
+        (
+            "bpe_train_merges",
+            dict(key1="CAST(step AS STRING)", key2="pair", cnt="pcnt"),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "

@@ -162,3 +162,26 @@ def test_connected_components_chain_and_clique(spark):
         for r in connected_components(pairs, driver_max_edges=0).collect()
     }
     assert dist == want
+
+
+def test_bpe_merge_semantics(spark):
+    """Pin the documented merge contract on a tiny constructed corpus:
+    per-step argmax with (count DESC, pair ASC) tie-break, end-of-word
+    marker participates in merges, and runs of a repeated pair merge
+    left-to-right with the delimiter consumed (every other occurrence)."""
+    from sortify_spark.queries_bpe import train_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab"), (2, "aaaa ab ab")],
+        ["doc_id", "text"],
+    )
+    out = [tuple(r) for r in train_bpe_merges(docs, n_merges=2).collect()]
+    # step 1: 'aaaa' (x3) contributes pairs a|a three times each word =
+    # 9, 'ab' (x3) contributes a|b 3; ties broken by pair asc.
+    assert out[0] == (1, "a a", "aa", 9)
+    # after merging 'a a' left-to-right with the delimiter consumed,
+    # 'a a a a _' -> 'aa a a _' (the second occurrence shared the
+    # consumed delimiter and is skipped); pairs are now
+    # {'aa a': 3, 'a a': 3, 'a _': 3, 'a b': 3, 'b _': 3} and the tie
+    # breaks to 'a _' (space sorts below letters).
+    assert out[1] == (2, "a _", "a_", 3)
