@@ -73,9 +73,10 @@ def _pair_counts(cur: DataFrame) -> DataFrame:
     )
 
 
-def train_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merges; returns
-    (step, pair, merged, pcnt) ordered by step."""
+def _train(docs: DataFrame, n_merges: int):
+    """Shared trainer loop — returns (per-step best frames, final
+    word→symbol state).  The final state IS the tokenizer: each word's
+    ``sym`` column is its BPE segmentation under the learned merges."""
     # Persist the compact per-iteration state (distinct words + symbol
     # strings — the table real trainers materialize): without it every
     # argmax subtree in the final union re-derives the corpus-scale
@@ -120,14 +121,59 @@ def train_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
             .drop("__bp")
             .persist()
         )
+    return merges, cur
+
+
+def train_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges; returns
+    (step, pair, merged, pcnt) ordered by step."""
+    merges, _ = _train(docs, n_merges)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("step")
 
 
-def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
-    """Unrolled DuckDB replay of :func:`train_bpe_merges` — one CTE pair
+def bpe_token_stats(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Apply the learned vocabulary back to the corpus: per source,
+    word occurrences, the character-level token baseline
+    (chars + end-of-word), the BPE token count under the learned
+    merges, and the compression ratio.
+
+    The tokenizer is the trainer's final word→symbol state — applying
+    it is one equi-join of the corpus word stream to the compact
+    per-word token counts (vocab side broadcast at this scale, a plain
+    shuffle join once the vocab outgrows it), then one
+    map-side-combined aggregate per source."""
+    _, cur = _train(docs, n_merges)
+    wtok = cur.select(
+        "word", F.size(F.split(F.col("sym"), " ")).alias("ntok")
+    )
+    wx = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("word"),
+    )
+    return (
+        wx.join(wtok, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("words"),
+            F.sum(F.length("word") + 1).alias("char_tokens"),
+            F.sum("ntok").alias("bpe_tokens"),
+            F.round(
+                F.sum("ntok").cast("double")
+                / F.sum(F.length("word") + 1),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_ctes(n_merges: int) -> list[str]:
+    """Unrolled DuckDB CTE chain replaying the trainer loop — one pair
     (best_k, it_k) per merge step, generated from the same constants."""
     sym0 = (
         "array_to_string(list_transform(range(1, len(word) + 1), "
@@ -162,6 +208,11 @@ def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
   FROM it{k - 1}
 )"""
         )
+    return parts
+
+
+def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
+    parts = _bpe_ctes(n_merges)
     selects = "\nUNION ALL\n".join(
         f"SELECT {k} AS step, pair, replace(pair, ' ', '') AS merged, "
         f"pcnt FROM b{k}"
@@ -169,6 +220,34 @@ def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
     )
     return (
         "WITH " + ",\n".join(parts) + f"\n{selects}\nORDER BY step"
+    )
+
+
+def _bpe_apply_oracle_sql(n_merges: int = N_MERGES) -> str:
+    parts = _bpe_ctes(n_merges)
+    parts.append(
+        f"""wt AS (
+  SELECT word, len(string_split(sym, ' ')) AS ntok FROM it{n_merges}
+)"""
+    )
+    parts.append(
+        """wx AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS word
+  FROM documents
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT source, COUNT(*) AS words,
+       SUM(len(word) + 1) AS char_tokens,
+       SUM(ntok) AS bpe_tokens,
+       ROUND(CAST(SUM(ntok) AS DOUBLE) / SUM(len(word) + 1), 6)
+           AS compression
+FROM wx JOIN wt USING (word)
+GROUP BY source ORDER BY source"""
     )
 
 
@@ -185,3 +264,17 @@ def _bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
 )
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe_merges(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "bpe_token_stats",
+    _bpe_apply_oracle_sql(),
+    note="BPE tokenizer application: the trainer's final word-symbol "
+    "state joins back to the corpus word stream (compact vocab side "
+    "broadcast; shuffle join once it outgrows that), yielding per-"
+    "source BPE token counts and the compression ratio vs the "
+    "character baseline.  Oracle extends the trainer's unrolled CTEs "
+    "with the same join.",
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_token_stats(_t(spark, sf_dir, "documents"))

@@ -672,6 +672,16 @@ _suite(
             "bpe_train_merges",
             dict(key1="CAST(step AS STRING)", key2="pair", cnt="pcnt"),
         ),
+        (
+            "bpe_token_stats",
+            dict(
+                key1="source",
+                key2="CAST(words AS STRING)",
+                cnt="bpe_tokens",
+                val="CAST(char_tokens AS DOUBLE)",
+                val2="compression",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "
