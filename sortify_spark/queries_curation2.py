@@ -527,3 +527,118 @@ def semdedup_stats_np(emb: DataFrame, tau: float = SEM_TAU) -> DataFrame:
 )
 def q_semdedup_prune_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_stats_np(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup over raw documents (no embedding table): expression encoder
+# + portable-LSH blocking, fully oracle-replayable
+# ---------------------------------------------------------------------------
+
+DOCSEM_TAU = 0.995  #: near-identical cosine threshold over unit vectors
+DOCSEM_BITS = 6  #: hyperplane-sign bits → 64 semantic blocks
+DOCSEM_DIM = 8  #: encoder dim for this op (md5 fold cost ∝ dim)
+
+
+def _docsem_oracle_sql() -> str:
+    from sortify_spark.functions import sql_embed as SE
+    from sortify_spark.search.knn import lsh_key_sql
+
+    dim = DOCSEM_DIM
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, {SE.tokens_sql('text')} AS toks FROM documents
+),
+r AS (SELECT doc_id, source,
+             {SE.raw_embed_sql('toks', dim)} AS raw FROM t),
+n AS (SELECT doc_id, source, raw, {SE.norm_sql('raw')} AS nrm FROM r),
+e AS (SELECT doc_id, source,
+             {SE.normalize_sql('raw', 'nrm')} AS e FROM n),
+k AS (SELECT doc_id, source, e,
+             {lsh_key_sql('e', DOCSEM_BITS)} AS bucket FROM e),
+p AS (
+  SELECT b.doc_id AS j
+  FROM k a JOIN k b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  WHERE ROUND({SE.dot_sql('a.e', 'b.e', dim)}, 6) >= {DOCSEM_TAU}
+  GROUP BY b.doc_id
+)
+SELECT source, COUNT(*) AS docs, COUNT(p.j) AS dropped,
+       COUNT(*) - COUNT(p.j) AS kept,
+       SUM(CASE WHEN p.j IS NULL THEN doc_id END) AS kept_id_sum
+FROM k LEFT JOIN p ON k.doc_id = p.j
+GROUP BY source ORDER BY source
+"""
+
+
+def semdedup_docs_stats(docs: DataFrame) -> DataFrame:
+    """SemDeDup directly over text: md5 expression-encoder embeddings
+    (unit vectors — cosine reduces to the dot product), hyperplane-sign
+    LSH blocks as the semantic clusters, greedy-by-id drop at
+    ``DOCSEM_TAU``.  The whole pipeline — tokenize, embed, block, pair,
+    drop — is pure Catalyst expressions replayed verbatim in DuckDB.
+
+    Scale: the embedding + bucket key are write-once index columns; the
+    pair space is Σ bucket² with bucket count 2^DOCSEM_BITS growing via
+    nbits as the corpus grows (the same k ∝ N contract as
+    ``semdedup_prune``); the pair dot is dim-16 on unit vectors.
+    """
+    from sortify_spark.functions.sql_embed import expr_embed
+    from sortify_spark.functions.vectors import dot
+    from sortify_spark.search.knn import lsh_portable_key
+
+    # Persist: the embedded frame feeds both self-join branches AND
+    # the final stats join — without it the md5 fold runs three times.
+    e = (
+        docs.select(
+            "doc_id",
+            "source",
+            expr_embed(F.col("text"), dim=DOCSEM_DIM).alias("e"),
+        )
+        .withColumn("bucket", lsh_portable_key("e", nbits=DOCSEM_BITS))
+        .persist()
+    )
+    a = e.select(
+        F.col("bucket"),
+        F.col("doc_id").alias("id_a"),
+        F.col("e").alias("ea"),
+    )
+    b = e.select(
+        F.col("bucket"),
+        F.col("doc_id").alias("j"),
+        F.col("e").alias("eb"),
+    )
+    dropped = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("j"))
+        .filter(F.round(dot(F.col("ea"), F.col("eb")), 6) >= DOCSEM_TAU)
+        .select("j")
+        .distinct()
+    )
+    return (
+        e.join(dropped, e.doc_id == dropped.j, "left")
+        .select("source", "doc_id", "j")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.count("j").alias("dropped"),
+            (F.count(F.lit(1)) - F.count("j")).alias("kept"),
+            F.sum(
+                F.when(F.col("j").isNull(), F.col("doc_id"))
+            ).alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "semdedup_docs",
+    _docsem_oracle_sql(),
+    note="SemDeDup over raw documents: md5 expression-encoder unit "
+    "embeddings, 6-bit hyperplane-sign LSH blocks as semantic "
+    f"clusters, greedy-by-id drop at dot >= {DOCSEM_TAU}.  Tokenize -> "
+    "embed -> block -> pair -> drop is one expression pipeline, "
+    "replayed verbatim in DuckDB (same LCG hyperplanes, same fold "
+    "orders).  Σ bucket² pair space; embedding and bucket are "
+    "write-once index columns at scale.",
+)
+def q_semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup_docs_stats(_t(spark, sf_dir, "documents"))

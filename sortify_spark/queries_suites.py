@@ -682,6 +682,16 @@ _suite(
                 val2="compression",
             ),
         ),
+        (
+            "semdedup_docs",
+            dict(
+                key1="source",
+                key2="CAST(kept AS STRING)",
+                cnt="kept_id_sum",
+                val="CAST(docs AS DOUBLE)",
+                val2="CAST(dropped AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "
