@@ -287,6 +287,18 @@ def main() -> None:
             lambda: {"rows": pack_sequences(one_src, shards=32).count()},
         )
 
+        # BPE trainer: the only corpus-scale pass is the word count —
+        # the merge iterations run on the compact distinct-word table,
+        # so training cost should track the ingest scan, not explode
+        # with the corpus.
+        def bpe():
+            from sortify_spark.queries_bpe import train_bpe_merges
+
+            rows = train_bpe_merges(docs).collect()
+            return {"rows": len(rows), "top_merge": rows[0]["merged"]}
+
+        stage("bpe_train_merges", bpe)
+
         def semdedup():
             emb = load_table(spark, args.sf_dir, "embeddings")
             reps = F.broadcast(
