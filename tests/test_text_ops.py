@@ -185,3 +185,99 @@ def test_bpe_merge_semantics(spark):
     # {'aa a': 3, 'a a': 3, 'a _': 3, 'a b': 3, 'b _': 3} and the tie
     # breaks to 'a _' (space sorts below letters).
     assert out[1] == (2, "a _", "a_", 3)
+
+
+def test_pack_sequences_property_random(spark):
+    """Property check against a pure-Python reference on a seeded random
+    corpus: identical sequence assignment, token totals, and straddle
+    counts for every (source, seq_id)."""
+    import random
+
+    from sortify_spark.queries_curation2 import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(300):
+        src = f"s{rng.randrange(3)}"
+        nw = rng.randrange(0, 120)
+        rows.append((i, " ".join("w%d" % rng.randrange(9) for _ in range(nw)) if nw else None, src))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    # pure-Python model of the documented contract
+    want = {}
+    by_src = {}
+    for i, text, src in rows:
+        by_src.setdefault(src, []).append(
+            (i, len(text.split()) if text else 0)
+        )
+    for src, docs_list in by_src.items():
+        cum = 0
+        for _i, n in sorted(docs_list):
+            start = cum
+            cum += n
+            seq = start // PACK_BUDGET
+            straddle = 1 if (cum - 1) // PACK_BUDGET > seq and n > 0 else 0
+            key = (src, seq)
+            d = want.setdefault(key, [0, 0, 0])
+            d[0] += 1
+            d[1] += n
+            d[2] += straddle
+    got = {
+        (r["source"], r["seq_id"]): [r["docs"], r["tokens"], r["straddles"]]
+        for r in pack_sequences(docs).collect()
+    }
+    assert got == want
+
+
+def test_span_removal_property_random(spark):
+    """Property check against a pure-Python reference: per-source word
+    totals and boilerplate-removed counts on a seeded random corpus
+    drawn from a tiny vocab (so span collisions actually happen)."""
+    import random
+    from collections import defaultdict
+
+    from sortify_spark.queries_curation2 import (
+        BOILER_MIN_DOCS,
+        SPAN_W,
+        span_removal_stats,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        nw = rng.randrange(0, 40)
+        rows.append(
+            (
+                i,
+                " ".join("t%d" % rng.randrange(3) for _ in range(nw)),
+                f"s{rng.randrange(2)}",
+            )
+        )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    span_docs = defaultdict(set)
+    doc_spans = {}
+    for i, text, src in rows:
+        w = [x for x in text.split() if x]
+        spans = [
+            " ".join(w[s * SPAN_W : s * SPAN_W + SPAN_W])
+            for s in range(len(w) // SPAN_W)
+        ]
+        doc_spans[i] = (src, len(w), spans)
+        for sp in spans:
+            span_docs[sp].add(i)
+    boiler = {s for s, d in span_docs.items() if len(d) >= BOILER_MIN_DOCS}
+    want = defaultdict(lambda: [0, 0, 0])
+    for i, (src, nw, spans) in doc_spans.items():
+        d = want[src]
+        d[0] += 1
+        d[1] += nw
+        d[2] += sum(1 for sp in spans if sp in boiler) * SPAN_W
+    got = {
+        r["source"]: [r["docs"], r["words_total"], r["words_removed"]]
+        for r in span_removal_stats(docs).collect()
+    }
+    assert got == {k: v for k, v in want.items()}
