@@ -509,6 +509,7 @@ def admission_stream(
     shingle_k: int = 3,
     threshold: float = 0.5,
     available_now: bool = True,
+    semantic_tau: float | None = None,
 ):
     """Streaming corpus admission: the full training-data front door as
     one continuous pipeline — new documents stream in, every micro-batch
@@ -517,6 +518,15 @@ def admission_stream(
     MinHash-LSH near-dup ⇒ rejected), and the admitted survivors commit
     atomically through the versioned store (one time-travelable
     snapshot per micro-batch).
+
+    ``semantic_tau`` adds a third screen — the ``semdedup_docs``
+    semantics online: batch and corpus embed with the dim-8 expression
+    encoder, block on the hyperplane-sign LSH key, and a batch doc with
+    dot ≥ τ against ANY corpus doc in its block is rejected.  This
+    catches near-dups the shingle screen misses (e.g. a token
+    permutation of a corpus doc: different shingles, near-identical
+    bag embedding).  Replay convergence is unchanged: once admitted, a
+    re-delivered doc dies at the exact-twin screen.
 
     This is the streaming composition of three independently
     oracle-checked kernels: ``textstats.fingerprint`` (exact),
@@ -611,6 +621,45 @@ def admission_stream(
                 .distinct()
             )
             batch = batch.join(F.broadcast(near_hit), "doc_id", "left_anti")
+            if semantic_tau is not None:
+                from sortify_spark.functions.sql_embed import expr_embed
+                from sortify_spark.functions.vectors import dot
+                from sortify_spark.queries_curation2 import (
+                    DOCSEM_BITS,
+                    DOCSEM_DIM,
+                )
+                from sortify_spark.search.knn import lsh_portable_key
+
+                def _emb(df: DataFrame, idc: str) -> DataFrame:
+                    return df.select(
+                        F.col("doc_id").alias(idc),
+                        expr_embed(F.col("text"), dim=DOCSEM_DIM).alias(
+                            "__e"
+                        ),
+                    ).withColumn(
+                        "__bk", lsh_portable_key("__e", nbits=DOCSEM_BITS)
+                    )
+
+                # Corpus embeddings recomputed per batch for simplicity
+                # (like the banded signatures above); at 100 TB both are
+                # write-once index columns maintained by the same
+                # commits — the join shape is unchanged.
+                be = _emb(batch, "bid")
+                ce = _emb(corpus, "cid").select(
+                    "cid", F.col("__e").alias("__ec"), "__bk"
+                )
+                sem_hit = (
+                    be.join(ce, "__bk")
+                    .filter(
+                        F.round(dot(F.col("__e"), F.col("__ec")), 6)
+                        >= semantic_tau
+                    )
+                    .select(F.col("bid").alias("doc_id"))
+                    .distinct()
+                )
+                batch = batch.join(
+                    F.broadcast(sem_hit), "doc_id", "left_anti"
+                )
         admitted = batch.drop("__fp")
         if not admitted.isEmpty():
             upsert_versioned(

@@ -712,3 +712,63 @@ def test_rollup_stream_incremental_late_data_exactly_once(spark):
         # nothing double-counts
         rollup_stream(spark, inp, table, ckpt).awaitTermination(120)
         assert folded() == want
+
+
+def test_admission_stream_semantic_screen(spark):
+    """The optional semantic screen rejects a token PERMUTATION of a
+    corpus doc — different fingerprint, different shingles (the exact
+    and LSH screens both pass it), but a near-identical bag embedding
+    (dot ≈ 1.0 ≥ τ).  A genuinely different doc still admits, and a
+    replayed permutation stays rejected (convergence)."""
+    from sortify_spark.sources.versioned import read_versioned
+    from sortify_spark.streaming.pipeline import admission_stream
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    permuted = " ".join(reversed(base_text.split()))
+    assert permuted != base_text
+    fresh = (
+        "entirely new material discussing versioned parquet manifests "
+        "and streaming admission control for training corpora"
+    )
+
+    def feed(rows, inp):
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, table = f"{tmp}/in", f"{tmp}/table"
+
+        def run(ckpt):
+            q = admission_stream(
+                spark, inp, table, f"{tmp}/{ckpt}", semantic_tau=0.995
+            )
+            q.awaitTermination(120)
+
+        feed([(1, base_text, "en", "web", 99)], inp)
+        run("c1")
+        feed(
+            [
+                (10, permuted, "en", "web", 99),  # semantic dup → drop
+                (11, fresh, "en", "mail", 99),  # admits
+            ],
+            inp,
+        )
+        run("c2")
+        got = {
+            r["doc_id"]
+            for r in read_versioned(spark, table, "source").collect()
+        }
+        assert got == {1, 11}
+        # replay batch 2 from a fresh checkpoint: still {1, 11}
+        run("c3")
+        got2 = {
+            r["doc_id"]
+            for r in read_versioned(spark, table, "source").collect()
+        }
+        assert got2 == {1, 11}
