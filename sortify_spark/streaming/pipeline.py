@@ -510,6 +510,7 @@ def admission_stream(
     threshold: float = 0.5,
     available_now: bool = True,
     semantic_tau: float | None = None,
+    use_index: bool = False,
 ):
     """Streaming corpus admission: the full training-data front door as
     one continuous pipeline — new documents stream in, every micro-batch
@@ -527,6 +528,19 @@ def admission_stream(
     permutation of a corpus doc: different shingles, near-identical
     bag embedding).  Replay convergence is unchanged: once admitted, a
     re-delivered doc dies at the exact-twin screen.
+
+    ``use_index=True`` is the 100-TB shape: the corpus side of the
+    near-dup screens stops being recomputed per batch and instead reads
+    versioned SIDE TABLES (``<table>__bands`` keyed (id, band_idx),
+    ``<table>__emb`` keyed id) maintained by the same admission
+    commits.  Jaccard-verify token sets are computed only for the
+    band-join CANDIDATES (a semi-joined slice of the corpus), never the
+    whole corpus.  Commit order is corpus first, index second, so a
+    crash can only leave the index BEHIND the corpus — and every batch
+    starts with a self-healing catch-up (corpus ids anti-join index
+    ids → index rows rebuilt for the gap), which also bootstraps the
+    index on first use.  Correctness never depends on the index being
+    current: the exact-twin screen always reads the corpus itself.
 
     This is the streaming composition of three independently
     oracle-checked kernels: ``textstats.fingerprint`` (exact),
@@ -561,6 +575,29 @@ def admission_stream(
         .load(input_dir)
     )
 
+    bands_path = table_path + "__bands"
+    emb_path = table_path + "__emb"
+
+    def _read_side(path: str, pcol: str):
+        return (
+            read_versioned(spark, path, pcol)
+            if read_manifest(path)["partitions"]
+            else None
+        )
+
+    def _emb(df: DataFrame, idc: str) -> DataFrame:
+        from sortify_spark.functions.sql_embed import expr_embed
+        from sortify_spark.queries_curation2 import (
+            DOCSEM_BITS,
+            DOCSEM_DIM,
+        )
+        from sortify_spark.search.knn import lsh_portable_key
+
+        return df.select(
+            F.col("doc_id").alias(idc),
+            expr_embed(F.col("text"), dim=DOCSEM_DIM).alias("__e"),
+        ).withColumn("__bk", lsh_portable_key("__e", nbits=DOCSEM_BITS))
+
     def _admit(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -588,11 +625,51 @@ def admission_stream(
             b_base, b_bands = dedup.signature_bands(
                 batch, use_shingles=shingle_k
             )
-            c_base, c_bands = dedup.signature_bands(
-                corpus, use_shingles=shingle_k
-            )
-            near_hit = (
-                b_bands.select(F.col("id").alias("bid"), "band_idx", "band_key")
+            if use_index:
+                # read the maintained band index; self-heal any gap
+                # (bootstrap, or a crash between corpus and index
+                # commits) by rebuilding bands for corpus ids the index
+                # lacks
+                idx = _read_side(bands_path, "band_idx")
+                missing = (
+                    corpus
+                    if idx is None
+                    else corpus.join(
+                        idx.select(
+                            F.col("id").alias("doc_id")
+                        ).distinct(),
+                        "doc_id",
+                        "left_anti",
+                    )
+                )
+                if not missing.isEmpty():
+                    _, m_bands = dedup.signature_bands(
+                        missing, use_shingles=shingle_k
+                    )
+                    # shingle-less docs produce no band rows — skip the
+                    # empty commit (they simply have nothing to index)
+                    if not m_bands.isEmpty():
+                        upsert_versioned(
+                            m_bands, bands_path,
+                            keys=["id", "band_idx"],
+                            partition_col="band_idx",
+                        )
+                        idx = _read_side(bands_path, "band_idx")
+                if idx is None:
+                    # corpus has no shingleable docs at all — fall back
+                    # to the direct (empty) banding
+                    _, idx = dedup.signature_bands(
+                        corpus, use_shingles=shingle_k
+                    )
+                c_bands = idx
+            else:
+                c_base, c_bands = dedup.signature_bands(
+                    corpus, use_shingles=shingle_k
+                )
+            cand = (
+                b_bands.select(
+                    F.col("id").alias("bid"), "band_idx", "band_key"
+                )
                 .join(
                     c_bands.select(
                         F.col("id").alias("cid"), "band_idx", "band_key"
@@ -601,7 +678,19 @@ def admission_stream(
                 )
                 .select("bid", "cid")
                 .dropDuplicates(["bid", "cid"])
-                .join(
+            )
+            if use_index:
+                # verify tokens only for the candidate slice of the
+                # corpus — the whole-corpus token sets are never built
+                c_ids = cand.select(F.col("cid").alias("doc_id"))
+                c_slice = corpus.join(
+                    F.broadcast(c_ids.distinct()), "doc_id", "left_semi"
+                )
+                c_base, _ = dedup.signature_bands(
+                    c_slice, use_shingles=shingle_k
+                )
+            near_hit = (
+                cand.join(
                     b_base.select(
                         F.col("id").alias("bid"), F.col("toks").alias("tb")
                     ),
@@ -622,32 +711,42 @@ def admission_stream(
             )
             batch = batch.join(F.broadcast(near_hit), "doc_id", "left_anti")
             if semantic_tau is not None:
-                from sortify_spark.functions.sql_embed import expr_embed
                 from sortify_spark.functions.vectors import dot
-                from sortify_spark.queries_curation2 import (
-                    DOCSEM_BITS,
-                    DOCSEM_DIM,
-                )
-                from sortify_spark.search.knn import lsh_portable_key
 
-                def _emb(df: DataFrame, idc: str) -> DataFrame:
-                    return df.select(
-                        F.col("doc_id").alias(idc),
-                        expr_embed(F.col("text"), dim=DOCSEM_DIM).alias(
-                            "__e"
-                        ),
-                    ).withColumn(
-                        "__bk", lsh_portable_key("__e", nbits=DOCSEM_BITS)
-                    )
-
-                # Corpus embeddings recomputed per batch for simplicity
-                # (like the banded signatures above); at 100 TB both are
-                # write-once index columns maintained by the same
-                # commits — the join shape is unchanged.
                 be = _emb(batch, "bid")
-                ce = _emb(corpus, "cid").select(
-                    "cid", F.col("__e").alias("__ec"), "__bk"
-                )
+                if use_index:
+                    eidx = _read_side(emb_path, "bk")
+                    e_missing = (
+                        corpus
+                        if eidx is None
+                        else corpus.join(
+                            eidx.select(
+                                F.col("id").alias("doc_id")
+                            ).distinct(),
+                            "doc_id",
+                            "left_anti",
+                        )
+                    )
+                    if not e_missing.isEmpty():
+                        m_emb = _emb(e_missing, "id").select(
+                            "id",
+                            F.col("__e").alias("e"),
+                            F.col("__bk").alias("bk"),
+                        )
+                        upsert_versioned(
+                            m_emb, emb_path, keys=["id"],
+                            partition_col="bk",
+                        )
+                        eidx = _read_side(emb_path, "bk")
+                    ce = eidx.select(
+                        F.col("id").alias("cid"),
+                        F.col("e").alias("__ec"),
+                        F.col("bk").alias("__bk"),
+                    )
+                else:
+                    ce = _emb(corpus, "cid").select(
+                        "cid", F.col("__e").alias("__ec"), "__bk"
+                    )
                 sem_hit = (
                     be.join(ce, "__bk")
                     .filter(
@@ -662,10 +761,30 @@ def admission_stream(
                 )
         admitted = batch.drop("__fp")
         if not admitted.isEmpty():
+            # corpus FIRST, index second: a crash here leaves the index
+            # behind, which the next batch's catch-up heals; the inverse
+            # order could reject docs the corpus never received
             upsert_versioned(
                 admitted, table_path, keys=["doc_id"],
                 partition_col=partition_col,
             )
+            if use_index:
+                _, a_bands = dedup.signature_bands(
+                    admitted, use_shingles=shingle_k
+                )
+                upsert_versioned(
+                    a_bands, bands_path, keys=["id", "band_idx"],
+                    partition_col="band_idx",
+                )
+                if semantic_tau is not None:
+                    a_emb = _emb(admitted, "id").select(
+                        "id",
+                        F.col("__e").alias("e"),
+                        F.col("__bk").alias("bk"),
+                    )
+                    upsert_versioned(
+                        a_emb, emb_path, keys=["id"], partition_col="bk"
+                    )
 
     writer = docs.writeStream.foreachBatch(_admit).option(
         "checkpointLocation", checkpoint_dir

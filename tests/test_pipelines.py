@@ -772,3 +772,96 @@ def test_admission_stream_semantic_screen(spark):
             for r in read_versioned(spark, table, "source").collect()
         }
         assert got2 == {1, 11}
+
+
+def test_admission_stream_indexed_sides_and_crash_heal(spark):
+    """use_index=True: the corpus side of both near-dup screens reads
+    versioned side tables maintained by the admission commits; verify
+    tokens are computed only for band-join candidates.  Wiping the band
+    index (simulating a crash that lost the index commit) must not
+    change admission decisions — the next batch's catch-up rebuilds it."""
+    import shutil
+
+    from sortify_spark.sources.versioned import (
+        read_manifest,
+        read_versioned,
+    )
+    from sortify_spark.streaming.pipeline import admission_stream
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    permuted = " ".join(reversed(base_text.split()))
+    fresh = (
+        "entirely new material discussing versioned parquet manifests "
+        "and streaming admission control for training corpora"
+    )
+    fresh2 = (
+        "yet another unrelated document about window functions and "
+        "adaptive query execution in distributed engines"
+    )
+
+    def feed(rows, inp):
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, table = f"{tmp}/in", f"{tmp}/table"
+
+        def run(ckpt):
+            q = admission_stream(
+                spark, inp, table, f"{tmp}/{ckpt}",
+                semantic_tau=0.995, use_index=True,
+            )
+            q.awaitTermination(120)
+
+        feed([(1, base_text, "en", "web", 99)], inp)
+        run("c1")
+        # index side tables exist and cover doc 1
+        bands = read_versioned(spark, table + "__bands", "band_idx")
+        embs = read_versioned(spark, table + "__emb", "bk")
+        assert {r["id"] for r in bands.collect()} == {1}
+        assert {r["id"] for r in embs.collect()} == {1}
+
+        # batch 2 screened BY THE INDEX: near-dup (shingle) + semantic
+        # dup (permutation) rejected, fresh doc admitted
+        feed(
+            [
+                (10, base_text.replace("tonight", "today"), "en", "web", 9),
+                (11, permuted, "en", "web", 99),
+                (12, fresh, "en", "mail", 99),
+            ],
+            inp,
+        )
+        run("c2")
+        got = {
+            r["doc_id"]
+            for r in read_versioned(spark, table, "source").collect()
+        }
+        assert got == {1, 12}
+        bands = read_versioned(spark, table + "__bands", "band_idx")
+        assert {r["id"] for r in bands.collect()} == {1, 12}
+
+        # crash simulation: lose the band index entirely; decisions
+        # must be unchanged (catch-up rebuilds before screening)
+        shutil.rmtree(table + "__bands")
+        assert not read_manifest(table + "__bands")["partitions"]
+        feed(
+            [
+                (20, base_text.replace("forest", "meadow"), "en", "web", 9),
+                (21, fresh2, "en", "mail", 99),
+            ],
+            inp,
+        )
+        run("c3")
+        got = {
+            r["doc_id"]
+            for r in read_versioned(spark, table, "source").collect()
+        }
+        assert got == {1, 12, 21}
+        bands = read_versioned(spark, table + "__bands", "band_idx")
+        assert {r["id"] for r in bands.collect()} == {1, 12, 21}
