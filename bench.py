@@ -82,6 +82,7 @@ HEADLINE = (
     "semdedup_prune",
     "semdedup_prune_np",
     "bpe_train_merges",
+    "kmv_distinct_sketch",
 )
 
 

@@ -642,3 +642,127 @@ def semdedup_docs_stats(docs: DataFrame) -> DataFrame:
 )
 def q_semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_docs_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch: mergeable cardinality estimation, deterministic
+# (md5 hash space) so the sketch itself is oracle-checkable
+# ---------------------------------------------------------------------------
+
+KMV_K = 64  #: sketch size (k smallest hashes kept)
+_KMV_SPACE = float(2**32)  #: md5-prefix hash space
+
+
+def kmv_sketch_stats(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Per-event-type KMV cardinality sketch vs the exact count.
+
+    The sketch keeps the k smallest distinct 32-bit md5-prefix hashes of
+    the key; estimate = (k-1) · 2³² / kth_min.  Unlike HLL
+    (`approx_count_distinct`, whose register layout is
+    engine-internal), KMV over a fixed hash is FULLY deterministic, so
+    estimate AND sketch content replay exactly in DuckDB — an
+    approx-distinct path that still passes a value-hash gate.
+
+    Scale: the k-smallest pass is a map-side-combinable aggregate shape
+    (distinct hash → per-partition top-k via window at this size; at
+    100 TB swap the window for a partial top-k aggregator, same
+    contract); sketches MERGE by unioning and re-taking the k smallest
+    — proven by ``test_kmv_sketch_merges`` sharding the input 8 ways
+    and recovering the identical sketch.  The exact count is computed
+    alongside here only to audit the relative error.
+    """
+    from pyspark.sql import Window as W
+
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+    hashes = events.select("event_type", h).distinct()
+    rn = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.asc("h"))
+    )
+    topk = hashes.withColumn("rn", rn).filter(F.col("rn") <= k)
+    sk = topk.groupBy("event_type").agg(
+        F.max("h").alias("kth_hash"),
+        F.count(F.lit(1)).alias("sketch_size"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("sketch_size") < k,
+        F.col("sketch_size").cast("double"),  # undersaturated → exact
+    ).otherwise(
+        F.round((k - 1) * F.lit(_KMV_SPACE) / F.col("kth_hash"), 6)
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "kth_hash",
+            "sketch_size",
+            est.alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(
+                    est - F.col("exact_distinct").cast("double")
+                )
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_KMV_SQL = f"""
+WITH hx AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+),
+tk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM hx
+),
+sk AS (
+  SELECT event_type, MAX(h) AS kth_hash, COUNT(*) AS sketch_size
+  FROM tk WHERE rn <= {KMV_K} GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+),
+j AS (
+  SELECT sk.event_type, kth_hash, sketch_size,
+         CASE WHEN sketch_size < {KMV_K}
+              THEN CAST(sketch_size AS DOUBLE)
+              ELSE ROUND(({KMV_K} - 1) * {_KMV_SPACE} / kth_hash, 6)
+         END AS est_distinct,
+         exact_distinct
+  FROM sk JOIN ex ON sk.event_type = ex.event_type
+)
+SELECT event_type, kth_hash, sketch_size, est_distinct, exact_distinct,
+       ROUND(ABS(est_distinct - CAST(exact_distinct AS DOUBLE))
+             / exact_distinct, 6) AS rel_err
+FROM j ORDER BY event_type
+"""
+
+
+@register(
+    "kmv_distinct_sketch",
+    _KMV_SQL,
+    note=f"KMV cardinality sketch (k={KMV_K}): k smallest distinct md5 "
+    "hashes per event_type, estimate (k-1)*2^32/kth_min, audited "
+    "against the exact count.  Deterministic hash space makes the "
+    "whole sketch value-hash-checkable (unlike HLL); sketches merge "
+    "by union + re-take-k (tested).",
+)
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmv_sketch_stats(_t(spark, sf_dir, "events"))

@@ -692,6 +692,16 @@ _suite(
                 val2="CAST(dropped AS DOUBLE)",
             ),
         ),
+        (
+            "kmv_distinct_sketch",
+            dict(
+                key1="event_type",
+                key2="CAST(kth_hash AS STRING)",
+                cnt="exact_distinct",
+                val="est_distinct",
+                val2="rel_err",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "

@@ -384,3 +384,46 @@ def test_sequence_packing_salted_conserves_tokens(spark):
     # tail-sequence overhead bounded: shards × sources extra sequences
     n_sources = len({r["source"] for r in base})
     assert len(salted) <= len(base) + 4 * n_sources
+
+
+def test_kmv_sketch_merges(spark):
+    """KMV mergeability: shard the events 8 ways, take each shard's k
+    smallest hashes, union the shards and re-take k — the merged sketch
+    must be IDENTICAL to the sketch computed globally (the property
+    that lets 1000 executors sketch independently and combine)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sortify_spark.queries_curation2 import KMV_K
+    from sortify_spark.tables import load_table
+    from tests.conftest import SF_DIR_MID
+
+    events = load_table(spark, SF_DIR_MID, "events")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+    hashes = events.select("event_type", h).distinct()
+
+    def topk(df, extra_part=()):
+        rn = F.row_number().over(
+            W.partitionBy("event_type", *extra_part).orderBy(F.asc("h"))
+        )
+        return df.withColumn("rn", rn).filter(F.col("rn") <= KMV_K).drop(
+            "rn"
+        )
+
+    global_sk = topk(hashes)
+    sharded = hashes.withColumn(
+        "shard", F.pmod(F.crc32(F.col("h").cast("string")), 8)
+    )
+    shard_sks = topk(sharded, ("shard",)).drop("shard").distinct()
+    merged = topk(shard_sks)
+    a = sorted(map(tuple, global_sk.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b and len(a) > 0
