@@ -766,3 +766,63 @@ FROM j ORDER BY event_type
 )
 def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_sketch_stats(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Table profiling: Deequ-style per-column audit in ONE scan
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def profile_stats(df: DataFrame, cols=_PROFILE_COLS) -> DataFrame:
+    """Per-column profile — rows, nulls, exact distincts, min/max (as
+    strings for a uniform shape) — computed in a SINGLE pass: one wide
+    aggregate row unpivoted to (column, ...) rows.  The one-scan shape
+    is the point at 100 TB: five per-column queries would read the
+    table five times; this reads it once (count-distincts share the
+    same shuffle via Spark's multiple-distinct rewrite via Expand)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(
+                F.when(F.col(c).isNull(), 1).otherwise(0)
+            ).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
+    ).orderBy("col_name")
+
+
+def _profile_oracle_sql(cols=_PROFILE_COLS, source: str = "documents") -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_str,
+       MAX(CAST({c} AS VARCHAR)) AS max_str
+FROM {source}"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+@register(
+    "profile_documents",
+    _profile_oracle_sql(),
+    note="Deequ-style table profile: rows/nulls/exact distincts/min/max "
+    "per column, ONE scan via a wide aggregate unpivoted with stack() "
+    "— five per-column queries would read the table five times.",
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_stats(_t(spark, sf_dir, "documents"))

@@ -702,6 +702,16 @@ _suite(
                 val2="rel_err",
             ),
         ),
+        (
+            "profile_documents",
+            dict(
+                key1="col_name",
+                key2="min_str || '|' || max_str",
+                cnt="n_distinct",
+                val="CAST(n_rows AS DOUBLE)",
+                val2="CAST(n_nulls AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "
