@@ -1,8 +1,10 @@
-"""Round-4 curation operators: the published-pipeline quartet.
+"""Round-4 curation operators: the published-pipeline quartet, plus
+document-level SemDeDup, the KMV cardinality sketch, and one-scan
+table profiling (all appended below the quartet).
 
-Four ops a 100-TB training-data pipeline runs that the corpus-curation
-flagship did not yet cover, each with a DuckDB oracle built from the
-same constants as the Spark plan:
+The quartet — four ops a 100-TB training-data pipeline runs that the
+corpus-curation flagship did not yet cover, each with a DuckDB oracle
+built from the same constants as the Spark plan:
 
 - ``common_span_removal`` — C4/RefinedWeb-style boilerplate pruning:
   non-overlapping k-word spans counted across the corpus; any span seen
