@@ -712,6 +712,14 @@ _suite(
                 val2="CAST(n_nulls AS DOUBLE)",
             ),
         ),
+        (
+            "winnowing_pairs",
+            dict(
+                key1="CAST(id_a AS STRING)",
+                key2="CAST(id_b AS STRING)",
+                cnt="shared_fps",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "
