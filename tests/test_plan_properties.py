@@ -335,3 +335,25 @@ def test_semdedup_blocked_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "NestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["winnowing_pairs", "kmv_distinct_sketch", "profile_documents"]
+)
+def test_round4_tail_ops_stay_jvm_and_bounded(spark, name):
+    """The closing round-4 operators must follow the same discipline:
+    no cartesian/nested-loop joins, no Python in the plan, and partial
+    aggregation below their shuffles."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_" in plan
+
+
+def test_profile_documents_single_scan(spark):
+    """The profile must read the table ONCE: a single scan node feeding
+    the wide aggregate (five per-column profiles would scan five
+    times)."""
+    plan = _plan(spark, "profile_documents")
+    assert plan.count("Scan parquet") == 1
