@@ -926,3 +926,122 @@ ORDER BY shared_fps DESC, id_a ASC, id_b ASC LIMIT 20
 )
 def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: per-source fraction of overlapping k-grams that are
+# corpus-duplicated — the templated-text signal
+# ---------------------------------------------------------------------------
+
+NOV_K = 3  #: overlapping k-gram width
+NOV_DUP_FRAC = 0.5  #: per-doc duplicated-gram fraction flagging templated docs
+
+
+def ngram_novelty_stats(docs: DataFrame) -> DataFrame:
+    """Per source: total overlapping ``NOV_K``-grams, how many of them
+    also occur in ANOTHER doc (corpus-duplicated), the exact duplicated
+    fraction (bigint sums, one division), and how many docs exceed
+    ``NOV_DUP_FRAC`` duplicated-gram share (templated-doc count).
+
+    This is the cross-doc OVERLAPPING-gram coverage signal —
+    complementary to ``common_span_removal`` (exact non-overlapping
+    chunks) and ``repetition_signals`` (within-doc).  Shuffle shape:
+    gram doc-frequency is a map-side-combined hash-agg; the flag joins
+    back on the gram key; per-doc and per-source aggregates both
+    combine before their exchanges."""
+    w = _words()
+    grams = (
+        docs.select("doc_id", "source", w.alias("__w"))
+        .filter(F.size("__w") >= NOV_K)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size(F.col("__w")) - (NOV_K - 1)
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("__w"), i, NOV_K)
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    gdf = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("gdocs")
+    )
+    per_doc = (
+        grams.join(gdf, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("gdocs") >= 2, 1).otherwise(0)
+            ).alias("dup_grams"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_grams").alias("grams_total"),
+            F.sum("dup_grams").alias("grams_duplicated"),
+            F.round(
+                F.sum("dup_grams").cast("double") / F.sum("n_grams"), 6
+            ).alias("dup_frac"),
+            F.sum(
+                F.when(
+                    F.col("dup_grams").cast("double")
+                    > F.lit(NOV_DUP_FRAC) * F.col("n_grams"),
+                    1,
+                ).otherwise(0)
+            ).alias("templated_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(w) - {NOV_K - 2}),
+             i -> array_to_string(w[i : i + {NOV_K - 1}], ' '))) AS gram
+  FROM w WHERE len(w) >= {NOV_K}
+),
+gdf AS (SELECT gram, COUNT(DISTINCT doc_id) AS gdocs FROM g GROUP BY gram),
+pd AS (
+  SELECT doc_id, source, COUNT(*) AS n_grams,
+         SUM(CASE WHEN gdocs >= 2 THEN 1 ELSE 0 END) AS dup_grams
+  FROM g JOIN gdf USING (gram)
+  GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS docs,
+       SUM(n_grams) AS grams_total,
+       SUM(dup_grams) AS grams_duplicated,
+       ROUND(CAST(SUM(dup_grams) AS DOUBLE) / SUM(n_grams), 6) AS dup_frac,
+       SUM(CASE WHEN CAST(dup_grams AS DOUBLE)
+                     > {NOV_DUP_FRAC} * n_grams
+                THEN 1 ELSE 0 END) AS templated_docs
+FROM pd GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "ngram_novelty",
+    _NOVELTY_SQL,
+    note=f"Cross-doc overlapping {NOV_K}-gram novelty: duplicated-gram "
+    "fraction per source (exact bigint sums, one division) and "
+    f"templated-doc count at >{NOV_DUP_FRAC} duplicated share — the "
+    "RefinedWeb-style templated-text signal, complementary to exact "
+    "span removal (non-overlapping) and repetition signals "
+    "(within-doc).  Map-side-combined gram hash-agg + gram-key join "
+    "back; no n² anywhere.",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty_stats(_t(spark, sf_dir, "documents"))

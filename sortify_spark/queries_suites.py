@@ -720,6 +720,16 @@ _suite(
                 cnt="shared_fps",
             ),
         ),
+        (
+            "ngram_novelty",
+            dict(
+                key1="source",
+                key2="CAST(grams_total AS STRING)",
+                cnt="grams_duplicated",
+                val="dup_frac",
+                val2="CAST(templated_docs AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "
