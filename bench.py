@@ -83,6 +83,9 @@ HEADLINE = (
     "semdedup_prune_np",
     "bpe_train_merges",
     "kmv_distinct_sketch",
+    "winnowing_pairs",
+    "profile_documents",
+    "ngram_novelty",
 )
 
 
