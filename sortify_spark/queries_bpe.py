@@ -58,7 +58,16 @@ def _wf(docs: DataFrame) -> DataFrame:
 
 
 def _pair_counts(cur: DataFrame) -> DataFrame:
-    """Adjacent-pair counts weighted by word frequency."""
+    """Adjacent-pair counts weighted by word frequency.
+
+    Words whose symbol string has collapsed to a single symbol (fully
+    merged within the step budget) contribute no adjacent pairs and are
+    filtered out BEFORE the explode: ``sequence(1, size-1)`` with
+    size==1 would otherwise produce a descending ``[1, 0]`` (Spark
+    defaults the step to -1) and ``element_at(a, 0)`` throws.  The
+    DuckDB oracle's ``range(1, 1)`` is empty for the same row, so the
+    filter is also the semantics both engines share.
+    """
     a = F.split(F.col("sym"), " ")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(a) - 1),
@@ -67,28 +76,47 @@ def _pair_counts(cur: DataFrame) -> DataFrame:
         ),
     )
     return (
-        cur.select("cnt", F.explode(pairs).alias("pair"))
+        cur.filter(F.size(a) >= 2)
+        .select("cnt", F.explode(pairs).alias("pair"))
         .groupBy("pair")
         .agg(F.sum("cnt").alias("pcnt"))
     )
 
 
-def _train(docs: DataFrame, n_merges: int):
+def _train(docs: DataFrame, n_merges: int, need_final: bool = True):
     """Shared trainer loop — returns (per-step best frames, final
     word→symbol state).  The final state IS the tokenizer: each word's
-    ``sym`` column is its BPE segmentation under the learned merges."""
-    # Persist the compact per-iteration state (distinct words + symbol
-    # strings — the table real trainers materialize): without it every
-    # argmax subtree in the final union re-derives the corpus-scale
-    # word count, turning K merges into ~2K corpus passes.
-    cur = _wf(docs).persist()
+    ``sym`` column is its BPE segmentation under the learned merges.
+
+    Lineage + cache discipline: each iteration's state references the
+    previous one TWICE (directly, and inside the broadcast-argmax
+    subtree), so a naive chain of K merges builds a 2^K logical tree —
+    plan-string generation alone OOMs a default-sized driver.  The
+    compact per-iteration state (distinct words + symbol strings — the
+    table real trainers materialize) is therefore
+    ``localCheckpoint(eager=True)``-ed each step: the plan is truncated
+    to the materialized blocks (constant depth), and the previous
+    iteration's blocks are released by the context cleaner once
+    unreferenced — repeated invocations no longer accumulate K+1
+    wf-table copies in executor storage.  The per-step argmax is a
+    1-row checkpointed frame, so the merge frames stay readable after
+    their source iteration is gone; its eager count also detects
+    convergence: when every word has fully merged the pair table is
+    empty and the loop stops instead of cross-joining an empty best
+    frame (which would erase the state).  ``need_final=False`` skips
+    the last rewrite entirely (the merge list doesn't need it).
+    """
+    cur = _wf(docs).localCheckpoint(eager=True)
     merges = []
     for step in range(1, n_merges + 1):
         best = (
             _pair_counts(cur)
             .orderBy(F.desc("pcnt"), F.asc("pair"))
             .limit(1)
+            .localCheckpoint(eager=True)
         )
+        if best.count() == 0:  # converged: no adjacent pairs anywhere
+            break
         merges.append(
             best.select(
                 F.lit(step).alias("step"),
@@ -99,8 +127,10 @@ def _train(docs: DataFrame, n_merges: int):
                 "pcnt",
             )
         )
+        if step == n_merges and not need_final:
+            break
         bp = F.broadcast(best.select(F.col("pair").alias("__bp")))
-        cur = (
+        nxt = (
             cur.crossJoin(bp)
             .withColumn(
                 "sym",
@@ -119,15 +149,22 @@ def _train(docs: DataFrame, n_merges: int):
                 ),
             )
             .drop("__bp")
-            .persist()
+            .localCheckpoint(eager=True)
         )
+        cur = nxt
+    if not need_final:
+        cur = None
     return merges, cur
 
 
 def train_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges; returns
     (step, pair, merged, pcnt) ordered by step."""
-    merges, _ = _train(docs, n_merges)
+    merges, _ = _train(docs, n_merges, need_final=False)
+    if not merges:  # converged before the first merge (degenerate corpus)
+        return docs.sparkSession.createDataFrame(
+            [], "step int, pair string, merged string, pcnt bigint"
+        )
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -198,13 +235,18 @@ def _bpe_ctes(n_merges: int) -> list[str]:
   GROUP BY pair ORDER BY pcnt DESC, pair ASC LIMIT 1
 )"""
         )
+        # COALESCE to a chr(1) sentinel (never occurs in sym) makes the
+        # rewrite an identity when b{k} is empty — i.e. the trainer has
+        # converged — matching the engine's convergence break instead
+        # of NULLing every symbol string.
         parts.append(
             f"""it{k} AS (
   SELECT word, cnt,
          trim(replace(' ' || sym || ' ',
-                      (SELECT ' ' || pair || ' ' FROM b{k}),
-                      (SELECT ' ' || replace(pair, ' ', '') || ' '
-                       FROM b{k}))) AS sym
+                      COALESCE((SELECT ' ' || pair || ' ' FROM b{k}),
+                               chr(1)),
+                      COALESCE((SELECT ' ' || replace(pair, ' ', '')
+                                || ' ' FROM b{k}), chr(1)))) AS sym
   FROM it{k - 1}
 )"""
         )

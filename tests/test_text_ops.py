@@ -187,6 +187,30 @@ def test_bpe_merge_semantics(spark):
     assert out[1] == (2, "a _", "a_", 3)
 
 
+def test_bpe_fully_merged_word_and_convergence(spark):
+    """A frequent short word that fully merges within the step budget
+    must not crash the trainer (the pair explode is guarded to words
+    with >= 2 symbols), and a corpus whose every word fully merges
+    before n_merges converges gracefully: the trainer stops emitting
+    steps and the tokenizer state stays intact (every word one token)."""
+    from sortify_spark.queries_bpe import bpe_token_stats, train_bpe_merges
+
+    docs = spark.createDataFrame([(1, "a a a a a b")], ["doc_id", "text"])
+    out = [tuple(r) for r in train_bpe_merges(docs, n_merges=3).collect()]
+    # step 1 merges 'a _' (cnt 5) -> 'a' is fully merged; step 2 merges
+    # 'b _'; step 3 finds no pairs anywhere and stops.
+    assert out == [(1, "a _", "a_", 5), (2, "b _", "b_", 1)]
+
+    docs2 = spark.createDataFrame(
+        [("web", "a a a a a b")], ["source", "text"]
+    )
+    stats = bpe_token_stats(docs2, n_merges=3).collect()
+    assert len(stats) == 1
+    r = stats[0]
+    assert (r.words, r.char_tokens, r.bpe_tokens) == (6, 12, 6)
+    assert r.compression == 0.5
+
+
 def test_pack_sequences_property_random(spark):
     """Property check against a pure-Python reference on a seeded random
     corpus: identical sequence assignment, token totals, and straddle
