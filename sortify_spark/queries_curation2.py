@@ -587,8 +587,11 @@ def semdedup_docs_stats(docs: DataFrame) -> DataFrame:
     from sortify_spark.functions.vectors import dot
     from sortify_spark.search.knn import lsh_portable_key
 
-    # Persist: the embedded frame feeds both self-join branches AND
-    # the final stats join — without it the md5 fold runs three times.
+    # Materialize once: the embedded frame feeds both self-join branches
+    # AND the final stats join — without it the md5 fold runs three
+    # times.  localCheckpoint (not persist) so the blocks are released
+    # by the context cleaner when the result is gone, instead of
+    # accumulating in the cache manager across repeated invocations.
     e = (
         docs.select(
             "doc_id",
@@ -596,7 +599,7 @@ def semdedup_docs_stats(docs: DataFrame) -> DataFrame:
             expr_embed(F.col("text"), dim=DOCSEM_DIM).alias("e"),
         )
         .withColumn("bucket", lsh_portable_key("e", nbits=DOCSEM_BITS))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     a = e.select(
         F.col("bucket"),

@@ -18,9 +18,15 @@ in one small protocol over plain parquet:
 
 A writer crash before the manifest swap leaves an orphan ``v=N`` dir
 that no reader can observe; re-running the upsert is safe (next version
-number).  Concurrent WRITERS are out of scope (single-writer protocol,
-like a Delta table without a locking service); concurrent readers are
-always consistent because they resolve one manifest.
+number).  The protocol is **single-writer** (like a Delta table without
+a locking service) and REFUSES a second concurrent writer loudly: the
+retained ``_MANIFEST.vN`` is created with ``O_EXCL``, so two writers
+that both read version N race on creating ``_MANIFEST.v(N+1)`` and the
+loser raises :class:`ConcurrentWriteError` instead of silently
+overwriting the winner's commit (lost update).  This is exactly Delta's
+put-if-absent commit on the log object, at manifest granularity.
+Concurrent readers are always consistent because they resolve one
+manifest.
 
 At 100 TB the manifest would list files instead of partition dirs and
 live on the object store with put-if-absent commits — the protocol is
@@ -45,6 +51,21 @@ from pyspark.sql import functions as F
 _MANIFEST = "_MANIFEST"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer tried to commit a version that already exists.
+
+    Raised by the ``O_EXCL`` create of ``_MANIFEST.vN``: both writers
+    read version N, the first to create ``_MANIFEST.v(N+1)`` wins, the
+    loser gets this instead of silently clobbering the winner's commit.
+    Recovery: re-read the table and re-apply the upsert (it will target
+    the next version).  If no other writer is running, a leftover
+    ``_MANIFEST.vN`` from a crash BETWEEN the retained-manifest write
+    and the ``_MANIFEST`` swap is the other possible cause — the
+    orphaned file is safe to delete because the swap (the commit point)
+    never happened.
+    """
+
+
 def _manifest_path(path: str, version: int | None = None) -> str:
     return os.path.join(
         path, _MANIFEST if version is None else f"{_MANIFEST}.v{version}"
@@ -63,12 +84,21 @@ def read_manifest(path: str, version: int | None = None) -> dict:
 
 
 def _commit_manifest(path: str, manifest: dict) -> None:
-    """Write ``_MANIFEST.vN`` then atomically swap ``_MANIFEST`` — the
-    single commit point of the protocol."""
+    """Create ``_MANIFEST.vN`` with ``O_EXCL`` (refusing a concurrent
+    writer's duplicate version), then atomically swap ``_MANIFEST`` —
+    the swap is the single commit point of the protocol."""
     os.makedirs(path, exist_ok=True)
     versioned = _manifest_path(path, manifest["version"])
-    with open(versioned, "w") as fh:
-        json.dump(manifest, fh)
+    try:
+        with open(versioned, "x") as fh:
+            json.dump(manifest, fh)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"version {manifest['version']} already committed at {path} "
+            "— another writer won the race (single-writer protocol), or "
+            "a crashed commit left an orphan manifest; see "
+            "ConcurrentWriteError docs"
+        ) from None
     fd, tmp = tempfile.mkstemp(dir=path, prefix="._manifest_")
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
@@ -80,19 +110,28 @@ def _read_partition_dirs(
     path: str,
     partition_col: str,
     rels: Sequence[str],
+    dtype: str | None = None,
 ) -> DataFrame:
     """ONE multi-path parquet scan over partition dirs, with the
     partition value restored from the directory name
     (``.../{col}=value/file.parquet``).  A per-partition union would
     build an O(partitions) plan — at thousands of partitions that is a
     driver-side analysis bottleneck; a single scan keeps the plan O(1)
-    and lets the scheduler parallelize file listing."""
+    and lets the scheduler parallelize file listing.
+
+    ``dtype`` (the manifest-recorded ``partition_dtype``) casts the
+    restored value back to its written type — without it an integer
+    partition column (e.g. the streaming band index) silently comes
+    back as STRING and every downstream join/union leans on implicit
+    coercion."""
     df = spark.read.parquet(*[os.path.join(path, rel) for rel in rels])
     value = F.url_decode(
         F.regexp_extract(
             F.input_file_name(), f"/{partition_col}=([^/]+)/", 1
         )
     )
+    if dtype and dtype != "string":
+        value = value.cast(dtype)
     return df.withColumn(partition_col, value)
 
 
@@ -110,8 +149,29 @@ def read_versioned(
     parts = manifest["partitions"]
     if not parts:
         raise FileNotFoundError(f"versioned table at {path} is empty")
+    rels = [rel for _, rel in sorted(parts.items())]
+    if version is not None:
+        # A pinned (time-travel) read may resolve a retained manifest
+        # whose data dirs vacuum has already reclaimed — fail loudly
+        # with the cause instead of surfacing an opaque path error (or,
+        # worse, a silently partial scan).  Current-manifest reads skip
+        # this: vacuum never removes dirs the current manifest lives on.
+        gone = sorted(
+            {
+                rel.split("/", 1)[0]
+                for rel in rels
+                if not os.path.isdir(os.path.join(path, rel))
+            }
+        )
+        if gone:
+            raise FileNotFoundError(
+                f"snapshot v{version} of {path} references vacuumed "
+                f"version dirs {gone}; the snapshot is no longer "
+                "readable (vacuum horizon passed it)"
+            )
     return _read_partition_dirs(
-        spark, path, partition_col, [rel for _, rel in sorted(parts.items())]
+        spark, path, partition_col, rels,
+        dtype=manifest.get("partition_dtype"),
     )
 
 
@@ -134,6 +194,7 @@ def upsert_versioned(
     spark = updates.sparkSession
     manifest = read_manifest(path)
     new_version = manifest["version"] + 1
+    dtype = updates.schema[partition_col].dataType.simpleString()
     affected = [
         str(r[0])
         for r in updates.select(
@@ -151,7 +212,7 @@ def upsert_versioned(
         # keys drop via a broadcast anti-join on (partition, keys) —
         # the existing data never shuffles, whatever the partition count.
         existing = _read_partition_dirs(
-            spark, path, partition_col, existing_rels
+            spark, path, partition_col, existing_rels, dtype=dtype
         )
         anti_keys = list(dict.fromkeys([partition_col, *keys]))
         keep = existing.join(
@@ -170,7 +231,12 @@ def upsert_versioned(
     for value in affected:
         new_parts[value] = f"v={new_version}/{partition_col}={value}"
     _commit_manifest(
-        path, {"version": new_version, "partitions": new_parts}
+        path,
+        {
+            "version": new_version,
+            "partitions": new_parts,
+            "partition_dtype": dtype,
+        },
     )
     return new_version
 
@@ -207,6 +273,7 @@ def delete_versioned(
             path,
             partition_col,
             [manifest["partitions"][v] for v in affected],
+            dtype=deletes.schema[partition_col].dataType.simpleString(),
         )
         anti_keys = list(dict.fromkeys([partition_col, *keys]))
         keep = existing.join(
@@ -233,7 +300,15 @@ def delete_versioned(
             else:
                 del new_parts[value]
     _commit_manifest(
-        path, {"version": new_version, "partitions": new_parts}
+        path,
+        {
+            "version": new_version,
+            "partitions": new_parts,
+            "partition_dtype": manifest.get(
+                "partition_dtype",
+                deletes.schema[partition_col].dataType.simpleString(),
+            ),
+        },
     )
     return new_version
 
@@ -275,7 +350,8 @@ def compact(
     if not todo:
         return None
     merged = _read_partition_dirs(
-        spark, path, partition_col, [rel for _, rel in todo]
+        spark, path, partition_col, [rel for _, rel in todo],
+        dtype=manifest.get("partition_dtype"),
     )
     new_version = manifest["version"] + 1
     vdir = os.path.join(path, f"v={new_version}")
@@ -288,9 +364,10 @@ def compact(
     new_parts = dict(manifest["partitions"])
     for value, _ in todo:
         new_parts[value] = f"v={new_version}/{partition_col}={value}"
-    _commit_manifest(
-        path, {"version": new_version, "partitions": new_parts}
-    )
+    new_manifest = {"version": new_version, "partitions": new_parts}
+    if "partition_dtype" in manifest:
+        new_manifest["partition_dtype"] = manifest["partition_dtype"]
+    _commit_manifest(path, new_manifest)
     return new_version
 
 
@@ -331,7 +408,10 @@ def diff(
         ]
         if not rels:
             return None
-        return _read_partition_dirs(spark, path, partition_col, rels)
+        return _read_partition_dirs(
+            spark, path, partition_col, rels,
+            dtype=manifest.get("partition_dtype"),
+        )
 
     old, new = _side(m_from), _side(m_to)
     if old is None and new is None:  # no changed partitions at all
@@ -401,11 +481,27 @@ def classify_changes(
     )
 
 
-def rollback(path: str, version: int) -> None:
-    """O(1) rollback: re-commit a retained historical manifest as the
-    current one (data dirs are immutable, nothing is rewritten)."""
+def rollback(path: str, version: int) -> int:
+    """O(1) rollback, Delta-RESTORE style: commit a NEW version whose
+    partition map is the historical snapshot's (data dirs are
+    immutable, nothing is rewritten).  Returns the new version number.
+
+    Restoring as a new commit — rather than re-swapping the old
+    manifest in place — keeps the version sequence strictly increasing:
+    an in-place re-commit of vN would make the next upsert target a
+    version number that already has a retained manifest, tripping the
+    ``O_EXCL`` concurrent-writer guard and rewriting history.  This is
+    the same reason Delta's RESTORE is itself a commit."""
     manifest = read_manifest(path, version)
-    _commit_manifest(path, manifest)
+    current = read_manifest(path)
+    new_manifest = {
+        "version": current["version"] + 1,
+        "partitions": dict(manifest["partitions"]),
+    }
+    if "partition_dtype" in manifest:
+        new_manifest["partition_dtype"] = manifest["partition_dtype"]
+    _commit_manifest(path, new_manifest)
+    return new_manifest["version"]
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[int]:

@@ -631,10 +631,19 @@ def admission_stream(
                 # commits) by rebuilding bands for corpus ids the index
                 # lacks
                 idx = _read_side(bands_path, "band_idx")
+                # Docs too short to shingle NEVER produce band rows —
+                # without this pre-filter they'd sit in `missing`
+                # forever and the self-heal would run corpus-shaped
+                # shingle jobs every batch even in steady state (the
+                # exact-twin screen still covers them; ADVICE r4).
+                bandable = corpus.filter(
+                    F.size(dedup.words(F.col("text")))
+                    >= (shingle_k or 1)
+                )
                 missing = (
-                    corpus
+                    bandable
                     if idx is None
-                    else corpus.join(
+                    else bandable.join(
                         idx.select(
                             F.col("id").alias("doc_id")
                         ).distinct(),

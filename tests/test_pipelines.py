@@ -834,6 +834,10 @@ def test_admission_stream_indexed_sides_and_crash_heal(spark):
                 (10, base_text.replace("tonight", "today"), "en", "web", 9),
                 (11, permuted, "en", "web", 99),
                 (12, fresh, "en", "mail", 99),
+                # 2 tokens < shingle_k: bandless by construction —
+                # admitted (no twin), indexed in __emb but NOT __bands,
+                # and must not re-enter the catch-up every batch
+                (13, "tiny doc", "en", "mail", 8),
             ],
             inp,
         )
@@ -842,7 +846,7 @@ def test_admission_stream_indexed_sides_and_crash_heal(spark):
             r["doc_id"]
             for r in read_versioned(spark, table, "source").collect()
         }
-        assert got == {1, 12}
+        assert got == {1, 12, 13}
         bands = read_versioned(spark, table + "__bands", "band_idx")
         assert {r["id"] for r in bands.collect()} == {1, 12}
 
@@ -854,6 +858,9 @@ def test_admission_stream_indexed_sides_and_crash_heal(spark):
             [
                 (20, base_text.replace("forest", "meadow"), "en", "web", 9),
                 (21, fresh2, "en", "mail", 99),
+                # exact twin of the bandless doc: the exact-fingerprint
+                # screen (not the band index) must reject it
+                (22, "tiny doc", "en", "web", 8),
             ],
             inp,
         )
@@ -862,6 +869,9 @@ def test_admission_stream_indexed_sides_and_crash_heal(spark):
             r["doc_id"]
             for r in read_versioned(spark, table, "source").collect()
         }
-        assert got == {1, 12, 21}
+        assert got == {1, 12, 13, 21}
         bands = read_versioned(spark, table + "__bands", "band_idx")
+        # the rebuilt index covers every SHINGLEABLE corpus doc; the
+        # bandless doc 13 is correctly absent (steady-state catch-up
+        # stays empty instead of rebuilding it forever)
         assert {r["id"] for r in bands.collect()} == {1, 12, 21}

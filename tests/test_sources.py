@@ -7,6 +7,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
+import pytest
 
 
 def test_file_kind_dispatch(spark):
@@ -817,12 +818,14 @@ def test_versioned_table_atomic_upsert_time_travel_rollback(spark):
         # an orphan version dir without a manifest swap is invisible
         os.makedirs(f"{path}/v=99/source=zzz", exist_ok=True)
         assert "zzz" not in read_manifest(path)["partitions"]
-        # rollback = O(1) manifest re-commit
-        rollback(path, 1)
+        # rollback = O(1) RESTORE-style commit (a NEW version whose
+        # partition map is the old snapshot's — Delta RESTORE semantics,
+        # so the version sequence stays strictly increasing)
+        assert rollback(path, 1) == 3
         assert rows_of(read_versioned(spark, path, "source")) == rows_of(old)
-        # roll forward again and vacuum with a horizon keeping all
-        rollback(path, 2)
-        v3 = upsert_versioned(
+        # roll forward again; the next upsert targets the next version
+        assert rollback(path, 2) == 4
+        v5 = upsert_versioned(
             spark.createDataFrame(
                 [(3, "b", 31)], "doc_id long, source string, n long"
             ),
@@ -830,12 +833,24 @@ def test_versioned_table_atomic_upsert_time_travel_rollback(spark):
             keys=["doc_id"],
             partition_col="source",
         )
-        assert v3 == 3
-        removed = vacuum(path, keep_last=3)
-        assert removed == []  # nothing past the horizon
+        assert v5 == 5
+        removed = vacuum(path, keep_last=4)
+        # horizon = 1: only the v=1 data dir (no longer referenced by
+        # the current manifest — b was rewritten in v5) and the v1
+        # retained manifest fall past it
+        assert removed == [1]
         assert rows_of(read_versioned(spark, path, "source")) == {
             (1, "a", 11), (2, "a", 20), (4, "a", 40), (3, "b", 31)
         }
+        # the pinned snapshot whose manifest vacuum reclaimed fails
+        # loudly, not silently empty
+        with pytest.raises(FileNotFoundError):
+            read_versioned(spark, path, "source", version=1)
+        # a RETAINED manifest that still exists but points at vacuumed
+        # data dirs (v3 restored the v1 snapshot) also fails loudly,
+        # with the vacuum cause named
+        with pytest.raises(FileNotFoundError, match="vacuum"):
+            read_versioned(spark, path, "source", version=3)
 
 
 def test_versioned_compact_diff_delete(spark):
@@ -942,3 +957,88 @@ def test_versioned_compact_diff_delete(spark):
         assert "b" not in read_manifest(path)["partitions"]
         assert {t[1] for t in rows_of(read_versioned(spark, path, "source"))} == {"a"}
         assert v5 == 5
+
+
+def test_versioned_refuses_concurrent_writers(spark):
+    """Single-writer contract enforced loudly: two committers that both
+    read version N race on the O_EXCL create of _MANIFEST.v(N+1) — the
+    second raises ConcurrentWriteError and the winner's commit is
+    intact (no lost update)."""
+    from sortify_spark.sources.versioned import (
+        ConcurrentWriteError,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/docs"
+        df1 = spark.createDataFrame(
+            [(1, "a", 10)], "doc_id long, source string, n long"
+        )
+        assert upsert_versioned(df1, path, ["doc_id"], "source") == 1
+        # simulate writer B having already committed version 2 between
+        # writer A's manifest read and its commit: the retained
+        # manifest _MANIFEST.v2 exists when A tries to create it
+        import json
+
+        with open(f"{path}/_MANIFEST.v2", "w") as fh:
+            json.dump({"version": 2, "partitions": {}}, fh)
+        with pytest.raises(ConcurrentWriteError, match="version 2"):
+            upsert_versioned(
+                spark.createDataFrame(
+                    [(2, "a", 20)], "doc_id long, source string, n long"
+                ),
+                path,
+                ["doc_id"],
+                "source",
+            )
+        # the loser changed nothing visible: current snapshot is still
+        # writer... version 1's
+        got = {
+            (r["doc_id"], r["n"])
+            for r in read_versioned(spark, path, "source").collect()
+        }
+        assert got == {(1, 10)}
+
+
+def test_versioned_partition_dtype_round_trip(spark):
+    """An integer partition column comes back as an INTEGER: the
+    manifest records partition_dtype at write time and every read path
+    (snapshot, merge-read inside upsert, diff) casts the restored
+    directory-name value back — no implicit string<->int coercion in
+    downstream joins (ADVICE r4)."""
+    from sortify_spark.sources.versioned import (
+        diff,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/bands"
+        df = spark.createDataFrame(
+            [(1, 0, 100), (2, 0, 200), (3, 7, 300)],
+            "id long, band_idx int, band_key long",
+        )
+        upsert_versioned(df, path, keys=["id", "band_idx"], partition_col="band_idx")
+        out = read_versioned(spark, path, "band_idx")
+        assert dict(out.dtypes)["band_idx"] == "int"
+        assert {(r["id"], r["band_idx"]) for r in out.collect()} == {
+            (1, 0), (2, 0), (3, 7)
+        }
+        # second upsert merges against the existing partition read —
+        # the anti-join key is int on both sides
+        upd = spark.createDataFrame(
+            [(2, 0, 201)], "id long, band_idx int, band_key long"
+        )
+        upsert_versioned(upd, path, keys=["id", "band_idx"], partition_col="band_idx")
+        out2 = read_versioned(spark, path, "band_idx")
+        assert dict(out2.dtypes)["band_idx"] == "int"
+        assert {(r["id"], r["band_key"]) for r in out2.collect()} == {
+            (1, 100), (2, 201), (3, 300)
+        }
+        cdc = diff(spark, path, "band_idx", ["id"], 1, 2)
+        assert dict(cdc.dtypes)["band_idx"] == "int"
+        got = {(r["_change_type"], r["id"]) for r in cdc.collect()}
+        assert got == {
+            ("update_preimage", 2), ("update_postimage", 2)
+        }
