@@ -552,15 +552,34 @@ _suite(
             "pq_recall_at_10",
             dict(cnt="overlap_at_10", key1="CAST(k AS STRING)"),
         ),
+        # round 5: the streaming COMPOSITIONS driver-verified end-to-end
+        # (VERDICT r4 item 1) — multi-micro-batch admission with all
+        # three screens + indexed corpus sides, and the continuous
+        # rollup's read-time fold (queries_admission).
+        (
+            "admission_replay",
+            dict(
+                key1="CAST(doc_id AS STRING)",
+                key2="source",
+                cnt="batch",
+            ),
+        ),
+        (
+            "rollup_replay",
+            dict(key1="day", cnt="cnt", val="avg_value"),
+        ),
     ],
     note="Suite: portable hyperplane-LSH ANN (value-hash-checked index), "
     "int8 quantization error audit, stateful streaming sessionization "
     "(applyInPandasWithState vs batch window oracle), per-doc quality "
     "scores, the streamed daily trend, batched multi-query top-k "
-    "(whole query batch in one scan), and — round 4 — the five e2e "
-    "facade rows (ingest audit + summary_only/hybrid/RRF/traditional "
-    "search) whose oracles replay the full pipeline from raw text — "
-    "ANN + streaming + e2e-pipeline contracts in one driver row.",
+    "(whole query batch in one scan), the five e2e facade rows (ingest "
+    "audit + summary_only/hybrid/RRF/traditional search) whose oracles "
+    "replay the full pipeline from raw text, and — round 5 — the two "
+    "end-to-end streaming compositions: multi-micro-batch corpus "
+    "admission against the evolving admitted corpus (indexed sides on) "
+    "and the continuous-rollup partial fold — ANN + streaming + "
+    "e2e-pipeline contracts in one driver row.",
 )
 
 _suite(
