@@ -170,9 +170,11 @@ def q_cluster_organize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "clustering_stats_audit",
-    f"""
+#: Shared CTE chain: modk assignments over the non-held-out stratum
+#: (vec_id % 11 <> 3 — the held-out rows stay 'pending'), tier triage,
+#: and the per-row write-back status — reused by the A7 statistics
+#: oracle AND the P10 pending-scan oracle below.
+_STATUS_CTES = f"""
     WITH src AS (
       SELECT CAST(vec_id % 4 AS VARCHAR) AS owner,
              CAST(vec_id AS VARCHAR) AS id,
@@ -190,7 +192,7 @@ def q_cluster_organize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m_assign GROUP BY owner, cluster_label
     ),
     status AS (
-      SELECT e.vec_id,
+      SELECT e.vec_id, e.label,
              CASE WHEN t.tier IS NULL THEN 'pending'
                   WHEN t.tier = 'excluded' THEN 'excluded'
                   ELSE 'clustered' END AS s
@@ -198,7 +200,13 @@ def q_cluster_organize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN m_assign a ON CAST(e.vec_id AS VARCHAR) = a.id
       LEFT JOIN tiers t ON a.owner = t.owner
                        AND a.cluster_label = t.cluster_label
-    )
+    )"""
+
+
+@register(
+    "clustering_stats_audit",
+    f"""
+    {_STATUS_CTES}
     SELECT COUNT(*) AS total_docs,
            COUNT(CASE WHEN s = 'clustered' THEN 1 END) AS clustered_docs,
            COUNT(CASE WHEN s = 'excluded' THEN 1 END) AS excluded_docs,
@@ -226,6 +234,44 @@ def q_clustering_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, organized, doc_id_col="vec_id"
     )
     return clustering.clustering_statistics(with_status)
+
+
+@register(
+    "pending_ids_scan",
+    f"""
+    {_STATUS_CTES}
+    SELECT vec_id AS id FROM status
+    WHERE s = 'pending' AND label IS NOT NULL
+    ORDER BY id
+    """,
+    note="P10 hash-checked (the last §2 rows-only row): the pending-for-"
+    "clustering id-projection scan — clustering_status = 'pending' "
+    "(rows the write-back never touched, the null-or-missing branch) "
+    "AND a non-null payload predicate (the enriched_data IS NOT NULL "
+    "analog), projecting only ids (clustering_service.py:341-357).  "
+    "Status derives from the modk write-back so the filter's input is "
+    "itself oracle-replayed.",
+)
+def q_pending_ids_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    clustered_in = emb.filter(F.col("vec_id") % 11 != 3).select(
+        (F.col("vec_id") % 4).cast("string").alias("owner_id"),
+        F.col("vec_id").cast("string").alias("id"),
+        "embedding",
+    )
+    assigns = clustering.modk_centroid_cluster(clustered_in)
+    organized = clustering.organize_clusters(assigns)
+    with_status = clustering.write_back_assignments(
+        emb, organized, doc_id_col="vec_id"
+    )
+    return (
+        with_status.filter(
+            (F.col("clustering_status") == "pending")
+            & F.col("label").isNotNull()
+        )
+        .select(F.col("vec_id").alias("id"))
+        .orderBy("id")
+    )
 
 
 @register(

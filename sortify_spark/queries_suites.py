@@ -334,6 +334,9 @@ _suite(
                 val="coverage_pct",
             ),
         ),
+        # round 5: P10 — the pending-for-clustering id scan (the last §2
+        # rows-only row, now hash-checked per id).
+        ("pending_ids_scan", dict(cnt="id")),
         (
             "hierarchical_audit",
             dict(
