@@ -208,23 +208,32 @@ def q_corpus_freq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def freq_bucket_stats(docs: DataFrame) -> DataFrame:
     """Kernel over any (doc_id, source, text) frame.
 
-    Deliberately the occurrence-level two-explode shape: the vocab
-    aggregate map-side combines 250 M occurrences to the vocab size,
-    the score join broadcasts the vocab, and the per-doc groupBy
-    partial-aggregates back to one row per doc BEFORE its shuffle — so
-    no occurrence-level rows ever cross the wire.  The tempting
-    "pre-aggregate per (doc, word) first" rewrite shuffles the ~half-
-    volume distinct pairs instead and measured 8× SLOWER at the 5 M-doc
-    stress scale (462 s vs 54 s): trading local codegen explode work
-    for a hundred-million-row exchange is the wrong side of the
-    shuffle-vs-CPU ledger.
+    The occurrence stream NEVER crosses the wire (r4 plan-audit fix,
+    now unconditional): the vocab is broadcast EXPLICITLY, so the
+    exploded word stream goes scan → explode → broadcast-probe →
+    per-doc partial aggregate, and only one compact row per doc is
+    exchanged.  The r4 shape left the join strategy to AQE — which
+    statically planned a SortMergeJoin whose occurrence-side Exchange
+    was materialized (250 M shuffled rows at the 5 M-doc stress scale,
+    the 41.9 s hotspot in SCALE_STRESS_r04) before the runtime
+    broadcast conversion could skip it.  Measured at 1000×: explicit
+    broadcast 39.3 s vs AQE-converted 45.4 s vs a forced shuffled-hash
+    join 61.2 s vs the "pre-aggregate per (doc, word) first" rewrite
+    462 s.  Cost left on the table: the corpus is scanned + exploded
+    twice (vocab build + score probe) — two shuffle-free passes, the
+    right trade against materializing a corpus-sized intermediate.
+    Contract: the vocab must fit in executor memory; real pipelines
+    bound it (CCNet scores against a FIXED LM vocab), and a
+    pathological stopword skews any formulation equally — the
+    production answer is the standard hot-key split, not a different
+    join.
     """
     wx = docs.select(
         "doc_id", "source", F.explode(_words()).alias("word")
     )
     vocab = wx.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
     ds = (
-        wx.join(vocab, "word")
+        wx.join(F.broadcast(vocab), "word")
         .groupBy("doc_id", "source")
         .agg(F.sum("wc").alias("fsum"), F.count(F.lit(1)).alias("nw"))
     )

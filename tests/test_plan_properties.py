@@ -303,14 +303,18 @@ def test_span_removal_no_quadratic_joins(spark):
 
 def test_corpus_freq_vocab_join_and_partial_agg(spark):
     """CCNet tiering: vocab build map-side combines; the word join is an
-    equi-join (broadcast at this vocab size); ntile runs over the per-doc
-    aggregate, not the exploded words."""
+    EXPLICIT broadcast (r5 fix — AQE's static SortMergeJoin materialized
+    an occurrence-level Exchange before its runtime conversion could
+    skip it), so the exploded word stream is never shuffled or sorted;
+    ntile runs over the per-doc aggregate, not the exploded words."""
     plan = _plan(spark, "corpus_freq_buckets")
     assert "CartesianProduct" not in plan
     assert "NestedLoopJoin" not in plan
     assert "EvalPython" not in plan
     assert "partial_" in plan
     assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_sequence_packing_one_window_partitioning(spark):
