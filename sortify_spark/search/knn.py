@@ -106,6 +106,50 @@ def build_centroids(
     )
 
 
+def assign_nearest_centroid_np(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "label",
+) -> DataFrame:
+    """Arrow/BLAS nearest-centroid assignment — the IVF index-build
+    kernel at production scale (what FAISS pays per Lloyd step): the
+    nlist × dim centroid matrix is closure-broadcast to every Arrow
+    batch, each batch scores ``X @ C.T`` in one BLAS call, and the
+    cosine argmax breaks ties to the lowest bucket id (buckets sorted
+    ascending; ``argmax`` returns the first maximum) — the same
+    contract as the expression twin (crossJoin + ``max_by`` over
+    :func:`functions.vectors.cosine`), which this kernel vectorizes.
+    The centroid collect is nlist rows — index metadata, not data."""
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.select("bucket", "centroid").collect()
+    rows.sort(key=lambda r: r["bucket"])
+    buckets = np.array([r["bucket"] for r in rows], dtype=np.int64)
+    C = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    Cu = (C / cn[:, None]).T  # dim × nlist, ready for X @ Cu
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(X, axis=1)
+            xn[xn == 0] = 1.0
+            idx = ((X / xn[:, None]) @ Cu).argmax(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, out_col: buckets[idx]}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} long, {out_col} long"
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -139,3 +139,70 @@ def test_expr_embed_duckdb_bit_parity(spark, duck):
     """
     want = {r[0]: list(r[1]) for r in duck.sql(sql).fetchall()}
     assert got == want  # exact float equality, not approx
+
+
+def test_assign_nearest_centroid_np_matches_expression(spark):
+    """The Arrow/BLAS nearest-centroid kernel must agree with the
+    expression argmax (crossJoin + max_by over cosine) on every vector,
+    including the lowest-bucket tie-break for duplicated centroids."""
+    import pyspark.sql.functions as F
+
+    from sortify_spark.functions.vectors import cosine
+    from sortify_spark.search.knn import (
+        assign_nearest_centroid_np,
+        build_centroids,
+    )
+
+    rows = [
+        (i, [(i * 7 + j * 3) % 11 - 5.0 for j in range(8)], i % 5)
+        for i in range(60)
+    ]
+    vec = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, seed long"
+    )
+    cents = build_centroids(vec, "seed").persist()
+    got = {
+        r["vec_id"]: r["label"]
+        for r in assign_nearest_centroid_np(vec, cents).collect()
+    }
+    scored = vec.crossJoin(
+        F.broadcast(cents.select("bucket", "centroid"))
+    ).select(
+        "vec_id",
+        "bucket",
+        cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
+    )
+    want = {
+        r["vec_id"]: r["label"]
+        for r in scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "bucket", F.struct(F.col("sim"), -F.col("bucket"))
+            ).alias("label")
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_pq_encode_np_matches_relational(spark):
+    """The Arrow/BLAS PQ encoder must produce byte-identical codes to
+    the oracle-checked relational encode (same integer-micro d2 grid,
+    same lowest-cell tie-break) over the real embeddings table."""
+    import pyspark.sql.functions as F
+
+    from sortify_spark.search import pq
+    from sortify_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    cb = pq.codebook(pq.elements(data)).persist()
+    rel = {
+        (r["vec_id"], r["s"]): r["code"]
+        for r in pq.encode(pq.elements(data), cb).collect()
+    }
+    blas = {
+        (r["vec_id"], r["s"]): r["code"]
+        for r in pq.encode_np(data, cb).collect()
+    }
+    assert rel == blas and len(rel) == 499 * 8
