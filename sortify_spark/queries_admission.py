@@ -202,3 +202,157 @@ def q_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = rollup_stream(spark, inp, table, f"{tmp}/ckpt")
         q.awaitTermination(600)
     return read_rollup(spark, table).orderBy("day")
+
+
+def _vectorize_replay_oracle() -> str:
+    from sortify_spark.pipelines import ingest_vectorize_expr_oracle_sql
+    from sortify_spark.queries_e2e import E2E_DIM, E2E_DOC_LIMIT
+
+    ctes = ingest_vectorize_expr_oracle_sql(
+        doc_limit=E2E_DOC_LIMIT, chunk_size=128, overlap=32, dim=E2E_DIM
+    )
+    return f"""
+    WITH {ctes}
+    SELECT vtype, COUNT(*) AS cnt,
+           CAST(COUNT(DISTINCT document_id) AS BIGINT) AS n_docs,
+           CAST(SUM(length(chunk_text)) AS BIGINT) AS sum_chars,
+           ROUND(CAST(SUM(CAST(ROUND(
+               list_reduce(e, (a, b) -> a + b), 6) AS DECIMAL(38,10)))
+             AS DOUBLE), 4) AS emb_checksum
+    FROM vec GROUP BY vtype ORDER BY vtype
+    """
+
+
+@register(
+    "vectorize_replay",
+    _vectorize_replay_oracle(),
+    note="ST1 end-to-end, hash-checked: documents stream in "
+    f"{N_BATCHES} micro-batches through vectorize_stream with the "
+    "Catalyst expression encoder (zero Python in the plan), appending "
+    "to the vectors sink; the per-vtype audit of the FINAL sink "
+    "(counts, chunk boundaries via total chars, decimal embedding "
+    "checksum) must equal the one-shot batch ingest replayed from raw "
+    "text by the oracle — the batch/stream parity claim as a driver "
+    "row (reference write path semantic_summary_service.py:257-431, "
+    "queue vectorization_queue.py:18-177).",
+)
+def q_vectorize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.queries_e2e import E2E_DIM, E2E_DOC_LIMIT
+    from sortify_spark.streaming.pipeline import vectorize_stream
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < E2E_DOC_LIMIT)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    tmp = tempfile.mkdtemp(prefix="sortify_vectorize_")
+    inp, out = f"{tmp}/in", f"{tmp}/out"
+    for b in range(N_BATCHES):
+        docs.filter(F.col("doc_id") % N_BATCHES == b).coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+        q = vectorize_stream(
+            spark,
+            inp,
+            out,
+            f"{tmp}/ckpt",
+            dim=E2E_DIM,
+            embed_mode="expr",
+            chunk_size=128,
+            overlap=32,
+        )
+        q.awaitTermination(600)
+    vec = spark.read.parquet(out)
+    rowsum = F.round(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x), 6
+    )
+    return (
+        vec.groupBy("vtype")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("document_id").cast("bigint").alias("n_docs"),
+            F.sum(F.length("chunk_text")).cast("bigint").alias(
+                "sum_chars"
+            ),
+            F.round(
+                F.sum(rowsum.cast("decimal(38,10)")).cast("double"), 4
+            ).alias("emb_checksum"),
+        )
+        .orderBy("vtype")
+    )
+
+
+_UPSERT_KEYS = 120  #: key space — forces cross-batch overwrites
+
+
+@register(
+    "upsert_replay",
+    f"""
+    WITH rr AS (
+      SELECT doc_id % {_UPSERT_KEYS} AS k, doc_id AS orig,
+             doc_id % {N_BATCHES} AS b
+      FROM documents
+    ),
+    rep AS (SELECT k, b, MAX(orig) AS orig FROM rr GROUP BY k, b),
+    win AS (
+      SELECT k, orig FROM (
+        SELECT k, orig,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY b DESC) AS rn
+        FROM rep
+      ) WHERE rn = 1
+    )
+    SELECT w.k AS doc_id,
+           'p' || CAST(w.k % 4 AS VARCHAR) AS source,
+           d.lang, w.orig AS n_chars, d.text
+    FROM win w JOIN documents d ON d.doc_id = w.orig
+    ORDER BY doc_id
+    """,
+    note="Streaming keyed upsert end-to-end, hash-checked: "
+    f"{N_BATCHES} micro-batches of key-unique rows (key = doc_id % "
+    f"{_UPSERT_KEYS}, payload = the max-orig row of the batch) MERGE "
+    "through upsert_stream(versioned=True) — atomic manifest-swap "
+    "commits, partition = f(key) — and the FINAL table must be exactly "
+    "last-writer-wins per key, full payload (text included) compared.  "
+    "The exactly-once/replay side is live-tested in "
+    "tests/test_pipelines.py; this row pins the CONTENT contract.",
+)
+def q_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.sources.versioned import read_versioned
+    from sortify_spark.streaming.pipeline import upsert_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="sortify_upsert_")
+    inp, table = f"{tmp}/in", f"{tmp}/table"
+    for b in range(N_BATCHES):
+        batch = docs.filter(F.col("doc_id") % N_BATCHES == b).select(
+            (F.col("doc_id") % _UPSERT_KEYS).alias("k"),
+            F.col("doc_id").alias("orig"),
+            "text",
+            "lang",
+        )
+        # key-unique within the batch (the upsert contract): keep the
+        # max-orig row per key, payload carried via max_by
+        feed = batch.groupBy("k").agg(
+            F.max("orig").alias("n_chars"),
+            F.max_by("text", "orig").alias("text"),
+            F.max_by("lang", "orig").alias("lang"),
+        ).select(
+            F.col("k").alias("doc_id"),
+            "text",
+            "lang",
+            F.concat(
+                F.lit("p"), (F.col("k") % 4).cast("string")
+            ).alias("source"),
+            F.col("n_chars"),
+        )
+        feed.coalesce(1).write.mode("append").parquet(inp)
+        q = upsert_stream(
+            spark, inp, table, f"{tmp}/ckpt",
+            keys=("doc_id",), partition_cols=("source",), versioned=True,
+        )
+        q.awaitTermination(600)
+    return (
+        read_versioned(spark, table, "source")
+        .select("doc_id", "source", "lang", "n_chars", "text")
+        .orderBy("doc_id")
+    )

@@ -571,6 +571,24 @@ _suite(
             "rollup_replay",
             dict(key1="day", cnt="cnt", val="avg_value"),
         ),
+        (
+            "vectorize_replay",
+            dict(
+                key1="vtype",
+                key2="CAST(n_docs AS STRING)",
+                cnt="sum_chars",
+                val="emb_checksum",
+                val2="CAST(cnt AS DOUBLE)",
+            ),
+        ),
+        (
+            "upsert_replay",
+            dict(
+                key1="CAST(doc_id AS STRING) || '|' || source",
+                key2="lang || '#' || CAST(length(text) AS STRING)",
+                cnt="n_chars",
+            ),
+        ),
     ],
     note="Suite: portable hyperplane-LSH ANN (value-hash-checked index), "
     "int8 quantization error audit, stateful streaming sessionization "

@@ -40,6 +40,8 @@ def vectorize_stream(
     dim: int = 64,
     processing_time: str | None = None,
     embed_mode: str = "hash",
+    chunk_size: int | None = None,
+    overlap: int | None = None,
 ):
     """ST1: streaming document vectorization.
 
@@ -68,9 +70,14 @@ def vectorize_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.load(input_dir)
     build = ingest_vectorize_expr if embed_mode == "expr" else ingest_vectorize
+    kw = {"dim": dim}
+    if chunk_size is not None:
+        kw["chunk_size"] = chunk_size
+    if overlap is not None:
+        kw["overlap"] = overlap
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        out = build(batch_df, dim=dim)
+        out = build(batch_df, **kw)
         out.write.mode("append").parquet(output_dir)
 
     writer = (
