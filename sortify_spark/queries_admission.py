@@ -282,6 +282,55 @@ def q_vectorize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_stream_join_replay",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND epoch_us(c.ts) >  epoch_us(p.ts) - 3600000000
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+    ORDER BY purchase_id, click_id
+    """,
+    note="Stream-stream event-time interval join end-to-end "
+    "(purchases ⋈ clicks within the preceding hour, both sides "
+    "watermarked; state bounded by the time-range condition): events "
+    "stream in two event-time-ordered micro-batches — pairs spanning "
+    "the batch boundary must come from buffered state — and the final "
+    "parquet sink must equal the batch inner join exactly.  The "
+    "streaming join class the reference lacks and the batch "
+    "range_join_clicks_1h cannot express online.",
+)
+def q_stream_stream_join_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from sortify_spark.streaming.pipeline import interval_join_stream
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    cut = events.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)")
+    ).first()[0]
+    tmp = tempfile.mkdtemp(prefix="sortify_ssjoin_")
+    inp, out = f"{tmp}/in", f"{tmp}/out"
+    # two event-time-ordered batches: the second never carries events
+    # older than the first's watermark, so no pair can be dropped
+    halves = [
+        events.filter(F.unix_micros("ts") < cut),
+        events.filter(F.unix_micros("ts") >= cut),
+    ]
+    for half in halves:
+        half.coalesce(1).write.mode("append").parquet(inp)
+        q = interval_join_stream(spark, inp, out, f"{tmp}/ckpt")
+        q.awaitTermination(600)
+    return spark.read.parquet(out).orderBy("purchase_id", "click_id")
+
+
 _UPSERT_KEYS = 120  #: key space — forces cross-batch overwrites
 
 

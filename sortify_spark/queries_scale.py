@@ -259,15 +259,15 @@ def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "knn_lsh",
-    None,  # approximate by construction; recall property-tested in tests
-    note="ANN scale path #2: MLlib BucketedRandomProjectionLSH over the "
-    "embeddings table (random-hyperplane buckets; candidates only form "
-    "inside a bucket). Exact twin = knn_bruteforce, partition-local "
-    "variant = knn_ivf.",
-)
-def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH demonstration (retired from the
+    registry surface, VERDICT r4 item 8: the portable-LSH contract rows
+    — ``knn_lsh_portable``, ``e2e_search_lsh``, ``facade_lsh_recall`` —
+    cover the ANN-bucket capability WITH hash checks, where MLlib's
+    seed-internal hashing is rows-only by construction).  Kept as a
+    library path + recall property test (tests/test_scale_queries.py):
+    it is the off-the-shelf alternative a deployment might prefer over
+    the portable implementation."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
     from pyspark.ml.linalg import Vectors

@@ -589,6 +589,15 @@ _suite(
                 cnt="n_chars",
             ),
         ),
+        (
+            "stream_stream_join_replay",
+            dict(
+                key1="CAST(purchase_id AS STRING)",
+                key2="CAST(click_id AS STRING)",
+                cnt="user_id",
+                val="CAST(purchase_ts_us - click_ts_us AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: portable hyperplane-LSH ANN (value-hash-checked index), "
     "int8 quantization error audit, stateful streaming sessionization "

@@ -565,8 +565,9 @@ def _lsh_key_sql() -> str:
     "hyperplane signs (pure integer arithmetic both engines reproduce), "
     "probe = equi-join on the query's bucket, exact cosine rerank "
     "inside. Unlike the MLlib BucketedRandomProjectionLSH variant "
-    "(knn_lsh, seed-internal → rows-only), the whole approximate index "
-    "is value-hash-checked against the oracle.",
+    "(queries_scale.knn_lsh_mllib, seed-internal so rows-only by "
+    "construction — retired to a library path + recall test), the "
+    "whole approximate index is value-hash-checked against the oracle.",
 )
 def q_knn_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")

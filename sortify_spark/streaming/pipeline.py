@@ -91,6 +91,92 @@ def vectorize_stream(
     return writer.start()
 
 
+def interval_join_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    join_window: str = "1 hour",
+    watermark: str = "1 minute",
+):
+    """Stream-stream event-time interval join (the streaming twin of the
+    batch ``range_join_clicks_1h``): purchases ⋈ clicks on user with
+    ``click.ts ∈ (purchase.ts − window, purchase.ts]``, both sides
+    watermarked.
+
+    This is the join class the reference lacks entirely and batch range
+    joins cannot express online: Spark buffers both sides in state and
+    the time-range condition + watermark BOUND that state — a click is
+    evictable once the watermark passes ``click.ts + window`` (no
+    future purchase can match it), so state holds ~one window of each
+    side per key, not the stream's history.  Inner join ⇒ every emitted
+    pair is final (append mode); the parquet sink + checkpoint give
+    exactly-once output across restarts.
+
+    Batch/stream parity contract (``stream_stream_join_replay``): when
+    micro-batches are fed in event-time order (later batches never
+    older than ``watermark``), the emitted pair set equals the batch
+    inner join exactly — hash-checked against the DuckDB oracle.
+    """
+    ev = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                    T.StructField("props", T.StringType()),
+                ]
+            )
+        )
+        .format("parquet")
+        .load(input_dir)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = p_user "
+            f"AND c_ts > p_ts - INTERVAL {join_window} "
+            "AND c_ts <= p_ts"
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_exact_dedup(
     spark: SparkSession,
     input_dir: str,

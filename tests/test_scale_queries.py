@@ -30,8 +30,10 @@ def test_knn_lsh_recall_vs_exact(spark):
     from sortify_spark.tables import load_table
     from pyspark.ml.functions import array_to_vector
 
+    from sortify_spark.queries_scale import knn_lsh_mllib
+
     lsh_ids = {
-        r["vec_id"] for r in REGISTRY["knn_lsh"].fn(spark, SF_DIR).collect()
+        r["vec_id"] for r in knn_lsh_mllib(spark, SF_DIR).collect()
     }
     emb = load_table(spark, SF_DIR, "embeddings")
     dim = len(emb.first()["embedding"])
