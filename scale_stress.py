@@ -482,6 +482,67 @@ def main() -> None:
 
         stage("ann_ivfpq_topk", ann_ivfpq)
 
+        def ann_batched_queries():
+            # serving throughput: 64 queries through the IVF index in
+            # ONE plan — per-query bucket ranking against the broadcast
+            # centroid table, bucket-pruned candidate join, per-query
+            # top-10 (the knn_batch_queries shape at scale)
+            from pyspark.sql.window import Window
+
+            from sortify_spark.functions.vectors import cosine
+
+            NQ = 64
+            queries = F.broadcast(
+                data.orderBy("vec_id")
+                .limit(NQ)
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qe"),
+                )
+            )
+            qb = (
+                ann["cents"]
+                .crossJoin(queries)
+                .select(
+                    "query_id",
+                    "bucket",
+                    "qe",
+                    cosine(F.col("centroid"), F.col("qe")).alias("bs"),
+                )
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("query_id").orderBy(
+                            F.desc("bs"), F.asc("bucket")
+                        )
+                    ),
+                )
+                .filter(F.col("rn") <= 3)
+                .select("query_id", F.col("bucket").alias("label"), "qe")
+            )
+            scored = corpus_v.join(F.broadcast(qb), "label").select(
+                "query_id",
+                "vec_id",
+                cosine(F.col("embedding"), F.col("qe")).alias("score"),
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("vec_id")
+            )
+            t0 = time.time()
+            n = (
+                scored.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 10)
+                .count()
+            )
+            dt = time.time() - t0
+            return {
+                "rows": n,
+                "queries": NQ,
+                "qps": round(NQ / dt, 1),
+            }
+
+        stage("ann_batched_64_queries_ivf", ann_batched_queries)
+
         # -- facade search serving on a 10×-capped corpus ---------------
         # The full e2e stack (ingest → chunk → embed → index → search)
         # with the Arrow-batched hash encoder; LSH path recall measured
