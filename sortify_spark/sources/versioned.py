@@ -13,8 +13,15 @@ in one small protocol over plain parquet:
   last rewrote it; the manifest is swapped atomically
   (``os.replace``), so readers see the old snapshot or the new one,
   never a half-written mix — this is the commit point;
-* every committed manifest is retained as ``_MANIFEST.v<N>`` →
-  snapshot reads (time travel) and O(1) rollback for free.
+* every committed manifest is retained as ``_MANIFEST.v<N>`` (with its
+  commit timestamp) → snapshot reads by version or AS-OF timestamp
+  (time travel) and O(1) RESTORE-style rollback for free;
+* **schema evolution, add/remove columns**: upserts align both sides
+  to the union of their columns (typed nulls fill the gaps) and
+  snapshot reads merge parquet schemas across version dirs, so older
+  untouched partitions keep their written files and surface nulls for
+  columns that postdate them — Delta's default evolution contract
+  (type changes of an existing column are not supported).
 
 A writer crash before the manifest swap leaves an orphan ``v=N`` dir
 that no reader can observe; re-running the upsert is safe (next version
@@ -43,6 +50,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -88,6 +96,7 @@ def _commit_manifest(path: str, manifest: dict) -> None:
     writer's duplicate version), then atomically swap ``_MANIFEST`` —
     the swap is the single commit point of the protocol."""
     os.makedirs(path, exist_ok=True)
+    manifest.setdefault("committed_at", time.time())
     versioned = _manifest_path(path, manifest["version"])
     try:
         with open(versioned, "x") as fh:
@@ -123,8 +132,18 @@ def _read_partition_dirs(
     restored value back to its written type — without it an integer
     partition column (e.g. the streaming band index) silently comes
     back as STRING and every downstream join/union leans on implicit
-    coercion."""
-    df = spark.read.parquet(*[os.path.join(path, rel) for rel in rels])
+    coercion.
+
+    ``mergeSchema`` is on: a snapshot may span version dirs written
+    with EVOLVED schemas (columns added by later upserts), and the
+    merged read surfaces the union schema with nulls for files that
+    predate a column — the schema-on-read half of schema evolution
+    (write-side alignment happens in ``upsert_versioned``).  Cost is
+    one footer read per file at planning, standard for evolving
+    parquet tables."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, rel) for rel in rels]
+    )
     value = F.url_decode(
         F.regexp_extract(
             F.input_file_name(), f"/{partition_col}=([^/]+)/", 1
@@ -135,16 +154,42 @@ def _read_partition_dirs(
     return df.withColumn(partition_col, value)
 
 
+def resolve_version_at(path: str, ts: float) -> int:
+    """AS-OF-timestamp resolution: the highest retained version whose
+    commit time is ≤ ``ts`` (manifests record ``committed_at`` at the
+    commit point).  Raises if no retained manifest is that old — the
+    same loud failure as a vacuumed pinned snapshot."""
+    candidates = []
+    for entry in os.listdir(path):
+        if entry.startswith(f"{_MANIFEST}.v"):
+            v = int(entry.rsplit(".v", 1)[1])
+            if read_manifest(path, v).get("committed_at", 0.0) <= ts:
+                candidates.append(v)
+    if not candidates:
+        raise FileNotFoundError(
+            f"no retained snapshot of {path} at or before timestamp "
+            f"{ts} (older manifests may have been vacuumed)"
+        )
+    return max(candidates)
+
+
 def read_versioned(
     spark: SparkSession,
     path: str,
     partition_col: str,
     version: int | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Snapshot read: resolve ONE manifest, scan every partition's
     current directory in a single multi-path read with the partition
     value restored.  ``version`` pins a historical snapshot (time
-    travel)."""
+    travel); ``as_of`` pins by commit timestamp instead (Delta's
+    ``timestampAsOf`` — resolved to the highest retained version
+    committed at or before it)."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = resolve_version_at(path, as_of)
     manifest = read_manifest(path, version)
     parts = manifest["partitions"]
     if not parts:
@@ -220,7 +265,12 @@ def upsert_versioned(
             anti_keys,
             "left_anti",
         )
-        merged = keep.unionByName(updates.select(*keep.columns))
+        # Schema evolution: align both sides to the UNION of their
+        # columns — an update may add columns (existing rows get nulls)
+        # or omit columns (its rows get nulls); reads merge schemas
+        # across version dirs, so older untouched partitions keep their
+        # written files untouched and surface nulls for new columns.
+        merged = keep.unionByName(updates, allowMissingColumns=True)
     vdir = os.path.join(path, f"v={new_version}")
     (
         merged.write.mode("overwrite")
@@ -435,17 +485,36 @@ def classify_changes(
     / ``update_preimage`` + ``update_postimage``; unchanged keys emit
     nothing).  One co-partitioned shuffle + an explode of ≤2 elements —
     no driver materialization.  Oracle-checked by ``cdc_classify``
-    (queries_sources) over derived snapshots."""
+    (queries_sources) over derived snapshots.
+
+    Schema evolution: the two sides may differ by ADDED/REMOVED columns
+    (a diff across an ADD COLUMN boundary) — rows classify over the
+    union schema, with typed nulls for the side that predates a column,
+    so a row whose only change is gaining a value in a new column emits
+    a proper update pre/post pair.  Type CHANGES of an existing column
+    are not supported (same contract as Delta's default evolution)."""
     template = old if old is not None else new
-    cols = template.columns
+    fields: dict = {}
+    for side in (old, new):
+        if side is not None:
+            for f in side.schema.fields:
+                fields.setdefault(f.name, f.dataType)
+    cols = list(fields)
     payload = [c for c in cols if c not in join_keys]
 
     def _pack(df: DataFrame | None, name: str) -> DataFrame:
         if df is None:
             df = template.limit(0)
+        have = set(df.columns)
+
+        def _c(c: str):
+            return (
+                F.col(c) if c in have else F.lit(None).cast(fields[c])
+            ).alias(c)
+
         return df.select(
-            *join_keys,
-            F.struct(*[F.col(c) for c in payload]).alias(name),
+            *[_c(k) for k in join_keys],
+            F.struct(*[_c(c) for c in payload]).alias(name),
             F.lit(True).alias(f"_in_{name}"),
         )
 

@@ -1042,3 +1042,86 @@ def test_versioned_partition_dtype_round_trip(spark):
         assert got == {
             ("update_preimage", 2), ("update_postimage", 2)
         }
+
+
+def test_versioned_schema_evolution_and_as_of(spark):
+    """Schema evolution on the versioned store: a later upsert may ADD
+    columns (older partitions surface typed nulls via merged-schema
+    reads; pinned old snapshots keep the old schema) or OMIT columns
+    (its rows get nulls).  diff across the ADD COLUMN boundary
+    classifies over the union schema.  AS-OF-timestamp reads resolve
+    the highest snapshot committed at or before the timestamp."""
+    import time as _time
+
+    from sortify_spark.sources.versioned import (
+        diff,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/docs"
+        upsert_versioned(
+            spark.createDataFrame(
+                [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+                "doc_id long, source string, n long",
+            ),
+            path,
+            keys=["doc_id"],
+            partition_col="source",
+        )
+        t1 = _time.time()
+        _time.sleep(0.05)
+        # v2 ADDS a column; touches only partition a
+        upsert_versioned(
+            spark.createDataFrame(
+                [(1, "a", 11, 0.9), (4, "a", 40, 0.4)],
+                "doc_id long, source string, n long, score double",
+            ),
+            path,
+            keys=["doc_id"],
+            partition_col="source",
+        )
+        now = read_versioned(spark, path, "source")
+        assert dict(now.dtypes)["score"] == "double"
+        got = {
+            (r["doc_id"], r["n"], r["score"]) for r in now.collect()
+        }
+        # untouched rows (2 in a's rewrite, 3 in b's old file) -> null
+        assert got == {
+            (1, 11, 0.9), (2, 20, None), (4, 40, 0.4), (3, 30, None)
+        }
+        # pinned snapshot 1 still has the ORIGINAL schema
+        old = read_versioned(spark, path, "source", version=1)
+        assert "score" not in old.columns
+        # as-of timestamp between the commits resolves to v1
+        asof = read_versioned(spark, path, "source", as_of=t1)
+        assert "score" not in asof.columns and asof.count() == 3
+        # diff across the boundary: union schema, null pre-image for
+        # the new column
+        cdc = {
+            (r["_change_type"], r["doc_id"], r["score"])
+            for r in diff(spark, path, "source", ["doc_id"], 1, 2).collect()
+        }
+        assert cdc == {
+            ("update_preimage", 1, None),
+            ("update_postimage", 1, 0.9),
+            ("insert", 4, 0.4),
+        }
+        # v3 OMITS the new column entirely: its rows get nulls, prior
+        # rows keep their values
+        upsert_versioned(
+            spark.createDataFrame(
+                [(5, "a", 50)], "doc_id long, source string, n long"
+            ),
+            path,
+            keys=["doc_id"],
+            partition_col="source",
+        )
+        got3 = {
+            (r["doc_id"], r["score"])
+            for r in read_versioned(spark, path, "source").collect()
+        }
+        assert got3 == {
+            (1, 0.9), (2, None), (4, 0.4), (5, None), (3, None)
+        }
