@@ -620,6 +620,63 @@ def main() -> None:
 
             stage("facade_lsh_vs_exact_summary", lsh_vs_exact)
 
+            # -- streaming admission: indexed vs recomputed corpus ----
+            # The per-batch cost claim of use_index=True (band +
+            # embedding side tables maintained by the commits): after
+            # bootstrapping a ~90% corpus, admit the remaining 10% and
+            # time THAT batch under both modes — indexed cost tracks
+            # the batch + its candidates, recomputed cost re-bands the
+            # whole corpus.
+            from sortify_spark.streaming.pipeline import admission_stream
+
+            fdocs = load_table(spark, fdir, "documents")
+            is_b2 = (F.col("doc_id") % 1_000_000) % 10 == 7
+
+            def admission(use_index: bool):
+                def run():
+                    tag = "indexed" if use_index else "recomputed"
+                    adir = os.path.join(derived, f"adm_{tag}")
+                    inp, tbl = f"{adir}/in", f"{adir}/table"
+                    os.makedirs(inp, exist_ok=True)
+                    t0 = time.time()
+                    fdocs.filter(~is_b2).coalesce(4).write.mode(
+                        "append"
+                    ).parquet(inp)
+                    q = admission_stream(
+                        spark, inp, tbl, f"{adir}/ck",
+                        semantic_tau=0.995, use_index=use_index,
+                    )
+                    q.awaitTermination(600)
+                    bootstrap_sec = round(time.time() - t0, 2)
+                    t0 = time.time()
+                    fdocs.filter(is_b2).coalesce(1).write.mode(
+                        "append"
+                    ).parquet(inp)
+                    q = admission_stream(
+                        spark, inp, tbl, f"{adir}/ck",
+                        semantic_tau=0.995, use_index=use_index,
+                    )
+                    q.awaitTermination(600)
+                    batch2_sec = round(time.time() - t0, 2)
+
+                    from sortify_spark.sources.versioned import (
+                        read_versioned,
+                    )
+
+                    n = read_versioned(spark, tbl, "source").count()
+                    return {
+                        "rows": n,
+                        "bootstrap_sec": bootstrap_sec,
+                        "batch2_sec": batch2_sec,
+                        "use_index": use_index,
+                    }
+
+                return run
+
+            for use_index in (False, True):
+                tag = "indexed" if use_index else "recomputed"
+                stage(f"admission_{FE}x_{tag}", admission(use_index))
+
         facade_stages()
 
         total = round(sum(s["sec"] for s in stages.values()), 2)

@@ -57,7 +57,13 @@ def _admission_oracle_sql(n_batches: int = N_BATCHES) -> str:
     """Sequential SQL replay of the 3-screen admission over ``n_batches``
     micro-batches.  Pair closures are global (deterministic per-doc
     banding/embedding); admission is evaluated batch-by-batch against
-    the admitted-so-far corpus CTE."""
+    the admitted-so-far corpus CTE.  The semantic keys are CENTERED
+    hyperplane buckets — the center is the per-dim decimal mean of the
+    FIRST admitted batch's embeddings, exactly the center the engine
+    pins before its first commit (origin hyperplanes degenerate to one
+    hot bucket on cone-clustered bag-of-token embeddings)."""
+    from sortify_spark.search.knn import embedding_mean_sql
+
     fp = ts.FINGERPRINT_SQL.format(t="text")
     pairs = dedup.minhash_lsh_oracle_sql(
         threshold=_THRESHOLD, shingle_k=_SHINGLE_K, source="documents"
@@ -73,13 +79,6 @@ def _admission_oracle_sql(n_batches: int = N_BATCHES) -> str:
         f"nn AS (SELECT doc_id, raw, {SE.norm_sql('raw')} AS nrm FROM r)",
         f"e AS (SELECT doc_id, {SE.normalize_sql('raw', 'nrm')} AS e "
         "FROM nn)",
-        f"k AS (SELECT doc_id, e, {lsh_key_sql('e', DOCSEM_BITS)} "
-        "AS bucket FROM e)",
-        f"""sem AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM k a JOIN k b ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
-  WHERE ROUND({SE.dot_sql('a.e', 'b.e', dim)}, 6) >= {DOCSEM_TAU}
-)""",
     ]
     for b in range(n_batches):
         # in-batch exact dedup: min-doc_id representative per fingerprint
@@ -94,6 +93,29 @@ def _admission_oracle_sql(n_batches: int = N_BATCHES) -> str:
         if b == 0:
             parts.append("ad0 AS (SELECT doc_id, source, fp FROM ib0)")
             parts.append("c0 AS (SELECT * FROM ad0)")
+            # center pinned at batch 0, then the centered key + the
+            # global semantic pair closure over it
+            parts.append(
+                "cen AS ("
+                + embedding_mean_sql(
+                    "(SELECT e.e AS e FROM e JOIN ad0 USING (doc_id)) "
+                    "__ce",
+                    dim,
+                )
+                + ")"
+            )
+            parts.append(
+                "k AS (SELECT doc_id, e, "
+                + lsh_key_sql("e", DOCSEM_BITS, center_expr="cen.c")
+                + " AS bucket FROM e, cen)"
+            )
+            parts.append(
+                f"""sem AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM k a JOIN k b ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
+  WHERE ROUND({SE.dot_sql('a.e', 'b.e', dim)}, 6) >= {DOCSEM_TAU}
+)"""
+            )
             continue
         prev = f"c{b - 1}"
         parts.append(

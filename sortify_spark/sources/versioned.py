@@ -272,8 +272,19 @@ def upsert_versioned(
         # written files untouched and surface nulls for new columns.
         merged = keep.unionByName(updates, allowMissingColumns=True)
     vdir = os.path.join(path, f"v={new_version}")
+    # Repartition BY THE PARTITION VALUE before the partitionBy write:
+    # without it every upstream task fans out one file into every
+    # affected partition dir (32 shuffle partitions × 64 dirs = 2048
+    # tiny files per commit) and each commit + every subsequent
+    # snapshot read pays per-file overhead — measured as the dominant
+    # cost of streaming admission commits.  With it, one file per
+    # affected partition per version.  A single giant partition
+    # serializes into one task — size with
+    # spark.sql.files.maxRecordsPerFile / salt the partition scheme
+    # (the export_training_shards pattern) if that ever binds.
     (
-        merged.write.mode("overwrite")
+        merged.repartition(F.col(partition_col))
+        .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(vdir)
     )
@@ -333,7 +344,8 @@ def delete_versioned(
         )
         vdir = os.path.join(path, f"v={new_version}")
         (
-            keep.write.mode("overwrite")
+            keep.repartition(F.col(partition_col))
+            .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(vdir)
         )

@@ -678,22 +678,85 @@ def admission_stream(
             else None
         )
 
-    def _emb(df: DataFrame, idc: str) -> DataFrame:
+    def _emb_raw(df: DataFrame, idc: str) -> DataFrame:
         from sortify_spark.functions.sql_embed import expr_embed
-        from sortify_spark.queries_curation2 import (
-            DOCSEM_BITS,
-            DOCSEM_DIM,
-        )
-        from sortify_spark.search.knn import lsh_portable_key
+        from sortify_spark.queries_curation2 import DOCSEM_DIM
 
         return df.select(
             F.col("doc_id").alias(idc),
             expr_embed(F.col("text"), dim=DOCSEM_DIM).alias("__e"),
-        ).withColumn("__bk", lsh_portable_key("__e", nbits=DOCSEM_BITS))
+        )
+
+    def _key(emb: DataFrame, center: DataFrame | None) -> DataFrame:
+        from sortify_spark.queries_curation2 import DOCSEM_BITS
+        from sortify_spark.search.knn import (
+            lsh_portable_key,
+            lsh_portable_key_centered,
+        )
+
+        if center is None:
+            return emb.withColumn(
+                "__bk", lsh_portable_key("__e", nbits=DOCSEM_BITS)
+            )
+        return (
+            emb.crossJoin(F.broadcast(center))
+            .withColumn(
+                "__bk",
+                lsh_portable_key_centered("__e", "c", DOCSEM_BITS),
+            )
+            .drop("c")
+        )
+
+    def _emb(
+        df: DataFrame, idc: str, center: DataFrame | None = None
+    ) -> DataFrame:
+        return _key(_emb_raw(df, idc), center)
+
+    center_path = emb_path + "_center"
+
+    def _read_center() -> DataFrame | None:
+        if os.path.exists(os.path.join(center_path, "_SUCCESS")):
+            return spark.read.parquet(center_path)
+        return None
+
+    def _write_center(emb_df: DataFrame) -> None:
+        """Pin the semantic center: per-dim decimal mean over an
+        already-embedded frame's ``__e`` column (the coarse-quantizer
+        training set) — written BEFORE the corpus commit so
+        at-least-once replay recomputes the byte-identical center from
+        the same first batch."""
+        from sortify_spark.search.knn import embedding_mean
+
+        embedding_mean(
+            emb_df.select(F.col("__e").alias("embedding"))
+        ).coalesce(1).write.mode("overwrite").parquet(center_path)
 
     def _admit(batch_df: DataFrame, _batch_id: int) -> None:
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        # SORTIFY_ADMIT_DEBUG=1: per-phase wall-clock to stderr.  Debug
+        # mode inserts extra materialization points so the lazy plan's
+        # cost attributes to the phase that built it — output identical,
+        # timing honest.
+        dbg = _os.environ.get("SORTIFY_ADMIT_DEBUG") == "1"
+        marks: list = []
+        t_last = _time.time()
+
+        def _tick(label: str, force=None) -> None:
+            nonlocal t_last
+            if not dbg:
+                return
+            if force is not None:
+                force.count()
+            now = _time.time()
+            marks.append((label, round(now - t_last, 2)))
+            t_last = now
+
         if batch_df.isEmpty():
             return
+        _tick("batch_poll")
         fp = textstats.fingerprint(F.col("text"))
         # in-batch exact dedup: deterministic min-doc_id representative
         w = F.row_number().over(
@@ -710,10 +773,29 @@ def admission_stream(
             if read_manifest(table_path)["partitions"]
             else None
         )
+        center = None
+        if semantic_tau is not None:
+            center = _read_center()
+            if center is None and corpus is not None:
+                # legacy table or crash before the center write: pin it
+                # from the standing corpus (deterministic given the
+                # corpus state; the crash-free path pins from the FIRST
+                # admitted batch below)
+                _write_center(_emb_raw(corpus, "id"))
+                center = _read_center()
         if corpus is not None:
-            # exact twin in corpus
+            # exact twin in corpus.  The screened batch is
+            # localCheckpoint-ed at each screen boundary: every commit
+            # and every later screen re-evaluates the batch frame, and
+            # without materialization each evaluation re-runs ALL
+            # prior screens (corpus scans, band joins, verify) —
+            # measured as ~6 re-evaluations per micro-batch, the
+            # dominant admission cost.  The frames are batch-sized;
+            # blocks are reclaimed by the context cleaner.
             cfp = corpus.select(fp.alias("__fp")).dropDuplicates(["__fp"])
-            batch = batch.join(F.broadcast(cfp), "__fp", "left_anti")
+            batch = batch.join(
+                F.broadcast(cfp), "__fp", "left_anti"
+            ).localCheckpoint(eager=True)
             # near-dup vs corpus: shared banding, bucket join, verify
             b_base, b_bands = dedup.signature_bands(
                 batch, use_shingles=shingle_k
@@ -757,6 +839,7 @@ def admission_stream(
                             partition_col="band_idx",
                         )
                         idx = _read_side(bands_path, "band_idx")
+                _tick("band_catchup")
                 if idx is None:
                     # corpus has no shingleable docs at all — fall back
                     # to the direct (empty) banding
@@ -811,11 +894,16 @@ def admission_stream(
                 .select(F.col("bid").alias("doc_id"))
                 .distinct()
             )
+            near_hit = near_hit.localCheckpoint(eager=True)
+            _tick("near_dup_screen")
             batch = batch.join(F.broadcast(near_hit), "doc_id", "left_anti")
             if semantic_tau is not None:
                 from sortify_spark.functions.vectors import dot
 
-                be = _emb(batch, "bid")
+                be = _emb(batch, "bid", center)
+                if dbg:
+                    be = be.localCheckpoint(eager=True)
+                    _tick("batch_embed")
                 if use_index:
                     eidx = _read_side(emb_path, "bk")
                     e_missing = (
@@ -830,7 +918,7 @@ def admission_stream(
                         )
                     )
                     if not e_missing.isEmpty():
-                        m_emb = _emb(e_missing, "id").select(
+                        m_emb = _emb(e_missing, "id", center).select(
                             "id",
                             F.col("__e").alias("e"),
                             F.col("__bk").alias("bk"),
@@ -840,13 +928,14 @@ def admission_stream(
                             partition_col="bk",
                         )
                         eidx = _read_side(emb_path, "bk")
+                    _tick("emb_catchup_check")
                     ce = eidx.select(
                         F.col("id").alias("cid"),
                         F.col("e").alias("__ec"),
                         F.col("bk").alias("__bk"),
                     )
                 else:
-                    ce = _emb(corpus, "cid").select(
+                    ce = _emb(corpus, "cid", center).select(
                         "cid", F.col("__e").alias("__ec"), "__bk"
                     )
                 sem_hit = (
@@ -858,11 +947,27 @@ def admission_stream(
                     .select(F.col("bid").alias("doc_id"))
                     .distinct()
                 )
+                sem_hit = sem_hit.localCheckpoint(eager=True)
+                _tick("semantic_screen")
                 batch = batch.join(
                     F.broadcast(sem_hit), "doc_id", "left_anti"
                 )
-        admitted = batch.drop("__fp")
+        admitted = batch.drop("__fp").localCheckpoint(eager=True)
         if not admitted.isEmpty():
+            _tick("admit_check")
+            a_emb_raw = None
+            if semantic_tau is not None:
+                # ONE embed pass over the admitted docs feeds both the
+                # center pin (first batch) and the index rows
+                a_emb_raw = _emb_raw(admitted, "id").localCheckpoint(
+                    eager=True
+                )
+                if center is None:
+                    # first admitted batch pins the semantic center;
+                    # the write precedes every commit so replay
+                    # converges
+                    _write_center(a_emb_raw)
+                    center = _read_center()
             # corpus FIRST, index second: a crash here leaves the index
             # behind, which the next batch's catch-up heals; the inverse
             # order could reject docs the corpus never received
@@ -871,22 +976,30 @@ def admission_stream(
                 partition_col=partition_col,
             )
             if use_index:
+                # checkpoint the derived index rows: each upsert
+                # evaluates its updates twice (affected-partition
+                # collect + merged write), and shingling/embedding the
+                # admitted docs is the expensive part of the commit
                 _, a_bands = dedup.signature_bands(
                     admitted, use_shingles=shingle_k
                 )
                 upsert_versioned(
-                    a_bands, bands_path, keys=["id", "band_idx"],
+                    a_bands.localCheckpoint(eager=True), bands_path,
+                    keys=["id", "band_idx"],
                     partition_col="band_idx",
                 )
                 if semantic_tau is not None:
-                    a_emb = _emb(admitted, "id").select(
+                    a_emb = _key(a_emb_raw, center).select(
                         "id",
                         F.col("__e").alias("e"),
                         F.col("__bk").alias("bk"),
-                    )
+                    ).localCheckpoint(eager=True)
                     upsert_versioned(
                         a_emb, emb_path, keys=["id"], partition_col="bk"
                     )
+        _tick("commits")
+        if dbg:
+            print(f"[admit b{_batch_id}] {marks}", file=_sys.stderr)
 
     writer = docs.writeStream.foreachBatch(_admit).option(
         "checkpointLocation", checkpoint_dir
