@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Plan/shuffle audit: measured evidence for the "minimize shuffles"
+design claims, per headline query.
+
+For each audited query this runs the registered plan at
+``$SPARK_GRAFT_SF_DIR`` (default sf0.1) and records:
+
+* wall-clock seconds;
+* **shuffle write bytes/records actually moved** — measured, not
+  inferred, as the delta of the Spark UI REST totals
+  (``/api/v1/applications/<app>/stages``) around the run, so queries
+  with internal actions (iterative CC, BPE merge steps) are fully
+  accounted;
+* the FINAL (post-AQE) physical plan's shape: hash/range/broadcast
+  exchange counts, broadcast vs sort-merge join counts,
+  whole-stage-codegen span count, and any Python eval nodes (the
+  hot-path discipline: none expected outside the Arrow-batched
+  kernels).
+
+Output: ONE JSON line (the driver-artifact convention), also written to
+``PLAN_AUDIT_r{N}.json`` by the caller.  Streaming-replay queries are
+excluded (their cost is trigger plumbing, audited in
+SCALE_STRESS/SCALE.md instead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: batch queries whose plans carry the design claims
+AUDIT = [
+    "pricing_summary",
+    "regional_revenue",
+    "corpus_curation_full",
+    "rrf_fusion",
+    "two_stage_hybrid",
+    "knn_bruteforce",
+    "top_order_per_customer",
+    "user_sessions",
+    "asof_join_attribution",
+    "range_join_clicks_1h",
+    "salted_join_revenue",
+    "minhash_lsh_pairs",
+    "neardup_components",
+    "corpus_freq_buckets",
+    "sequence_packing",
+    "semdedup_prune",
+    "bpe_train_merges",
+    "ngram_novelty",
+]
+
+
+def _stage_totals(ui: str, app: str) -> tuple[int, int]:
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        stages = json.load(r)
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteRecords", 0) for s in stages),
+    )
+
+
+def _plan_shape(df) -> dict:
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "exchanges_hash": plan.count("Exchange hashpartitioning"),
+        "exchanges_range": plan.count("Exchange rangepartitioning"),
+        "broadcast_exchanges": plan.count("BroadcastExchange"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        # the executed plan marks codegen'd operators "*(n) Op" — count
+        # DISTINCT span ids, i.e. fused pipeline regions
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "python_eval": sum(
+            plan.count(t)
+            for t in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+        ),
+    }
+
+
+def main() -> None:
+    from sortify_spark.all_queries import REGISTRY
+    from sortify_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("sortify-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+
+    out: dict = {}
+    for name in AUDIT:
+        fn = REGISTRY[name].fn
+        fn(spark, sf_dir).collect()  # warm: JIT + IO, metrics discarded
+        b0, r0 = _stage_totals(ui, app)
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.collect()
+        sec = round(time.time() - t0, 3)
+        b1, r1 = _stage_totals(ui, app)
+        out[name] = {
+            "sec": sec,
+            "shuffle_write_mb": round((b1 - b0) / 1048576, 3),
+            "shuffle_write_records": r1 - r0,
+            **_plan_shape(df),
+        }
+        print(f"  [{name}] {out[name]}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "plan_audit",
+                "value": round(
+                    sum(q["shuffle_write_mb"] for q in out.values()), 3
+                ),
+                "unit": "shuffle_mb_total",
+                "sf_dir": sf_dir,
+                "queries": out,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
