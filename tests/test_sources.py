@@ -908,44 +908,63 @@ def test_versioned_compact_diff_delete(spark):
             ("delete", 9, 90),
         }
 
-        # --- compaction: partitions hold several small files
+        # --- compaction: upserts themselves no longer fragment (the
+        # write repartitions by partition value — one file per affected
+        # partition per version), so force fragmentation the way it
+        # still arises in production: maxRecordsPerFile splitting a
+        # large partition's single task into several files.
         def files_in(rel):
             d = os.path.join(path, rel)
             return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
 
         m = read_manifest(path)
+        assert all(files_in(rel) == 1 for rel in m["partitions"].values())
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+        try:
+            upsert_versioned(
+                spark.createDataFrame(
+                    [(1, "a", 12)], "doc_id long, source string, n long"
+                ),
+                path,
+                ["doc_id"],
+                "source",
+            )
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        snap2 = rows_of(read_versioned(spark, path, "source"))
+        m = read_manifest(path)
         assert files_in(m["partitions"]["a"]) > 1
         v3 = compact(spark, path, "source", max_files_per_partition=1)
-        assert v3 == 3
+        assert v3 == 4
         m3 = read_manifest(path)
         assert all(files_in(rel) == 1 for rel in m3["partitions"].values())
         # pure layout: same rows, empty CDC, old snapshot still readable
         assert rows_of(read_versioned(spark, path, "source")) == snap2
-        assert diff(spark, path, "source", ["doc_id"], 2, 3).isEmpty()
-        assert rows_of(read_versioned(spark, path, "source", version=2)) == snap2
+        assert diff(spark, path, "source", ["doc_id"], 3, 4).isEmpty()
+        assert rows_of(read_versioned(spark, path, "source", version=3)) == snap2
         # idempotent: nothing left to compact
         assert compact(spark, path, "source") is None
 
         # --- keyed delete: drop doc 1; partition b untouched in manifest
-        v4 = delete_versioned(
+        v5 = delete_versioned(
             spark.createDataFrame([(1, "a")], "doc_id long, source string"),
             path,
             ["doc_id"],
             "source",
         )
-        assert v4 == 4
+        assert v5 == 5
         now = rows_of(read_versioned(spark, path, "source"))
         assert now == {t for t in snap2 if t[0] != 1}
-        m4 = read_manifest(path)
-        assert m4["partitions"]["b"] == m3["partitions"]["b"]
+        m5 = read_manifest(path)
+        assert m5["partitions"]["b"] == m3["partitions"]["b"]
         # CDC sees exactly the delete
         dd = {
             (r["_change_type"], r["doc_id"], r["n"])
-            for r in diff(spark, path, "source", ["doc_id"], 3, 4).collect()
+            for r in diff(spark, path, "source", ["doc_id"], 4, 5).collect()
         }
-        assert dd == {("delete", 1, 11)}
+        assert dd == {("delete", 1, 12)}
         # delete the whole b partition → drops out of the manifest
-        v5 = delete_versioned(
+        v6 = delete_versioned(
             spark.createDataFrame(
                 [(i, "b") for i in (2, 4, 6, 8)],
                 "doc_id long, source string",
@@ -956,7 +975,7 @@ def test_versioned_compact_diff_delete(spark):
         )
         assert "b" not in read_manifest(path)["partitions"]
         assert {t[1] for t in rows_of(read_versioned(spark, path, "source"))} == {"a"}
-        assert v5 == 5
+        assert v6 == 6
 
 
 def test_versioned_refuses_concurrent_writers(spark):
