@@ -875,3 +875,59 @@ def test_admission_stream_indexed_sides_and_crash_heal(spark):
         # bandless doc 13 is correctly absent (steady-state catch-up
         # stays empty instead of rebuilding it forever)
         assert {r["id"] for r in bands.collect()} == {1, 12, 21}
+
+
+def test_admission_stream_degenerate_texts(spark):
+    """Empty and whitespace-only docs must flow through every screen
+    without crashing: they are bandless (no shingles) and zero-vector
+    embedded (semantic dot 0 < tau) — admitted once, exact-twin
+    rejected on redelivery, never re-entering the index catch-up."""
+    from sortify_spark.sources.versioned import read_versioned
+    from sortify_spark.streaming.pipeline import admission_stream
+
+    def feed(rows, inp):
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, table = f"{tmp}/in", f"{tmp}/table"
+
+        def run(ckpt):
+            q = admission_stream(
+                spark, inp, table, f"{tmp}/{ckpt}",
+                semantic_tau=0.995, use_index=True,
+            )
+            q.awaitTermination(120)
+
+        feed(
+            [
+                (1, "", "en", "web", 0),
+                (2, "   ", "en", "web", 3),
+                (3, "the quick brown fox jumps over the lazy dog "
+                    "tonight in the forest", "en", "web", 60),
+            ],
+            inp,
+        )
+        run("c1")
+        got = {
+            r["doc_id"]
+            for r in read_versioned(spark, table, "source").collect()
+        }
+        # 1 and 2 share a fingerprint? "" vs "   " normalize to
+        # different strings ("" vs " ") -> both admitted
+        assert got == {1, 2, 3}
+        # redelivery of an empty doc: exact twin, rejected
+        feed([(10, "", "en", "mail", 0), (11, "fresh words entirely "
+              "different material about engines", "en", "mail", 40)], inp)
+        run("c2")
+        got2 = {
+            r["doc_id"]
+            for r in read_versioned(spark, table, "source").collect()
+        }
+        assert got2 == {1, 2, 3, 11}
+        # bandless docs never entered the band index
+        bands = read_versioned(spark, table + "__bands", "band_idx")
+        assert {r["id"] for r in bands.collect()} == {3, 11}
