@@ -225,6 +225,7 @@ def upsert_versioned(
     path: str,
     keys: Sequence[str],
     partition_col: str,
+    write_files_per_partition: int = 1,
 ) -> int:
     """Keyed upsert as an atomic new version; returns the committed
     version number.
@@ -277,14 +278,29 @@ def upsert_versioned(
     # affected partition dir (32 shuffle partitions × 64 dirs = 2048
     # tiny files per commit) and each commit + every subsequent
     # snapshot read pays per-file overhead — measured as the dominant
-    # cost of streaming admission commits.  With it, one file per
-    # affected partition per version.  A single giant partition
-    # serializes into one task — size with
-    # spark.sql.files.maxRecordsPerFile / salt the partition scheme
-    # (the export_training_shards pattern) if that ever binds.
+    # cost of streaming admission commits.  With it, exactly
+    # ``write_files_per_partition`` files per affected partition per
+    # version: the default 1 serializes a giant partition into one
+    # task, so raise it to restore write parallelism (a deterministic
+    # key-hash salt — the export_training_shards decoupling — splits
+    # each partition across that many tasks/files).
+    if write_files_per_partition > 1:
+        salt = F.pmod(
+            F.abs(F.hash(*[F.col(k) for k in keys])),
+            F.lit(write_files_per_partition),
+        )
+        # explicit numPartitions: AQE would otherwise coalesce the
+        # salted shuffle back into few tasks, collapsing the salt
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        merged = merged.repartition(
+            max(n_part, write_files_per_partition),
+            F.col(partition_col),
+            salt,
+        )
+    else:
+        merged = merged.repartition(F.col(partition_col))
     (
-        merged.repartition(F.col(partition_col))
-        .write.mode("overwrite")
+        merged.write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(vdir)
     )

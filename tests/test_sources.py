@@ -1144,3 +1144,34 @@ def test_versioned_schema_evolution_and_as_of(spark):
         assert got3 == {
             (1, 0.9), (2, None), (4, 0.4), (5, None), (3, None)
         }
+
+
+def test_versioned_write_files_per_partition(spark):
+    """write_files_per_partition > 1 restores write parallelism for a
+    giant partition by key-hash salting: the commit produces up to that
+    many files per partition dir, and rows round-trip exactly."""
+    import glob
+
+    from sortify_spark.sources.versioned import (
+        read_manifest,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/docs"
+        big = spark.createDataFrame(
+            [(i, "hot", i * 2) for i in range(400)],
+            "doc_id long, source string, n long",
+        ).repartition(8)
+        upsert_versioned(
+            big, path, ["doc_id"], "source", write_files_per_partition=4
+        )
+        rel = read_manifest(path)["partitions"]["hot"]
+        n_files = len(glob.glob(f"{path}/{rel}/*.parquet"))
+        assert 1 < n_files <= 4, n_files
+        got = {
+            (r["doc_id"], r["n"])
+            for r in read_versioned(spark, path, "source").collect()
+        }
+        assert got == {(i, i * 2) for i in range(400)}
