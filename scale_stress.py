@@ -632,9 +632,28 @@ def main() -> None:
             fdocs = load_table(spark, fdir, "documents")
             is_b2 = (F.col("doc_id") % 1_000_000) % 10 == 7
 
-            def admission(use_index: bool):
+            # Fresh batch-2: different vocabulary (vowel translate) +
+            # a unique id token per doc — no shared shingles, no
+            # near-identical bag embeddings, so the candidate sets are
+            # ~empty.  The replica batch (near-dup-heavy) measures the
+            # verify-bound worst case where both paths re-shingle most
+            # of the corpus; the fresh batch isolates the INDEX win:
+            # the indexed path does batch-only work while the
+            # recomputed path re-bands + re-embeds the whole corpus.
+            fresh_b2 = fdocs.filter(is_b2).select(
+                (F.col("doc_id") + 50_000_000).alias("doc_id"),
+                F.concat(
+                    F.translate(F.col("text"), "aeiou", "01234"),
+                    F.lit(" fid"),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+
+            def admission(use_index: bool, batch2, tag: str):
                 def run():
-                    tag = "indexed" if use_index else "recomputed"
                     adir = os.path.join(derived, f"adm_{tag}")
                     inp, tbl = f"{adir}/in", f"{adir}/table"
                     os.makedirs(inp, exist_ok=True)
@@ -649,9 +668,7 @@ def main() -> None:
                     q.awaitTermination(600)
                     bootstrap_sec = round(time.time() - t0, 2)
                     t0 = time.time()
-                    fdocs.filter(is_b2).coalesce(1).write.mode(
-                        "append"
-                    ).parquet(inp)
+                    batch2.coalesce(1).write.mode("append").parquet(inp)
                     q = admission_stream(
                         spark, inp, tbl, f"{adir}/ck",
                         semantic_tau=0.995, use_index=use_index,
@@ -674,8 +691,17 @@ def main() -> None:
                 return run
 
             for use_index in (False, True):
-                tag = "indexed" if use_index else "recomputed"
-                stage(f"admission_{FE}x_{tag}", admission(use_index))
+                mode = "indexed" if use_index else "recomputed"
+                stage(
+                    f"admission_{FE}x_{mode}",
+                    admission(use_index, fdocs.filter(is_b2), mode),
+                )
+                stage(
+                    f"admission_{FE}x_{mode}_freshbatch",
+                    admission(
+                        use_index, fresh_b2, f"{mode}_freshbatch"
+                    ),
+                )
 
         facade_stages()
 
