@@ -624,7 +624,9 @@ def admission_stream(
 
     ``use_index=True`` is the 100-TB shape: the corpus side of the
     near-dup screens stops being recomputed per batch and instead reads
-    versioned SIDE TABLES (``<table>__bands`` keyed (id, band_idx),
+    versioned SIDE TABLES (``<table>__bands`` keyed (id, band_idx)
+    and ``<table>__emb`` keyed id, both LSM-partitioned by the committing
+    batch id — append-shaped commits, compacted periodically),
     ``<table>__emb`` keyed id) maintained by the same admission
     commits.  Jaccard-verify token sets are computed only for the
     band-join CANDIDATES (a semi-joined slice of the corpus), never the
@@ -805,7 +807,7 @@ def admission_stream(
                 # (bootstrap, or a crash between corpus and index
                 # commits) by rebuilding bands for corpus ids the index
                 # lacks
-                idx = _read_side(bands_path, "band_idx")
+                idx = _read_side(bands_path, "pb")
                 # Docs too short to shingle NEVER produce band rows —
                 # without this pre-filter they'd sit in `missing`
                 # forever and the self-heal would run corpus-shaped
@@ -834,11 +836,14 @@ def admission_stream(
                     # empty commit (they simply have nothing to index)
                     if not m_bands.isEmpty():
                         upsert_versioned(
-                            m_bands, bands_path,
+                            m_bands.withColumn(
+                                "pb", F.lit(int(_batch_id))
+                            ),
+                            bands_path,
                             keys=["id", "band_idx"],
-                            partition_col="band_idx",
+                            partition_col="pb",
                         )
-                        idx = _read_side(bands_path, "band_idx")
+                        idx = _read_side(bands_path, "pb")
                 _tick("band_catchup")
                 if idx is None:
                     # corpus has no shingleable docs at all — fall back
@@ -905,7 +910,7 @@ def admission_stream(
                     be = be.localCheckpoint(eager=True)
                     _tick("batch_embed")
                 if use_index:
-                    eidx = _read_side(emb_path, "bk")
+                    eidx = _read_side(emb_path, "pb")
                     e_missing = (
                         corpus
                         if eidx is None
@@ -927,7 +932,7 @@ def admission_stream(
                             m_emb, emb_path, keys=["id"],
                             partition_col="bk",
                         )
-                        eidx = _read_side(emb_path, "bk")
+                        eidx = _read_side(emb_path, "pb")
                     _tick("emb_catchup_check")
                     ce = eidx.select(
                         F.col("id").alias("cid"),
@@ -983,10 +988,21 @@ def admission_stream(
                 _, a_bands = dedup.signature_bands(
                     admitted, use_shingles=shingle_k
                 )
+                # LSM-style side-table commits: the partition value is
+                # the BATCH id, so each commit writes only its own new
+                # partition (append-shaped, zero rewrite amplification)
+                # instead of rewriting every band/bucket partition of
+                # the whole index per batch; readers scan the union and
+                # sources.versioned.compact folds old partitions.  A
+                # replayed batch rewrites ITS OWN partition
+                # idempotently.
                 upsert_versioned(
-                    a_bands.localCheckpoint(eager=True), bands_path,
+                    a_bands.withColumn(
+                        "pb", F.lit(int(_batch_id))
+                    ).localCheckpoint(eager=True),
+                    bands_path,
                     keys=["id", "band_idx"],
-                    partition_col="band_idx",
+                    partition_col="pb",
                 )
                 if semantic_tau is not None:
                     a_emb = _key(a_emb_raw, center).select(
@@ -995,7 +1011,10 @@ def admission_stream(
                         F.col("__bk").alias("bk"),
                     ).localCheckpoint(eager=True)
                     upsert_versioned(
-                        a_emb, emb_path, keys=["id"], partition_col="bk"
+                        a_emb.withColumn("pb", F.lit(int(_batch_id))),
+                        emb_path,
+                        keys=["id"],
+                        partition_col="pb",
                     )
         _tick("commits")
         if dbg:

@@ -822,8 +822,8 @@ def test_admission_stream_indexed_sides_and_crash_heal(spark):
         feed([(1, base_text, "en", "web", 99)], inp)
         run("c1")
         # index side tables exist and cover doc 1
-        bands = read_versioned(spark, table + "__bands", "band_idx")
-        embs = read_versioned(spark, table + "__emb", "bk")
+        bands = read_versioned(spark, table + "__bands", "pb")
+        embs = read_versioned(spark, table + "__emb", "pb")
         assert {r["id"] for r in bands.collect()} == {1}
         assert {r["id"] for r in embs.collect()} == {1}
 
@@ -847,7 +847,7 @@ def test_admission_stream_indexed_sides_and_crash_heal(spark):
             for r in read_versioned(spark, table, "source").collect()
         }
         assert got == {1, 12, 13}
-        bands = read_versioned(spark, table + "__bands", "band_idx")
+        bands = read_versioned(spark, table + "__bands", "pb")
         assert {r["id"] for r in bands.collect()} == {1, 12}
 
         # crash simulation: lose the band index entirely; decisions
@@ -870,7 +870,7 @@ def test_admission_stream_indexed_sides_and_crash_heal(spark):
             for r in read_versioned(spark, table, "source").collect()
         }
         assert got == {1, 12, 13, 21}
-        bands = read_versioned(spark, table + "__bands", "band_idx")
+        bands = read_versioned(spark, table + "__bands", "pb")
         # the rebuilt index covers every SHINGLEABLE corpus doc; the
         # bandless doc 13 is correctly absent (steady-state catch-up
         # stays empty instead of rebuilding it forever)
@@ -929,5 +929,5 @@ def test_admission_stream_degenerate_texts(spark):
         }
         assert got2 == {1, 2, 3, 11}
         # bandless docs never entered the band index
-        bands = read_versioned(spark, table + "__bands", "band_idx")
+        bands = read_versioned(spark, table + "__bands", "pb")
         assert {r["id"] for r in bands.collect()} == {3, 11}
