@@ -1175,3 +1175,105 @@ def test_versioned_write_files_per_partition(spark):
             for r in read_versioned(spark, path, "source").collect()
         }
         assert got == {(i, i * 2) for i in range(400)}
+
+
+def test_versioned_model_based_random_ops(spark):
+    """Model-based check of the versioned-store protocol: a seeded
+    random sequence of upserts / keyed deletes / compactions / restores
+    must keep the table equal to a plain dict model after EVERY commit,
+    and every retained snapshot must still read back as the model state
+    recorded at its commit time (time travel never drifts).  Row
+    identity is (partition, key) — a key that changes partitions
+    legitimately coexists with its old row until that row's partition
+    is rewritten with it absent, exactly like any partitioned MERGE."""
+    import random
+
+    from sortify_spark.sources.versioned import (
+        compact,
+        delete_versioned,
+        read_manifest,
+        read_versioned,
+        rollback,
+        upsert_versioned,
+    )
+
+    rng = random.Random(42)
+    model: dict[tuple[int, str], int] = {}  # (doc_id, source) -> n
+    history: dict[int, dict] = {}  # version -> model snapshot
+
+    def as_df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n long"
+        )
+
+    def table_state(df):
+        rows = df.collect()
+        state = {(r["doc_id"], r["source"]): r["n"] for r in rows}
+        assert len(state) == len(rows), "duplicate (key, partition) row"
+        return state
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/t"
+        sources = ["a", "b", "c"]
+        for step in range(14):
+            op = rng.choice(
+                ["upsert", "upsert", "upsert", "delete", "compact",
+                 "restore"]
+            )
+            if op in ("upsert",) or not model:
+                batch: dict = {}
+                for _ in range(rng.randrange(1, 8)):
+                    batch[rng.randrange(30)] = (
+                        rng.choice(sources),
+                        rng.randrange(1000),
+                    )
+                v = upsert_versioned(
+                    as_df([(k, s, n) for k, (s, n) in batch.items()]),
+                    path,
+                    ["doc_id"],
+                    "source",
+                )
+                for k, (s, n) in batch.items():
+                    model[(k, s)] = n
+            elif op == "delete":
+                ks = rng.sample(sorted(model), min(3, len(model)))
+                v = delete_versioned(
+                    as_df([(k, s, 0) for k, s in ks]).select(
+                        "doc_id", "source"
+                    ),
+                    path,
+                    ["doc_id"],
+                    "source",
+                )
+                for pair in ks:
+                    del model[pair]
+            elif op == "compact":
+                got = compact(spark, path, "source")
+                if got is None:
+                    continue
+                v = got
+            else:  # restore to a random retained version
+                v_target = rng.choice(sorted(history))
+                v = rollback(path, v_target)
+                model = dict(history[v_target])
+            history[v] = dict(model)
+            if model:
+                assert (
+                    table_state(read_versioned(spark, path, "source"))
+                    == model
+                ), f"step {step} ({op}) diverged"
+            else:
+                # a delete may empty the table entirely: the read must
+                # fail loudly, not return silently empty
+                with pytest.raises(FileNotFoundError):
+                    read_versioned(spark, path, "source")
+        # every retained snapshot still reads as its recorded state
+        current = read_manifest(path)["version"]
+        for v, snap in history.items():
+            if not snap:
+                continue
+            got = table_state(
+                read_versioned(spark, path, "source", version=v)
+            )
+            assert got == snap, f"snapshot v{v} drifted"
+        assert current == max(history)
