@@ -169,6 +169,110 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contamination_fraction_oracle(
+    shingle_k: int = 5, bench_mod: int = 53
+) -> str:
+    sh = dedup._shingle_list_expr(shingle_k)
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    base AS (SELECT doc_id, {sh} AS toks FROM w),
+    sh AS (SELECT doc_id, unnest(toks) AS shingle
+           FROM base WHERE len(toks) > 0),
+    bsh AS (SELECT DISTINCT shingle FROM sh
+            WHERE doc_id % {bench_mod} = 0),
+    pd AS (
+      SELECT s.doc_id, COUNT(*) AS total, COUNT(b.shingle) AS hits
+      FROM sh s LEFT JOIN bsh b ON s.shingle = b.shingle
+      WHERE s.doc_id % {bench_mod} <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT d.source,
+           COUNT(*) AS docs,
+           COUNT(CASE WHEN hits > 0 THEN 1 END) AS contaminated_any,
+           COUNT(CASE WHEN hits * 10 >= total THEN 1 END) AS frac_ge_10,
+           COUNT(CASE WHEN hits * 2 >= total THEN 1 END) AS frac_ge_50,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(hits AS DOUBLE) / total, 9)
+                              AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_overlap
+    FROM pd JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+@register(
+    "contamination_fraction",
+    _contamination_fraction_oracle(),
+    note="Benchmark-overlap FRACTION per training doc — the measure "
+    "that sets decontamination thresholds (a binary any-shingle flag "
+    "treats a 2% incidental overlap like a verbatim inclusion): per "
+    "source, docs with any overlap and with >=10% / >=50% of their "
+    "distinct 5-shingles in the benchmark set, plus the decimal-exact "
+    "mean overlap.  Plan: both sides explode distinct shingles once "
+    "(projection-collapse barrier like minhash), benchmark set "
+    "broadcasts into a LEFT join marker, per-doc counts map-side "
+    "combine — the training shingle stream never shuffles.",
+)
+def q_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    k, bench_mod = 5, 53
+
+    def sh(df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id", dedup.words(F.col("text")).alias("__w"))
+            .repartition(par, "doc_id")
+            .select(
+                "doc_id",
+                F.explode(dedup.shingles(F.col("__w"), k)).alias(
+                    "shingle"
+                ),
+            )
+        )
+
+    train_sh = sh(docs.filter(F.col("doc_id") % bench_mod != 0))
+    bench_sh = (
+        sh(docs.filter(F.col("doc_id") % bench_mod == 0))
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        train_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("__hit").alias("hits"),
+        )
+    )
+    ratio = F.round(
+        F.col("hits").cast("double") / F.col("total"), 9
+    ).cast("decimal(18,9)")
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.count(F.when(F.col("hits") > 0, 1)).alias(
+                "contaminated_any"
+            ),
+            F.count(
+                F.when(F.col("hits") * 10 >= F.col("total"), 1)
+            ).alias("frac_ge_10"),
+            F.count(
+                F.when(F.col("hits") * 2 >= F.col("total"), 1)
+            ).alias("frac_ge_50"),
+            F.round(
+                F.sum(ratio).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_overlap"),
+        )
+        .orderBy("source")
+    )
+
+
 def _curation_full_oracle() -> str:
     """The complete pipeline oracle: every stage's SQL nested as a CTE —
     exact dedup → near-dup drop → benchmark decontamination → quality +

@@ -624,6 +624,18 @@ _suite(
                 val2="top_bigram_frac",
             ),
         ),
+        # round 5: benchmark-overlap fraction (threshold-setting measure)
+        (
+            "contamination_fraction",
+            dict(
+                key1="source",
+                key2="CAST(contaminated_any AS STRING) || '/' || "
+                "CAST(frac_ge_10 AS STRING) || '/' || "
+                "CAST(frac_ge_50 AS STRING)",
+                cnt="docs",
+                val="avg_overlap",
+            ),
+        ),
         (
             "stratified_sample_per_source",
             dict(key1="source", key2="doc_id", cnt="sample_rank"),
