@@ -86,6 +86,7 @@ HEADLINE = (
     "winnowing_pairs",
     "profile_documents",
     "ngram_novelty",
+    "contamination_fraction",
 )
 
 
