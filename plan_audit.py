@@ -53,6 +53,7 @@ AUDIT = [
     "semdedup_prune",
     "bpe_train_merges",
     "ngram_novelty",
+    "contamination_fraction",
 ]
 
 
