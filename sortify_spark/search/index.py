@@ -1,0 +1,123 @@
+"""Persisted IVF index artifact — the ANN index as a BATCH PRODUCT.
+
+The facade builds its vector index per engine instance and the
+scale-stress harness builds IVF state inline; this module makes the
+index a durable artifact with the lifecycle a serving system needs
+(reference analog: Chroma's persistent collection,
+``vector_db_service.py:18-20`` — rebuilt-in-Spark as versioned parquet):
+
+* :func:`build_ivf_index` — seeded centroids + one Lloyd assignment
+  pass (the Arrow/BLAS kernel), committed ATOMICALLY through
+  :mod:`sources.versioned`: the assignment table partitioned BY BUCKET
+  (so a probe is partition pruning) and the centroid table beside it.
+  Rebuilds commit new versions; readers switch atomically; old
+  snapshots remain time-travelable until vacuumed.
+* :func:`probe_ivf_index` — rank the stored centroids against the
+  query, read ONLY the probed buckets' partitions, exact cosine rerank
+  inside.  No rebuild, no full scan.
+
+Scale shape: the build pays n × nlist BLAS scoring once; each probe
+reads nprobe/nlist of the data.  At 100 TB the assignment table is the
+bucketed vectors store itself (embedding co-located with its bucket),
+which is exactly how it is written here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sortify_spark.search import knn
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_col: str | None = None,
+    nlist_per_seed: int = 1,
+) -> int:
+    """Build/refresh the IVF index at ``path``; returns the committed
+    version of the assignment table.
+
+    ``seed_col`` provides the seed grouping for the initial centroids
+    (defaults to ``id % 16`` when absent — callers with labels should
+    pass them); one Lloyd step then reassigns every vector via the
+    BLAS kernel.  Layout: ``<path>/assign`` partitioned by ``bucket``
+    (key = id), ``<path>/centroids`` partitioned by a constant (tiny
+    table, atomic swap is what matters).
+    """
+    from sortify_spark.sources.versioned import upsert_versioned
+
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+        (
+            F.col(seed_col)
+            if seed_col is not None
+            else F.pmod(F.col(id_col), F.lit(16))
+        ).alias("seed"),
+    )
+    seeds = knn.build_centroids(base, "seed")
+    assigned = knn.assign_nearest_centroid_np(base, seeds).withColumnRenamed(
+        "label", "bucket"
+    )
+    data = base.select("vec_id", "embedding").join(assigned, "vec_id")
+    cents = knn.build_centroids(data, "bucket").select(
+        "bucket", "centroid", F.lit(0).alias("part")
+    )
+    # centroids first: a crash between the commits leaves new centroids
+    # with the old assignment — probes stay correct (both tables are
+    # internally consistent snapshots; ranking against slightly newer
+    # centroids only shifts WHICH buckets are probed)
+    upsert_versioned(cents, f"{path}/centroids", keys=["bucket"], partition_col="part")
+    return upsert_versioned(
+        data, f"{path}/assign", keys=["vec_id"], partition_col="bucket"
+    )
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    version: int | None = None,
+) -> DataFrame:
+    """Top-k through the stored index: rank the stored centroids,
+    read ONLY the probed buckets (partition-pruned via the manifest),
+    exact cosine rerank inside.  ``version`` pins a historical index
+    snapshot (time travel)."""
+    from sortify_spark.sources.versioned import (
+        _read_partition_dirs,
+        read_manifest,
+    )
+
+    cents = __read(spark, f"{path}/centroids", "part", version)
+    buckets = [
+        r["label"]
+        for r in knn.rank_buckets(
+            cents, query, nprobe=nprobe, bscore_round=6
+        ).collect()
+    ]
+    manifest = read_manifest(f"{path}/assign", version)
+    rels = [
+        manifest["partitions"][str(b)]
+        for b in buckets
+        if str(b) in manifest["partitions"]
+    ]
+    probed = _read_partition_dirs(
+        spark,
+        f"{path}/assign",
+        "bucket",
+        rels,
+        dtype=manifest.get("partition_dtype"),
+    )
+    return knn.brute_force_topk(probed, query, k=k)
+
+
+def __read(spark, path, pcol, version):
+    from sortify_spark.sources.versioned import read_versioned
+
+    return read_versioned(spark, path, pcol, version=version)

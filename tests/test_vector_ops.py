@@ -206,3 +206,66 @@ def test_pq_encode_np_matches_relational(spark):
         for r in pq.encode_np(data, cb).collect()
     }
     assert rel == blas and len(rel) == 499 * 8
+
+
+def test_persisted_ivf_index_build_probe_and_time_travel(spark, tmp_path):
+    """The IVF index as a durable artifact: build commits atomically
+    through the versioned store (assignment partitioned BY BUCKET), a
+    probe reads only the nprobe probed partitions and equals the exact
+    top-k restricted to those buckets, and a pinned version keeps
+    serving the OLD index after a rebuild."""
+    import pyspark.sql.functions as F
+
+    from sortify_spark.search.index import build_ivf_index, probe_ivf_index
+    from sortify_spark.search.knn import brute_force_topk
+    from sortify_spark.sources.versioned import read_versioned
+    from sortify_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    v1 = build_ivf_index(
+        emb.filter(F.col("vec_id") != 0), path, seed_col="label"
+    )
+    assert v1 == 1
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    got = probe_ivf_index(spark, path, query, k=10, nprobe=3)
+    got_rows = [(r["vec_id"], r["score"]) for r in got.collect()]
+    assert len(got_rows) == 10
+    # probe == exact top-k restricted to the probed buckets
+    assign = read_versioned(spark, f"{path}/assign", "bucket")
+    probed_buckets = {r["bucket"] for r in got.join(
+        assign.select("vec_id", "bucket"), "vec_id").collect()}
+    restricted = assign.join(
+        F.broadcast(spark.createDataFrame(
+            [(b,) for b in probed_buckets], "bucket long")),
+        "bucket", "left_semi")
+    want = [
+        (r["vec_id"], r["score"])
+        for r in brute_force_topk(restricted, query, k=10).collect()
+    ]
+    assert got_rows == want
+    # rebuild over a grown corpus: new version serves new data, the
+    # pinned old version still serves the old index
+    grown = emb.unionByName(
+        emb.filter(F.col("vec_id") % 7 == 1).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            "label",
+            "embedding",
+        ).select("vec_id", "embedding", "label")
+    ).select("vec_id", "label", "embedding")
+    v2 = build_ivf_index(
+        grown.filter(F.col("vec_id") != 0), path, seed_col="label"
+    )
+    assert v2 == 2
+    new_ids = {
+        r["vec_id"]
+        for r in probe_ivf_index(spark, path, query, k=10).collect()
+    }
+    old_ids = {
+        r["vec_id"]
+        for r in probe_ivf_index(
+            spark, path, query, k=10, version=1
+        ).collect()
+    }
+    assert all(i < 1_000_000 for i in old_ids)
+    assert old_ids != new_ids or any(i >= 1_000_000 for i in new_ids)
