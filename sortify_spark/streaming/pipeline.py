@@ -928,9 +928,19 @@ def admission_stream(
                             F.col("__e").alias("e"),
                             F.col("__bk").alias("bk"),
                         )
+                        # Mirror the band catch-up: the side table is
+                        # LSM-partitioned by commit batch ("pb"), with
+                        # "bk" as a DATA column — partitioning by "bk"
+                        # here would strip it from the files, breaking
+                        # the eidx.select(..., "bk") below and every
+                        # later batch (ADVICE r5 high).
                         upsert_versioned(
-                            m_emb, emb_path, keys=["id"],
-                            partition_col="bk",
+                            m_emb.withColumn(
+                                "pb", F.lit(int(_batch_id))
+                            ),
+                            emb_path,
+                            keys=["id"],
+                            partition_col="pb",
                         )
                         eidx = _read_side(emb_path, "pb")
                     _tick("emb_catchup_check")

@@ -850,10 +850,16 @@ def test_admission_stream_indexed_sides_and_crash_heal(spark):
         bands = read_versioned(spark, table + "__bands", "pb")
         assert {r["id"] for r in bands.collect()} == {1, 12}
 
-        # crash simulation: lose the band index entirely; decisions
-        # must be unchanged (catch-up rebuilds before screening)
+        # crash simulation: lose BOTH index side tables entirely;
+        # decisions must be unchanged (each catch-up rebuilds before
+        # screening).  The emb side exercises the LSM-partitioned
+        # ("pb") catch-up commit — a catch-up that partitioned by "bk"
+        # would strip bk from the data files and crash the very next
+        # select (ADVICE r5 high).
         shutil.rmtree(table + "__bands")
+        shutil.rmtree(table + "__emb")
         assert not read_manifest(table + "__bands")["partitions"]
+        assert not read_manifest(table + "__emb")["partitions"]
         feed(
             [
                 (20, base_text.replace("forest", "meadow"), "en", "web", 9),
@@ -875,6 +881,23 @@ def test_admission_stream_indexed_sides_and_crash_heal(spark):
         # bandless doc 13 is correctly absent (steady-state catch-up
         # stays empty instead of rebuilding it forever)
         assert {r["id"] for r in bands.collect()} == {1, 12, 21}
+        # the emb catch-up healed too, bk restored as a DATA column,
+        # covering EVERY corpus doc (bandless ones embed fine)
+        embs = read_versioned(spark, table + "__emb", "pb")
+        assert {r["id"] for r in embs.collect()} == {1, 12, 13, 21}
+        assert {"id", "e", "bk", "pb"} <= set(embs.columns)
+        assert embs.filter(F.col("bk").isNull()).count() == 0
+
+        # one more batch AFTER the heal: the healed side tables must
+        # serve (the bk=... partition-dir corruption only surfaced on
+        # the batch following the bad commit)
+        feed([(30, fresh2 + " with a tail", "en", "web", 9)], inp)
+        run("c4")
+        got = {
+            r["doc_id"]
+            for r in read_versioned(spark, table, "source").collect()
+        }
+        assert got == {1, 12, 13, 21}  # near-dup of 21 → rejected
 
 
 def test_admission_stream_degenerate_texts(spark):
