@@ -26,14 +26,20 @@ in one small protocol over plain parquet:
 A writer crash before the manifest swap leaves an orphan ``v=N`` dir
 that no reader can observe; re-running the upsert is safe (next version
 number).  The protocol is **single-writer** (like a Delta table without
-a locking service) and REFUSES a second concurrent writer loudly: the
-retained ``_MANIFEST.vN`` is created with ``O_EXCL``, so two writers
-that both read version N race on creating ``_MANIFEST.v(N+1)`` and the
-loser raises :class:`ConcurrentWriteError` instead of silently
-overwriting the winner's commit (lost update).  This is exactly Delta's
-put-if-absent commit on the log object, at manifest granularity.
-Concurrent readers are always consistent because they resolve one
-manifest.
+a locking service) and REFUSES a second concurrent writer loudly —
+**before any data is written**: a writer first RESERVES its target
+version by ``O_EXCL``-creating ``_MANIFEST.v(N+1)`` as a pending
+placeholder, so two writers that both read version N race on the
+reservation and the loser raises :class:`ConcurrentWriteError` before
+it has touched a single data file.  (Checking only at commit time
+would let the loser's ``mode("overwrite")`` data write clobber the
+winner's already-committed ``v=N+1`` dirs — a silent lost update worse
+than no check.)  After the data write the placeholder is atomically
+filled with the real manifest, then ``_MANIFEST`` swaps — the swap is
+the commit point.  This is exactly Delta's put-if-absent commit on the
+log object, at manifest granularity.  Concurrent readers are always
+consistent because they resolve one manifest; a pending placeholder is
+never readable as a snapshot.
 
 At 100 TB the manifest would list files instead of partition dirs and
 live on the object store with put-if-absent commits — the protocol is
@@ -52,6 +58,7 @@ import os
 import tempfile
 import time
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,17 +67,19 @@ _MANIFEST = "_MANIFEST"
 
 
 class ConcurrentWriteError(RuntimeError):
-    """A second writer tried to commit a version that already exists.
+    """A second writer tried to reserve a version that already exists.
 
-    Raised by the ``O_EXCL`` create of ``_MANIFEST.vN``: both writers
-    read version N, the first to create ``_MANIFEST.v(N+1)`` wins, the
-    loser gets this instead of silently clobbering the winner's commit.
-    Recovery: re-read the table and re-apply the upsert (it will target
-    the next version).  If no other writer is running, a leftover
-    ``_MANIFEST.vN`` from a crash BETWEEN the retained-manifest write
-    and the ``_MANIFEST`` swap is the other possible cause — the
-    orphaned file is safe to delete because the swap (the commit point)
-    never happened.
+    Raised by the ``O_EXCL`` create of ``_MANIFEST.vN`` at RESERVATION
+    time, before any data write: both writers read version N, the first
+    to create ``_MANIFEST.v(N+1)`` wins, the loser gets this instead of
+    writing data into (and thereby clobbering) the winner's version
+    dir.  Recovery: re-read the table and re-apply the upsert (it will
+    target the next version).  If no other writer is running, a
+    leftover ``_MANIFEST.vN`` from a crashed writer is the other
+    possible cause — a placeholder still marked ``"pending"`` (or a
+    filled manifest whose version is above the current ``_MANIFEST``'s)
+    is safe to delete because the swap (the commit point) never
+    happened.
     """
 
 
@@ -81,33 +90,79 @@ def _manifest_path(path: str, version: int | None = None) -> str:
 
 
 def read_manifest(path: str, version: int | None = None) -> dict:
-    """Current (or pinned-version) manifest; empty table → version 0."""
+    """Current (or pinned-version) manifest; empty table → version 0.
+    A pinned read of a version that was only RESERVED (a crashed
+    writer's pending placeholder) fails loudly — it was never a
+    committed snapshot."""
     mp = _manifest_path(path, version)
     if not os.path.exists(mp):
         if version is not None:
             raise FileNotFoundError(f"no manifest for version {version}")
         return {"version": 0, "partitions": {}}
     with open(mp) as fh:
-        return json.load(fh)
+        manifest = json.load(fh)
+    if version is not None and manifest.get("pending"):
+        raise FileNotFoundError(
+            f"version {version} of {path} was reserved by a writer "
+            "that never committed (crashed mid-write); no such snapshot"
+        )
+    return manifest
+
+
+def _reserve_version(path: str, version: int) -> None:
+    """Claim ``version`` with an ``O_EXCL`` create of ``_MANIFEST.vN``
+    (a ``pending`` placeholder) BEFORE any data is written, so a losing
+    concurrent writer fails here — with zero data files on disk —
+    rather than overwriting the winner's version dir."""
+    os.makedirs(path, exist_ok=True)
+    try:
+        with open(_manifest_path(path, version), "x") as fh:
+            json.dump({"version": version, "pending": True}, fh)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"version {version} already reserved/committed at {path} "
+            "— another writer won the race (single-writer protocol), or "
+            "a crashed writer left an orphan manifest; see "
+            "ConcurrentWriteError docs"
+        ) from None
+
+
+@contextmanager
+def _reserved(path: str, version: int):
+    """Reserve ``version`` for the duration of a write; on an
+    exception-unwound failure (a failed Spark job, a raised error)
+    release the reservation so the table is immediately writable again.
+    A hard process crash still leaves the placeholder — by design, a
+    successor writer cannot distinguish a crashed owner from a live one
+    (see :class:`ConcurrentWriteError` recovery notes)."""
+    _reserve_version(path, version)
+    try:
+        yield
+    except BaseException:
+        try:
+            os.remove(_manifest_path(path, version))
+        except OSError:
+            pass
+        raise
 
 
 def _commit_manifest(path: str, manifest: dict) -> None:
-    """Create ``_MANIFEST.vN`` with ``O_EXCL`` (refusing a concurrent
-    writer's duplicate version), then atomically swap ``_MANIFEST`` —
-    the swap is the single commit point of the protocol."""
+    """Fill the reserved ``_MANIFEST.vN`` placeholder with the real
+    manifest (atomic replace — we own the reservation), then atomically
+    swap ``_MANIFEST`` — the swap is the single commit point of the
+    protocol.  Callers MUST have called :func:`_reserve_version` first;
+    if the reservation is missing (never reserved, or vacuumed out from
+    under a pathological writer) this fails via the same ``O_EXCL``
+    guard."""
     os.makedirs(path, exist_ok=True)
     manifest.setdefault("committed_at", time.time())
     versioned = _manifest_path(path, manifest["version"])
-    try:
-        with open(versioned, "x") as fh:
-            json.dump(manifest, fh)
-    except FileExistsError:
-        raise ConcurrentWriteError(
-            f"version {manifest['version']} already committed at {path} "
-            "— another writer won the race (single-writer protocol), or "
-            "a crashed commit left an orphan manifest; see "
-            "ConcurrentWriteError docs"
-        ) from None
+    if not os.path.exists(versioned):
+        _reserve_version(path, manifest["version"])
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._manifest_")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, versioned)
     fd, tmp = tempfile.mkstemp(dir=path, prefix="._manifest_")
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
@@ -163,7 +218,19 @@ def resolve_version_at(path: str, ts: float) -> int:
     for entry in os.listdir(path):
         if entry.startswith(f"{_MANIFEST}.v"):
             v = int(entry.rsplit(".v", 1)[1])
-            if read_manifest(path, v).get("committed_at", 0.0) <= ts:
+            mp = _manifest_path(path, v)
+            with open(mp) as fh:
+                manifest = json.load(fh)
+            if manifest.get("pending"):
+                continue  # reserved by a crashed writer, never a snapshot
+            # Manifests that predate committed_at (or were hand-written)
+            # backfill from the manifest file's mtime — defaulting to 0
+            # would make a timestamp EARLIER than every real commit
+            # silently resolve to the oldest snapshot instead of raising.
+            committed = manifest.get("committed_at")
+            if committed is None:
+                committed = os.path.getmtime(mp)
+            if committed <= ts:
                 candidates.append(v)
     if not candidates:
         raise FileNotFoundError(
@@ -240,81 +307,88 @@ def upsert_versioned(
     spark = updates.sparkSession
     manifest = read_manifest(path)
     new_version = manifest["version"] + 1
-    dtype = updates.schema[partition_col].dataType.simpleString()
-    affected = [
-        str(r[0])
-        for r in updates.select(
-            F.col(partition_col).cast("string")
-        ).distinct().collect()
-    ]
-    existing_rels = [
-        manifest["partitions"][v]
-        for v in affected
-        if v in manifest["partitions"]
-    ]
-    merged = updates
-    if existing_rels:
-        # ONE scan over all affected partitions' current dirs; matched
-        # keys drop via a broadcast anti-join on (partition, keys) —
-        # the existing data never shuffles, whatever the partition count.
-        existing = _read_partition_dirs(
-            spark, path, partition_col, existing_rels, dtype=dtype
+    # Reserve BEFORE the data write: a losing concurrent writer must
+    # fail while it still owns zero files, or its overwrite of the
+    # shared v=N dir would corrupt the winner's committed data.
+    with _reserved(path, new_version):
+        dtype = updates.schema[partition_col].dataType.simpleString()
+        affected = [
+            str(r[0])
+            for r in updates.select(
+                F.col(partition_col).cast("string")
+            ).distinct().collect()
+        ]
+        existing_rels = [
+            manifest["partitions"][v]
+            for v in affected
+            if v in manifest["partitions"]
+        ]
+        merged = updates
+        if existing_rels:
+            # ONE scan over all affected partitions' current dirs;
+            # matched keys drop via a broadcast anti-join on
+            # (partition, keys) — the existing data never shuffles,
+            # whatever the partition count.
+            existing = _read_partition_dirs(
+                spark, path, partition_col, existing_rels, dtype=dtype
+            )
+            anti_keys = list(dict.fromkeys([partition_col, *keys]))
+            keep = existing.join(
+                F.broadcast(updates.select(*anti_keys).distinct()),
+                anti_keys,
+                "left_anti",
+            )
+            # Schema evolution: align both sides to the UNION of their
+            # columns — an update may add columns (existing rows get
+            # nulls) or omit columns (its rows get nulls); reads merge
+            # schemas across version dirs, so older untouched
+            # partitions keep their written files untouched and
+            # surface nulls for new columns.
+            merged = keep.unionByName(updates, allowMissingColumns=True)
+        vdir = os.path.join(path, f"v={new_version}")
+        # Repartition BY THE PARTITION VALUE before the partitionBy
+        # write: without it every upstream task fans out one file into
+        # every affected partition dir (32 shuffle partitions × 64 dirs
+        # = 2048 tiny files per commit) and each commit + every
+        # subsequent snapshot read pays per-file overhead — measured as
+        # the dominant cost of streaming admission commits.  With it,
+        # exactly ``write_files_per_partition`` files per affected
+        # partition per version: the default 1 serializes a giant
+        # partition into one task, so raise it to restore write
+        # parallelism (a deterministic key-hash salt — the
+        # export_training_shards decoupling — splits each partition
+        # across that many tasks/files).
+        if write_files_per_partition > 1:
+            salt = F.pmod(
+                F.abs(F.hash(*[F.col(k) for k in keys])),
+                F.lit(write_files_per_partition),
+            )
+            # explicit numPartitions: AQE would otherwise coalesce the
+            # salted shuffle back into few tasks, collapsing the salt
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            merged = merged.repartition(
+                max(n_part, write_files_per_partition),
+                F.col(partition_col),
+                salt,
+            )
+        else:
+            merged = merged.repartition(F.col(partition_col))
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(vdir)
         )
-        anti_keys = list(dict.fromkeys([partition_col, *keys]))
-        keep = existing.join(
-            F.broadcast(updates.select(*anti_keys).distinct()),
-            anti_keys,
-            "left_anti",
+        new_parts = dict(manifest["partitions"])
+        for value in affected:
+            new_parts[value] = f"v={new_version}/{partition_col}={value}"
+        _commit_manifest(
+            path,
+            {
+                "version": new_version,
+                "partitions": new_parts,
+                "partition_dtype": dtype,
+            },
         )
-        # Schema evolution: align both sides to the UNION of their
-        # columns — an update may add columns (existing rows get nulls)
-        # or omit columns (its rows get nulls); reads merge schemas
-        # across version dirs, so older untouched partitions keep their
-        # written files untouched and surface nulls for new columns.
-        merged = keep.unionByName(updates, allowMissingColumns=True)
-    vdir = os.path.join(path, f"v={new_version}")
-    # Repartition BY THE PARTITION VALUE before the partitionBy write:
-    # without it every upstream task fans out one file into every
-    # affected partition dir (32 shuffle partitions × 64 dirs = 2048
-    # tiny files per commit) and each commit + every subsequent
-    # snapshot read pays per-file overhead — measured as the dominant
-    # cost of streaming admission commits.  With it, exactly
-    # ``write_files_per_partition`` files per affected partition per
-    # version: the default 1 serializes a giant partition into one
-    # task, so raise it to restore write parallelism (a deterministic
-    # key-hash salt — the export_training_shards decoupling — splits
-    # each partition across that many tasks/files).
-    if write_files_per_partition > 1:
-        salt = F.pmod(
-            F.abs(F.hash(*[F.col(k) for k in keys])),
-            F.lit(write_files_per_partition),
-        )
-        # explicit numPartitions: AQE would otherwise coalesce the
-        # salted shuffle back into few tasks, collapsing the salt
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        merged = merged.repartition(
-            max(n_part, write_files_per_partition),
-            F.col(partition_col),
-            salt,
-        )
-    else:
-        merged = merged.repartition(F.col(partition_col))
-    (
-        merged.write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(vdir)
-    )
-    new_parts = dict(manifest["partitions"])
-    for value in affected:
-        new_parts[value] = f"v={new_version}/{partition_col}={value}"
-    _commit_manifest(
-        path,
-        {
-            "version": new_version,
-            "partitions": new_parts,
-            "partition_dtype": dtype,
-        },
-    )
     return new_version
 
 
@@ -332,62 +406,65 @@ def delete_versioned(
     spark = deletes.sparkSession
     manifest = read_manifest(path)
     new_version = manifest["version"] + 1
-    affected = [
-        str(r[0])
-        for r in deletes.select(
-            F.col(partition_col).cast("string")
-        ).distinct().collect()
-        if str(r[0]) in manifest["partitions"]
-    ]
-    new_parts = dict(manifest["partitions"])
-    if affected:
-        # ONE scan of the affected dirs; survivors write in one job.  A
-        # partition the delete fully empties produces no output dir —
-        # detected from the written version dir and dropped from the
-        # manifest.
-        existing = _read_partition_dirs(
-            spark,
-            path,
-            partition_col,
-            [manifest["partitions"][v] for v in affected],
-            dtype=deletes.schema[partition_col].dataType.simpleString(),
-        )
-        anti_keys = list(dict.fromkeys([partition_col, *keys]))
-        keep = existing.join(
-            F.broadcast(deletes.select(*anti_keys).distinct()),
-            anti_keys,
-            "left_anti",
-        )
-        vdir = os.path.join(path, f"v={new_version}")
-        (
-            keep.repartition(F.col(partition_col))
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(vdir)
-        )
-        from urllib.parse import unquote
+    with _reserved(path, new_version):  # before any data write
+        affected = [
+            str(r[0])
+            for r in deletes.select(
+                F.col(partition_col).cast("string")
+            ).distinct().collect()
+            if str(r[0]) in manifest["partitions"]
+        ]
+        new_parts = dict(manifest["partitions"])
+        if affected:
+            # ONE scan of the affected dirs; survivors write in one
+            # job.  A partition the delete fully empties produces no
+            # output dir — detected from the written version dir and
+            # dropped from the manifest.
+            existing = _read_partition_dirs(
+                spark,
+                path,
+                partition_col,
+                [manifest["partitions"][v] for v in affected],
+                dtype=deletes.schema[partition_col].dataType.simpleString(),
+            )
+            anti_keys = list(dict.fromkeys([partition_col, *keys]))
+            keep = existing.join(
+                F.broadcast(deletes.select(*anti_keys).distinct()),
+                anti_keys,
+                "left_anti",
+            )
+            vdir = os.path.join(path, f"v={new_version}")
+            (
+                keep.repartition(F.col(partition_col))
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(vdir)
+            )
+            from urllib.parse import unquote
 
-        written = {
-            unquote(entry.split("=", 1)[1])
-            for entry in os.listdir(vdir)
-            if entry.startswith(f"{partition_col}=")
-        }
-        for value in affected:
-            if value in written:
-                new_parts[value] = f"v={new_version}/{partition_col}={value}"
-            else:
-                del new_parts[value]
-    _commit_manifest(
-        path,
-        {
-            "version": new_version,
-            "partitions": new_parts,
-            "partition_dtype": manifest.get(
-                "partition_dtype",
-                deletes.schema[partition_col].dataType.simpleString(),
-            ),
-        },
-    )
+            written = {
+                unquote(entry.split("=", 1)[1])
+                for entry in os.listdir(vdir)
+                if entry.startswith(f"{partition_col}=")
+            }
+            for value in affected:
+                if value in written:
+                    new_parts[value] = (
+                        f"v={new_version}/{partition_col}={value}"
+                    )
+                else:
+                    del new_parts[value]
+        _commit_manifest(
+            path,
+            {
+                "version": new_version,
+                "partitions": new_parts,
+                "partition_dtype": manifest.get(
+                    "partition_dtype",
+                    deletes.schema[partition_col].dataType.simpleString(),
+                ),
+            },
+        )
     return new_version
 
 
@@ -427,25 +504,26 @@ def compact(
             todo.append((value, rel))
     if not todo:
         return None
-    merged = _read_partition_dirs(
-        spark, path, partition_col, [rel for _, rel in todo],
-        dtype=manifest.get("partition_dtype"),
-    )
     new_version = manifest["version"] + 1
-    vdir = os.path.join(path, f"v={new_version}")
-    (
-        merged.repartition(max(1, len(todo)), F.col(partition_col))
-        .write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(vdir)
-    )
-    new_parts = dict(manifest["partitions"])
-    for value, _ in todo:
-        new_parts[value] = f"v={new_version}/{partition_col}={value}"
-    new_manifest = {"version": new_version, "partitions": new_parts}
-    if "partition_dtype" in manifest:
-        new_manifest["partition_dtype"] = manifest["partition_dtype"]
-    _commit_manifest(path, new_manifest)
+    with _reserved(path, new_version):  # before any data write
+        merged = _read_partition_dirs(
+            spark, path, partition_col, [rel for _, rel in todo],
+            dtype=manifest.get("partition_dtype"),
+        )
+        vdir = os.path.join(path, f"v={new_version}")
+        (
+            merged.repartition(max(1, len(todo)), F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(vdir)
+        )
+        new_parts = dict(manifest["partitions"])
+        for value, _ in todo:
+            new_parts[value] = f"v={new_version}/{partition_col}={value}"
+        new_manifest = {"version": new_version, "partitions": new_parts}
+        if "partition_dtype" in manifest:
+            new_manifest["partition_dtype"] = manifest["partition_dtype"]
+        _commit_manifest(path, new_manifest)
     return new_version
 
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 import pyspark.sql.functions as F
 import pytest
@@ -1018,6 +1019,104 @@ def test_versioned_refuses_concurrent_writers(spark):
             for r in read_versioned(spark, path, "source").collect()
         }
         assert got == {(1, 10)}
+        # CRITICAL (ADVICE r5 medium): the loser failed at RESERVATION
+        # time, before writing a single data file — a v=2 dir written
+        # by the loser would have clobbered the winner's committed data
+        # (the manifest check alone fires too late to prevent that).
+        import os
+
+        assert not os.path.exists(f"{path}/v=2")
+
+
+def test_versioned_reservation_released_on_failed_write(spark):
+    """A writer whose DATA write fails (failed Spark job, bad input)
+    releases its version reservation on unwind — the table stays
+    writable without manual cleanup; a hard crash (no unwind) leaves
+    the placeholder and the next writer gets ConcurrentWriteError with
+    documented recovery."""
+    from sortify_spark.sources.versioned import (
+        ConcurrentWriteError,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/docs"
+        df1 = spark.createDataFrame(
+            [(1, "a", 10)], "doc_id long, source string, n long"
+        )
+        assert upsert_versioned(df1, path, ["doc_id"], "source") == 1
+        # a poisoned update: evaluating it raises mid-job
+        bad = spark.createDataFrame(
+            [(2, "a", 0)], "doc_id long, source string, n long"
+        ).withColumn(
+            "n", F.assert_true(F.col("n") > 0).cast("long") + F.col("n")
+        )
+        with pytest.raises(Exception) as exc:
+            upsert_versioned(bad, path, ["doc_id"], "source")
+        assert not isinstance(exc.value, ConcurrentWriteError)
+        import os
+
+        assert not os.path.exists(f"{path}/_MANIFEST.v2")  # released
+        # the very next writer succeeds at version 2
+        df2 = spark.createDataFrame(
+            [(2, "a", 20)], "doc_id long, source string, n long"
+        )
+        assert upsert_versioned(df2, path, ["doc_id"], "source") == 2
+        got = {
+            (r["doc_id"], r["n"])
+            for r in read_versioned(spark, path, "source").collect()
+        }
+        assert got == {(1, 10), (2, 20)}
+
+
+def test_versioned_pending_reservation_not_a_snapshot(spark):
+    """A crashed writer's pending placeholder must never be readable as
+    a snapshot: pinned reads raise, and as-of resolution skips it.
+    Manifests that predate committed_at backfill from file mtime, so a
+    timestamp earlier than EVERY real commit raises instead of silently
+    resolving to the oldest snapshot (ADVICE r5 low)."""
+    import json
+    import os
+
+    from sortify_spark.sources.versioned import (
+        read_manifest,
+        resolve_version_at,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/docs"
+        df1 = spark.createDataFrame(
+            [(1, "a", 10)], "doc_id long, source string, n long"
+        )
+        upsert_versioned(df1, path, ["doc_id"], "source")
+        # simulate a crashed writer: pending placeholder for v2
+        with open(f"{path}/_MANIFEST.v2", "w") as fh:
+            json.dump({"version": 2, "pending": True}, fh)
+        with pytest.raises(FileNotFoundError, match="never committed"):
+            read_manifest(path, 2)
+        with pytest.raises(FileNotFoundError):
+            read_versioned(spark, path, "source", version=2)
+        # as-of far in the future resolves to v1, skipping the pending v2
+        assert resolve_version_at(path, time.time() + 1e6) == 1
+        # legacy manifest without committed_at: strip the field from v1
+        m1 = read_manifest(path, 1)
+        committed = m1.pop("committed_at")
+        with open(f"{path}/_MANIFEST.v1", "w") as fh:
+            json.dump(m1, fh)
+        # backfilled from mtime (~now): a timestamp BEFORE every commit
+        # raises; one at/after now resolves to v1
+        with pytest.raises(FileNotFoundError, match="no retained"):
+            resolve_version_at(path, committed - 3600)
+        assert resolve_version_at(path, time.time() + 60) == 1
+        # sanity: pending placeholder never blocks current reads
+        assert {
+            r["doc_id"]
+            for r in read_versioned(spark, path, "source").collect()
+        } == {1}
+        os.remove(f"{path}/_MANIFEST.v2")
 
 
 def test_versioned_partition_dtype_round_trip(spark):
