@@ -44,11 +44,21 @@ def build_ivf_index(
     ``seed_col`` provides the seed grouping for the initial centroids
     (defaults to ``id % 16`` when absent — callers with labels should
     pass them); one Lloyd step then reassigns every vector via the
-    BLAS kernel.  Layout: ``<path>/assign`` partitioned by ``bucket``
-    (key = id), ``<path>/centroids`` partitioned by a constant (tiny
-    table, atomic swap is what matters).
+    BLAS kernel.  Layout: ``<path>/assign`` partitioned by ``bucket``,
+    ``<path>/centroids`` partitioned by a constant (tiny table, atomic
+    swap is what matters).
+
+    Each build is a FULL-SNAPSHOT replace (``overwrite_versioned``),
+    not a keyed upsert: a rebuild must drop a vector's row from its OLD
+    bucket when its assignment moves (a keyed (bucket, vec_id) upsert
+    would keep both, returning duplicate ids from multi-bucket probes)
+    and must remove vectors no longer in the input.  The assign
+    manifest records the PAIRED centroid-table version, so a crash
+    between the two commits can never skew a probe: the centroid
+    snapshot is resolved from the assign commit being probed, not from
+    a parallel version counter.
     """
-    from sortify_spark.sources.versioned import upsert_versioned
+    from sortify_spark.sources.versioned import overwrite_versioned
 
     base = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -67,13 +77,18 @@ def build_ivf_index(
     cents = knn.build_centroids(data, "bucket").select(
         "bucket", "centroid", F.lit(0).alias("part")
     )
-    # centroids first: a crash between the commits leaves new centroids
-    # with the old assignment — probes stay correct (both tables are
-    # internally consistent snapshots; ranking against slightly newer
-    # centroids only shifts WHICH buckets are probed)
-    upsert_versioned(cents, f"{path}/centroids", keys=["bucket"], partition_col="part")
-    return upsert_versioned(
-        data, f"{path}/assign", keys=["vec_id"], partition_col="bucket"
+    # centroids first; the assign commit then POINTS at that centroid
+    # version — a crash between the commits leaves an unreferenced
+    # centroid snapshot (harmless; next build supersedes it), and the
+    # current assign manifest keeps pairing with ITS build's centroids
+    cent_version = overwrite_versioned(
+        cents, f"{path}/centroids", partition_col="part"
+    )
+    return overwrite_versioned(
+        data,
+        f"{path}/assign",
+        partition_col="bucket",
+        extra={"centroid_version": cent_version},
     )
 
 
@@ -87,21 +102,27 @@ def probe_ivf_index(
 ) -> DataFrame:
     """Top-k through the stored index: rank the stored centroids,
     read ONLY the probed buckets (partition-pruned via the manifest),
-    exact cosine rerank inside.  ``version`` pins a historical index
-    snapshot (time travel)."""
+    exact cosine rerank inside.  ``version`` pins a historical ASSIGN
+    snapshot (time travel); its paired centroid snapshot comes from
+    the assign manifest's recorded ``centroid_version``, so the pair
+    is always the one a single build committed — the two tables'
+    version counters need not stay in lockstep."""
     from sortify_spark.sources.versioned import (
         _read_partition_dirs,
         read_manifest,
     )
 
-    cents = __read(spark, f"{path}/centroids", "part", version)
+    manifest = read_manifest(f"{path}/assign", version)
+    cents = __read(
+        spark, f"{path}/centroids", "part",
+        manifest.get("centroid_version"),
+    )
     buckets = [
         r["label"]
         for r in knn.rank_buckets(
             cents, query, nprobe=nprobe, bscore_round=6
         ).collect()
     ]
-    manifest = read_manifest(f"{path}/assign", version)
     rels = [
         manifest["partitions"][str(b)]
         for b in buckets

@@ -392,6 +392,57 @@ def upsert_versioned(
     return new_version
 
 
+def overwrite_versioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    extra: dict | None = None,
+) -> int:
+    """Full-snapshot REPLACE as an atomic new version (Delta's
+    ``overwrite`` save mode on a versioned table): the new manifest
+    maps EXACTLY the partitions ``df`` writes — partitions and keys
+    absent from ``df`` drop out of the snapshot entirely.  This is the
+    correct commit shape for a REBUILD (e.g. the IVF index): a keyed
+    upsert would keep a stale row in a vector's OLD bucket when its
+    assignment moves, and never remove vectors dropped from the input.
+    Old snapshots stay time-travelable until vacuumed.
+
+    ``extra`` merges additional metadata keys into the manifest (e.g.
+    the paired centroid-table version a probe must read — snapshot
+    cross-references belong in the commit they describe)."""
+    spark = df.sparkSession
+    manifest = read_manifest(path)
+    new_version = manifest["version"] + 1
+    dtype = df.schema[partition_col].dataType.simpleString()
+    with _reserved(path, new_version):  # before any data write
+        vdir = os.path.join(path, f"v={new_version}")
+        (
+            df.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(vdir)
+        )
+        from urllib.parse import unquote
+
+        written = {
+            unquote(entry.split("=", 1)[1])
+            for entry in os.listdir(vdir)
+            if entry.startswith(f"{partition_col}=")
+        }
+        new_manifest = {
+            "version": new_version,
+            "partitions": {
+                value: f"v={new_version}/{partition_col}={value}"
+                for value in sorted(written)
+            },
+            "partition_dtype": dtype,
+        }
+        if extra:
+            new_manifest.update(extra)
+        _commit_manifest(path, new_manifest)
+    return new_version
+
+
 def delete_versioned(
     deletes: DataFrame,
     path: str,

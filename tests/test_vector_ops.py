@@ -269,3 +269,78 @@ def test_persisted_ivf_index_build_probe_and_time_travel(spark, tmp_path):
     }
     assert all(i < 1_000_000 for i in old_ids)
     assert old_ids != new_ids or any(i >= 1_000_000 for i in new_ids)
+
+
+def test_persisted_ivf_index_rebuild_replaces_assignments(spark, tmp_path):
+    """A rebuild is a full-snapshot REPLACE (ADVICE r5 medium): a
+    vector whose nearest centroid moves between builds must not keep a
+    stale row in its old bucket (no duplicate vec_ids across buckets),
+    vectors dropped from the input disappear, and a pinned probe pairs
+    the assign snapshot with ITS build's centroids even when the
+    centroid table has extra commits (ADVICE r5 low)."""
+    import pyspark.sql.functions as F
+
+    from sortify_spark.search.index import build_ivf_index, probe_ivf_index
+    from sortify_spark.sources.versioned import (
+        overwrite_versioned,
+        read_manifest,
+        read_versioned,
+    )
+    from sortify_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    build_ivf_index(corpus, path, seed_col="label")
+    # rebuild with a DIFFERENT seeding (id-mod buckets): nearly every
+    # assignment moves — the new snapshot must hold each vec_id exactly
+    # once, in its new bucket
+    v2 = build_ivf_index(corpus, path)
+    assign = read_versioned(spark, f"{path}/assign", "bucket")
+    dupes = (
+        assign.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+    assert assign.count() == corpus.count()
+    got2 = [
+        (r["vec_id"], r["score"])
+        for r in probe_ivf_index(spark, path, query, k=10).collect()
+    ]
+    assert len({v for v, _ in got2}) == 10  # no duplicate ids in top-k
+    # rebuild over a SHRUNK corpus: dropped vectors vanish from the
+    # current snapshot but remain in the pinned one
+    kept = corpus.filter(F.col("vec_id") % 3 != 0)
+    build_ivf_index(kept, path)
+    cur_ids = {
+        r["vec_id"]
+        for r in read_versioned(
+            spark, f"{path}/assign", "bucket"
+        ).select("vec_id").collect()
+    }
+    assert cur_ids == {
+        r["vec_id"] for r in kept.select("vec_id").collect()
+    }
+    pinned_ids = {
+        r["vec_id"]
+        for r in read_versioned(
+            spark, f"{path}/assign", "bucket", version=v2
+        ).select("vec_id").collect()
+    }
+    assert any(i % 3 == 0 for i in pinned_ids)
+    # centroid pairing: an out-of-band centroid commit (simulating a
+    # crash between a later build's two commits) must not skew a pinned
+    # probe — the assign manifest records its build's centroid version
+    m2 = read_manifest(f"{path}/assign", v2)
+    assert "centroid_version" in m2
+    bogus = spark.createDataFrame(
+        [(0, [9.9] * 8, 0)], "bucket long, centroid array<double>, part int"
+    )
+    overwrite_versioned(bogus, f"{path}/centroids", partition_col="part")
+    got2_again = [
+        (r["vec_id"], r["score"])
+        for r in probe_ivf_index(
+            spark, path, query, k=10, version=v2
+        ).collect()
+    ]
+    assert got2_again == got2
