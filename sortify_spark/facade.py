@@ -43,13 +43,22 @@ class SearchConfig:
     #: ``"exact"`` = brute-force cosine (the reference's behavior at its
     #: scale); ``"lsh"`` = portable hyperplane-LSH bucket probe + exact
     #: rerank inside the bucket — the ANN path that replaces Chroma's
-    #: HNSW at 100 TB (probe = one bucket partition, not the corpus).
+    #: HNSW at 100 TB (probe = one bucket partition, not the corpus);
+    #: ``"ivf"`` = the PERSISTED IVF index artifact (``search/index``):
+    #: probes read only nprobe bucket partitions of a committed,
+    #: versioned on-disk index — the durable analog of Chroma's
+    #: persistent collection (``vector_db_service.py:18-20,73-76``).
     ann: str = "exact"
     lsh_nbits: int = 4
     #: Multi-probe radius: 1 probes the query bucket plus every
     #: one-bit-flip neighbor (the recall lever; cost (nbits+1)/2^nbits
     #: of the scan).
     lsh_probe_hamming: int = 1
+    #: IVF probe width and optional snapshot pin: ``ivf_version=N``
+    #: serves from the pinned index version even while a rebuild
+    #: commits (readers never observe a half-built index).
+    ivf_nprobe: int = 3
+    ivf_version: int | None = None
 
 
 #: Engines keyed by (applicationId, sf_dir, dim, embed, doc_limit) — the
@@ -103,6 +112,7 @@ class SortifyEngine:
         dim: int = 64,
         embed: str = "hash",
         doc_limit: int | None = None,
+        index_root: str | None = None,
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
@@ -128,6 +138,12 @@ class SortifyEngine:
         #: once and persisted — a query probe must not pay the
         #: center/key build again (write-once index, like self.vectors).
         self._lsh_cache: dict[tuple[str, int], tuple[DataFrame, DataFrame]] = {}
+        #: Root dir for PERSISTED index artifacts (the durable IVF
+        #: index); defaults to a per-engine temp dir — production
+        #: deployments pass a real path so the artifact outlives the
+        #: engine (the point of a committed index).
+        self._index_root = index_root
+        self._ivf_built: set[str] = set()
 
     # -- documents ---------------------------------------------------------
 
@@ -190,7 +206,24 @@ class SortifyEngine:
         from sortify_spark.search.knn import lsh_portable_topk
 
         q = self._query_df(query_text)
-        if cfg is not None and cfg.ann == "lsh":
+        if cfg is not None and cfg.ann == "ivf":
+            from sortify_spark.search.index import probe_ivf_index
+
+            path = self._ivf_index(vtype)
+            topk = probe_ivf_index(
+                self.spark,
+                path,
+                q,
+                k=k,
+                nprobe=cfg.ivf_nprobe,
+                version=cfg.ivf_version,
+            ).select(
+                # vec_id is the vector_id "doc#vtype#chunk"; recover the
+                # document for the per-doc dedupe below
+                F.split(F.col("vec_id"), "#")[0].alias("document_id"),
+                "score",
+            )
+        elif cfg is not None and cfg.ann == "lsh":
             center, keyed = self._lsh_index(vtype, cfg.lsh_nbits)
             topk = lsh_portable_topk(
                 keyed,
@@ -242,6 +275,51 @@ class SortifyEngine:
             )
             self._lsh_cache[key] = (center, keyed)
         return self._lsh_cache[key]
+
+    # -- persisted IVF index -----------------------------------------------
+
+    def ivf_index_path(self, vtype: str) -> str:
+        """Path of the persisted IVF index artifact for one vtype."""
+        if self._index_root is None:
+            import tempfile
+
+            self._index_root = tempfile.mkdtemp(prefix="sortify_index_")
+        import os
+
+        return os.path.join(self._index_root, f"ivf_{vtype}")
+
+    def rebuild_ivf_index(self, vtype: str) -> int:
+        """(Re)build the persisted IVF index for ``vtype`` — a new
+        atomic version through the versioned store; readers pinned to
+        an older version keep serving it until vacuumed.  Returns the
+        committed assign-table version."""
+        from sortify_spark.search.index import build_ivf_index
+
+        base = self.vectors.filter(F.col("vtype") == vtype).select(
+            F.col("vector_id").alias("vec_id"),
+            "embedding",
+            F.pmod(
+                F.abs(F.xxhash64("document_id")), F.lit(16)
+            ).alias("seed"),
+        )
+        version = build_ivf_index(
+            base, self.ivf_index_path(vtype), seed_col="seed"
+        )
+        self._ivf_built.add(vtype)
+        return version
+
+    def _ivf_index(self, vtype: str) -> str:
+        """Ensure the artifact exists (first use builds version 1);
+        subsequent searches only read committed snapshots."""
+        if vtype not in self._ivf_built:
+            from sortify_spark.sources.versioned import read_manifest
+
+            path = self.ivf_index_path(vtype)
+            if read_manifest(f"{path}/assign")["version"] == 0:
+                self.rebuild_ivf_index(vtype)
+            else:
+                self._ivf_built.add(vtype)
+        return self.ivf_index_path(vtype)
 
     def semantic_search(
         self,

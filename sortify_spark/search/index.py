@@ -37,6 +37,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     seed_col: str | None = None,
     nlist_per_seed: int = 1,
+    exact_assign: bool = False,
 ) -> int:
     """Build/refresh the IVF index at ``path``; returns the committed
     version of the assignment table.
@@ -66,13 +67,21 @@ def build_ivf_index(
         (
             F.col(seed_col)
             if seed_col is not None
-            else F.pmod(F.col(id_col), F.lit(16))
+            # deterministic hash seeding works for string ids too (the
+            # facade indexes chunk-id keyed vectors)
+            else F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(16))
         ).alias("seed"),
     )
     seeds = knn.build_centroids(base, "seed")
-    assigned = knn.assign_nearest_centroid_np(base, seeds).withColumnRenamed(
-        "label", "bucket"
+    # exact_assign = the rounded expression twin (SQL-oracle-replayable
+    # argmax); default = the BLAS kernel (throughput path; unrounded
+    # float argmax, equality with the twin asserted in tests)
+    assign = (
+        knn.assign_nearest_centroid
+        if exact_assign
+        else knn.assign_nearest_centroid_np
     )
+    assigned = assign(base, seeds).withColumnRenamed("label", "bucket")
     data = base.select("vec_id", "embedding").join(assigned, "vec_id")
     cents = knn.build_centroids(data, "bucket").select(
         "bucket", "centroid", F.lit(0).alias("part")
@@ -113,14 +122,10 @@ def probe_ivf_index(
     )
 
     manifest = read_manifest(f"{path}/assign", version)
-    cents = __read(
-        spark, f"{path}/centroids", "part",
-        manifest.get("centroid_version"),
-    )
     buckets = [
-        r["label"]
-        for r in knn.rank_buckets(
-            cents, query, nprobe=nprobe, bscore_round=6
+        r["bucket"]
+        for r in rank_index_buckets(
+            spark, path, query, nprobe=nprobe, version=version
         ).collect()
     ]
     rels = [
@@ -136,6 +141,40 @@ def probe_ivf_index(
         dtype=manifest.get("partition_dtype"),
     )
     return knn.brute_force_topk(probed, query, k=k)
+
+
+def rank_index_buckets(
+    spark: SparkSession,
+    path: str,
+    query: DataFrame,
+    nprobe: int = 3,
+    version: int | None = None,
+) -> DataFrame:
+    """The coarse step against the STORED centroids: the ``nprobe``
+    (bucket, bscore) rows a probe would read, rounded score + bucket-id
+    tie-break (the oracle-replayable probe-choice contract).  The
+    centroid snapshot resolves from the assign manifest's recorded
+    ``centroid_version`` — always the probing build's own pair."""
+    from sortify_spark.functions.vectors import cosine
+    from sortify_spark.sources.versioned import read_manifest
+
+    manifest = read_manifest(f"{path}/assign", version)
+    cents = __read(
+        spark, f"{path}/centroids", "part",
+        manifest.get("centroid_version"),
+    )
+    q = F.broadcast(query.select(F.col("embedding").alias("__qvec")))
+    return (
+        cents.crossJoin(q)
+        .select(
+            "bucket",
+            F.round(
+                cosine(F.col("centroid"), F.col("__qvec")), 6
+            ).alias("bscore"),
+        )
+        .orderBy(F.col("bscore").desc(), F.col("bucket").asc())
+        .limit(nprobe)
+    )
 
 
 def __read(spark, path, pcol, version):

@@ -106,6 +106,43 @@ def build_centroids(
     )
 
 
+def assign_nearest_centroid(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "label",
+    score_round: int = 6,
+) -> DataFrame:
+    """Expression-twin nearest-centroid assignment: broadcast the
+    centroid table, score every (vector, centroid) pair JVM-side, keep
+    the argmax with ROUNDED score and lowest-bucket tie-break.  The
+    rounding makes the assignment engine-portable (a SQL oracle can
+    replay it exactly — the same contract every oracle-checked score in
+    this package uses), where the BLAS twin's unrounded float argmax
+    could flip near-ties across BLAS implementations.  Use this for
+    oracle-replayed builds; the BLAS twin for throughput."""
+    c = F.broadcast(centroids.select("bucket", "centroid"))
+    scored = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(c)
+        .select(
+            F.col(id_col),
+            F.col("bucket"),
+            F.round(
+                cosine(F.col(vec_col), F.col("centroid")), score_round
+            ).alias("__s"),
+        )
+    )
+    # lexicographic max over (score, -bucket) = best score, lowest
+    # bucket on ties — ROW_NUMBER() ... ORDER BY s DESC, bucket ASC
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            "bucket", F.struct(F.col("__s"), (-F.col("bucket")).alias("nb"))
+        ).alias(out_col)
+    )
+
+
 def assign_nearest_centroid_np(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -145,8 +182,9 @@ def assign_nearest_centroid_np(
                 {id_col: pdf[id_col].values, out_col: buckets[idx]}
             )
 
+    id_type = vectors.schema[id_col].dataType.simpleString()
     return vectors.select(id_col, vec_col).mapInPandas(
-        fn, schema=f"{id_col} long, {out_col} long"
+        fn, schema=f"{id_col} {id_type}, {out_col} long"
     )
 
 

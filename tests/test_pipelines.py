@@ -402,6 +402,76 @@ def test_facade_search_at_reference_dimension(spark):
     assert a == b
 
 
+def test_facade_serves_from_persisted_ivf_index(spark, tmp_path):
+    """``ann="ivf"`` serves from the COMMITTED index artifact: first
+    search builds version 1 through the versioned store, results equal
+    the exact top-k restricted to the probed buckets, and a pinned
+    ``ivf_version`` keeps serving the old snapshot while a rebuild
+    commits a new one (the reference's persistent-collection semantics,
+    vector_db_service.py:18-20,73-76)."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+    from sortify_spark.search.index import (
+        build_ivf_index,
+        rank_index_buckets,
+    )
+    from sortify_spark.search.knn import brute_force_topk
+    from sortify_spark.sources.versioned import read_manifest, read_versioned
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, index_root=str(tmp_path)
+    )
+    cfg = SearchConfig(ann="ivf", ivf_nprobe=3)
+    got = eng.semantic_search(
+        "data query join", search_type="summary_only", cfg=cfg
+    ).collect()
+    assert got and len(got) <= cfg.top_k
+    path = eng.ivf_index_path("summary")
+    assert read_manifest(f"{path}/assign")["version"] == 1
+    # result == exact top-k over ONLY the probed buckets' vectors
+    q = eng._query_df("data query join")
+    probed = {
+        r["bucket"]
+        for r in rank_index_buckets(spark, path, q, nprobe=3).collect()
+    }
+    assign = read_versioned(spark, f"{path}/assign", "bucket")
+    restricted = assign.filter(F.col("bucket").isin(probed))
+    want = (
+        brute_force_topk(restricted, q, k=cfg.top_k)
+        .select(
+            F.split(F.col("vec_id"), "#")[0].alias("id"), "score"
+        )
+        .groupBy("id")
+        .agg(F.max("score").alias("score"))
+        .collect()
+    )
+    assert {(r["id"], r["score"]) for r in got} == {
+        (r["id"], r["score"]) for r in want
+    }
+    # rebuild over a shrunk corpus (even doc ids only) commits v2; a
+    # reader pinned to v1 is untouched by the rebuild
+    shrunk = eng.vectors.filter(
+        (F.col("vtype") == "summary")
+        & (F.col("document_id").cast("long") % 2 == 0)
+    ).select(
+        F.col("vector_id").alias("vec_id"),
+        "embedding",
+        F.pmod(F.abs(F.xxhash64("document_id")), F.lit(16)).alias("seed"),
+    )
+    assert build_ivf_index(shrunk, path, seed_col="seed") == 2
+    pinned = eng.semantic_search(
+        "data query join",
+        search_type="summary_only",
+        cfg=SearchConfig(ann="ivf", ivf_nprobe=3, ivf_version=1),
+    ).collect()
+    assert {(r["id"], r["score"]) for r in pinned} == {
+        (r["id"], r["score"]) for r in got
+    }
+    current = eng.semantic_search(
+        "data query join", search_type="summary_only", cfg=cfg
+    ).collect()
+    assert all(int(r["id"]) % 2 == 0 for r in current)
+
+
 def test_upsert_stream_merges_and_survives_restart(spark, docs):
     """Two availableNow runs over a growing input dir: the second batch
     updates half the first batch's keys and adds new ones; the table
