@@ -518,6 +518,19 @@ _suite(
             dict(key1="id", val="score"),
         ),
         ("e2e_search_lsh", dict(key1="id", val="score")),
+        # round 6: the PERSISTED IVF index artifact — build v1, rebuild
+        # v2 (full-snapshot replace), probe both committed snapshots;
+        # probed buckets + rerank per version vs a pure-SQL replay of
+        # both builds (queries_vector._ivf_index_oracle_sql).
+        (
+            "ivf_index_probe",
+            dict(
+                key1="CAST(ver AS STRING) || '/' || kind",
+                key2="CAST(id AS STRING)",
+                cnt="bucket",
+                val="score",
+            ),
+        ),
         (
             "facade_lsh_recall",
             dict(

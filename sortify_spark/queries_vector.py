@@ -826,3 +826,128 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.brute_force_topk(shortlisted, probe, k=10).select(
         F.col("vec_id").alias("id"), "score"
     )
+
+
+def _ivf_index_oracle_sql(k: int = 10, nprobe: int = 3, dim: int = 64) -> str:
+    """Oracle for ``ivf_index_probe``: replay BOTH persisted-index
+    builds (seed = label means → rounded nearest-seed reassignment →
+    bucket means) and both probes (rounded bucket ranking → exact
+    rerank inside the probed buckets) purely in SQL.  Version 1 indexes
+    the ``vec_id % 5 <> 1`` subset, version 2 the full corpus — the
+    same two snapshots the Spark side commits through the versioned
+    store."""
+
+    def build(p: str, pred: str) -> str:
+        return f"""
+    {p}c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+             FROM embeddings WHERE {pred}),
+    {p}sd AS (SELECT label, r.range AS i, AVG(e[r.range]) AS m
+              FROM {p}c, range(1, {dim + 1}) r GROUP BY label, r.range),
+    {p}seed AS (SELECT label AS bucket, list(m ORDER BY i) AS cent
+                FROM {p}sd GROUP BY label),
+    {p}asg AS (SELECT vec_id, e, bucket FROM (
+        SELECT c.vec_id, c.e, s.bucket,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(c.e, s.cent), 6)
+                            DESC,
+                          s.bucket ASC) AS rn
+        FROM {p}c c CROSS JOIN {p}seed s) WHERE rn = 1),
+    {p}cd AS (SELECT bucket, r.range AS i, AVG(e[r.range]) AS m
+              FROM {p}asg, range(1, {dim + 1}) r GROUP BY bucket, r.range),
+    {p}cent AS (SELECT bucket, list(m ORDER BY i) AS cent
+                FROM {p}cd GROUP BY bucket),
+    {p}pb AS (SELECT bucket,
+                     ROUND(list_cosine_similarity(cent, qe), 6) AS bscore
+              FROM {p}cent CROSS JOIN q
+              ORDER BY bscore DESC, bucket ASC LIMIT {nprobe}),
+    {p}tk AS (SELECT a.vec_id AS id, a.bucket,
+                     ROUND(list_cosine_similarity(a.e, qe), 6) AS score
+              FROM {p}asg a JOIN {p}pb pb ON a.bucket = pb.bucket
+                   CROSS JOIN q
+              ORDER BY score DESC, id ASC LIMIT {k})"""
+
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    {build('v1', 'vec_id <> 0 AND vec_id % 5 <> 1')},
+    {build('v2', 'vec_id <> 0')}
+    SELECT * FROM (
+      SELECT 1 AS ver, 'probe' AS kind, CAST(bucket AS BIGINT) AS id,
+             bucket, bscore AS score FROM v1pb
+      UNION ALL SELECT 1, 'topk', id, bucket, score FROM v1tk
+      UNION ALL SELECT 2, 'probe', CAST(bucket AS BIGINT), bucket, bscore
+                FROM v2pb
+      UNION ALL SELECT 2, 'topk', id, bucket, score FROM v2tk
+    ) __u ORDER BY ver, kind, id
+    """
+
+
+@register(
+    "ivf_index_probe",
+    _ivf_index_oracle_sql(),
+    note="The persisted IVF index artifact end-to-end (the reference's "
+    "persistent-collection semantics, vector_db_service.py:18-20,73-76): "
+    "build version 1 over a subset, REBUILD version 2 over the grown "
+    "corpus (full-snapshot replace through the versioned store), then "
+    "probe BOTH committed snapshots — the probed (bucket, bscore) pairs "
+    "AND the exact rerank inside those bucket partitions, for each "
+    "version, hash-checked against a pure-SQL replay of both builds.  "
+    "Proves the stored artifact (not a per-query rebuild) serves the "
+    "probe, that rebuilds never leak stale assignments into old or new "
+    "snapshots, and that probe = partition pruning over the manifest.",
+)
+def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sortify_spark.search.index import (
+        build_ivf_index,
+        probe_ivf_index,
+        rank_index_buckets,
+    )
+    from sortify_spark.sources.versioned import read_versioned
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    path = tempfile.mkdtemp(prefix="sortify_ivfidx_") + "/ivf"
+    v1 = build_ivf_index(
+        emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 1)),
+        path,
+        seed_col="label",
+        exact_assign=True,
+    )
+    v2 = build_ivf_index(
+        emb.filter(F.col("vec_id") != 0),
+        path,
+        seed_col="label",
+        exact_assign=True,
+    )
+    parts = []
+    for ver in (v1, v2):
+        pb = rank_index_buckets(
+            spark, path, query, nprobe=3, version=ver
+        ).select(
+            F.lit(ver).alias("ver"),
+            F.lit("probe").alias("kind"),
+            F.col("bucket").cast("long").alias("id"),
+            "bucket",
+            F.col("bscore").alias("score"),
+        )
+        assign = read_versioned(
+            spark, f"{path}/assign", "bucket", version=ver
+        )
+        tk = (
+            probe_ivf_index(spark, path, query, k=10, nprobe=3, version=ver)
+            .join(assign.select("vec_id", "bucket"), "vec_id")
+            .select(
+                F.lit(ver).alias("ver"),
+                F.lit("topk").alias("kind"),
+                F.col("vec_id").alias("id"),
+                "bucket",
+                "score",
+            )
+        )
+        parts += [pb, tk]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("ver", "kind", "id")
