@@ -326,6 +326,53 @@ def main() -> None:
 
         stage("semdedup_blocked", semdedup)
 
+        # -- hot-bucket guard A/B (round 6, VERDICT r5 item 2) ----------
+        # Adversarial templated corpus: a large slice of all band rows
+        # lands in ONE bucket (the boilerplate-shingle shape).  The
+        # input rows are tiny, so AQE's skew-join never fires (it sees
+        # input bytes, not quadratic OUTPUT), and the unguarded
+        # self-join serializes |bucket|² pair production into one task.
+        # The guard must bound wall time while emitting the IDENTICAL
+        # pair count.
+        def hot_bucket_guard():
+            flood = 16000  # 128M pairs from one bucket if unguarded
+            spread = 200_000
+            banded = (
+                spark.range(spread + flood)
+                .select(
+                    F.col("id"),
+                    F.lit(0).alias("band_idx"),
+                    F.when(F.col("id") < flood, F.lit(0))
+                    .otherwise(
+                        F.pmod(F.abs(F.xxhash64("id")), F.lit(50_000)) + 1
+                    )
+                    .alias("band_key"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            hot = dedup.hot_bucket_stats(banded).collect()
+            t0 = time.time()
+            n_unguarded = dedup.banded_self_join_pairs(
+                banded, hot_cap=10**9
+            ).count()
+            t_unguarded = round(time.time() - t0, 2)
+            t0 = time.time()
+            n_guarded = dedup.banded_self_join_pairs(banded).count()
+            t_guarded = round(time.time() - t0, 2)
+            assert n_guarded == n_unguarded, (n_guarded, n_unguarded)
+            return {
+                "pairs": int(n_guarded),
+                "hot_buckets": [
+                    {"band_key": int(r["band_key"]), "size": int(r["bucket_size"])}
+                    for r in hot
+                ],
+                "guarded_sec": t_guarded,
+                "unguarded_sec": t_unguarded,
+                "speedup": round(t_unguarded / max(t_guarded, 0.01), 2),
+            }
+
+        stage("hot_bucket_guard_ab", hot_bucket_guard)
+
         # -- ANN / search serving at scale (round 5, VERDICT r4 item 6) -
         # The batch products of the serving side exercised on an
         # inflated vectors table: IVF index build (nearest-centroid

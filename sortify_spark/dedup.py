@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sortify_spark.textstats import fingerprint
 
@@ -217,6 +218,143 @@ def signature_bands(
     return base, banded
 
 
+#: Runtime hot-bucket guard defaults: a bucket whose membership exceeds
+#: the cap is split into this many id-hash groups before the pair join.
+#: 1024² = ~1 M candidate pairs per bucket-task is the most one shuffle
+#: partition should serialize; real templated-web corpora can put 30%+
+#: of all docs into ONE boilerplate band bucket, which without the
+#: guard becomes a single quadratic join partition.
+DEFAULT_HOT_BUCKET_CAP = 1024
+DEFAULT_HOT_GROUPS = 8
+
+
+def hot_bucket_stats(
+    banded: DataFrame,
+    key_cols: tuple[str, ...] = ("band_idx", "band_key"),
+    cap: int = DEFAULT_HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Observability for the guard: one row per OVER-CAP bucket with its
+    size — the loud metric for what :func:`banded_self_join_pairs` will
+    split.  Run it where bucket skew is suspected (scale-stress records
+    it); an empty result means the guard was a no-op."""
+    return (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > cap)
+    )
+
+
+def banded_self_join_pairs(
+    banded: DataFrame,
+    key_cols: tuple[str, ...] = ("band_idx", "band_key"),
+    id_col: str = "id",
+    carry_cols: tuple[str, ...] = (),
+    hot_cap: int = DEFAULT_HOT_BUCKET_CAP,
+    hot_groups: int = DEFAULT_HOT_GROUPS,
+) -> DataFrame:
+    """All within-bucket ordered candidate pairs (``id_a < id_b``) with
+    a RUNTIME hot-bucket guard — the skew hardening every banded join in
+    this package routes through.
+
+    The plain equi-self-join sends every row of one bucket to one
+    shuffle partition and emits |bucket|² pairs there; fine when banding
+    is selective, quadratic-in-one-task when a templated corpus floods
+    one bucket.  The guard counts bucket sizes IN-PLAN (a window count
+    over the join keys — same shuffle the join needs anyway, no second
+    scan of the signature computation) and splits over-cap buckets into
+    ``hot_groups`` deterministic id-hash groups: group ``ga`` joins
+    group ``gb`` (``ga ≤ gb``) under a key extended with (ga, gb), so
+    the bucket's pair work spreads over g(g+1)/2 partitions of
+    (|bucket|/g)² pairs each.  The candidate SET is identical with or
+    without the guard (property-tested) — cross-group pairs appear once
+    as (smaller-group row, larger-group row) and are canonicalized by
+    id; same-group pairs keep the ordered filter.
+
+    ``carry_cols`` ride along as ``<col>_a`` / ``<col>_b`` (e.g. the
+    SimHash signature for the Hamming verify).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys)
+    tagged = banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+
+    def _side(df: DataFrame, suffix: str, extra: list) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            *[F.col(c).alias(f"{c}_{suffix}") for c in carry_cols],
+            *keys,
+            *extra,
+        )
+
+    cold = tagged.filter(F.col("__bn") <= hot_cap)
+    cold_pairs = (
+        _side(cold, "a", [])
+        .join(_side(cold, "b", []), on=keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    g = hot_groups
+    grp = F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(g))
+    hot = tagged.filter(F.col("__bn") > hot_cap).withColumn("__g", grp)
+    # EXPLICIT repartition on the extended key, both sides: the join
+    # reuses this partitioning (no extra exchange), and — critically —
+    # AQE cannot coalesce a user repartition with a fixed partition
+    # count.  Left to the join's own shuffle, AQE sees the tiny INPUT
+    # bytes of the hot rows and merges the group-pair partitions back
+    # into one task, silently restoring the quadratic serialization the
+    # split exists to prevent (measured: 16 k-row bucket, 128 M pairs —
+    # coalesced "guarded" plan 18 s vs 6.5 s unguarded).
+    n_part = int(
+        banded.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    hot_keys = keys + ["__ga", "__gb"]
+    hl = _side(
+        hot.withColumn("__ga", F.col("__g")).withColumn(
+            "__gb", F.explode(F.sequence(F.col("__g"), F.lit(g - 1)))
+        ),
+        "a",
+        ["__ga", "__gb"],
+    ).repartition(n_part, *hot_keys)
+    hr = _side(
+        hot.withColumn("__gb", F.col("__g")).withColumn(
+            "__ga", F.explode(F.sequence(F.lit(0), F.col("__g")))
+        ),
+        "b",
+        ["__ga", "__gb"],
+    ).repartition(n_part, *hot_keys)
+    swap = F.col("id_a") > F.col("id_b")
+
+    def _canon(c_a: str, c_b: str, out: str):
+        return F.when(swap, F.col(c_b)).otherwise(F.col(c_a)).alias(out)
+
+    hot_pairs = (
+        hl.join(hr, on=keys + ["__ga", "__gb"])
+        # cross-group pairs arrive exactly once (possibly id-reversed —
+        # canonicalize); same-group keys see both orderings, keep one
+        .filter((F.col("__ga") < F.col("__gb")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            _canon("id_a", "id_b", "id_a"),
+            _canon("id_b", "id_a", "id_b"),
+            *[
+                c
+                for cc in carry_cols
+                for c in (
+                    _canon(f"{cc}_a", f"{cc}_b", f"{cc}_a"),
+                    _canon(f"{cc}_b", f"{cc}_a", f"{cc}_b"),
+                )
+            ],
+            *keys,
+        )
+    )
+    out_cols = (
+        ["id_a", "id_b"]
+        + [f"{c}_a" for c in carry_cols]
+        + [f"{c}_b" for c in carry_cols]
+        + keys
+    )
+    return cold_pairs.select(*out_cols).unionByName(
+        hot_pairs.select(*out_cols)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -238,14 +376,12 @@ def minhash_lsh_pairs(
     base, banded = signature_bands(
         df, id_col, text_col, num_hashes, band_size, use_shingles
     )
-    # Plain-key equi-join (hash join on the band key); the aliased
-    # self-join form can degrade to a nested-loop join re-evaluating the
-    # signature expressions per row pair — catastrophic.
-    left = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
-    right = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    # Guarded bucket self-join (plain-key equi-join — the aliased form
+    # can degrade to a nested-loop join re-evaluating the signature
+    # expressions per row pair; the guard splits over-cap buckets so a
+    # boilerplate-flooded band never serializes one quadratic task).
     cand = (
-        left.join(right, on=["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        banded_self_join_pairs(banded)
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -563,17 +699,14 @@ def simhash_pairs(
         )
         .persist()
     )
-    a, b = sig.alias("a"), sig.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.id") < F.col("b.id")),
+        banded_self_join_pairs(
+            sig, key_cols=("block",), carry_cols=("sig",)
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+            "id_a",
+            "id_b",
+            hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -626,18 +759,14 @@ def simhash_pairs_banded(
             )
         ).alias("band"),
     ).select("id", "sig", "band.band_idx", "band.band_val")
-    a, b = bands.alias("a"), bands.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
+        banded_self_join_pairs(
+            bands, key_cols=("band_idx", "band_val"), carry_cols=("sig",)
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+            "id_a",
+            "id_b",
+            hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
@@ -766,18 +895,30 @@ def embedding_neardup_topk(
     # Norm folded once per row below the self-join — the pair space is
     # Σ block², so a per-pair norm recompute would dominate the plan.
     base = df.select(*cols).withColumn("n", l2_norm("vec"))
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
     if block_col:
-        cond = cond & (F.col("a.block") == F.col("b.block"))
-    return (
-        a.join(b, cond)
-        .select(
+        # guarded block self-join: an over-cap block splits into
+        # id-hash groups (pair set unchanged) instead of serializing
+        # one quadratic task on a clustered corpus
+        pairs = banded_self_join_pairs(
+            base, key_cols=("block",), id_col="id", carry_cols=("vec", "n")
+        )
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
             F.round(
                 cosine_given_norms(
-                    F.col("a.vec"), F.col("b.vec"), F.col("a.n"), F.col("b.n")
+                    F.col("vec_a"), F.col("vec_b"), F.col("n_a"), F.col("n_b")
                 ),
                 6,
             ).alias("cos_sim"),

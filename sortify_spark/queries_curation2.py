@@ -407,36 +407,31 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semdedup_stats(emb: DataFrame, tau: float = SEM_TAU) -> DataFrame:
     """Kernel over any (vec_id, label, embedding) frame."""
+    from sortify_spark.dedup import banded_self_join_pairs
+
     b = emb.select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("e"),
     ).withColumn("nrm", l2_norm("e"))
-    a = b.select(
-        F.col("label"),
-        F.col("vec_id").alias("id_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    bb = b.select(
-        F.col("label"),
-        F.col("vec_id").alias("j"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
+    # guarded block self-join: an over-cap semantic block (a templated
+    # corpus collapsing into one cluster) splits into id-hash groups
+    # instead of serializing one quadratic task; pair set unchanged
     dropped = (
-        a.join(bb, "label")
-        .filter(F.col("id_a") < F.col("j"))
+        banded_self_join_pairs(
+            b, key_cols=("label",), id_col="vec_id",
+            carry_cols=("e", "nrm"),
+        )
         .filter(
             F.round(
                 cosine_given_norms(
-                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                    F.col("e_a"), F.col("e_b"), F.col("nrm_a"), F.col("nrm_b")
                 ),
                 6,
             )
             >= tau
         )
-        .select(F.col("label").alias("dlabel"), "j")
+        .select(F.col("label").alias("dlabel"), F.col("id_b").alias("j"))
         .distinct()
     )
     return (
@@ -610,21 +605,17 @@ def semdedup_docs_stats(docs: DataFrame) -> DataFrame:
         .withColumn("bucket", lsh_portable_key("e", nbits=DOCSEM_BITS))
         .localCheckpoint(eager=True)
     )
-    a = e.select(
-        F.col("bucket"),
-        F.col("doc_id").alias("id_a"),
-        F.col("e").alias("ea"),
-    )
-    b = e.select(
-        F.col("bucket"),
-        F.col("doc_id").alias("j"),
-        F.col("e").alias("eb"),
-    )
+    from sortify_spark.dedup import banded_self_join_pairs
+
+    # guarded block self-join (see semdedup_stats): the greedy drop
+    # rule keeps the SMALLER id, so dropped = id_b of each qualifying
+    # ordered pair — identical with or without the hot-bucket split
     dropped = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("j"))
-        .filter(F.round(dot(F.col("ea"), F.col("eb")), 6) >= DOCSEM_TAU)
-        .select("j")
+        banded_self_join_pairs(
+            e, key_cols=("bucket",), id_col="doc_id", carry_cols=("e",)
+        )
+        .filter(F.round(dot(F.col("e_a"), F.col("e_b")), 6) >= DOCSEM_TAU)
+        .select(F.col("id_b").alias("j"))
         .distinct()
     )
     return (
@@ -887,11 +878,12 @@ def winnowing_pairs(docs: DataFrame, top: int = 20) -> DataFrame:
         .select("doc_id", F.explode(sel).alias("fp"))
         .distinct()
     )
-    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    from sortify_spark.dedup import banded_self_join_pairs
+
+    # guarded fingerprint-bucket self-join: a boilerplate fingerprint
+    # shared by a huge doc fraction splits instead of serializing
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        banded_self_join_pairs(fps, key_cols=("fp",), id_col="doc_id")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .orderBy(F.desc("shared_fps"), F.asc("id_a"), F.asc("id_b"))

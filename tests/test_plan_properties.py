@@ -361,3 +361,70 @@ def test_profile_documents_single_scan(spark):
     times)."""
     plan = _plan(spark, "profile_documents")
     assert plan.count("Scan parquet") == 1
+
+
+def test_hot_bucket_guard_preserves_pair_set(spark):
+    """The runtime hot-bucket guard (banded_self_join_pairs) must emit
+    EXACTLY the pair set of the unguarded equi-self-join on an
+    adversarial corpus: 30% of rows share one boilerplate bucket (the
+    templated-web shape), the rest spread normally.  Run with a cap
+    that forces the split and with an effectively-infinite cap; the
+    candidate sets must be identical, and hot_bucket_stats must name
+    the flooded bucket."""
+    import pyspark.sql.functions as F
+
+    from sortify_spark.dedup import banded_self_join_pairs, hot_bucket_stats
+
+    n = 400
+    rows = [
+        # bucket 0 is the boilerplate flood (30% of rows); others i%37
+        (i, 0 if i % 10 < 3 else 1 + (i % 37)) for i in range(n)
+    ]
+    banded = spark.createDataFrame(rows, "id long, band_key long").withColumn(
+        "band_idx", F.lit(0)
+    )
+
+    def pairs(cap, groups=4):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in banded_self_join_pairs(
+                banded, hot_cap=cap, hot_groups=groups
+            ).collect()
+        }
+
+    unguarded = pairs(cap=10**9)
+    flood = sum(1 for _, b in rows if b == 0)
+    assert len(unguarded) >= flood * (flood - 1) // 2
+    for cap, groups in ((50, 4), (50, 7), (1, 3)):
+        got = pairs(cap, groups)
+        assert got == unguarded, f"cap={cap} groups={groups}"
+    # every pair is ordered and unique
+    assert all(a < b for a, b in unguarded)
+    hot = hot_bucket_stats(banded, cap=50).collect()
+    assert {(r["band_key"], r["bucket_size"]) for r in hot} == {(0, flood)}
+
+
+def test_hot_bucket_guard_carries_payload_correctly(spark):
+    """Carried columns must stay attached to THEIR row through the
+    cross-group canonicalization swap (a mismatched carry would corrupt
+    every downstream verify)."""
+    import pyspark.sql.functions as F
+
+    from sortify_spark.dedup import banded_self_join_pairs
+
+    n = 60
+    banded = spark.createDataFrame(
+        [(i, 7, i * 11) for i in range(n)], "id long, blk long, payload long"
+    )
+    got = banded_self_join_pairs(
+        banded,
+        key_cols=("blk",),
+        carry_cols=("payload",),
+        hot_cap=5,
+        hot_groups=4,
+    ).collect()
+    assert len(got) == n * (n - 1) // 2
+    for r in got:
+        assert r["id_a"] < r["id_b"]
+        assert r["payload_a"] == r["id_a"] * 11
+        assert r["payload_b"] == r["id_b"] * 11
