@@ -259,23 +259,41 @@ def banded_self_join_pairs(
     The plain equi-self-join sends every row of one bucket to one
     shuffle partition and emits |bucket|² pairs there; fine when banding
     is selective, quadratic-in-one-task when a templated corpus floods
-    one bucket.  The guard counts bucket sizes IN-PLAN (a window count
-    over the join keys — same shuffle the join needs anyway, no second
-    scan of the signature computation) and splits over-cap buckets into
-    ``hot_groups`` deterministic id-hash groups: group ``ga`` joins
-    group ``gb`` (``ga ≤ gb``) under a key extended with (ga, gb), so
-    the bucket's pair work spreads over g(g+1)/2 partitions of
-    (|bucket|/g)² pairs each.  The candidate SET is identical with or
-    without the guard (property-tested) — cross-group pairs appear once
-    as (smaller-group row, larger-group row) and are canonicalized by
-    id; same-group pairs keep the ordered filter.
+    one bucket.  The guard counts bucket sizes IN-PLAN with a map-side-
+    combined aggregate (shuffle ≈ one row per bucket), broadcasts the
+    OVER-CAP keys back (≤ n/cap keys by pigeonhole — at 10⁹ band rows
+    and the default cap that is ≤ 10⁶ keys ≈ tens of MB; raise the cap
+    if that ever binds), and splits those buckets into ``hot_groups``
+    deterministic id-hash groups: group ``ga`` joins group ``gb``
+    (``ga ≤ gb``) under a key extended with (ga, gb), so the bucket's
+    pair work spreads over g(g+1)/2 partitions of (|bucket|/g)² pairs
+    each.  A window count over the join keys would also work in one
+    pass but pays a per-branch sort — measured 3× on the unskewed sf0.1
+    bench, vs noise for the aggregate+broadcast form.  The candidate
+    SET is identical with or without the guard (property-tested) —
+    cross-group pairs appear once as (smaller-group row, larger-group
+    row) and are canonicalized by id; same-group pairs keep the ordered
+    filter.
 
     ``carry_cols`` ride along as ``<col>_a`` / ``<col>_b`` (e.g. the
     SimHash signature for the Hamming verify).
     """
     keys = list(key_cols)
-    w = Window.partitionBy(*keys)
-    tagged = banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+    # Materialize the band rows once: the size count AND the join(s)
+    # read them, and for MinHash/SimHash inputs re-deriving the rows
+    # means re-running the md5 signature pipeline per consumer (measured
+    # 2.5× on minhash_lsh_pairs without this).  localCheckpoint — not
+    # persist — so the blocks are freed by the context cleaner when the
+    # result is dropped, and the signature lineage is truncated.
+    banded = banded.localCheckpoint(eager=False)
+    hot_keys_df = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > hot_cap)
+        .select(*keys)
+        .withColumn("__hot", F.lit(True))
+    )
+    tagged = banded.join(F.broadcast(hot_keys_df), keys, "left")
 
     def _side(df: DataFrame, suffix: str, extra: list) -> DataFrame:
         return df.select(
@@ -285,7 +303,7 @@ def banded_self_join_pairs(
             *extra,
         )
 
-    cold = tagged.filter(F.col("__bn") <= hot_cap)
+    cold = tagged.filter(F.col("__hot").isNull())
     cold_pairs = (
         _side(cold, "a", [])
         .join(_side(cold, "b", []), on=keys)
@@ -293,7 +311,7 @@ def banded_self_join_pairs(
     )
     g = hot_groups
     grp = F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(g))
-    hot = tagged.filter(F.col("__bn") > hot_cap).withColumn("__g", grp)
+    hot = tagged.filter(F.col("__hot").isNotNull()).withColumn("__g", grp)
     # EXPLICIT repartition on the extended key, both sides: the join
     # reuses this partitioning (no extra exchange), and — critically —
     # AQE cannot coalesce a user repartition with a fixed partition

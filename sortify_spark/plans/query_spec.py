@@ -20,8 +20,12 @@ from pyspark.sql import functions as F
 
 from sortify_spark.operators.filters import clean_projection_paths
 
-#: Operators the spec may use — the validated surface of the reference's
-#: Mongo sub_filters ($eq/$ne/$gt/$gte/$lt/$lte/$in/contains).
+#: Scalar operators the spec may use — the validated surface of the
+#: reference's Mongo sub_filters ($eq/$ne/$gt/$gte/$lt/$lte/$in/
+#: contains).  The composite shapes its LLM query generator also emits
+#: ($exists, $regex, $or, $elemMatch — crud_documents.py:40-56,
+#: document_detail_query_handler.py:306-349) compile in
+#: :meth:`QuerySpec.predicate` below.
 _OPS = {
     "eq": lambda c, v: c == F.lit(v),
     "ne": lambda c, v: c != F.lit(v),
@@ -32,6 +36,11 @@ _OPS = {
     "in": lambda c, v: c.isin(list(v)),
     "contains": lambda c, v: F.lower(c).contains(str(v).lower()),
 }
+
+#: Bounded $or: the reference's generator emits small disjunction lists
+#: (the pending-status shape has 3 branches); an unbounded one is a
+#: prompt-injection amplifier, so refuse loudly past this.
+_MAX_OR_BRANCHES = 8
 
 
 class QuerySpecError(ValueError):
@@ -65,12 +74,99 @@ class QuerySpec:
     def predicate(self) -> Column:
         out = F.lit(True)
         for col_path, op, value in self.filters:
-            if op not in _OPS:
-                raise QuerySpecError(
-                    f"operator {op!r} not allowed; one of {sorted(_OPS)}"
-                )
-            out = out & _OPS[op](F.col(col_path), value)
+            out = out & _compile_filter(col_path, op, value)
         return out
+
+
+def _compile_filter(
+    col_path: str, op: str, value: object, depth: int = 0
+) -> Column:
+    """One (col, op, value) triple → a Column predicate.  Beyond the
+    scalar ``_OPS``, the reference's Mongo query surface adds:
+
+    * ``exists`` — ``$exists``: value True/False; in the columnar store
+      a dynamic field that was never written is NULL, so this is the
+      null test (``crud_documents.py:53``'s pending shape).
+    * ``regex`` — ``$regex``: value is a pattern string, or
+      ``{"pattern": p, "options": "i"}`` for the case-insensitive form
+      the reference emits (``crud_documents.py:40``).  The pattern is
+      validated with ``re.compile`` at COMPILE time, so a malformed
+      LLM-produced pattern fails loudly here, not mid-job on an
+      executor.
+    * ``or`` — ``$or``: value is a bounded list of sub-filter dicts
+      (``{"col", "op", "value"}``); nesting another ``or`` inside is
+      refused (depth 1, like the reference's generated shapes).
+    * ``elem_match`` — ``$elemMatch`` over an array-of-struct column:
+      value maps element fields to ``{"op", "value"}`` conditions; the
+      predicate holds when ANY element satisfies ALL conditions
+      (Mongo's contract), compiled to ``F.exists`` — no explode, no
+      shuffle.
+    """
+    if op == "exists":
+        c = F.col(col_path)
+        return c.isNotNull() if value else c.isNull()
+    if op == "regex":
+        import re
+
+        if isinstance(value, dict):
+            pattern = str(value.get("pattern", ""))
+            options = str(value.get("options", ""))
+        else:
+            pattern, options = str(value), ""
+        try:
+            re.compile(pattern)
+        except re.error as exc:
+            raise QuerySpecError(
+                f"invalid regex for {col_path!r}: {exc}"
+            ) from None
+        if "i" in options:
+            pattern = f"(?i){pattern}"
+        return F.col(col_path).rlike(pattern)
+    if op == "or":
+        if depth > 0:
+            raise QuerySpecError("nested 'or' filters are not allowed")
+        if not isinstance(value, (list, tuple)) or not value:
+            raise QuerySpecError("'or' takes a non-empty list of filters")
+        if len(value) > _MAX_OR_BRANCHES:
+            raise QuerySpecError(
+                f"'or' exceeds {_MAX_OR_BRANCHES} branches"
+            )
+        out = F.lit(False)
+        for sub in value:
+            out = out | _compile_filter(
+                str(sub["col"]), str(sub["op"]), sub.get("value"),
+                depth=depth + 1,
+            )
+        return out
+    if op == "elem_match":
+        if not isinstance(value, dict) or not value:
+            raise QuerySpecError(
+                "'elem_match' takes {field: {op, value}} conditions"
+            )
+
+        def elem_pred(x: Column) -> Column:
+            cond = F.lit(True)
+            for fname, spec in value.items():
+                if isinstance(spec, dict):
+                    sub_op = str(spec.get("op", "eq"))
+                    sub_val = spec.get("value")
+                else:  # bare value = eq shorthand (Mongo's implicit form)
+                    sub_op, sub_val = "eq", spec
+                if sub_op not in _OPS:
+                    raise QuerySpecError(
+                        f"elem_match operator {sub_op!r} not allowed; "
+                        f"one of {sorted(_OPS)}"
+                    )
+                cond = cond & _OPS[sub_op](x[str(fname)], sub_val)
+            return cond
+
+        return F.exists(F.col(col_path), elem_pred)
+    if op not in _OPS:
+        raise QuerySpecError(
+            f"operator {op!r} not allowed; one of "
+            f"{sorted(_OPS) + ['exists', 'regex', 'or', 'elem_match']}"
+        )
+    return _OPS[op](F.col(col_path), value)
 
 
 def compile_spec(

@@ -20,13 +20,38 @@ from sortify_spark.functions.numeric import oracle_davg
 from sortify_spark.queries import register, _t
 
 #: Fixed spec standing in for an LLM-produced one (the untrusted-JSON
-#: boundary of ``QuerySpec.from_json`` is the same either way).
+#: boundary of ``QuerySpec.from_json`` is the same either way).  One
+#: predicate of EVERY shape the reference's query generator can emit:
+#: scalar ops, $exists, case-insensitive $regex, bounded $or, and
+#: $elemMatch over an array-of-struct field (crud_documents.py:40-56).
 _DETAIL_SPEC = json.dumps(
     {
         "filters": [
             {"col": "lang", "op": "eq", "value": "en"},
             {"col": "n_chars", "op": "gte", "value": 200},
             {"col": "text", "op": "contains", "value": "data"},
+            {"col": "opt", "op": "exists", "value": True},
+            {
+                "col": "text",
+                "op": "regex",
+                "value": {"pattern": "dat[a]|join", "options": "i"},
+            },
+            {
+                "col": "$or",
+                "op": "or",
+                "value": [
+                    {"col": "n_chars", "op": "gte", "value": 400},
+                    {"col": "n_chars", "op": "lt", "value": 260},
+                ],
+            },
+            {
+                "col": "tags",
+                "op": "elem_match",
+                "value": {
+                    "tag": {"op": "contains", "value": "a"},
+                    "n": {"op": "gte", "value": 4},
+                },
+            },
         ],
         "projection": ["doc_id", "lang", "n_chars"],
     }
@@ -36,21 +61,55 @@ _DETAIL_SPEC = json.dumps(
 @register(
     "detail_query_compiled",
     """
-    SELECT doc_id, lang, n_chars
-    FROM documents
+    WITH d AS (
+      SELECT doc_id, text, lang, n_chars,
+             CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END AS opt,
+             list_transform(string_split(text, ' ')[1:5],
+                 w -> struct_pack(tag := w, n := length(w))) AS tags
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM d
     WHERE lang = 'en' AND n_chars >= 200
       AND lower(text) LIKE '%data%'
+      AND opt IS NOT NULL
+      AND regexp_matches(text, '(?i)dat[a]|join')
+      AND (n_chars >= 400 OR n_chars < 260)
+      AND len(list_filter(tags,
+              t -> contains(lower(t.tag), 'a') AND t.n >= 4)) > 0
     """,
     note="P8: AI-generated detail-query spec (JSON, validated operator "
     "set) compiled onto the documents DataFrame with projection "
     "path-collision cleanup (P6) — "
-    "document_detail_query_handler.py:306-349.",
+    "document_detail_query_handler.py:306-349.  Covers the FULL "
+    "reference query surface: scalar ops plus $exists (null test on a "
+    "sometimes-null derived column), validated case-insensitive "
+    "$regex, bounded $or, and $elemMatch over an array-of-struct "
+    "column compiled to F.exists (no explode, no shuffle) — "
+    "crud_documents.py:40-56, mongodb_utils.py:9-44.",
 )
 def q_detail_query_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sortify_spark.plans.query_spec import QuerySpec, compile_spec
 
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        # a sometimes-null dynamic field (the $exists target) and an
+        # array-of-struct field (the $elemMatch target), derived
+        # deterministically so the oracle replays them
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("source"))
+        .alias("opt"),
+        F.transform(
+            F.slice(F.split(F.col("text"), " "), 1, 5),
+            lambda w: F.struct(
+                w.alias("tag"), F.length(w).alias("n")
+            ),
+        ).alias("tags"),
+    )
     spec = QuerySpec.from_json(_DETAIL_SPEC)
-    return compile_spec(_t(spark, sf_dir, "documents"), spec)
+    return compile_spec(docs, spec)
 
 
 #: 64-bit-safe polynomial rolling hash: acc = (acc*31 + codepoint) mod p.

@@ -298,6 +298,113 @@ def test_query_spec_from_json_and_validation(spark, docs):
         compile_spec(docs, bad).count()
 
 
+def test_query_spec_mongo_shapes(spark, docs):
+    """The reference's composite query shapes ($exists, $regex, $or,
+    $elemMatch — crud_documents.py:40-56) compile and enforce their
+    bounds LOUDLY at compile time, not mid-job."""
+    from sortify_spark.plans.query_spec import (
+        QuerySpec,
+        QuerySpecError,
+        compile_spec,
+    )
+
+    d = docs.withColumn(
+        "opt",
+        F.when(F.col("doc_id") % 2 == 0, F.col("source")),
+    ).withColumn(
+        "tags",
+        F.transform(
+            F.slice(F.split(F.col("text"), " "), 1, 3),
+            lambda w: F.struct(w.alias("tag"), F.length(w).alias("n")),
+        ),
+    )
+    # exists
+    spec = QuerySpec(filters=[("opt", "exists", True)])
+    assert all(
+        r["doc_id"] % 2 == 0 for r in compile_spec(d, spec).collect()
+    )
+    spec = QuerySpec(filters=[("opt", "exists", False)])
+    assert all(
+        r["doc_id"] % 2 == 1 for r in compile_spec(d, spec).collect()
+    )
+    # regex (case-insensitive dict form) vs plain contains
+    ci = QuerySpec(
+        filters=[("text", "regex", {"pattern": "DATA", "options": "i"})]
+    )
+    plain = QuerySpec(filters=[("text", "contains", "data")])
+    assert compile_spec(d, ci).count() == compile_spec(d, plain).count()
+    with pytest.raises(QuerySpecError, match="invalid regex"):
+        compile_spec(
+            d, QuerySpec(filters=[("text", "regex", "([")])
+        ).count()
+    # or: union semantics, bounded, no nesting
+    left = QuerySpec(filters=[("lang", "eq", "en")])
+    right = QuerySpec(filters=[("n_chars", "lt", 150)])
+    both = QuerySpec(
+        filters=[
+            (
+                "$or",
+                "or",
+                [
+                    {"col": "lang", "op": "eq", "value": "en"},
+                    {"col": "n_chars", "op": "lt", "value": 150},
+                ],
+            )
+        ]
+    )
+    ids = lambda s: {r["doc_id"] for r in compile_spec(d, s).collect()}  # noqa: E731
+    assert ids(both) == ids(left) | ids(right)
+    with pytest.raises(QuerySpecError, match="branches"):
+        compile_spec(
+            d,
+            QuerySpec(
+                filters=[
+                    (
+                        "$or",
+                        "or",
+                        [{"col": "lang", "op": "eq", "value": "en"}] * 9,
+                    )
+                ]
+            ),
+        ).count()
+    with pytest.raises(QuerySpecError, match="nested"):
+        compile_spec(
+            d,
+            QuerySpec(
+                filters=[
+                    (
+                        "$or",
+                        "or",
+                        [{"col": "$or", "op": "or", "value": []}],
+                    )
+                ]
+            ),
+        ).count()
+    # elem_match: ANY element satisfying ALL conditions
+    em = QuerySpec(
+        filters=[
+            (
+                "tags",
+                "elem_match",
+                {"tag": {"op": "contains", "value": "the"}, "n": 3},
+            )
+        ]
+    )
+    for r in compile_spec(d, em).select("tags").collect():
+        assert any(
+            "the" in t["tag"].lower() and t["n"] == 3 for t in r["tags"]
+        )
+    with pytest.raises(QuerySpecError, match="not allowed"):
+        compile_spec(
+            d,
+            QuerySpec(
+                filters=[
+                    ("tags", "elem_match", {"tag": {"op": "regex", "value": "x"}})
+                ]
+            ),
+        ).count()
+
+
 def test_discover_dynamic_schema(spark):
     from sortify_spark.plans.query_spec import discover_dynamic_schema
 
