@@ -84,7 +84,7 @@ PRIORITY = (
     "quality_quartile_filter",
     "activity_feed",
     "suite_multimodal",
-    "streaming_dedup",
+    "suite_streaming",
     # operator suites (families of round-1-green operators, one row each)
     "suite_ann_contracts",
     "suite_scalar_aggs",

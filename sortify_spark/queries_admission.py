@@ -427,3 +427,103 @@ def q_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "lang", "n_chars", "text")
         .orderBy("doc_id")
     )
+
+
+_TRIGGER_FRAC = 0.45  #: threshold = ceil(frac * corpus) — crosses at batch 2
+
+
+@register(
+    "trigger_replay",
+    f"""
+    WITH b AS (
+      SELECT CAST(doc_id % {N_BATCHES} AS INT) AS b, COUNT(*) AS n
+      FROM documents GROUP BY 1
+    ),
+    n AS (
+      SELECT MAX(CASE WHEN b = 0 THEN n END) AS n0,
+             MAX(CASE WHEN b = 1 THEN n END) AS n1,
+             MAX(CASE WHEN b = 2 THEN n END) AS n2,
+             CAST(CEIL({_TRIGGER_FRAC} * SUM(n)) AS BIGINT) AS t
+      FROM b
+    ),
+    s0 AS (SELECT *, n0 AS c0, n0 >= t AS f0 FROM n),
+    s1 AS (SELECT *, (CASE WHEN f0 THEN 0 ELSE c0 END) + n1 AS c1 FROM s0),
+    s2 AS (SELECT *, c1 >= t AS f1,
+                  (CASE WHEN c1 >= t THEN 0 ELSE c1 END) + n2 AS c2
+           FROM s1),
+    s3 AS (SELECT *, c2 >= t AS f2,
+                  CASE WHEN c2 >= t THEN 0 ELSE c2 END AS leftover
+           FROM s2),
+    fires AS (
+      SELECT 0 AS batch, c0 AS total FROM s3 WHERE f0
+      UNION ALL SELECT 1, c1 FROM s3 WHERE f1
+      UNION ALL SELECT 2, c2 FROM s3 WHERE f2
+    ),
+    numbered AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY batch) AS seq, 'fire' AS kind,
+             total
+      FROM fires
+    )
+    SELECT seq, kind, total FROM numbered
+    UNION ALL SELECT 99, 'leftover', leftover FROM s3
+    ORDER BY seq
+    """,
+    note="ST2 end-to-end (the reference's count-threshold auto-"
+    "clustering trigger, document_tasks_service.py:448+): documents "
+    f"stream in {N_BATCHES} micro-batches through "
+    "count_threshold_trigger with threshold = ceil("
+    f"{_TRIGGER_FRAC} x corpus); the cumulative counter crosses on the "
+    "second batch, the callback fires EXACTLY once with the cumulative "
+    "total, a mid-stream RESTART (same checkpoint, no new files) must "
+    "not re-fire or re-count (batch-id-keyed persisted counter), and "
+    "the leftover counter after the final batch is exposed.  The "
+    "oracle replays the fire/reset recursion over the batch sizes in "
+    "SQL.",
+)
+def q_trigger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from sortify_spark.streaming.pipeline import count_threshold_trigger
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    total = docs.count()
+    threshold = math.ceil(_TRIGGER_FRAC * total)
+    tmp = tempfile.mkdtemp(prefix="sortify_trigger_")
+    inp, ckpt = f"{tmp}/in", f"{tmp}/ckpt"
+    fired: list[int] = []
+    for b in range(N_BATCHES):
+        docs.filter(F.col("doc_id") % N_BATCHES == b).coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+        q = count_threshold_trigger(
+            spark, inp, ckpt, threshold=threshold, on_threshold=fired.append
+        )
+        q.awaitTermination(300)
+        if b == 1:
+            # mid-stream restart with no new input: the persisted
+            # batch-id-keyed counter must neither re-fire nor re-count
+            n_before = len(fired)
+            q = count_threshold_trigger(
+                spark,
+                inp,
+                ckpt,
+                threshold=threshold,
+                on_threshold=fired.append,
+            )
+            q.awaitTermination(300)
+            if len(fired) != n_before:
+                raise AssertionError(
+                    "restart re-fired the count-threshold trigger"
+                )
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(ckpt, "counter_state.json")) as fh:
+        leftover = _json.load(fh)["count"]
+    rows = [(i + 1, "fire", int(t)) for i, t in enumerate(fired)]
+    rows.append((99, "leftover", int(leftover)))
+    return spark.createDataFrame(
+        rows, "seq long, kind string, total long"
+    ).orderBy("seq")
