@@ -785,6 +785,12 @@ def admission_stream(
                 # admitted batch below)
                 _write_center(_emb_raw(corpus, "id"))
                 center = _read_center()
+        # screen-time frames the COMMIT section reuses (the admitted
+        # docs are a subset of the screened batch, so their index rows
+        # filter out of the already-computed screen frames instead of
+        # re-shingling / re-embedding — VERDICT r5 item 4)
+        b_bands = None
+        be = None
         if corpus is not None:
             # exact twin in corpus.  The screened batch is
             # localCheckpoint-ed at each screen boundary: every commit
@@ -835,15 +841,27 @@ def admission_stream(
                     # shingle-less docs produce no band rows — skip the
                     # empty commit (they simply have nothing to index)
                     if not m_bands.isEmpty():
+                        # checkpoint ONCE: the commit evaluates its
+                        # updates twice and the screen reads them again
+                        # — on a bootstrap batch each evaluation is a
+                        # full-corpus shingle pass (the measured
+                        # bootstrap premium, VERDICT r5 item 4)
+                        m_bands = m_bands.withColumn(
+                            "pb", F.lit(int(_batch_id))
+                        ).localCheckpoint(eager=True)
                         upsert_versioned(
-                            m_bands.withColumn(
-                                "pb", F.lit(int(_batch_id))
-                            ),
+                            m_bands,
                             bands_path,
                             keys=["id", "band_idx"],
                             partition_col="pb",
                         )
-                        idx = _read_side(bands_path, "pb")
+                        # union the just-committed rows in memory
+                        # instead of re-reading the whole side table
+                        idx = (
+                            m_bands
+                            if idx is None
+                            else idx.unionByName(m_bands)
+                        )
                 _tick("band_catchup")
                 if idx is None:
                     # corpus has no shingleable docs at all — fall back
@@ -871,14 +889,31 @@ def admission_stream(
             )
             if use_index:
                 # verify tokens only for the candidate slice of the
-                # corpus — the whole-corpus token sets are never built
-                c_ids = cand.select(F.col("cid").alias("doc_id"))
-                c_slice = corpus.join(
-                    F.broadcast(c_ids.distinct()), "doc_id", "left_semi"
-                )
-                c_base, _ = dedup.signature_bands(
-                    c_slice, use_shingles=shingle_k
-                )
+                # corpus — the whole-corpus token sets are never built.
+                # Replica-heavy guard (VERDICT r5 item 4): when nearly
+                # every indexed doc is a candidate the "slice" IS the
+                # corpus, and the semi-join + per-slice banding just
+                # adds overhead on top of what a full-corpus pass
+                # costs — so past a candidate fraction of 1/2, band
+                # the corpus directly (one pass yields all token sets).
+                cand = cand.localCheckpoint(eager=True)
+                c_ids = cand.select(F.col("cid").alias("doc_id")).distinct()
+                n_cand = c_ids.count()
+                # indexed docs ≈ band rows / bands-per-doc (exact
+                # enough for a threshold; the compact side table is
+                # cheap to count, the text corpus is not)
+                n_indexed = max(idx.count() // 4, 1)
+                if n_cand * 2 >= n_indexed:
+                    c_base, _ = dedup.signature_bands(
+                        corpus, use_shingles=shingle_k
+                    )
+                else:
+                    c_slice = corpus.join(
+                        F.broadcast(c_ids), "doc_id", "left_semi"
+                    )
+                    c_base, _ = dedup.signature_bands(
+                        c_slice, use_shingles=shingle_k
+                    )
             near_hit = (
                 cand.join(
                     b_base.select(
@@ -905,10 +940,13 @@ def admission_stream(
             if semantic_tau is not None:
                 from sortify_spark.functions.vectors import dot
 
-                be = _emb(batch, "bid", center)
-                if dbg:
-                    be = be.localCheckpoint(eager=True)
-                    _tick("batch_embed")
+                # checkpoint always: the semantic screen AND the commit
+                # section both read the batch embeddings — one embed
+                # pass instead of two
+                be = _emb(batch, "bid", center).localCheckpoint(
+                    eager=True
+                )
+                _tick("batch_embed")
                 if use_index:
                     eidx = _read_side(emb_path, "pb")
                     e_missing = (
@@ -923,26 +961,36 @@ def admission_stream(
                         )
                     )
                     if not e_missing.isEmpty():
-                        m_emb = _emb(e_missing, "id", center).select(
-                            "id",
-                            F.col("__e").alias("e"),
-                            F.col("__bk").alias("bk"),
+                        # Mirror the band catch-up: LSM-partitioned by
+                        # commit batch ("pb"), "bk" as a DATA column —
+                        # partitioning by "bk" would strip it from the
+                        # files, breaking the eidx.select(..., "bk")
+                        # below and every later batch (ADVICE r5 high).
+                        # Checkpoint once (commit double-evaluates +
+                        # screen reads) and union in memory instead of
+                        # re-reading the side table — the bootstrap
+                        # batch embeds the corpus exactly once.
+                        m_emb = (
+                            _emb(e_missing, "id", center)
+                            .select(
+                                "id",
+                                F.col("__e").alias("e"),
+                                F.col("__bk").alias("bk"),
+                            )
+                            .withColumn("pb", F.lit(int(_batch_id)))
+                            .localCheckpoint(eager=True)
                         )
-                        # Mirror the band catch-up: the side table is
-                        # LSM-partitioned by commit batch ("pb"), with
-                        # "bk" as a DATA column — partitioning by "bk"
-                        # here would strip it from the files, breaking
-                        # the eidx.select(..., "bk") below and every
-                        # later batch (ADVICE r5 high).
                         upsert_versioned(
-                            m_emb.withColumn(
-                                "pb", F.lit(int(_batch_id))
-                            ),
+                            m_emb,
                             emb_path,
                             keys=["id"],
                             partition_col="pb",
                         )
-                        eidx = _read_side(emb_path, "pb")
+                        eidx = (
+                            m_emb
+                            if eidx is None
+                            else eidx.unionByName(m_emb)
+                        )
                     _tick("emb_catchup_check")
                     ce = eidx.select(
                         F.col("id").alias("cid"),
@@ -971,18 +1019,17 @@ def admission_stream(
         if not admitted.isEmpty():
             _tick("admit_check")
             a_emb_raw = None
-            if semantic_tau is not None:
-                # ONE embed pass over the admitted docs feeds both the
-                # center pin (first batch) and the index rows
+            if semantic_tau is not None and center is None:
+                # first admitted batch pins the semantic center; the
+                # write precedes every commit so replay converges.
+                # (On every later batch the center already exists and
+                # the batch embeddings live in the checkpointed screen
+                # frame `be` — no second embed pass.)
                 a_emb_raw = _emb_raw(admitted, "id").localCheckpoint(
                     eager=True
                 )
-                if center is None:
-                    # first admitted batch pins the semantic center;
-                    # the write precedes every commit so replay
-                    # converges
-                    _write_center(a_emb_raw)
-                    center = _read_center()
+                _write_center(a_emb_raw)
+                center = _read_center()
             # corpus FIRST, index second: a crash here leaves the index
             # behind, which the next batch's catch-up heals; the inverse
             # order could reject docs the corpus never received
@@ -991,13 +1038,21 @@ def admission_stream(
                 partition_col=partition_col,
             )
             if use_index:
-                # checkpoint the derived index rows: each upsert
-                # evaluates its updates twice (affected-partition
-                # collect + merged write), and shingling/embedding the
-                # admitted docs is the expensive part of the commit
-                _, a_bands = dedup.signature_bands(
-                    admitted, use_shingles=shingle_k
+                a_ids = F.broadcast(
+                    admitted.select(F.col("doc_id").alias("id")).distinct()
                 )
+                # Derive the index rows from the already-checkpointed
+                # SCREEN frames (admitted ⊆ screened batch): a semi-join
+                # on the admitted ids replaces a re-shingle / re-embed
+                # of the admitted docs — the other half of the r5
+                # bootstrap premium.  First batch (no screens ran):
+                # compute fresh.
+                if b_bands is not None:
+                    a_bands = b_bands.join(a_ids, "id", "left_semi")
+                else:
+                    _, a_bands = dedup.signature_bands(
+                        admitted, use_shingles=shingle_k
+                    )
                 # LSM-style side-table commits: the partition value is
                 # the BATCH id, so each commit writes only its own new
                 # partition (append-shaped, zero rewrite amplification)
@@ -1005,7 +1060,8 @@ def admission_stream(
                 # the whole index per batch; readers scan the union and
                 # sources.versioned.compact folds old partitions.  A
                 # replayed batch rewrites ITS OWN partition
-                # idempotently.
+                # idempotently.  (Checkpoint: each upsert evaluates its
+                # updates twice.)
                 upsert_versioned(
                     a_bands.withColumn(
                         "pb", F.lit(int(_batch_id))
@@ -1015,13 +1071,26 @@ def admission_stream(
                     partition_col="pb",
                 )
                 if semantic_tau is not None:
-                    a_emb = _key(a_emb_raw, center).select(
-                        "id",
-                        F.col("__e").alias("e"),
-                        F.col("__bk").alias("bk"),
-                    ).localCheckpoint(eager=True)
+                    if be is not None:
+                        a_emb = be.join(
+                            a_ids,
+                            be["bid"] == a_ids["id"],
+                            "left_semi",
+                        ).select(
+                            F.col("bid").alias("id"),
+                            F.col("__e").alias("e"),
+                            F.col("__bk").alias("bk"),
+                        )
+                    else:
+                        a_emb = _key(a_emb_raw, center).select(
+                            "id",
+                            F.col("__e").alias("e"),
+                            F.col("__bk").alias("bk"),
+                        )
                     upsert_versioned(
-                        a_emb.withColumn("pb", F.lit(int(_batch_id))),
+                        a_emb.withColumn(
+                            "pb", F.lit(int(_batch_id))
+                        ).localCheckpoint(eager=True),
                         emb_path,
                         keys=["id"],
                         partition_col="pb",
