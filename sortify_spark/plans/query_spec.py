@@ -121,6 +121,22 @@ def _compile_filter(
             ) from None
         if "i" in options:
             pattern = f"(?i){pattern}"
+        # rlike executes with JAVA regex semantics; a Python-valid but
+        # Java-invalid pattern (e.g. ``(?P<name>x)``) would otherwise
+        # fail mid-job on an executor.  Validate against the JVM's
+        # Pattern.compile when a session is live (ADVICE r6).
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        if sess is not None:
+            try:
+                sess._jvm.java.util.regex.Pattern.compile(pattern)
+            except Exception as exc:  # Py4J wraps PatternSyntaxException
+                msg = str(getattr(exc, "java_exception", exc))
+                raise QuerySpecError(
+                    f"regex for {col_path!r} is not valid Java regex "
+                    f"(rlike executes JVM-side): {msg.splitlines()[0]}"
+                ) from None
         return F.col(col_path).rlike(pattern)
     if op == "or":
         if depth > 0:
@@ -133,6 +149,19 @@ def _compile_filter(
             )
         out = F.lit(False)
         for sub in value:
+            # validate sub-filter shape loudly — the spec is untrusted
+            # LLM JSON, so a non-dict element or a missing key must be
+            # a QuerySpecError, not a KeyError/TypeError (ADVICE r6)
+            if not isinstance(sub, dict):
+                raise QuerySpecError(
+                    "'or' sub-filter must be a dict with 'col' and "
+                    f"'op'; got {type(sub).__name__}"
+                )
+            if "col" not in sub or "op" not in sub:
+                raise QuerySpecError(
+                    "'or' sub-filter missing required key(s) "
+                    f"{sorted({'col', 'op'} - set(sub))}"
+                )
             out = out | _compile_filter(
                 str(sub["col"]), str(sub["op"]), sub.get("value"),
                 depth=depth + 1,

@@ -139,9 +139,18 @@ def _reserved(path: str, version: int):
     try:
         yield
     except BaseException:
+        # Release ONLY if the placeholder is still pending: an
+        # interrupt (KeyboardInterrupt) landing after _commit_manifest
+        # filled it but before the `with` exits must not delete the
+        # retained manifest of an already-committed version — that
+        # would break pinned reads / resolve_version_at for the
+        # current version (ADVICE r6).
         try:
-            os.remove(_manifest_path(path, version))
-        except OSError:
+            with open(_manifest_path(path, version)) as fh:
+                still_pending = json.load(fh).get("pending", False)
+            if still_pending:
+                os.remove(_manifest_path(path, version))
+        except (OSError, ValueError):
             pass
         raise
 

@@ -1082,6 +1082,19 @@ def admission_stream(
                             F.col("__bk").alias("bk"),
                         )
                     else:
+                        if a_emb_raw is None:
+                            # center exists but the screens never ran:
+                            # a crash between _write_center and the
+                            # corpus commit leaves the center file
+                            # behind an empty corpus, so on replay
+                            # `center is not None` skips the
+                            # first-batch embed above AND `be is None`
+                            # (no corpus -> no screens).  Embed the
+                            # admitted batch here or the replay
+                            # crashes identically forever.
+                            a_emb_raw = _emb_raw(
+                                admitted, "id"
+                            ).localCheckpoint(eager=True)
                         a_emb = _key(a_emb_raw, center).select(
                             "id",
                             F.col("__e").alias("e"),

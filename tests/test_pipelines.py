@@ -405,6 +405,39 @@ def test_query_spec_mongo_shapes(spark, docs):
         ).count()
 
 
+def test_query_spec_malformed_untrusted_shapes(spark, docs):
+    """Malformed untrusted-LLM spec shapes fail with QuerySpecError at
+    the declared trust boundary, never KeyError/TypeError or a mid-job
+    executor failure (ADVICE r6): non-dict / key-missing `or`
+    sub-filters, and Python-valid-but-Java-invalid regex (rlike
+    executes JVM-side)."""
+    from sortify_spark.plans.query_spec import (
+        QuerySpec,
+        QuerySpecError,
+        compile_spec,
+    )
+
+    with pytest.raises(QuerySpecError, match="sub-filter must be a dict"):
+        compile_spec(
+            docs,
+            QuerySpec(filters=[("$or", "or", ["lang = 'en'"])]),
+        ).count()
+    with pytest.raises(QuerySpecError, match="missing required key"):
+        compile_spec(
+            docs,
+            QuerySpec(filters=[("$or", "or", [{"col": "lang"}])]),
+        ).count()
+    # named group: fine in Python re, PatternSyntaxException in Java
+    with pytest.raises(QuerySpecError, match="Java regex"):
+        compile_spec(
+            docs,
+            QuerySpec(filters=[("text", "regex", "(?P<name>data)")]),
+        ).count()
+    # a pattern valid in BOTH dialects still compiles and runs
+    ok = QuerySpec(filters=[("text", "regex", "d[ao]ta")])
+    assert compile_spec(docs, ok).count() >= 0
+
+
 def test_discover_dynamic_schema(spark):
     from sortify_spark.plans.query_spec import discover_dynamic_schema
 
@@ -1131,3 +1164,48 @@ def test_admission_stream_degenerate_texts(spark):
         # bandless docs never entered the band index
         bands = read_versioned(spark, table + "__bands", "pb")
         assert {r["id"] for r in bands.collect()} == {3, 11}
+
+
+def test_admission_replay_center_exists_empty_corpus(spark):
+    """Crash-replay regression (ADVICE r6 medium): a crash between
+    ``_write_center`` and the corpus commit leaves the semantic-center
+    file behind an EMPTY corpus table.  On replay with use_index=True
+    the screens never run (no corpus => ``be`` is None) and the center
+    already exists (skips the first-batch embed) — the commit section
+    must embed the admitted batch itself instead of crashing with
+    ``a_emb_raw=None`` on every restart."""
+    from sortify_spark.sources.versioned import read_versioned
+    from sortify_spark.streaming.pipeline import admission_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, table = f"{tmp}/in", f"{tmp}/table"
+        # simulate the crash state: center committed, corpus empty
+        spark.createDataFrame(
+            [([0.1] * 8,)], "c: array<double>"
+        ).coalesce(1).write.parquet(table + "__emb_center")
+        spark.createDataFrame(
+            [
+                (
+                    1,
+                    "the quick brown fox jumps over the lazy dog "
+                    "tonight in the forest",
+                    "en",
+                    "web",
+                    60,
+                )
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).coalesce(1).write.parquet(inp)
+        q = admission_stream(
+            spark, inp, table, f"{tmp}/c1",
+            semantic_tau=0.995, use_index=True,
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]
+            for r in read_versioned(spark, table, "source").collect()
+        }
+        assert got == {1}
+        # the emb side table committed from the re-embedded batch
+        assert read_versioned(spark, table + "__emb", "pb").count() >= 1

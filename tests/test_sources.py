@@ -1376,3 +1376,36 @@ def test_versioned_model_based_random_ops(spark):
             )
             assert got == snap, f"snapshot v{v} drifted"
         assert current == max(history)
+
+
+def test_versioned_interrupt_after_commit_keeps_manifest(spark):
+    """An interrupt landing AFTER _commit_manifest filled the retained
+    manifest but before the `with _reserved(...)` block exits must NOT
+    delete _MANIFEST.vN — it belongs to an already-committed version,
+    and pinned reads / resolve_version_at depend on it (ADVICE r6).
+    Only a still-pending placeholder is released on unwind."""
+    import os
+
+    from sortify_spark.sources.versioned import (
+        _commit_manifest,
+        _reserved,
+        read_manifest,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/docs"
+        # committed-then-interrupted: manifest survives
+        with pytest.raises(KeyboardInterrupt):
+            with _reserved(path, 1):
+                _commit_manifest(
+                    path, {"version": 1, "partitions": {}}
+                )
+                raise KeyboardInterrupt
+        assert os.path.exists(f"{path}/_MANIFEST.v1")
+        assert read_manifest(path, version=1)["version"] == 1
+        assert read_manifest(path)["version"] == 1
+        # still-pending-then-interrupted: placeholder released
+        with pytest.raises(KeyboardInterrupt):
+            with _reserved(path, 2):
+                raise KeyboardInterrupt
+        assert not os.path.exists(f"{path}/_MANIFEST.v2")
