@@ -757,6 +757,97 @@ def main() -> None:
                     ),
                 )
 
+            # -- long stream + LSM fold: 20 fresh triggers, fold the
+            # band/embedding side tables into base level -1 after
+            # trigger 10 — admissions must keep landing, the catch-up
+            # must stay empty (no re-banding of folded ids), and the
+            # files a reader touches must drop at the fold.
+            def admission_fold_long_stream():
+                from sortify_spark.sources.versioned import (
+                    fold_partitions,
+                    read_versioned,
+                    snapshot_files,
+                )
+
+                adir = os.path.join(derived, "adm_fold")
+                inp, tbl = f"{adir}/in", f"{adir}/table"
+                os.makedirs(inp, exist_ok=True)
+                fdocs.filter(~is_b2).limit(5000).coalesce(2).write.mode(
+                    "append"
+                ).parquet(inp)
+
+                def trigger():
+                    q = admission_stream(
+                        spark, inp, tbl, f"{adir}/ck",
+                        semantic_tau=0.995, use_index=True,
+                    )
+                    q.awaitTermination(600)
+
+                trigger()  # bootstrap
+                n_batches, per_batch = 20, []
+                pool = fdocs.filter(is_b2).limit(n_batches * 200)
+                files_at_fold = {}
+                for b in range(n_batches):
+                    # pool ids are ≡7 (mod 10); bucket on id//10 so all
+                    # 20 batches are non-empty
+                    batch = (
+                        pool.filter(
+                            (F.col("doc_id") / 10).cast("long")
+                            % n_batches
+                            == b
+                        )
+                        .limit(200)
+                        .select(
+                            (
+                                F.col("doc_id") + (b + 1) * 10_000_000
+                            ).alias("doc_id"),
+                            F.concat(
+                                F.translate(
+                                    F.col("text"), "aeiou", "01234"
+                                ),
+                                F.lit(f" b{b}fid"),
+                                F.col("doc_id").cast("string"),
+                            ).alias("text"),
+                            "lang",
+                            "source",
+                            "n_chars",
+                        )
+                    )
+                    batch.coalesce(1).write.mode("append").parquet(inp)
+                    t0 = time.time()
+                    trigger()
+                    per_batch.append(round(time.time() - t0, 2))
+                    if b == n_batches // 2 - 1:
+                        files_at_fold["before"] = len(
+                            snapshot_files(f"{tbl}__bands")
+                        ) + len(snapshot_files(f"{tbl}__emb"))
+                        fold_partitions(spark, f"{tbl}__bands", "pb", -1)
+                        fold_partitions(spark, f"{tbl}__emb", "pb", -1)
+                        files_at_fold["after"] = len(
+                            snapshot_files(f"{tbl}__bands")
+                        ) + len(snapshot_files(f"{tbl}__emb"))
+                half = n_batches // 2
+                bands = read_versioned(spark, f"{tbl}__bands", "pb")
+                return {
+                    "rows": read_versioned(spark, tbl, "source").count(),
+                    "files_before_fold": files_at_fold["before"],
+                    "files_after_fold": files_at_fold["after"],
+                    "mean_batch_sec_pre_fold": round(
+                        sum(per_batch[:half]) / half, 2
+                    ),
+                    "mean_batch_sec_post_fold": round(
+                        sum(per_batch[half:]) / (n_batches - half), 2
+                    ),
+                    "side_partitions_end": bands.select("pb")
+                    .distinct()
+                    .count(),
+                }
+
+            stage(
+                f"admission_{FE}x_lsm_fold_20batch",
+                admission_fold_long_stream,
+            )
+
         facade_stages()
 
         total = round(sum(s["sec"] for s in stages.values()), 2)

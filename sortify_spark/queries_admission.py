@@ -157,10 +157,16 @@ FROM {last} ORDER BY doc_id"""
     "corpus — every doc id, its source, and its admitting batch — is "
     "hash-checked against a sequential SQL replay whose per-batch "
     "screens run against the admitted-so-far corpus, proving the "
-    "evolving-corpus semantics, not just the kernels.",
+    "evolving-corpus semantics, not just the kernels.  Between "
+    "batches the LSM side tables are FOLDED into their base level "
+    "(sources.versioned.fold_partitions) — compaction is pure layout, "
+    "so the admitted corpus must hash-match the same oracle.",
 )
 def q_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sortify_spark.sources.versioned import read_versioned
+    from sortify_spark.sources.versioned import (
+        fold_partitions,
+        read_versioned,
+    )
     from sortify_spark.streaming.pipeline import admission_stream
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -183,6 +189,12 @@ def q_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             use_index=True,
         )
         q.awaitTermination(600)
+        if b == N_BATCHES // 2:
+            # mid-stream LSM maintenance: fold the per-batch side
+            # partitions into base level -1; later batches read the
+            # folded index and must admit identically
+            fold_partitions(spark, f"{table}__bands", "pb", -1)
+            fold_partitions(spark, f"{table}__emb", "pb", -1)
     return (
         read_versioned(spark, table, "source")
         .select(

@@ -664,6 +664,16 @@ _suite(
                 val2="top_bigram_frac",
             ),
         ),
+        # round 7: CCNet-style held-out bigram-LM quality scoring
+        (
+            "bigram_lm_quality",
+            dict(
+                key1="source",
+                cnt="docs",
+                val="mean_like",
+                val2="low_docs",
+            ),
+        ),
         # round 5: benchmark-overlap fraction (threshold-setting measure)
         (
             "contamination_fraction",

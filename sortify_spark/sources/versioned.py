@@ -587,6 +587,97 @@ def compact(
     return new_version
 
 
+def fold_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    base_value,
+    keep=None,
+) -> int | None:
+    """LSM-style level fold: merge many small partitions into ONE base
+    partition (re-keying ``partition_col`` to ``base_value``) as an
+    atomic new version.  This is the compaction shape :func:`compact`
+    cannot express — ``compact`` consolidates FILES within a partition,
+    but an append-shaped table partitioned by commit batch (the
+    admission stream's band/embedding side tables: one ``pb`` partition
+    per micro-batch, one file each) accumulates PARTITIONS, and every
+    reader scan pays one file + one listing per batch ever committed.
+    Folding is pure layout: the snapshot's rows are untouched except
+    for the partition key itself, old snapshots stay time-travelable
+    until vacuumed, and the fold rewrites only the selected partitions
+    plus the base (classic tiered-compaction write amplification —
+    at 100 TB, fold only levels past an age/size threshold via
+    ``keep`` instead of full folds).
+
+    ``keep``: optional predicate over the (string) partition value;
+    partitions where it returns True are left in place (e.g. the hot
+    tail of recent batches a replay could still target).  The base
+    partition, if present, is always folded (it is the fold target).
+    Returns the committed version, or None when fewer than two
+    partitions would fold.
+
+    Replay safety for the admission side tables: a replayed micro-batch
+    only re-commits side rows when its docs re-admit, and re-admission
+    is suppressed by the exact-twin screen once the corpus commit
+    landed — so rows can never be live in both the base and a replayed
+    ``pb`` partition (tests/test_pipelines.py exercises a fold
+    mid-stream)."""
+    manifest = read_manifest(path)
+    parts = manifest["partitions"]
+    base_str = str(base_value)
+    fold_vals = [
+        v
+        for v in sorted(parts)
+        if v == base_str or keep is None or not keep(v)
+    ]
+    if len(fold_vals) < 2:
+        return None
+    dtype = manifest.get("partition_dtype")
+    new_version = manifest["version"] + 1
+    with _reserved(path, new_version):  # before any data write
+        merged = _read_partition_dirs(
+            spark, path, partition_col, [parts[v] for v in fold_vals],
+            dtype=dtype,
+        )
+        merged = merged.withColumn(
+            partition_col,
+            F.lit(base_value).cast(dtype) if dtype else F.lit(base_value),
+        )
+        vdir = os.path.join(path, f"v={new_version}")
+        (
+            merged.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(vdir)
+        )
+        new_parts = {
+            v: rel for v, rel in parts.items() if v not in fold_vals
+        }
+        new_parts[base_str] = f"v={new_version}/{partition_col}={base_str}"
+        new_manifest = {"version": new_version, "partitions": new_parts}
+        if dtype:
+            new_manifest["partition_dtype"] = dtype
+        _commit_manifest(path, new_manifest)
+    return new_version
+
+
+def snapshot_files(path: str) -> list[str]:
+    """The parquet files the CURRENT snapshot's readers touch — one
+    entry per data file across the manifest's partition dirs.  A cheap
+    read-cost proxy for compaction decisions and tests (files touched
+    before vs after a fold)."""
+    manifest = read_manifest(path)
+    out: list[str] = []
+    for rel in manifest["partitions"].values():
+        pdir = os.path.join(path, rel)
+        out.extend(
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
 def diff(
     spark: SparkSession,
     path: str,

@@ -1209,3 +1209,128 @@ def test_admission_replay_center_exists_empty_corpus(spark):
         assert got == {1}
         # the emb side table committed from the re-embedded batch
         assert read_versioned(spark, table + "__emb", "pb").count() >= 1
+
+
+def test_admission_sides_fold_mid_stream(spark):
+    """Long-stream LSM maintenance (VERDICT r5 item 7): the band and
+    embedding side tables accumulate one `pb` partition per micro-batch;
+    folding them into a base level mid-stream must not change admission
+    decisions, must not re-trigger the self-heal catch-up (folded ids
+    still cover the corpus), and must cut the files a reader touches."""
+    from sortify_spark.sources.versioned import (
+        fold_partitions,
+        read_manifest,
+        read_versioned,
+        snapshot_files,
+    )
+    from sortify_spark.streaming.pipeline import admission_stream
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight in the "
+        "deep forest while owls watch silently from above",
+        "streaming admission control for large training corpora uses "
+        "versioned manifests and banded minhash candidate joins",
+        "window functions and adaptive execution reshape distributed "
+        "query plans at runtime with skew aware partitioning",
+        "tokenizer vocabularies emerge from byte pair merges over a "
+        "single distilled word frequency table each round",
+        "columnar layouts with zone maps prune row groups before any "
+        "decompression touches the scan pipeline at all",
+        "embedding quantization trades recall for memory through "
+        "product codebooks trained on sampled residual vectors",
+        "document fingerprints from rolling hashes support winnowing "
+        "selection of positions shared across revisions",
+        "late arriving events fall out of watermarked windows and "
+        "land in a dead letter relation for replay later",
+    ]
+
+    def feed(rows, inp):
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, table = f"{tmp}/in", f"{tmp}/table"
+        bands, emb = table + "__bands", table + "__emb"
+
+        def run():
+            q = admission_stream(
+                spark, inp, table, f"{tmp}/ck",
+                semantic_tau=0.995, use_index=True,
+            )
+            q.awaitTermination(180)
+
+        # 4 micro-batches, 2 fresh docs each (same checkpoint: each
+        # run processes only its own new file)
+        for b in range(4):
+            feed(
+                [
+                    (b * 10 + j, texts[b * 2 + j], "en", "web", 99)
+                    for j in range(2)
+                ],
+                inp,
+            )
+            run()
+        admitted = {
+            r["doc_id"]
+            for r in read_versioned(spark, table, "source").collect()
+        }
+        assert len(admitted) == 8
+        band_ids = {
+            r["id"] for r in read_versioned(spark, bands, "pb").collect()
+        }
+        emb_ids = {
+            r["id"] for r in read_versioned(spark, emb, "pb").collect()
+        }
+        assert emb_ids == admitted
+        files_before = len(snapshot_files(bands)) + len(
+            snapshot_files(emb)
+        )
+        assert len(read_manifest(bands)["partitions"]) >= 4
+        # mid-stream fold: both side tables into base level -1
+        assert fold_partitions(spark, bands, "pb", -1) is not None
+        assert fold_partitions(spark, emb, "pb", -1) is not None
+        files_after = len(snapshot_files(bands)) + len(
+            snapshot_files(emb)
+        )
+        assert files_after == 2 < files_before
+        assert {
+            r["id"] for r in read_versioned(spark, bands, "pb").collect()
+        } == band_ids
+        assert {
+            r["id"] for r in read_versioned(spark, emb, "pb").collect()
+        } == emb_ids
+        # batch 5: a semantic near-dup (permutation of doc 0), an exact
+        # dup of doc 1, and one genuinely fresh doc
+        feed(
+            [
+                (100, " ".join(reversed(texts[0].split())), "en", "web", 99),
+                (101, texts[1], "en", "web", 99),
+                (102, "entirely novel content about atomic manifest "
+                      "swaps protecting concurrent snapshot readers",
+                 "en", "mail", 99),
+            ],
+            inp,
+        )
+        run()
+        got = {
+            r["doc_id"]
+            for r in read_versioned(spark, table, "source").collect()
+        }
+        assert got == admitted | {102}
+        # catch-up stayed empty: the only partitions now are the base
+        # and the new batch's own commit, and that commit carries ONLY
+        # the fresh doc — folded ids were not re-banded
+        for side in (bands, emb):
+            parts = set(read_manifest(side)["partitions"])
+            assert "-1" in parts and len(parts) == 2
+            hot = (parts - {"-1"}).pop()
+            hot_ids = {
+                r["id"]
+                for r in read_versioned(spark, side, "pb")
+                .filter(F.col("pb") == int(hot))
+                .collect()
+            }
+            assert hot_ids == {102}, side

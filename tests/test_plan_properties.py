@@ -428,3 +428,18 @@ def test_hot_bucket_guard_carries_payload_correctly(spark):
         assert r["id_a"] < r["id_b"]
         assert r["payload_a"] == r["id_a"] * 11
         assert r["payload_b"] == r["id_b"] * 11
+
+
+def test_bigram_lm_quality_broadcast_lm_tables(spark):
+    """CCNet-style bigram-LM scoring: the LM tables (bigram, unigram,
+    vocab scalar, corpus mean) are broadcast, so the corpus-side bigram
+    stream is never shuffled or sorted — explode -> broadcast hash
+    joins -> map-side-combined per-doc agg.  No SMJ, no Python, no
+    cartesian blowup (the only cross joins carry 1-row broadcast
+    scalars)."""
+    plan = _plan(spark, "bigram_lm_quality")
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "partial_" in plan

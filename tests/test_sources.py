@@ -1409,3 +1409,61 @@ def test_versioned_interrupt_after_commit_keeps_manifest(spark):
             with _reserved(path, 2):
                 raise KeyboardInterrupt
         assert not os.path.exists(f"{path}/_MANIFEST.v2")
+
+
+def test_fold_partitions_lsm_level_merge(spark):
+    """fold_partitions merges many small batch-keyed partitions into
+    one base partition atomically: rows identical, files touched drop
+    to one, old snapshots still time-travel, and a `keep` predicate
+    protects the hot tail from folding."""
+    from sortify_spark.sources.versioned import (
+        fold_partitions,
+        read_manifest,
+        read_versioned,
+        snapshot_files,
+        upsert_versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/side"
+        for b in range(5):
+            upsert_versioned(
+                spark.createDataFrame(
+                    [(b * 10 + i, f"x{b}", b) for i in range(3)],
+                    "id long, payload string, pb int",
+                ),
+                path, keys=["id"], partition_col="pb",
+            )
+        before = read_versioned(spark, path, "pb")
+        rows_before = {
+            (r["id"], r["payload"]) for r in before.collect()
+        }
+        assert len(snapshot_files(path)) == 5
+        v_prefold = read_manifest(path)["version"]
+        # keep the hot tail (pb >= 3), fold the rest into base -1
+        v = fold_partitions(
+            spark, path, "pb", -1, keep=lambda p: int(p) >= 3
+        )
+        assert v == v_prefold + 1
+        m = read_manifest(path)
+        assert set(m["partitions"]) == {"-1", "3", "4"}
+        after = read_versioned(spark, path, "pb")
+        assert {
+            (r["id"], r["payload"]) for r in after.collect()
+        } == rows_before
+        assert len(snapshot_files(path)) == 3
+        # folded rows carry the base partition value, typed
+        assert after.filter(F.col("pb") == -1).count() == 9
+        # pre-fold snapshot still readable with original partitioning
+        old = read_versioned(spark, path, "pb", version=v_prefold)
+        assert old.filter(F.col("pb") == 0).count() == 3
+        # full fold: everything into base; single file touched
+        assert fold_partitions(spark, path, "pb", -1) == v + 1
+        assert set(read_manifest(path)["partitions"]) == {"-1"}
+        assert len(snapshot_files(path)) == 1
+        assert {
+            (r["id"], r["payload"])
+            for r in read_versioned(spark, path, "pb").collect()
+        } == rows_before
+        # idempotent: single partition left -> nothing to fold
+        assert fold_partitions(spark, path, "pb", -1) is None
