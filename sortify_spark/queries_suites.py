@@ -526,6 +526,19 @@ _suite(
                 val="score",
             ),
         ),
+        # round 7: incremental IVF maintenance — upsert the held-out
+        # slice against the STORED quantizer (centroids unchanged),
+        # probe the upserted index; vs a SQL replay of build + add
+        # (queries_vector._ivf_upsert_oracle_sql).
+        (
+            "ivf_index_upsert_probe",
+            dict(
+                key1="kind",
+                key2="CAST(id AS STRING)",
+                cnt="bucket",
+                val="score",
+            ),
+        ),
         (
             "facade_lsh_recall",
             dict(

@@ -951,3 +951,117 @@ def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("ver", "kind", "id")
+
+
+def _ivf_upsert_oracle_sql(k: int = 10, nprobe: int = 3, dim: int = 64) -> str:
+    """Oracle for ``ivf_index_upsert_probe``: replay the v1 build (seed
+    means → rounded nearest-seed reassignment → bucket means), then the
+    INCREMENTAL ADD — the held-out slice assigned to v1's FINAL stored
+    centroids (the quantizer does not move on upsert), unioned with the
+    v1 assignments — and the probe over the upserted index (rank the
+    UNCHANGED v1 centroids, exact rerank inside the probed buckets)."""
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    v1c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id <> 0 AND vec_id % 5 <> 1),
+    v1sd AS (SELECT label, r.range AS i, AVG(e[r.range]) AS m
+             FROM v1c, range(1, {dim + 1}) r GROUP BY label, r.range),
+    v1seed AS (SELECT label AS bucket, list(m ORDER BY i) AS cent
+               FROM v1sd GROUP BY label),
+    v1asg AS (SELECT vec_id, e, bucket FROM (
+        SELECT c.vec_id, c.e, s.bucket,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(c.e, s.cent), 6)
+                            DESC,
+                          s.bucket ASC) AS rn
+        FROM v1c c CROSS JOIN v1seed s) WHERE rn = 1),
+    v1cd AS (SELECT bucket, r.range AS i, AVG(e[r.range]) AS m
+             FROM v1asg, range(1, {dim + 1}) r GROUP BY bucket, r.range),
+    v1cent AS (SELECT bucket, list(m ORDER BY i) AS cent
+               FROM v1cd GROUP BY bucket),
+    nw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id <> 0 AND vec_id % 5 = 1),
+    nasg AS (SELECT vec_id, e, bucket FROM (
+        SELECT n.vec_id, n.e, s.bucket,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(n.e, s.cent), 6)
+                            DESC,
+                          s.bucket ASC) AS rn
+        FROM nw n CROSS JOIN v1cent s) WHERE rn = 1),
+    uasg AS (SELECT * FROM v1asg UNION ALL SELECT * FROM nasg),
+    upb AS (SELECT bucket,
+                   ROUND(list_cosine_similarity(cent, qe), 6) AS bscore
+            FROM v1cent CROSS JOIN q
+            ORDER BY bscore DESC, bucket ASC LIMIT {nprobe}),
+    utk AS (SELECT a.vec_id AS id, a.bucket,
+                   ROUND(list_cosine_similarity(a.e, qe), 6) AS score
+            FROM uasg a JOIN upb ON a.bucket = upb.bucket
+                 CROSS JOIN q
+            ORDER BY score DESC, id ASC LIMIT {k})
+    SELECT * FROM (
+      SELECT 'probe' AS kind, CAST(bucket AS BIGINT) AS id, bucket,
+             bscore AS score FROM upb
+      UNION ALL SELECT 'topk', id, bucket, score FROM utk
+    ) __u ORDER BY kind, id
+    """
+
+
+@register(
+    "ivf_index_upsert_probe",
+    _ivf_upsert_oracle_sql(),
+    note="Incremental IVF maintenance (FAISS `add` semantics; the "
+    "reference's delete-then-readd vector refresh, "
+    "vector_db_service.py:73-76, as a batch artifact): build version 1 "
+    "over a subset, then upsert_ivf_index the held-out slice — "
+    "assigned to the STORED quantizer (centroid table version "
+    "unchanged), committed keyed into only the touched bucket "
+    "partitions — and probe the upserted index.  Probed (bucket, "
+    "bscore) pairs and the exact rerank hash-checked against a "
+    "pure-SQL replay of build + incremental add.",
+)
+def q_ivf_index_upsert_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from sortify_spark.search.index import (
+        build_ivf_index,
+        probe_ivf_index,
+        rank_index_buckets,
+        upsert_ivf_index,
+    )
+    from sortify_spark.sources.versioned import read_versioned
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    path = tempfile.mkdtemp(prefix="sortify_ivfup_") + "/ivf"
+    build_ivf_index(
+        emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 1)),
+        path,
+        seed_col="label",
+        exact_assign=True,
+    )
+    upsert_ivf_index(
+        emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 == 1)),
+        path,
+        exact_assign=True,
+    )
+    pb = rank_index_buckets(spark, path, query, nprobe=3).select(
+        F.lit("probe").alias("kind"),
+        F.col("bucket").cast("long").alias("id"),
+        "bucket",
+        F.col("bscore").alias("score"),
+    )
+    assign = read_versioned(spark, f"{path}/assign", "bucket")
+    tk = (
+        probe_ivf_index(spark, path, query, k=10, nprobe=3)
+        .join(assign.select("vec_id", "bucket"), "vec_id")
+        .select(
+            F.lit("topk").alias("kind"),
+            F.col("vec_id").alias("id"),
+            "bucket",
+            "score",
+        )
+    )
+    return pb.unionByName(tk).orderBy("kind", "id")

@@ -93,11 +93,104 @@ def build_ivf_index(
     cent_version = overwrite_versioned(
         cents, f"{path}/centroids", partition_col="part"
     )
+    data = data.localCheckpoint(eager=True)
     return overwrite_versioned(
         data,
         f"{path}/assign",
         partition_col="bucket",
-        extra={"centroid_version": cent_version},
+        extra={
+            "centroid_version": cent_version,
+            # growth budget for rebuild decisions: callers compare
+            # current row count to the quantizer's training size
+            "built_rows": data.count(),
+        },
+    )
+
+
+def upsert_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_assign: bool = False,
+) -> int:
+    """Incremental ADD / REPLACE against the STORED coarse quantizer —
+    FAISS IVF ``add`` semantics: incoming vectors are assigned to their
+    nearest EXISTING centroid (the quantizer does not move; re-train by
+    :func:`build_ivf_index`) and committed keyed ``vec_id`` into the
+    bucket-partitioned assign table, touching only the buckets the
+    batch lands in.  Returns the committed assign version.
+
+    A REPLACED id whose new embedding lands in a DIFFERENT bucket is
+    first removed from its old bucket — located with one column-pruned
+    ``(vec_id, bucket)`` scan of the assign table — via a keyed delete,
+    then the new rows commit.  That is two versions, not one: the
+    in-between snapshot (and a crash between the commits) misses the
+    moving ids but can never DUPLICATE them, and the next upsert or
+    rebuild heals the gap — the derived-artifact trade the reference's
+    delete-then-readd vector refresh makes too
+    (``vector_db_service.py:73-76``).  The paired ``centroid_version``
+    is carried through every commit so probes keep resolving the
+    quantizer that assigned the rows.
+
+    Scale: assignment is the same broadcast/BLAS kernel as the build
+    (batch × nlist); the moved-id scan reads two columns of the index
+    (column-pruned, no shuffle); the commit rewrites only affected
+    bucket partitions.  Growth stats: each build records ``built_rows``
+    in the assign manifest, so callers can rebuild when
+    rows-now / built_rows exceeds a drift budget."""
+    from sortify_spark.sources.versioned import (
+        delete_versioned,
+        read_manifest,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    spark = vectors.sparkSession
+    manifest = read_manifest(f"{path}/assign")
+    cents = read_versioned(
+        spark,
+        f"{path}/centroids",
+        "part",
+        version=manifest.get("centroid_version"),
+    ).select("bucket", "centroid")
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    )
+    assign = (
+        knn.assign_nearest_centroid
+        if exact_assign
+        else knn.assign_nearest_centroid_np
+    )
+    assigned = (
+        assign(base, cents)
+        .withColumnRenamed("label", "bucket")
+        .join(base, "vec_id")
+        .select("vec_id", "embedding", "bucket")
+    )
+    assigned = assigned.localCheckpoint(eager=True)
+    # ids already indexed under a DIFFERENT bucket: delete before the
+    # keyed upsert (the upsert's anti-join is (bucket, vec_id) — it
+    # cannot see the old bucket's row)
+    old = read_versioned(spark, f"{path}/assign", "bucket").select(
+        "vec_id", F.col("bucket").alias("old_bucket")
+    )
+    moved = (
+        assigned.select("vec_id", "bucket")
+        .join(old, "vec_id")
+        .filter(F.col("bucket") != F.col("old_bucket"))
+        .select("vec_id", F.col("old_bucket").alias("bucket"))
+    )
+    pair = {"centroid_version": manifest.get("centroid_version")}
+    if not moved.isEmpty():
+        delete_versioned(
+            moved, f"{path}/assign", keys=["vec_id"],
+            partition_col="bucket", extra=pair,
+        )
+    return upsert_versioned(
+        assigned, f"{path}/assign", keys=["vec_id"],
+        partition_col="bucket", extra=pair,
     )
 
 

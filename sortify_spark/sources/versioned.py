@@ -302,9 +302,11 @@ def upsert_versioned(
     keys: Sequence[str],
     partition_col: str,
     write_files_per_partition: int = 1,
+    extra: dict | None = None,
 ) -> int:
     """Keyed upsert as an atomic new version; returns the committed
-    version number.
+    version number.  ``extra`` merges additional metadata keys into the
+    committed manifest (same contract as ``overwrite_versioned``).
 
     Affected partitions = the update's distinct partition values; their
     current rows load from the manifest's dirs, matched keys are
@@ -390,14 +392,14 @@ def upsert_versioned(
         new_parts = dict(manifest["partitions"])
         for value in affected:
             new_parts[value] = f"v={new_version}/{partition_col}={value}"
-        _commit_manifest(
-            path,
-            {
-                "version": new_version,
-                "partitions": new_parts,
-                "partition_dtype": dtype,
-            },
-        )
+        new_manifest = {
+            "version": new_version,
+            "partitions": new_parts,
+            "partition_dtype": dtype,
+        }
+        if extra:
+            new_manifest.update(extra)
+        _commit_manifest(path, new_manifest)
     return new_version
 
 
@@ -457,6 +459,7 @@ def delete_versioned(
     path: str,
     keys: Sequence[str],
     partition_col: str,
+    extra: dict | None = None,
 ) -> int:
     """Keyed delete as an atomic new version (the S10 vector-delete
     semantics on the versioned store): affected partitions rewrite
@@ -514,17 +517,17 @@ def delete_versioned(
                     )
                 else:
                     del new_parts[value]
-        _commit_manifest(
-            path,
-            {
-                "version": new_version,
-                "partitions": new_parts,
-                "partition_dtype": manifest.get(
-                    "partition_dtype",
-                    deletes.schema[partition_col].dataType.simpleString(),
-                ),
-            },
-        )
+        new_manifest = {
+            "version": new_version,
+            "partitions": new_parts,
+            "partition_dtype": manifest.get(
+                "partition_dtype",
+                deletes.schema[partition_col].dataType.simpleString(),
+            ),
+        }
+        if extra:
+            new_manifest.update(extra)
+        _commit_manifest(path, new_manifest)
     return new_version
 
 

@@ -604,6 +604,7 @@ def admission_stream(
     available_now: bool = True,
     semantic_tau: float | None = None,
     use_index: bool = False,
+    fold_sides_over: int | None = None,
 ):
     """Streaming corpus admission: the full training-data front door as
     one continuous pipeline — new documents stream in, every micro-batch
@@ -636,6 +637,13 @@ def admission_stream(
     ids → index rows rebuilt for the gap), which also bootstraps the
     index on first use.  Correctness never depends on the index being
     current: the exact-twin screen always reads the corpus itself.
+
+    ``fold_sides_over=N`` (requires ``use_index=True``) bounds the
+    LSM side tables' partition count: when either side table exceeds N
+    batch partitions, the cold partitions fold into base level ``-1``
+    (``sources.versioned.fold_partitions`` — atomic, pure layout,
+    admissions provably unchanged), so a long-running stream's read
+    cost stays O(N + 1) files instead of O(batches ever committed).
 
     This is the streaming composition of three independently
     oracle-checked kernels: ``textstats.fingerprint`` (exact),
@@ -1109,6 +1117,28 @@ def admission_stream(
                         partition_col="pb",
                     )
         _tick("commits")
+        if use_index and fold_sides_over is not None:
+            # in-stream LSM maintenance: when a side table has
+            # accumulated more than `fold_sides_over` batch partitions,
+            # fold the cold ones into base level -1 (pure layout —
+            # admissions unchanged, proven by the folded admission
+            # replay oracle).  The current batch's partition stays out
+            # of the fold: zero interaction with an in-flight replay.
+            from sortify_spark.sources.versioned import fold_partitions
+
+            for side in (bands_path, emb_path):
+                if (
+                    len(read_manifest(side)["partitions"])
+                    > fold_sides_over
+                ):
+                    fold_partitions(
+                        spark,
+                        side,
+                        "pb",
+                        -1,
+                        keep=lambda p: int(p) >= int(_batch_id),
+                    )
+            _tick("side_fold")
         if dbg:
             print(f"[admit b{_batch_id}] {marks}", file=_sys.stderr)
 

@@ -1334,3 +1334,64 @@ def test_admission_sides_fold_mid_stream(spark):
                 .collect()
             }
             assert hot_ids == {102}, side
+
+
+def test_admission_auto_fold_bounds_side_partitions(spark):
+    """fold_sides_over=2: a long stream keeps each side table at
+    <= base + hot-tail partitions automatically, and admission
+    decisions are unaffected (an exact dup and a fresh doc behave
+    identically to the unfolded stream)."""
+    from sortify_spark.sources.versioned import (
+        read_manifest,
+        read_versioned,
+    )
+    from sortify_spark.streaming.pipeline import admission_stream
+
+    frag = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet magenta cyan teal",
+        "north south east west up down left right front back",
+    ]
+
+    def feed(rows, inp):
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, table = f"{tmp}/in", f"{tmp}/table"
+
+        def run():
+            q = admission_stream(
+                spark, inp, table, f"{tmp}/ck",
+                semantic_tau=0.995, use_index=True,
+                fold_sides_over=2,
+            )
+            q.awaitTermination(180)
+
+        for b in range(5):
+            feed([(b, frag[b], "en", "web", 50)], inp)
+            run()
+        for side in ("__bands", "__emb"):
+            parts = set(read_manifest(table + side)["partitions"])
+            assert len(parts) <= 3, (side, parts)
+            assert "-1" in parts
+        # dup of doc 0 still rejected, fresh doc admits
+        feed(
+            [
+                (100, frag[0], "en", "web", 50),
+                (101, "completely different closing words about folds",
+                 "en", "web", 48),
+            ],
+            inp,
+        )
+        run()
+        got = {
+            r["doc_id"]
+            for r in read_versioned(spark, table, "source").collect()
+        }
+        assert got == {0, 1, 2, 3, 4, 101}

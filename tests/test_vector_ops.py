@@ -344,3 +344,82 @@ def test_persisted_ivf_index_rebuild_replaces_assignments(spark, tmp_path):
         ).collect()
     ]
     assert got2_again == got2
+
+
+def test_ivf_index_incremental_upsert(spark, tmp_path):
+    """FAISS-add semantics: upsert_ivf_index assigns new vectors to the
+    STORED centroids (quantizer unchanged — centroid table version
+    still the build's), replaces an existing id that moved buckets
+    without duplicating it, and a probe over the upserted index finds
+    the new vectors.  The pinned pre-upsert snapshot is unchanged."""
+    import pyspark.sql.functions as F
+
+    from sortify_spark.search.index import (
+        build_ivf_index,
+        probe_ivf_index,
+        upsert_ivf_index,
+    )
+    from sortify_spark.sources.versioned import (
+        read_manifest,
+        read_versioned,
+    )
+    from sortify_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 1))
+    v1 = build_ivf_index(base, str(tmp_path / "ivf"), seed_col="label")
+    path = str(tmp_path / "ivf")
+    m1 = read_manifest(f"{path}/assign")
+    assert m1["centroid_version"] == 1 and m1["built_rows"] > 0
+    pre = {
+        r["vec_id"]
+        for r in read_versioned(spark, f"{path}/assign", "bucket")
+        .select("vec_id")
+        .collect()
+    }
+    # add the held-out slice + REPLACE one existing id with another
+    # existing vector's embedding (likely moving its bucket)
+    donor = emb.filter(F.col("vec_id") % 5 == 1).limit(1).collect()[0]
+    victim_id = sorted(pre)[0]
+    adds = emb.filter(F.col("vec_id") % 5 == 1).select(
+        "vec_id", "embedding"
+    ).unionByName(
+        spark.createDataFrame(
+            [(victim_id, donor["embedding"])],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    v2 = upsert_ivf_index(adds, path)
+    assert v2 > v1
+    m2 = read_manifest(f"{path}/assign")
+    # quantizer pairing survives the upsert commits
+    assert m2["centroid_version"] == 1
+    cur = read_versioned(spark, f"{path}/assign", "bucket")
+    ids = [r["vec_id"] for r in cur.select("vec_id").collect()]
+    assert len(ids) == len(set(ids)), "duplicated id after move"
+    assert set(ids) == pre | {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % 5 == 1)
+        .select("vec_id")
+        .collect()
+    }
+    # the replaced id carries the donor's embedding now (same bucket
+    # assignment as the donor, by construction of the stored quantizer)
+    vb = {
+        r["vec_id"]: r["bucket"]
+        for r in cur.select("vec_id", "bucket").collect()
+    }
+    assert vb[victim_id] == vb[donor["vec_id"]]
+    # probing with the donor embedding must surface both ids
+    query = spark.createDataFrame(
+        [(donor["embedding"],)], "embedding array<float>"
+    )
+    got = {
+        r["vec_id"]
+        for r in probe_ivf_index(spark, path, query, k=5, nprobe=2)
+        .collect()
+    }
+    assert {victim_id, donor["vec_id"]} <= got
+    # pinned pre-upsert snapshot unchanged
+    old = read_versioned(spark, f"{path}/assign", "bucket", version=v1)
+    assert {r["vec_id"] for r in old.select("vec_id").collect()} == pre
