@@ -87,6 +87,9 @@ HEADLINE = (
     "profile_documents",
     "ngram_novelty",
     "contamination_fraction",
+    # round 7: held-out bigram-LM quality scoring (broadcast LM tables,
+    # corpus bigram stream never shuffled)
+    "bigram_lm_quality",
 )
 
 

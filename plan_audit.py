@@ -54,6 +54,7 @@ AUDIT = [
     "bpe_train_merges",
     "ngram_novelty",
     "contamination_fraction",
+    "bigram_lm_quality",
 ]
 
 

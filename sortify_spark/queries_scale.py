@@ -783,3 +783,124 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Temperature-sampling constants: α = 0.5 (expressed as SQRT so both
+#: engines use the IEEE-correctly-rounded libm sqrt — no pow), keeping
+#: ~TEMP_KEEP_FRAC of total tokens, redistributed toward tail sources.
+TEMP_KEEP_FRAC = 0.5
+
+
+@register(
+    "temperature_mixture",
+    None,  # SQL injected below (shares the hash-bucket renderer)
+    note="Temperature-scaled mixture sampling (the GPT-3 / multilingual "
+    "alpha-sampling shape at alpha=0.5): per-source keep rates derived "
+    "FROM THE DATA so kept token mass is proportional to sqrt(source "
+    "token mass) — tail sources upweighted, head sources damped — "
+    "capped at 1 and resolved to 1/1000 hash buckets (the same "
+    "deterministic, pushdown-safe filter as mixture_resample; no RNG). "
+    "sqrt is IEEE-correctly-rounded in both engines and the rate "
+    "denominator accumulates in DECIMAL, so the kept set is "
+    "bit-portable.  One tiny per-source aggregate + a broadcast join; "
+    "the corpus scan stays a pure filter.",
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark import textstats as ts
+    from sortify_spark.operators.sampling import BUCKETS, hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(ts.token_count(F.col("text"))).cast("bigint").alias("tok")
+    )
+    per_src = per_src.withColumn(
+        "sq", F.round(F.sqrt(F.col("tok").cast("double")), 6)
+    )
+    tot = per_src.agg(
+        F.sum(F.col("sq").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("S"),
+        F.sum("tok").cast("bigint").alias("T"),
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tok",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(TEMP_KEEP_FRAC)
+                * F.col("T").cast("double")
+                / (F.col("sq") * F.col("S")),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    kept = docs.join(F.broadcast(rates), "source").filter(
+        hash_bucket("doc_id")
+        < F.floor(F.col("rate") * BUCKETS).cast("bigint")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum(ts.token_count(F.col("text")))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .join(rates, "source")
+        .select(
+            "source",
+            F.col("tok").alias("tokens_total"),
+            "rate",
+            "docs_kept",
+            "tokens_kept",
+        )
+        .orderBy("source")
+    )
+
+
+def _temperature_oracle_sql() -> str:
+    from sortify_spark import textstats as ts
+    from sortify_spark.operators.sampling import BUCKETS
+
+    toks = ts.TOKEN_COUNT_SQL.format(t="text")
+    return f"""
+    WITH per_src AS (
+      SELECT source, CAST(SUM({toks}) AS BIGINT) AS tok
+      FROM documents GROUP BY source
+    ),
+    sq AS (
+      SELECT source, tok,
+             ROUND(sqrt(CAST(tok AS DOUBLE)), 6) AS sq
+      FROM per_src
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(sq AS DECIMAL(38,10))) AS DOUBLE) AS S,
+             CAST(SUM(tok) AS BIGINT) AS T
+      FROM sq
+    ),
+    rates AS (
+      SELECT source, tok,
+             ROUND(LEAST(1.0,
+                 {TEMP_KEEP_FRAC} * CAST(T AS DOUBLE) / (sq * S)),
+                   6) AS rate
+      FROM sq, tot
+    ),
+    kept AS (
+      SELECT d.source, d.text
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+            % {BUCKETS}
+            < CAST(FLOOR(r.rate * {BUCKETS}) AS BIGINT)
+    )
+    SELECT k.source, r.tok AS tokens_total, r.rate,
+           COUNT(*) AS docs_kept,
+           CAST(SUM({ts.TOKEN_COUNT_SQL.format(t="k.text")}) AS BIGINT)
+               AS tokens_kept
+    FROM kept k JOIN rates r ON k.source = r.source
+    GROUP BY k.source, r.tok, r.rate
+    ORDER BY k.source
+    """
+
+
+_REGISTRY["temperature_mixture"].sql = _temperature_oracle_sql()

@@ -687,6 +687,17 @@ _suite(
                 val2="low_docs",
             ),
         ),
+        # round 7: alpha=0.5 temperature mixture (data-derived rates)
+        (
+            "temperature_mixture",
+            dict(
+                key1="source",
+                key2="CAST(tokens_total AS STRING)",
+                cnt="docs_kept",
+                val="rate",
+                val2="tokens_kept",
+            ),
+        ),
         # round 5: benchmark-overlap fraction (threshold-setting measure)
         (
             "contamination_fraction",
