@@ -308,6 +308,66 @@ class SortifyEngine:
         self._ivf_built.add(vtype)
         return version
 
+    def add_documents(
+        self, docs: DataFrame, rebuild_over: float = 0.5
+    ) -> dict:
+        """The reference's upload path end-to-end (S1 + S9 +
+        ``vector_db_service.py:73-76``): vectorize NEW documents with
+        the engine's pipeline, append them to the served vectors table,
+        and keep any BUILT persisted IVF artifacts current — via
+        incremental :func:`search.index.upsert_ivf_index` (FAISS-add
+        against the stored quantizer, only touched bucket partitions
+        rewrite) while the index has grown less than ``rebuild_over``
+        relative to its quantizer's training size (the assign
+        manifest's ``built_rows``), and via a full
+        :meth:`rebuild_ivf_index` re-train past that drift budget.
+        Returns ``{vtype: ("upsert"|"rebuild", version)}`` for the
+        indexes maintained."""
+        from sortify_spark.search.index import upsert_ivf_index
+        from sortify_spark.sources.versioned import read_manifest
+
+        build = (
+            ingest_vectorize_expr
+            if self.embed == "expr"
+            else ingest_vectorize
+        )
+        new_vecs = build(
+            docs, chunk_size=128, overlap=32, dim=self.dim
+        ).persist()
+        self.documents = self.documents.unionByName(docs)
+        self.vectors = self.vectors.unionByName(new_vecs).persist()
+        # LSH caches key against a center derived from the OLD corpus;
+        # drop them so the next probe rebuilds over the grown corpus
+        self._lsh_cache.clear()
+        out: dict = {}
+        for vtype in sorted(self._ivf_built):
+            path = self.ivf_index_path(vtype)
+            m = read_manifest(f"{path}/assign")
+            adds = new_vecs.filter(F.col("vtype") == vtype).select(
+                F.col("vector_id").alias("vec_id"), "embedding"
+            )
+            n_add = adds.count()
+            if n_add == 0:
+                continue
+            built = int(m.get("built_rows") or 0)
+            from sortify_spark.sources.versioned import read_versioned
+
+            n_index = read_versioned(
+                self.spark, f"{path}/assign", "bucket"
+            ).count()
+            # cumulative drift vs the quantizer's training size —
+            # repeated small adds eventually trip the re-train
+            grown = (
+                ((n_index + n_add) / built - 1.0)
+                if built
+                else float("inf")
+            )
+            if grown > rebuild_over:
+                out[vtype] = ("rebuild", self.rebuild_ivf_index(vtype))
+            else:
+                out[vtype] = ("upsert", upsert_ivf_index(adds, path))
+        return out
+
     def _ivf_index(self, vtype: str) -> str:
         """Ensure the artifact exists (first use builds version 1);
         subsequent searches only read committed snapshots."""

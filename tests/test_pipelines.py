@@ -1395,3 +1395,58 @@ def test_admission_auto_fold_bounds_side_partitions(spark):
             for r in read_versioned(spark, table, "source").collect()
         }
         assert got == {0, 1, 2, 3, 4, 101}
+
+
+def test_facade_add_documents_incremental_index(spark, tmp_path):
+    """The upload path keeps the persisted IVF artifact current:
+    a small add goes through upsert_ivf_index (quantizer version
+    unchanged, new vectors searchable), and a large add past the
+    rebuild_over drift budget triggers a full re-train."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+    from sortify_spark.sources.versioned import read_manifest
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, doc_limit=200, index_root=str(tmp_path)
+    )
+    cfg = SearchConfig(ann="ivf", ivf_nprobe=4)
+    eng.semantic_search("data", search_type="summary_only", cfg=cfg)
+    path = eng.ivf_index_path("summary")
+    m1 = read_manifest(f"{path}/assign")
+    assert m1["version"] == 1
+    # small add: one new doc with a distinctive phrase
+    new = spark.createDataFrame(
+        [
+            (
+                900001,
+                "zanzibar quokka melange a wholly new document about "
+                "incremental vector index maintenance",
+                "en",
+                "upload",
+                90,
+            )
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    out = eng.add_documents(new)
+    assert out["summary"][0] == "upsert"
+    m2 = read_manifest(f"{path}/assign")
+    assert m2["centroid_version"] == m1["centroid_version"]
+    got = eng.semantic_search(
+        "zanzibar quokka melange", search_type="summary_only", cfg=cfg
+    ).collect()
+    assert any(r["id"] == "900001" for r in got)
+    # large add (> rebuild_over x built_rows): full re-train
+    bulk = eng.documents.filter(F.col("doc_id") < 150).select(
+        (F.col("doc_id") + 950_000).alias("doc_id"),
+        F.concat(F.lit("replica corpus growth "), F.col("text")).alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out2 = eng.add_documents(bulk, rebuild_over=0.3)
+    assert out2["summary"][0] == "rebuild"
+    m3 = read_manifest(f"{path}/assign")
+    assert m3["centroid_version"] > m1["centroid_version"]
