@@ -619,6 +619,13 @@ def fold_partitions(
     Returns the committed version, or None when fewer than two
     partitions would fold.
 
+    Contract: fold is PURE LAYOUT — it never dedupes.  The caller must
+    guarantee its logical keys are unique ACROSS the folded partitions
+    (true for LSM batch-partitioned tables, where a key commits in
+    exactly one batch partition and is never rewritten); folding a
+    table that deliberately carries the same key in several partitions
+    would surface both rows under the base value.
+
     Replay safety for the admission side tables: a replayed micro-batch
     only re-commits side rows when its docs re-admit, and re-admission
     is suppressed by the exact-twin screen once the corpus commit
