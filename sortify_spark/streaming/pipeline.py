@@ -42,6 +42,7 @@ def vectorize_stream(
     embed_mode: str = "hash",
     chunk_size: int | None = None,
     overlap: int | None = None,
+    ivf_index_path: str | None = None,
 ):
     """ST1: streaming document vectorization.
 
@@ -59,6 +60,16 @@ def vectorize_stream(
     (``pipelines.ingest_vectorize_expr``) instead of the Arrow-batched
     UDF stub — the zero-Python ingest plan under streaming: batch and
     stream share one SQL-replayable code path.
+
+    ``ivf_index_path`` closes the vector-DB loop ONLINE: after each
+    micro-batch's vectors land, the persisted IVF artifact at that path
+    is maintained — built on the first batch, then incrementally
+    ``upsert_ivf_index``-ed (FAISS-add against the stored quantizer;
+    only touched bucket partitions rewrite).  Replay-safe: the keyed
+    upsert rewrites the same rows idempotently, and a replayed
+    first-batch build commits a fresh full snapshot of identical
+    content.  Re-training on drift stays a caller decision
+    (``built_rows`` is in the assign manifest).
     Returns the started StreamingQuery (caller awaits termination).
     """
     from sortify_spark.pipelines import ingest_vectorize_expr
@@ -78,7 +89,24 @@ def vectorize_stream(
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         out = build(batch_df, **kw)
+        if ivf_index_path is not None:
+            # sink + index both consume the batch: materialize once
+            out = out.localCheckpoint(eager=True)
         out.write.mode("append").parquet(output_dir)
+        if ivf_index_path is not None:
+            from sortify_spark.search.index import (
+                build_ivf_index,
+                upsert_ivf_index,
+            )
+            from sortify_spark.sources.versioned import read_manifest
+
+            vecs = out.select(
+                F.col("vector_id").alias("vec_id"), "embedding"
+            )
+            if read_manifest(f"{ivf_index_path}/assign")["version"] == 0:
+                build_ivf_index(vecs, ivf_index_path)
+            else:
+                upsert_ivf_index(vecs, ivf_index_path)
 
     writer = (
         docs.writeStream.foreachBatch(_process)

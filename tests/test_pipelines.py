@@ -1450,3 +1450,65 @@ def test_facade_add_documents_incremental_index(spark, tmp_path):
     assert out2["summary"][0] == "rebuild"
     m3 = read_manifest(f"{path}/assign")
     assert m3["centroid_version"] > m1["centroid_version"]
+
+
+def test_vectorize_stream_maintains_ivf_index(spark, docs, tmp_path):
+    """ST1 + online ANN maintenance: the vectorize stream builds the
+    persisted IVF artifact on its first micro-batch and incrementally
+    upserts later batches (stored quantizer unchanged) — every streamed
+    vector indexed exactly once and probe-able."""
+    from sortify_spark.search.index import probe_ivf_index
+    from sortify_spark.sources.versioned import (
+        read_manifest,
+        read_versioned,
+    )
+    from sortify_spark.streaming.pipeline import vectorize_stream
+
+    idx = str(tmp_path / "ivf")
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, outp = f"{tmp}/in", f"{tmp}/out"
+
+        def run():
+            q = vectorize_stream(
+                spark, inp, outp, f"{tmp}/ck", dim=16,
+                ivf_index_path=idx,
+            )
+            q.awaitTermination(120)
+
+        docs.filter(F.col("doc_id") < 30).write.mode("append").parquet(
+            inp
+        )
+        run()
+        m1 = read_manifest(f"{idx}/assign")
+        assert m1["version"] == 1 and m1["centroid_version"] == 1
+        n1 = read_versioned(spark, f"{idx}/assign", "bucket").count()
+        docs.filter(
+            (F.col("doc_id") >= 30) & (F.col("doc_id") < 50)
+        ).write.mode("append").parquet(inp)
+        run()
+        m2 = read_manifest(f"{idx}/assign")
+        assert m2["version"] > 1
+        assert m2["centroid_version"] == 1  # quantizer not re-trained
+        cur = read_versioned(spark, f"{idx}/assign", "bucket")
+        sink = spark.read.parquet(outp)
+        assert cur.count() == sink.count() > n1
+        ids = [r["vec_id"] for r in cur.select("vec_id").collect()]
+        assert len(ids) == len(set(ids))
+        # a batch-2 vector is probe-able through the artifact
+        probe_vec = (
+            sink.filter(F.col("document_id") == "35")
+            .limit(1)
+            .select("embedding")
+        )
+        vid = (
+            sink.filter(F.col("document_id") == "35")
+            .limit(1)
+            .collect()[0]["vector_id"]
+        )
+        got = {
+            r["vec_id"]
+            for r in probe_ivf_index(
+                spark, idx, probe_vec, k=3, nprobe=2
+            ).collect()
+        }
+        assert vid in got
