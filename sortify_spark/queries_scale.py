@@ -904,3 +904,58 @@ def _temperature_oracle_sql() -> str:
 
 
 _REGISTRY["temperature_mixture"].sql = _temperature_oracle_sql()
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_wk
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort_wk,
+             CAST(FLOOR(epoch(e.ts) / 604800) AS BIGINT)
+               - f.cohort_wk AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_wk, week_offset, COUNT(*) AS active_users
+    FROM activity
+    GROUP BY cohort_wk, week_offset
+    ORDER BY cohort_wk, week_offset
+    """,
+    note="Cohort retention over the events table: users bucketed by "
+    "their FIRST-activity epoch-week, counted distinct in each later "
+    "week offset — the canonical activity-analytics triangle (the "
+    "reference's dashboard only counts totals, "
+    "analytics_service.py).  Two map-side-combined hash aggregates "
+    "joined on user_id — the first-activity table is per-user (small "
+    "relative to events) and joins back BEFORE the distinct, so no "
+    "events-sized shuffle beyond the per-user aggregate; epoch-week "
+    "arithmetic is integer floor division, identical in both engines.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ep")
+    )
+    # 604800e6 us per week; unix_micros pairs with DuckDB epoch(ts)
+    wk = lambda c: F.floor(c / F.lit(604_800_000_000)).cast("bigint")  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(
+        wk(F.min("ep")).alias("cohort_wk")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            (wk(F.col("ep")) - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_wk", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_wk", "week_offset")
+    )

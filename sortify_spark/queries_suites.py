@@ -157,9 +157,19 @@ _suite(
             "status_year_cube",
             dict(key1="status", key2="order_year", cnt="cnt", val="total_value"),
         ),
+        # round 7: cohort retention (first-activity week x week offset)
+        (
+            "cohort_retention",
+            dict(
+                key1="CAST(cohort_wk AS STRING)",
+                key2="CAST(week_offset AS STRING)",
+                cnt="active_users",
+            ),
+        ),
     ],
     note="Suite: A4/A6/A7/A8/A9 grouped aggregates + ROLLUP/CUBE "
-    "grouping-set ops, shaped to (key, cnt, val) rows.",
+    "grouping-set ops + cohort retention, shaped to (key, cnt, val) "
+    "rows.",
 )
 
 # --- §2.3 / §2.7 / §2.5 relational: semi/anti joins, set ops, point
