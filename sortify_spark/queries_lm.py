@@ -38,7 +38,8 @@ exchanges carry per-doc then per-source rows.
 Reference anchor: the reference's quality surface is rule-based
 (ai_analysis_service.py heuristics); LM-likelihood filtering is a
 beyond-reference curation operator from the published pipeline
-literature (PAPERS.md: CCNet).
+literature (CCNet: Wenzek et al., "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data", LREC 2020).
 """
 
 from __future__ import annotations
