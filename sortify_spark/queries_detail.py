@@ -252,3 +252,113 @@ def q_daily_trend_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table("daily_trend_streamed_out").orderBy("day")
+
+
+@register(
+    "enrich_metadata",
+    r"""
+    WITH ai AS (
+      SELECT doc_id, source,
+             to_json(struct_pack(
+               keywords := list_filter(string_split(text, ' '),
+                                       x -> x <> '')[1:3],
+               amounts := list_filter(string_split(text, ' '),
+                                      x -> regexp_matches(x, '[0-9]')),
+               dates := list_filter(string_split(text, ' '),
+                                    x -> regexp_matches(x, '[0-9]{4}')),
+               content_summary := substring(text, 1, 80)
+             )) AS ai_json
+      FROM documents WHERE doc_id < 200
+    ),
+    enriched AS (
+      SELECT doc_id, source,
+             json_array_length(ai_json, '$.keywords') AS keyword_count,
+             json_array_length(ai_json, '$.amounts')
+               + json_array_length(ai_json, '$.dates') AS entity_count,
+             CASE WHEN json_array_length(ai_json, '$.amounts') > 0
+                  THEN 1 ELSE 0 END AS has_amounts,
+             CASE WHEN json_array_length(ai_json, '$.dates') > 0
+                  THEN 1 ELSE 0 END AS has_dates,
+             len(json_extract_string(ai_json, '$.content_summary'))
+               AS content_length
+      FROM ai
+    )
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM(keyword_count) AS BIGINT) AS keywords,
+           CAST(SUM(entity_count) AS BIGINT) AS entities,
+           CAST(SUM(has_amounts) AS BIGINT) AS docs_with_amounts,
+           CAST(SUM(has_dates) AS BIGINT) AS docs_with_dates,
+           CAST(SUM(content_length) AS BIGINT) AS summary_chars
+    FROM enriched
+    GROUP BY source ORDER BY source
+    """,
+    note="Entity-enrichment metadata derivation (reference "
+    "entity_extraction_service.py:23-159): the AI-analysis JSON "
+    "payload (here built deterministically from the text so both "
+    "engines see identical documents: keywords, digit-bearing "
+    "'amounts', 4-digit 'dates', summary) is parsed back and flattened "
+    "into the precomputed filter metadata the reference stores "
+    "(entity_count, keyword_count, has_amounts/has_dates, "
+    "content_length), rolled up per source.  Round-trip through JSON "
+    "on BOTH sides — serialization and typed re-parse are each "
+    "covered; pure JVM expressions, one map-side-combined aggregate.",
+)
+def q_enrich_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ai_json = F.to_json(
+        F.struct(
+            F.slice(words, 1, 3).alias("keywords"),
+            F.filter(words, lambda x: x.rlike("[0-9]")).alias("amounts"),
+            F.filter(words, lambda x: x.rlike("[0-9]{4}")).alias(
+                "dates"
+            ),
+            F.substring("text", 1, 80).alias("content_summary"),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("keywords", T.ArrayType(T.StringType())),
+            T.StructField("amounts", T.ArrayType(T.StringType())),
+            T.StructField("dates", T.ArrayType(T.StringType())),
+            T.StructField("content_summary", T.StringType()),
+        ]
+    )
+    ai = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "source", ai_json.alias("ai_json"))
+    )
+    p = F.from_json("ai_json", schema)
+    enriched = ai.select(
+        "source",
+        F.size(p["keywords"]).alias("keyword_count"),
+        (F.size(p["amounts"]) + F.size(p["dates"])).alias(
+            "entity_count"
+        ),
+        F.when(F.size(p["amounts"]) > 0, 1).otherwise(0).alias(
+            "has_amounts"
+        ),
+        F.when(F.size(p["dates"]) > 0, 1).otherwise(0).alias(
+            "has_dates"
+        ),
+        F.length(p["content_summary"]).alias("content_length"),
+    )
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("keyword_count").cast("bigint").alias("keywords"),
+            F.sum("entity_count").cast("bigint").alias("entities"),
+            F.sum("has_amounts").cast("bigint").alias(
+                "docs_with_amounts"
+            ),
+            F.sum("has_dates").cast("bigint").alias("docs_with_dates"),
+            F.sum("content_length").cast("bigint").alias(
+                "summary_chars"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -281,10 +281,24 @@ _suite(
             "bm25_keyword_search",
             dict(key1="CAST(doc_id AS STRING)", val="score"),
         ),
+        # round 7: AI-analysis JSON round-trip -> filter metadata
+        (
+            "enrich_metadata",
+            dict(
+                key1="source",
+                key2="CAST(keywords AS STRING) || '/' || "
+                "CAST(entities AS STRING) || '/' || "
+                "CAST(docs_with_amounts AS STRING) || '/' || "
+                "CAST(docs_with_dates AS STRING)",
+                cnt="docs",
+                val2="summary_chars",
+            ),
+        ),
     ],
     note="Suite: n-gram language ID distribution, per-source token "
     "statistics, JSON props extraction rollup, BM25 keyword top-10 "
-    "(the lexical retrieval leg, scored end-to-end).",
+    "(the lexical retrieval leg, scored end-to-end), entity-enrichment "
+    "metadata derivation (JSON round-trip).",
 )
 
 # --- §2.9 clustering + eval metrics: M5 centroid assignment (full
