@@ -1467,3 +1467,41 @@ def test_fold_partitions_lsm_level_merge(spark):
         } == rows_before
         # idempotent: single partition left -> nothing to fold
         assert fold_partitions(spark, path, "pb", -1) is None
+
+
+def test_fold_partitions_respects_writer_protocol(spark):
+    """fold_partitions is a writer like any other: a pending
+    reservation by another writer makes it raise ConcurrentWriteError
+    before touching data, and a fold never disturbs retained history
+    (pre-fold snapshot still readable afterwards)."""
+    import json as _json
+    import os
+
+    from sortify_spark.sources.versioned import (
+        ConcurrentWriteError,
+        fold_partitions,
+        read_manifest,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/t"
+        for b in range(3):
+            upsert_versioned(
+                spark.createDataFrame(
+                    [(b, "x", b)], "id long, payload string, pb int"
+                ),
+                path, keys=["id"], partition_col="pb",
+            )
+        v = read_manifest(path)["version"]
+        # another writer holds the next version
+        with open(f"{path}/_MANIFEST.v{v + 1}", "x") as fh:
+            _json.dump({"version": v + 1, "pending": True}, fh)
+        with pytest.raises(ConcurrentWriteError):
+            fold_partitions(spark, path, "pb", -1)
+        os.remove(f"{path}/_MANIFEST.v{v + 1}")
+        got = fold_partitions(spark, path, "pb", -1)
+        assert got == v + 1
+        old = read_versioned(spark, path, "pb", version=v)
+        assert old.filter(F.col("pb") == 0).count() == 1
