@@ -148,6 +148,11 @@ def upsert_ivf_index(
 
     spark = vectors.sparkSession
     manifest = read_manifest(f"{path}/assign")
+    if manifest["version"] == 0:
+        raise FileNotFoundError(
+            f"no IVF index at {path} — upsert_ivf_index maintains an "
+            "EXISTING index (FAISS `add`); run build_ivf_index first"
+        )
     cents = read_versioned(
         spark,
         f"{path}/centroids",

@@ -423,3 +423,17 @@ def test_ivf_index_incremental_upsert(spark, tmp_path):
     # pinned pre-upsert snapshot unchanged
     old = read_versioned(spark, f"{path}/assign", "bucket", version=v1)
     assert {r["vec_id"] for r in old.select("vec_id").collect()} == pre
+
+
+def test_ivf_upsert_requires_built_index(spark, tmp_path):
+    """upsert_ivf_index on a never-built path fails loudly at the
+    manifest check, before any assignment work."""
+    import pytest
+
+    from sortify_spark.search.index import upsert_ivf_index
+
+    vecs = spark.createDataFrame(
+        [(1, [0.1] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(FileNotFoundError, match="build_ivf_index"):
+        upsert_ivf_index(vecs, str(tmp_path / "nowhere"))
