@@ -287,6 +287,34 @@ def main() -> None:
             lambda: {"rows": pack_sequences(one_src, shards=32).count()},
         )
 
+        # Round-7 curation ops at inflated scale: the held-out bigram
+        # LM (corpus bigram stream through broadcast LM tables — cost
+        # should track the corpus scan) and the data-derived
+        # temperature mixture (one per-source aggregate + a broadcast
+        # filter — near-free at any corpus size).
+        def lm_quality():
+            from sortify_spark.queries_lm import bigram_lm_quality
+
+            rows = bigram_lm_quality(docs).collect()
+            return {
+                "rows": len(rows),
+                "low_docs": sum(r["low_docs"] for r in rows),
+            }
+
+        stage("bigram_lm_quality", lm_quality)
+
+        def temp_mix():
+            from sortify_spark.queries_scale import q_temperature_mixture
+
+            # reuse the registered plan over the derived corpus dir
+            rows = q_temperature_mixture(spark, derived).collect()
+            return {
+                "rows": len(rows),
+                "kept": sum(r["docs_kept"] for r in rows),
+            }
+
+        stage("temperature_mixture", temp_mix)
+
         # BPE trainer: the only corpus-scale pass is the word count —
         # the merge iterations run on the compact distinct-word table,
         # so training cost should track the ingest scan, not explode
