@@ -90,6 +90,12 @@ HEADLINE = (
     # round 7: held-out bigram-LM quality scoring (broadcast LM tables,
     # corpus bigram stream never shuffled)
     "bigram_lm_quality",
+    # round 7: fixed-memory sketches — count-min heavy-hitter audit,
+    # Bloom pre-filter join (probe side never shuffles), DSIR hashed
+    # n-gram importance weights (broadcast ratio table)
+    "countmin_word_counts",
+    "bloom_prefilter_join",
+    "dsir_importance_weights",
 )
 
 

@@ -257,11 +257,24 @@ _suite(
                 val="value",
             ),
         ),
+        # round 7: Bloom-filter pre-filter join audit (queries_sketch) —
+        # the semi-join's broadcast-bitset pre-screen with per-priority
+        # pass / true-match / false-positive counts.
+        (
+            "bloom_prefilter_join",
+            dict(
+                key1="o_orderpriority",
+                key2="CAST(true_match AS STRING)",
+                cnt="orders_total",
+                val="CAST(bloom_pass AS DOUBLE)",
+                val2="CAST(false_pos AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: J1 semi-join, SO4 anti-join, SO2 set difference + "
     "intersection, P3 point lookup, J2 broadcast hydrate, W1 global "
-    "rank, W7 latest-per-user, and the versioned-store CDC "
-    "classification kernel.",
+    "rank, W7 latest-per-user, the versioned-store CDC classification "
+    "kernel, and the Bloom pre-filter join audit.",
 )
 
 # --- text analysis: language ID, per-source token stats, JSON extraction.
@@ -889,12 +902,36 @@ _suite(
                 val2="CAST(templated_docs AS DOUBLE)",
             ),
         ),
+        # round 7: fixed-memory sketch ops (queries_sketch.py) — the
+        # count-min heavy-hitter audit and DSIR hashed-n-gram
+        # importance weights.
+        (
+            "countmin_word_counts",
+            dict(
+                key1="word",
+                cnt="exact_cnt",
+                val="CAST(cms_est AS DOUBLE)",
+                val2="CAST(overest AS DOUBLE)",
+            ),
+        ),
+        (
+            "dsir_importance_weights",
+            dict(
+                key1="source",
+                key2="CAST(kept_tokens AS STRING)",
+                cnt="docs",
+                val="mean_w",
+                val2="CAST(kept_docs AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "
     "dedup stats, hash-predicate sampling, distinct aggregation, the "
-    "z-order Morton-key kernel, and the round-4 published-pipeline "
+    "z-order Morton-key kernel, the round-4 published-pipeline "
     "quartet (C4 boilerplate spans, CCNet frequency tiers, GPT "
-    "sequence packing, SemDeDup) — one hash-checked row set for the "
-    "curation + layout additions.",
+    "sequence packing, SemDeDup), and the round-7 fixed-memory "
+    "sketches (count-min heavy-hitter audit, DSIR importance "
+    "weights) — one hash-checked row set for the curation + layout "
+    "additions.",
 )

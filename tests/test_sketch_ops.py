@@ -1,0 +1,104 @@
+"""Sketch-operator invariants (queries_sketch): the guarantees the
+papers prove, machine-checked on the synthetic corpus — exact parity
+with DuckDB is covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sortify_spark.all_queries import REGISTRY
+from sortify_spark.queries_sketch import BLOOM_K, CMS_TOPK
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_countmin_never_underestimates(spark):
+    """The count-min guarantee: est >= exact for every audited word,
+    and the audit covers exactly the top-k rows."""
+    rows = REGISTRY["countmin_word_counts"].fn(spark, SF_DIR).collect()
+    assert len(rows) == CMS_TOPK
+    assert all(r.overest >= 0 for r in rows)
+    assert all(r.cms_est == r.exact_cnt + r.overest for r in rows)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true semi-join match passes the filter: per priority,
+    bloom_pass >= true_match and false_pos == bloom_pass - true_match
+    exactly (true rows always pass, so the overshoot is all FP)."""
+    rows = REGISTRY["bloom_prefilter_join"].fn(spark, SF_DIR).collect()
+    assert rows, "expected per-priority rows"
+    for r in rows:
+        assert r.bloom_pass >= r.true_match, r
+        assert r.false_pos == r.bloom_pass - r.true_match, r
+        assert r.orders_total >= r.bloom_pass, r
+
+
+def test_dsir_weights_target_slice_upweighted(spark):
+    """DSIR sanity: weights are positive, kept counts are bounded by
+    doc counts, and the per-source mean weights are not all identical
+    (the hashed-feature ratio does discriminate)."""
+    rows = REGISTRY["dsir_importance_weights"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_w > 0, r
+        assert 0 <= r.kept_docs <= r.docs, r
+    assert len({r.mean_w for r in rows}) > 1
+
+
+def test_countmin_plan_broadcast_min_probe(spark):
+    """The sketch table joins the probe side broadcast; no Python in
+    plan, no SortMergeJoin — the word stream only feeds hash
+    aggregates with map-side partials."""
+    plan = _plan(spark, "countmin_word_counts")
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+
+
+def test_bloom_plan_probe_side_never_shuffles(spark):
+    """The order stream reaches the per-priority aggregate through
+    broadcast joins only: k bitset joins + the truth join are all
+    BroadcastHashJoin, and the probe-side exchange carries the 5
+    priority groups (map-side combined), never order rows."""
+    plan = _plan(spark, "bloom_prefilter_join")
+    assert plan.count("BroadcastHashJoin") >= BLOOM_K + 1
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_" in plan
+
+
+def test_dsir_plan_token_stream_broadcast_joined(spark):
+    """The ratio table is broadcast: the exploded token stream never
+    sort-merge-joins; per-doc aggregation map-side combines."""
+    plan = _plan(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_" in plan
+
+
+def test_bloom_filter_actually_sheds_rows(spark):
+    """The pre-screen is useful, not vacuous: across the corpus the
+    filter rejects a substantial share of non-matching orders (fp rate
+    well under 50%) while passing all matches."""
+    agg = (
+        REGISTRY["bloom_prefilter_join"]
+        .fn(spark, SF_DIR)
+        .agg(
+            F.sum("orders_total").alias("n"),
+            F.sum("bloom_pass").alias("p"),
+            F.sum("true_match").alias("t"),
+            F.sum("false_pos").alias("fp"),
+        )
+        .collect()[0]
+    )
+    non_match = agg.n - agg.t
+    assert non_match > 0
+    # False-positive rate over non-matching rows: with m/n ≈ 4096/906
+    # bits per key and k=3 the analytic rate is ~1%; assert a loose 10%.
+    assert agg.fp / non_match < 0.10, (agg.fp, non_match)
