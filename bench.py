@@ -96,6 +96,8 @@ HEADLINE = (
     "countmin_word_counts",
     "bloom_prefilter_join",
     "dsir_importance_weights",
+    # round 7: strict event-time-ordered funnel, one event-stream shuffle
+    "funnel_conversion",
 )
 
 

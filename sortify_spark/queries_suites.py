@@ -166,10 +166,21 @@ _suite(
                 cnt="active_users",
             ),
         ),
+        # round 7: strict event-time-ordered funnel (queries_funnel)
+        (
+            "funnel_conversion",
+            dict(
+                key1="CAST(step AS STRING)",
+                key2="step_name",
+                cnt="users",
+                val="conv_from_first",
+                val2="avg_us_from_first",
+            ),
+        ),
     ],
     note="Suite: A4/A6/A7/A8/A9 grouped aggregates + ROLLUP/CUBE "
-    "grouping-set ops + cohort retention, shaped to (key, cnt, val) "
-    "rows.",
+    "grouping-set ops + cohort retention + the ordered "
+    "view->click->purchase funnel, shaped to (key, cnt, val) rows.",
 )
 
 # --- §2.3 / §2.7 / §2.5 relational: semi/anti joins, set ops, point

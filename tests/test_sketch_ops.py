@@ -102,3 +102,25 @@ def test_bloom_filter_actually_sheds_rows(spark):
     # False-positive rate over non-matching rows: with m/n ≈ 4096/906
     # bits per key and k=3 the analytic rate is ~1%; assert a loose 10%.
     assert agg.fp / non_match < 0.10, (agg.fp, non_match)
+
+
+def test_funnel_single_event_shuffle(spark):
+    """The three step columns + per-user collapse share one hash
+    exchange of the event stream (same user_id partitioning reused);
+    no joins materialize on the Spark side."""
+    plan = _plan(spark, "funnel_conversion")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_funnel_steps_monotone(spark):
+    """Funnel invariants: user counts never increase down the funnel,
+    conversions are in (0, 1], and step-1 conversion is exactly 1."""
+    rows = REGISTRY["funnel_conversion"].fn(spark, SF_DIR).collect()
+    assert [r.step for r in rows] == [1, 2, 3]
+    assert rows[0].conv_from_first == 1.0
+    assert rows[0].users >= rows[1].users >= rows[2].users
+    for r in rows:
+        assert 0 < r.conv_from_first <= 1.0
+        assert r.avg_us_from_first >= 0.0
