@@ -98,6 +98,9 @@ HEADLINE = (
     "dsir_importance_weights",
     # round 7: strict event-time-ordered funnel, one event-stream shuffle
     "funnel_conversion",
+    # round 7: lexical retrieval + the lexical x dense hybrid fusion
+    "bm25_topk",
+    "hybrid_lexical_semantic_rrf",
 )
 
 

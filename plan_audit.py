@@ -55,6 +55,12 @@ AUDIT = [
     "ngram_novelty",
     "contamination_fraction",
     "bigram_lm_quality",
+    "countmin_word_counts",
+    "bloom_prefilter_join",
+    "dsir_importance_weights",
+    "funnel_conversion",
+    "bm25_topk",
+    "hybrid_lexical_semantic_rrf",
 ]
 
 

@@ -315,6 +315,36 @@ def main() -> None:
 
         stage("temperature_mixture", temp_mix)
 
+        # Round-7 sketch ops at inflated scale: the count-min sketch's
+        # cost must track the word-count pass (the 4x256 grid is
+        # constant-size however large the vocabulary), and DSIR's token
+        # stream must reach its per-doc aggregate through the broadcast
+        # ratio table alone — both are the fixed-memory-summary claim
+        # measured, not asserted.
+        def countmin():
+            from sortify_spark.queries_sketch import countmin_word_counts
+
+            rows = countmin_word_counts(docs).collect()
+            return {
+                "rows": len(rows),
+                "max_overest": max(r["overest"] for r in rows),
+            }
+
+        stage("countmin_word_counts", countmin)
+
+        def dsir():
+            from sortify_spark.queries_sketch import (
+                dsir_importance_weights,
+            )
+
+            rows = dsir_importance_weights(docs).collect()
+            return {
+                "rows": len(rows),
+                "kept_docs": sum(r["kept_docs"] for r in rows),
+            }
+
+        stage("dsir_importance_weights", dsir)
+
         # BPE trainer: the only corpus-scale pass is the word count —
         # the merge iterations run on the compact distinct-word table,
         # so training cost should track the ingest scan, not explode

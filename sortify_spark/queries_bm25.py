@@ -1,0 +1,334 @@
+"""Lexical ranked retrieval (BM25-shaped) and lexical × semantic RRF
+fusion — the keyword half of hybrid search.
+
+The reference's retrieval is vector-only (two-stage/RRF over embeddings,
+`enhanced_search_service.py:126-506`); its only lexical operation is
+substring filtering (`crud_documents.py:40`).  Modern RAG stacks pair
+the dense retriever with a lexical BM25 ranker and fuse with RRF —
+this module adds that missing half, Spark-first:
+
+- **bm25_topk**: Okapi BM25 (Robertson & Zaragoza, "The Probabilistic
+  Relevance Framework: BM25 and Beyond", FnTIR 2009) for a fixed query
+  term set, with one deliberate deviation: idf is the RATIO
+  ``(N - df + 0.5) / (df + 0.5)`` rather than its log.  ``log`` is a
+  transcendental libm call — the one place engines legitimately differ
+  in the last ulp — and this repo's correctness gate is bit-exact
+  value hashing, so we keep the repo-wide no-transcendentals contract
+  (see ``queries_lm``).  The ratio is a monotone transform of the log
+  per term; summed across terms the ordering can differ from textbook
+  BM25 (rare terms weigh MORE than log-idf would give them), which is
+  documented here as the operator's contract, not hidden.
+- **hybrid_lexical_semantic_rrf**: the full modern hybrid — BM25
+  lexical ranks fused with dense ranks from the md5 expression encoder
+  (``functions/sql_embed``) by reciprocal-rank fusion
+  ``Σ 1/(60 + rank)`` (Cormack et al., SIGIR 2009), every stage
+  replayed verbatim in DuckDB.
+
+Scale shape: BM25 for a bounded query term set needs NO explode and NO
+per-term shuffle — per-term tf and dl are array expressions in ONE
+corpus scan; (N, avgdl, df_t) is one broadcast-size aggregate row
+joined back; top-k is TakeOrdered.  The corpus is read twice (stats +
+score) and never shuffled.  The fusion adds the dense scan (dim-8 md5
+fold) and two 20-row rank lists — join cost is nil.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sortify_spark.queries import register, _t
+
+QUERY_TERMS = ("dup", "spark", "merge")  #: rare + common + common
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+FUSE_K = 20  #: per-list depth feeding the fusion
+RRF_K = 60
+SEM_DIM = 8  #: expression-encoder dim for the dense side
+_DEC = "DECIMAL(38,12)"
+
+
+def _score_expr(i: int) -> str:
+    """Per-term BM25 score as an engine-portable SQL expression over
+    columns n/df{i}/tf{i}/dl/avgdl — identical text on both engines so
+    the IEEE op sequence is identical.  tf = 0 scores exactly 0.0."""
+    k1p1 = BM25_K1 + 1.0
+    one_b = 1.0 - BM25_B
+    return (
+        f"ROUND(ROUND((CAST(n - df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5), 12)"
+        f" * ((CAST(tf{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf{i} AS DOUBLE) + {BM25_K1} * ({one_b}"
+        f" + {BM25_B} * (CAST(dl AS DOUBLE) / avgdl)))), 9)"
+    )
+
+
+def _bm25_sum_expr() -> str:
+    terms = [f"__s{i}" for i in range(len(QUERY_TERMS))]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"({acc} + {t})"
+    return f"ROUND({acc}, 9)"
+
+
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """All matching docs scored: (doc_id, source, matched_terms, bm25).
+    One corpus scan computes per-term tf + dl as array expressions (no
+    explode); the (N, avgdl, df) stats row broadcasts back."""
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+    def _tf(term: str):
+        # single-arg lambda per term (a default-arg lambda would be
+        # arity-2 and get the element INDEX as its second argument)
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(w).alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(QUERY_TERMS)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("dl").cast(_DEC)).cast("double")
+            / F.count(F.lit(1)),
+            12,
+        ).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(
+                f"df{i}"
+            )
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    for i in range(len(QUERY_TERMS)):
+        scored = scored.withColumn(f"__s{i}", F.expr(_score_expr(i)))
+    matched = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(QUERY_TERMS))
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        F.expr(matched).alias("matched_terms"),
+        F.expr(_bm25_sum_expr()).alias("bm25"),
+    ).filter(F.col("matched_terms") > 0)
+
+
+def bm25_topk(docs: DataFrame) -> DataFrame:
+    return bm25_scored(docs).orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    ).limit(BM25_TOPK)
+
+
+def _bm25_scored_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(QUERY_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(QUERY_TERMS))
+    )
+    score_cols = ", ".join(
+        f"{_score_expr(i)} AS __s{i}" for i in range(len(QUERY_TERMS))
+    )
+    matched = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(QUERY_TERMS))
+    )
+    return f"""
+base AS (
+  SELECT doc_id, source, len(w) AS dl, {tf_cols}
+  FROM (
+    SELECT doc_id, source,
+           list_filter(string_split(text, ' '), x -> x <> '') AS w
+    FROM documents
+  ) t0
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(dl AS {_DEC})) AS DOUBLE) / COUNT(*), 12)
+             AS avgdl,
+         {df_cols}
+  FROM base
+),
+scored0 AS (
+  SELECT base.*, stats.*, {score_cols}
+  FROM base CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, source, {matched} AS matched_terms,
+         {_bm25_sum_expr()} AS bm25
+  FROM scored0
+  WHERE {matched} > 0
+)"""
+
+
+_BM25_SQL = f"""
+WITH {_bm25_scored_sql()}
+SELECT doc_id, source, matched_terms, bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
+@register(
+    "bm25_topk",
+    _BM25_SQL,
+    note="Okapi BM25 lexical top-k for the fixed query "
+    f"{' '.join(QUERY_TERMS)!r} (k1={BM25_K1}, b={BM25_B}) with "
+    "rational idf (N-df+0.5)/(df+0.5) — the repo-wide "
+    "no-transcendentals contract; per-term monotone vs log-idf, "
+    "cross-term weighting deviation documented.  One corpus scan "
+    "computes tf/dl as array expressions (no explode, no per-term "
+    "shuffle); stats broadcast back; TakeOrdered top-k.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Lexical x semantic RRF fusion
+# ---------------------------------------------------------------------------
+
+QUERY_TEXT = " ".join(QUERY_TERMS)
+
+
+def hybrid_lexical_semantic(docs: DataFrame) -> DataFrame:
+    """Top-10 fused: (doc_id, rrf_score, lex_rank, sem_rank) — BM25
+    lexical ranks x expression-encoder dense ranks, RRF k=60."""
+    from sortify_spark.functions.sql_embed import expr_embed
+    from sortify_spark.functions.vectors import dot
+
+    lex = (
+        bm25_scored(docs)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("lex_rank") <= FUSE_K)
+        .select("doc_id", "lex_rank")
+    )
+    sem = (
+        docs.select(
+            "doc_id", expr_embed(F.col("text"), dim=SEM_DIM).alias("e")
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                dot(
+                    F.col("e"),
+                    expr_embed(F.lit(QUERY_TEXT), dim=SEM_DIM),
+                ),
+                9,
+            ),
+        )
+        .withColumn(
+            "sem_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("sem_rank") <= FUSE_K)
+        .select("doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, ["doc_id"], "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ),
+            12,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+def _hybrid_sql() -> str:
+    from sortify_spark.functions.sql_embed import (
+        dot_sql,
+        norm_sql,
+        normalize_sql,
+        raw_embed_sql,
+        tokens_sql,
+    )
+
+    d_toks = tokens_sql("text")
+    q_toks = tokens_sql(f"'{QUERY_TEXT}'")
+    return f"""
+WITH {_bm25_scored_sql()},
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM scored
+  QUALIFY lex_rank <= {FUSE_K}
+),
+de0 AS (
+  SELECT doc_id, {raw_embed_sql(d_toks, SEM_DIM)} AS raw FROM documents
+),
+de1 AS (SELECT doc_id, raw, {norm_sql('raw')} AS nrm FROM de0),
+de AS (SELECT doc_id, {normalize_sql('raw', 'nrm')} AS e FROM de1),
+qe0 AS (SELECT {raw_embed_sql(q_toks, SEM_DIM)} AS raw),
+qe1 AS (SELECT raw, {norm_sql('raw')} AS nrm FROM qe0),
+qe AS (SELECT {normalize_sql('raw', 'nrm')} AS qv FROM qe1),
+sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND({dot_sql('de.e', 'qe.qv', SEM_DIM)}, 9) DESC,
+                    doc_id ASC
+         ) AS sem_rank
+  FROM de CROSS JOIN qe
+  QUALIFY sem_rank <= {FUSE_K}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         lex.lex_rank, sem.sem_rank,
+         ROUND(
+           COALESCE(CAST(1.0 AS DOUBLE)
+                    / CAST({RRF_K} + lex.lex_rank AS DOUBLE), 0.0)
+           + COALESCE(CAST(1.0 AS DOUBLE)
+                      / CAST({RRF_K} + sem.sem_rank AS DOUBLE), 0.0),
+           12) AS rrf_score
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@register(
+    "hybrid_lexical_semantic_rrf",
+    _hybrid_sql(),
+    note="The modern hybrid retriever: BM25 lexical top-20 fused with "
+    "dense top-20 from the md5 expression encoder by reciprocal-rank "
+    f"fusion (k={RRF_K}), every stage — tf/df stats, rational-idf "
+    "scores, dim-8 embeddings, cosine ranks, fusion — replayed "
+    "verbatim in DuckDB.  Beyond-reference: the reference fuses two "
+    "DENSE lists (enhanced_search_service.py:379-459); pairing dense "
+    "with lexical is the published hybrid-search shape.",
+)
+def q_hybrid_lexical_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return hybrid_lexical_semantic(_t(spark, sf_dir, "documents"))

@@ -624,6 +624,26 @@ _suite(
             "pq_recall_at_10",
             dict(cnt="overlap_at_10", key1="CAST(k AS STRING)"),
         ),
+        # round 7: the lexical half of hybrid retrieval (queries_bm25) —
+        # rational-idf BM25 top-k and the lexical x dense RRF fusion.
+        (
+            "bm25_topk",
+            dict(
+                key1="CAST(doc_id AS STRING)",
+                key2="source",
+                cnt="matched_terms",
+                val="bm25",
+            ),
+        ),
+        (
+            "hybrid_lexical_semantic_rrf",
+            dict(
+                key1="CAST(doc_id AS STRING)",
+                key2="CAST(lex_rank AS STRING) || '/' || "
+                "CAST(sem_rank AS STRING)",
+                val="rrf_score",
+            ),
+        ),
     ],
     note="Suite: portable hyperplane-LSH ANN (value-hash-checked index), "
     "int8 quantization error audit, per-doc quality scores, batched "

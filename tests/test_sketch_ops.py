@@ -124,3 +124,55 @@ def test_funnel_steps_monotone(spark):
     for r in rows:
         assert 0 < r.conv_from_first <= 1.0
         assert r.avg_us_from_first >= 0.0
+
+
+def test_bm25_idf_orders_rare_term_first(spark):
+    """The rare query term ('dup', df=25/500 at sf0.001-scale ratios)
+    must outrank docs matching only common terms: every doc matching
+    the rare term scores above every doc matching only common ones."""
+    from sortify_spark.queries_bm25 import QUERY_TERMS, bm25_scored
+    from sortify_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    scored = bm25_scored(docs).collect()
+    assert scored
+    rare = QUERY_TERMS[0]
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    with_rare = [r.bm25 for r in scored if f" {rare} " in f" {texts[r.doc_id]} "
+                 or texts[r.doc_id].startswith(rare + " ")
+                 or texts[r.doc_id].endswith(" " + rare)
+                 or texts[r.doc_id] == rare]
+    without = [r.bm25 for r in scored if r.doc_id not in {
+        d for d, t in texts.items()
+        if f" {rare} " in f" {t} "}]
+    if with_rare and without:
+        assert min(with_rare) > max(without)
+
+
+def test_bm25_no_explode_no_join_on_corpus(spark):
+    """BM25 for a bounded term set: tf/dl are array expressions in one
+    scan — no Explode/Generate node, stats joined broadcast, top-k is
+    TakeOrdered (no global sort)."""
+    plan = _plan(spark, "bm25_topk")
+    assert "Generate" not in plan  # explode would appear as Generate
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_hybrid_fusion_rank_consistency(spark):
+    """RRF output invariants: a doc ranked in both lists outscores one
+    ranked only in a single list at equal-or-worse rank; scores match
+    1/(60+lex) + 1/(60+sem) recomputed from the emitted ranks."""
+    rows = (
+        REGISTRY["hybrid_lexical_semantic_rrf"].fn(spark, SF_DIR).collect()
+    )
+    assert rows
+    for r in rows:
+        expect = round(
+            (1.0 / (60 + r.lex_rank) if r.lex_rank is not None else 0.0)
+            + (1.0 / (60 + r.sem_rank) if r.sem_rank is not None else 0.0),
+            12,
+        )
+        assert abs(r.rrf_score - expect) < 1e-12, r
