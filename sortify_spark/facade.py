@@ -387,8 +387,48 @@ class SortifyEngine:
         search_type: str = "hybrid",
         cfg: SearchConfig | None = None,
     ) -> DataFrame:
-        """POST /semantic-search: strategy dispatch V7 over V1-V5 plans."""
+        """POST /semantic-search: strategy dispatch V7 over V1-V5 plans.
+
+        Beyond the reference's dense-only strategies: ``"keyword"``
+        runs rational-idf BM25 over the document corpus for the query's
+        whitespace terms (``queries_bm25.bm25_scored`` — one scan, no
+        explode), and ``"hybrid_lexical"`` RRF-fuses that lexical list
+        with the dense summary list (the published lexical x dense
+        hybrid; weights 1/1, ``fusion.rrf_fuse`` so the contribution
+        columns read summary=dense / chunks=lexical).
+        """
         cfg = cfg or SearchConfig()
+        if search_type in ("keyword", "hybrid_lexical"):
+            from sortify_spark.queries_bm25 import bm25_scored
+
+            # bounded term set: BM25 cost is one tf column per term
+            terms = tuple(
+                dict.fromkeys(t for t in query_text.split() if t)
+            )[:8]
+            lex = (
+                bm25_scored(self.documents, terms)
+                .select(
+                    F.col("doc_id").cast("string").alias("id"),
+                    F.col("bm25").alias("score"),
+                )
+                .orderBy(F.desc("score"), F.asc("id"))
+                .limit(
+                    cfg.top_k
+                    if search_type == "keyword"
+                    else cfg.top_k * 2
+                )
+            )
+            if search_type == "keyword":
+                return lex
+            dense = self._scored(query_text, "summary", cfg.top_k * 2, cfg)
+            return fusion.rrf_fuse(
+                dense,
+                lex,
+                k=cfg.rrf_k,
+                w_summary=1.0,
+                w_chunks=1.0,
+                top_k=cfg.top_k,
+            )
         if search_type == "summary_only":
             return self._scored(query_text, "summary", cfg.top_k, cfg)
         if search_type == "chunks_only":

@@ -50,7 +50,7 @@ SEM_DIM = 8  #: expression-encoder dim for the dense side
 _DEC = "DECIMAL(38,12)"
 
 
-def _score_expr(i: int) -> str:
+def _score_expr(i: int) -> str:  # noqa: D103 — see module docstring
     """Per-term BM25 score as an engine-portable SQL expression over
     columns n/df{i}/tf{i}/dl/avgdl — identical text on both engines so
     the IEEE op sequence is identical.  tf = 0 scores exactly 0.0."""
@@ -65,18 +65,22 @@ def _score_expr(i: int) -> str:
     )
 
 
-def _bm25_sum_expr() -> str:
-    terms = [f"__s{i}" for i in range(len(QUERY_TERMS))]
+def _bm25_sum_expr(n_terms: int = len(QUERY_TERMS)) -> str:
+    terms = [f"__s{i}" for i in range(n_terms)]
     acc = terms[0]
     for t in terms[1:]:
         acc = f"({acc} + {t})"
     return f"ROUND({acc}, 9)"
 
 
-def bm25_scored(docs: DataFrame) -> DataFrame:
+def bm25_scored(
+    docs: DataFrame, terms: tuple[str, ...] = QUERY_TERMS
+) -> DataFrame:
     """All matching docs scored: (doc_id, source, matched_terms, bm25).
     One corpus scan computes per-term tf + dl as array expressions (no
-    explode); the (N, avgdl, df) stats row broadcasts back."""
+    explode); the (N, avgdl, df) stats row broadcasts back.  ``terms``
+    parameterizes the facade's keyword strategy; the registered query
+    uses the fixed default set."""
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
 
     def _tf(term: str):
@@ -88,7 +92,7 @@ def bm25_scored(docs: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         F.size(w).alias("dl"),
-        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(QUERY_TERMS)],
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
     )
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
@@ -101,21 +105,21 @@ def bm25_scored(docs: DataFrame) -> DataFrame:
             F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(
                 f"df{i}"
             )
-            for i in range(len(QUERY_TERMS))
+            for i in range(len(terms))
         ],
     )
     scored = base.crossJoin(F.broadcast(stats))
-    for i in range(len(QUERY_TERMS)):
+    for i in range(len(terms)):
         scored = scored.withColumn(f"__s{i}", F.expr(_score_expr(i)))
     matched = " + ".join(
         f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
-        for i in range(len(QUERY_TERMS))
+        for i in range(len(terms))
     )
     return scored.select(
         "doc_id",
         "source",
         F.expr(matched).alias("matched_terms"),
-        F.expr(_bm25_sum_expr()).alias("bm25"),
+        F.expr(_bm25_sum_expr(len(terms))).alias("bm25"),
     ).filter(F.col("matched_terms") > 0)
 
 

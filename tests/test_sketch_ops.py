@@ -176,3 +176,30 @@ def test_hybrid_fusion_rank_consistency(spark):
             12,
         )
         assert abs(r.rrf_score - expect) < 1e-12, r
+
+
+def test_facade_keyword_and_hybrid_lexical_strategies(spark):
+    """The facade serves BM25 ('keyword') and the lexical x dense RRF
+    ('hybrid_lexical') as search strategies: keyword results rank docs
+    containing the rare query term first; the fused list is bounded by
+    top_k and carries RRF scores consistent with two rank lists."""
+    from sortify_spark.facade import SortifyEngine
+
+    eng = SortifyEngine(spark, SF_DIR, dim=16)
+    kw = eng.semantic_search("dup spark merge", "keyword").collect()
+    assert kw and len(kw) <= 10
+    assert kw == sorted(kw, key=lambda r: (-r.score, r.id))
+    docs = {
+        str(r.doc_id): r.text
+        for r in eng.documents.select("doc_id", "text").collect()
+    }
+    # the rare term 'dup' has ~19x the idf-ratio of the common terms:
+    # the top hit must actually contain it
+    assert "dup" in docs[kw[0].id].split()
+
+    fused = eng.semantic_search(
+        "dup spark merge", "hybrid_lexical"
+    ).collect()
+    assert fused and len(fused) <= 10
+    for r in fused:
+        assert r.rrf_score > 0
