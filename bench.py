@@ -101,6 +101,8 @@ HEADLINE = (
     # round 7: lexical retrieval + the lexical x dense hybrid fusion
     "bm25_topk",
     "hybrid_lexical_semantic_rrf",
+    # round 7: exact Jaccard join via PPJoin prefix filtering
+    "jaccard_prefix_join",
 )
 
 

@@ -61,6 +61,7 @@ AUDIT = [
     "funnel_conversion",
     "bm25_topk",
     "hybrid_lexical_semantic_rrf",
+    "jaccard_prefix_join",
 ]
 
 

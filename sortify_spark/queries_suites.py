@@ -955,6 +955,17 @@ _suite(
                 val2="CAST(kept_docs AS DOUBLE)",
             ),
         ),
+        # round 7: EXACT Jaccard join via PPJoin prefix filtering — the
+        # exact complement to minhash_lsh_pairs at the same threshold.
+        (
+            "jaccard_prefix_join",
+            dict(
+                key1="CAST(id_a AS STRING)",
+                key2="CAST(id_b AS STRING)",
+                cnt="overlap",
+                val="jaccard",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "

@@ -203,3 +203,58 @@ def test_facade_keyword_and_hybrid_lexical_strategies(spark):
     assert fused and len(fused) <= 10
     for r in fused:
         assert r.rrf_score > 0
+
+
+def test_ppjoin_exact_superset_of_lsh(spark):
+    """The exact prefix-filtered join dominates LSH at the same
+    threshold: every minhash_lsh_pairs pair appears in
+    jaccard_prefix_join's result (LSH can only lose recall)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["jaccard_prefix_join"].fn(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in REGISTRY["minhash_lsh_pairs"].fn(spark, SF_DIR).collect()
+    }
+    assert exact, "expected exact pairs on the planted near-dups"
+    assert lsh <= exact, lsh - exact
+
+
+def test_ppjoin_prefix_actually_prunes(spark):
+    """Candidate pairs from the prefix equi-join are far fewer than
+    all-pairs: the filter earns its keep on this corpus."""
+    from sortify_spark.dedup import shingles, words
+    from sortify_spark.queries_dedup import PPJ_K
+    from sortify_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = (
+        docs.select("doc_id", words(F.col("text")).alias("w"))
+        .select("doc_id", shingles(F.col("w"), PPJ_K).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    n = base.count()
+    keyed = base.select(
+        "doc_id",
+        F.expr(
+            "array_sort(transform(sh, s -> md5(CAST(s AS BINARY))))"
+        ).alias("osh"),
+        F.size("sh").alias("sz"),
+    ).withColumn("plen", F.expr("sz - ((sz + 1) DIV 2) + 1"))
+    pref = keyed.select(
+        "doc_id", F.explode(F.expr("slice(osh, 1, plen)")).alias("h")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) // 2
+    assert cand < all_pairs / 10, (cand, all_pairs)
