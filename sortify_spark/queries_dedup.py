@@ -580,3 +580,110 @@ ORDER BY id_a, id_b
 )
 def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_join(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Training-shard interleave audit (gaps-and-islands over the read order)
+# ---------------------------------------------------------------------------
+
+
+def shard_interleave_stats(docs: DataFrame) -> DataFrame:
+    """Per shard: docs, distinct sources, same-source runs, and the
+    longest same-source run in the deterministic md5 read order.
+
+    A training dataloader streams each shard sequentially; long runs of
+    one source mean correlated batches (the reason exports shuffle
+    rows).  ``export_training_shards`` orders rows by md5 — this audit
+    measures the interleave quality of that order: runs are found with
+    the gaps-and-islands pattern (lag + running change count), two
+    same-partitioning windows plus the final per-shard aggregate, so
+    the corpus shuffles once, by shard — the partitioning the export
+    itself already uses.
+    """
+    from pyspark.sql.window import Window
+
+    from sortify_spark.operators.sampling import hash_bucket
+
+    ordered = docs.select(
+        "doc_id",
+        "source",
+        hash_bucket("doc_id", 16).alias("shard"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("ord"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    runs = (
+        ordered.withColumn("prev", F.lag("source").over(w))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("source") != F.col("prev")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("chg").over(w))
+    )
+    per_run = runs.groupBy("shard", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.first("source").alias("source"),
+    )
+    return (
+        per_run.groupBy("shard")
+        .agg(
+            F.sum("run_len").alias("docs"),
+            F.countDistinct("source").alias("distinct_sources"),
+            F.count(F.lit(1)).alias("runs"),
+            F.max("run_len").alias("max_run"),
+        )
+        .orderBy("shard")
+    )
+
+
+_INTERLEAVE_SQL = """
+WITH ordered AS (
+  SELECT doc_id, source,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+             % 16 AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+),
+runs AS (
+  SELECT shard, source,
+         SUM(CASE WHEN prev IS NULL OR source <> prev THEN 1 ELSE 0 END)
+             OVER (PARTITION BY shard ORDER BY ord, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM (
+    SELECT shard, source, ord, doc_id,
+           LAG(source) OVER (PARTITION BY shard ORDER BY ord, doc_id)
+               AS prev
+    FROM ordered
+  ) l
+),
+per_run AS (
+  SELECT shard, run_id, COUNT(*) AS run_len
+  FROM runs GROUP BY shard, run_id
+)
+SELECT shard, SUM(run_len) AS docs,
+       (SELECT COUNT(DISTINCT source) FROM ordered o
+        WHERE o.shard = per_run.shard) AS distinct_sources,
+       COUNT(*) AS runs, MAX(run_len) AS max_run
+FROM per_run
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register(
+    "shard_interleave_stats",
+    _INTERLEAVE_SQL,
+    note="Training-shard interleave audit: per md5-bucket shard, the "
+    "same-source run structure of the deterministic md5 read order "
+    "(gaps-and-islands: lag + running change count) — docs, distinct "
+    "sources, run count, longest run.  Long runs = correlated training "
+    "batches; this hash-checks the property the export's row shuffle "
+    "exists to provide.  Two same-partitioning windows + the final "
+    "aggregate shuffle the corpus once, by shard (the export's own "
+    "partitioning).",
+)
+def q_shard_interleave_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_interleave_stats(_t(spark, sf_dir, "documents"))

@@ -966,6 +966,17 @@ _suite(
                 val="jaccard",
             ),
         ),
+        # round 7: shard interleave audit (gaps-and-islands read order)
+        (
+            "shard_interleave_stats",
+            dict(
+                key1="CAST(shard AS STRING)",
+                key2="CAST(distinct_sources AS STRING)",
+                cnt="docs",
+                val="CAST(runs AS DOUBLE)",
+                val2="CAST(max_run AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "

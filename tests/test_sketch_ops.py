@@ -258,3 +258,15 @@ def test_ppjoin_prefix_actually_prunes(spark):
     )
     all_pairs = n * (n - 1) // 2
     assert cand < all_pairs / 10, (cand, all_pairs)
+
+
+def test_shard_interleave_well_mixed(spark):
+    """The md5 read order interleaves sources: no shard's longest
+    same-source run exceeds a small bound, and every doc lands in a
+    run (docs == sum of run lengths, runs <= docs)."""
+    rows = REGISTRY["shard_interleave_stats"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert 1 <= r.runs <= r.docs
+        assert r.max_run <= 6, r  # ~20 sources: long runs ≈ impossible
+        assert r.distinct_sources >= 2
