@@ -36,6 +36,7 @@ import sortify_spark.queries_lm  # noqa: F401, E402
 import sortify_spark.queries_sketch  # noqa: F401, E402
 import sortify_spark.queries_funnel  # noqa: F401, E402
 import sortify_spark.queries_bm25  # noqa: F401, E402
+import sortify_spark.queries_linkage  # noqa: F401, E402
 import sortify_spark.queries_suites  # noqa: F401, E402 — must import LAST
 
 #: First-50 driver window: every §2 operator class's flagship, all

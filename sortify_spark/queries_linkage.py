@@ -1,0 +1,291 @@
+"""Record linkage and link-analysis operators: blocked fuzzy entity
+resolution (Levenshtein under token blocking) and an exact integer
+fixed-point PageRank over the customer->supplier purchase graph.
+
+The reference resolves "same thing, different spelling" only for
+embeddings (``backend/app/services/clustering_service.py`` cosine
+groups); a catalog/CRM pipeline needs the string-side counterpart —
+classic blocking + edit-distance record linkage (Fellegi & Sunter 1969;
+the blocking idiom is the same candidate-generation shape as our LSH
+banding: never all-pairs, only within-block pairs).  PageRank covers the
+iterative-graph-algorithm class (power iteration as a LOOP of joins —
+the canonical "Spark beats a single node" workload) that no other
+registered operator exercises.
+
+Scale shape:
+
+* ``fuzzy_link_parts`` blocks on name tokens over the DISTINCT-name
+  table — vocabulary-sized, not corpus-sized.  Candidate pairs are
+  generated per block (token equi-join), so cost is sum(block^2) over
+  the name vocabulary, never corpus^2; the hot-bucket guard idiom
+  (``operators/skew.py``) applies unchanged if a token blocks half the
+  vocabulary.  ``levenshtein`` is a JVM codegen built-in on both
+  engines.  Occurrence counts are joined back from a grouped aggregate
+  that broadcasts (one row per distinct name).
+* ``pagerank_suppliers`` does K iterations of (edge join rank-vector,
+  groupBy dst) — per iteration: one shuffle of the rank vector onto the
+  edge partitioning plus one aggregation exchange.  The edge list with
+  its out-degrees is materialized ONCE (``edeg``) and reused every
+  iteration; at cluster scale it would be persisted partitioned by
+  ``src`` so only the (much smaller) rank vector moves per step.
+
+Determinism contract: PageRank runs in EXACT integer fixed-point
+(mass scaled by 1e12, ``DIV`` integer division at every step), so the
+result is bit-identical regardless of partitioning or aggregation
+order — floating-point power iteration is NOT reproducible across
+cluster layouts (sum order differs); the integer formulation is, and
+that is what lets a 1000-executor run hash-match DuckDB exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sortify_spark.queries import register, _t
+
+#: Edit-distance acceptance threshold for linked part names.
+LINK_MAX_DIST = 2
+
+#: PageRank fixed-point scale (1.0 of rank mass == 1e12 units),
+#: iteration count, and damping factor 0.85 as num/den integers.
+PR_SCALE = 10**12
+PR_ITERS = 5
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+#: Supplier node ids are offset into a disjoint range from customers.
+PR_SUPP_OFFSET = 10**9
+PR_TOP = 20
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage (blocking + Levenshtein)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_link_parts(part: DataFrame, max_dist: int = LINK_MAX_DIST) -> DataFrame:
+    """Linked part-name pairs: distinct names sharing a token block and
+    within ``max_dist`` edit distance, with each side's occurrence count.
+
+    Returns (name_a, name_b, dist, cnt_a, cnt_b) ordered by the pair.
+    """
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    distinct = names.select("p_name")
+    tok = distinct.select(
+        "p_name", F.explode(F.split("p_name", " ")).alias("tok")
+    )
+    cand = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    matched = cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("dist") <= max_dist)
+    na = names.select(
+        F.col("p_name").alias("name_a"), F.col("cnt").alias("cnt_a")
+    )
+    nb = names.select(
+        F.col("p_name").alias("name_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        matched.join(F.broadcast(na), "name_a")
+        .join(F.broadcast(nb), "name_b")
+        .select("name_a", "name_b", "dist", "cnt_a", "cnt_b")
+        .orderBy("name_a", "name_b")
+    )
+
+
+_LINK_SQL = f"""
+WITH names AS (
+  SELECT p_name, COUNT(*) AS cnt FROM part GROUP BY p_name
+),
+tok AS (
+  SELECT p_name, UNNEST(string_split(p_name, ' ')) AS tok
+  FROM (SELECT DISTINCT p_name FROM part)
+),
+cand AS (
+  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+  FROM tok a JOIN tok b
+    ON a.tok = b.tok AND a.p_name < b.p_name
+)
+SELECT c.name_a, c.name_b,
+       levenshtein(c.name_a, c.name_b) AS dist,
+       na.cnt AS cnt_a, nb.cnt AS cnt_b
+FROM cand c
+JOIN names na ON na.p_name = c.name_a
+JOIN names nb ON nb.p_name = c.name_b
+WHERE levenshtein(c.name_a, c.name_b) <= {LINK_MAX_DIST}
+ORDER BY c.name_a, c.name_b
+"""
+
+
+@register(
+    "fuzzy_link_parts",
+    _LINK_SQL,
+    note="Blocked fuzzy record linkage over part names: token blocking "
+    "on the distinct-name (vocabulary-sized) table, Levenshtein <= "
+    f"{LINK_MAX_DIST} within blocks, occurrence counts broadcast-joined "
+    "back.  Candidate cost is sum(block^2) over the vocabulary, never "
+    "corpus^2 — the string-side counterpart of LSH banding.",
+)
+def q_fuzzy_link_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_link_parts(_t(spark, sf_dir, "part"))
+
+
+# ---------------------------------------------------------------------------
+# Integer fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+
+def pagerank_suppliers(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    iters: int = PR_ITERS,
+    top: int = PR_TOP,
+) -> DataFrame:
+    """Top suppliers by PageRank over the customer->supplier purchase
+    graph (edge = customer ordered from supplier, distinct).
+
+    Exact integer fixed-point power iteration: rank mass is bigint
+    units of 1/PR_SCALE, every division is integer ``DIV``, so the
+    result is independent of partitioning and aggregation order.
+    Dangling mass (suppliers have no out-edges) is dropped, which is
+    the standard "PageRank without dangling redistribution" variant —
+    fine for ranking, and what keeps both engines in exact lockstep.
+
+    Returns (s_suppkey, pr_units, rank) for the top ``top`` suppliers.
+    """
+    edges = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(PR_SUPP_OFFSET)).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Edge list + out-degree, built once and reused each iteration; at
+    # cluster scale this is the frame to persist partitioned by src.
+    edeg = edges.join(outdeg, "src")
+
+    base = F.expr(
+        f"DIV({PR_DAMP_DEN - PR_DAMP_NUM} * DIV({PR_SCALE}, n), {PR_DAMP_DEN})"
+    )
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "id", F.expr(f"DIV({PR_SCALE}, n)").alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            edeg.join(pr, edeg.src == pr.id)
+            .select("dst", F.expr("DIV(pr, deg)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, nodes.id == contrib.dst, "left")
+            .select(
+                "id",
+                (
+                    base
+                    + F.expr(
+                        f"DIV({PR_DAMP_NUM} * coalesce(s, 0L), {PR_DAMP_DEN})"
+                    )
+                ).cast("long").alias("pr"),
+            )
+        )
+    supp = pr.filter(F.col("id") >= PR_SUPP_OFFSET).select(
+        (F.col("id") - PR_SUPP_OFFSET).alias("s_suppkey"),
+        F.col("pr").alias("pr_units"),
+    )
+    # Final global rank over the supplier-count-sized vector only.
+    w = Window.orderBy(F.desc("pr_units"), F.asc("s_suppkey"))
+    return (
+        supp.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .orderBy("rank")
+    )
+
+
+def _pagerank_sql(iters: int = PR_ITERS, top: int = PR_TOP) -> str:
+    """Unrolled-iteration DuckDB twin of :func:`pagerank_suppliers` —
+    generated from the same constants so both sides stay in lockstep."""
+    num, den, scale = PR_DAMP_NUM, PR_DAMP_DEN, PR_SCALE
+    ctes = [
+        f"""edges AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {PR_SUPP_OFFSET} AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+        "nodes AS (SELECT src AS id FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "edeg AS (SELECT e.src, e.dst, d.deg"
+        " FROM edges e JOIN outdeg d ON e.src = d.src)",
+        f"pr0 AS (SELECT id, {scale} // n AS pr FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT edeg.dst AS id, SUM(p.pr // edeg.deg) AS s
+  FROM edeg JOIN pr{i - 1} p ON p.id = edeg.src
+  GROUP BY edeg.dst
+)"""
+        )
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT nodes.id,
+         CAST(({den - num} * ({scale} // nn.n)) // {den}
+              + ({num} * COALESCE(c{i}.s, 0)) // {den} AS BIGINT) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN c{i} ON c{i}.id = nodes.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id - {PR_SUPP_OFFSET} AS s_suppkey, pr AS pr_units,
+       CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, id ASC) AS INT) AS rank
+FROM pr{iters} WHERE id >= {PR_SUPP_OFFSET}
+QUALIFY rank <= {top}
+ORDER BY rank
+"""
+    )
+
+
+@register(
+    "pagerank_suppliers",
+    _pagerank_sql(),
+    note=f"Integer fixed-point PageRank ({PR_ITERS} power iterations, "
+    "damping 0.85) over the distinct customer->supplier purchase "
+    "graph; exact bigint arithmetic makes the result bit-identical "
+    "under any partitioning — the determinism float power iteration "
+    "cannot give on a cluster.  Edge+degree frame built once and "
+    "reused; per iteration one rank-vector shuffle + one aggregation. "
+    "Oracle: the same constants unrolled into chained CTEs.",
+)
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pagerank_suppliers(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )

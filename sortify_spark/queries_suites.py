@@ -281,11 +281,31 @@ _suite(
                 val2="CAST(false_pos AS DOUBLE)",
             ),
         ),
+        # round 7: blocked fuzzy record linkage + exact integer
+        # fixed-point PageRank (queries_linkage).
+        (
+            "fuzzy_link_parts",
+            dict(
+                key1="name_a",
+                key2="name_b || '|' || CAST(dist AS STRING)",
+                cnt="cnt_a",
+                val="CAST(cnt_b AS DOUBLE)",
+            ),
+        ),
+        (
+            "pagerank_suppliers",
+            dict(
+                key1="CAST(rank AS STRING)",
+                key2="CAST(s_suppkey AS STRING)",
+                cnt="pr_units",
+            ),
+        ),
     ],
     note="Suite: J1 semi-join, SO4 anti-join, SO2 set difference + "
     "intersection, P3 point lookup, J2 broadcast hydrate, W1 global "
     "rank, W7 latest-per-user, the versioned-store CDC classification "
-    "kernel, and the Bloom pre-filter join audit.",
+    "kernel, the Bloom pre-filter join audit, blocked Levenshtein "
+    "record linkage, and integer fixed-point PageRank.",
 )
 
 # --- text analysis: language ID, per-source token stats, JSON extraction.

@@ -1,0 +1,76 @@
+"""Semantics tests for queries_linkage: blocking behavior of the fuzzy
+record linker and exact-integer determinism of PageRank."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sortify_spark.queries_linkage import (
+    PR_SCALE,
+    fuzzy_link_parts,
+    pagerank_suppliers,
+)
+
+
+def _parts(spark, rows):
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(rows)], "p_partkey long, p_name string"
+    )
+
+
+def test_fuzzy_link_finds_within_block_pairs(spark):
+    df = _parts(
+        spark,
+        ["red bolt", "red bolt", "red bolts", "rad bolt", "green gear"],
+    )
+    out = fuzzy_link_parts(df).collect()
+    pairs = {(r.name_a, r.name_b): (r.dist, r.cnt_a, r.cnt_b) for r in out}
+    # dist 1 within the shared-token block, counts joined back
+    assert pairs[("red bolt", "red bolts")] == (1, 2, 1)
+    assert pairs[("rad bolt", "red bolt")] == (1, 1, 2)
+    # within distance but sharing NO token (bolt != bolts): not blocked,
+    # so not linked — the documented recall trade of single-pass
+    # token blocking (same trade LSH banding makes).
+    assert ("rad bolt", "red bolts") not in pairs
+    # unrelated names never generated as candidates
+    assert ("green gear", "red bolt") not in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_fuzzy_link_requires_shared_token_block(spark):
+    # "abc x" vs "abd y" are edit distance 2 but share no token: the
+    # blocker must never generate the candidate (that is the point —
+    # sum(block^2), not corpus^2).
+    df = _parts(spark, ["abc x", "abd y"])
+    assert fuzzy_link_parts(df).count() == 0
+
+
+def _graph(spark):
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 11), (4, 12)],
+        "o_orderkey long, o_custkey long",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 100), (1, 101), (2, 100), (3, 100), (4, 101), (4, 102)],
+        "l_orderkey long, l_suppkey long",
+    )
+    return orders, lineitem
+
+
+def test_pagerank_in_degree_dominates(spark):
+    orders, lineitem = _graph(spark)
+    out = pagerank_suppliers(orders, lineitem, top=10).collect()
+    ranks = {r.s_suppkey: r.rank for r in out}
+    # supplier 100 has 3 distinct customer edges, 101 has 2, 102 has 1
+    assert ranks[100] < ranks[101] < ranks[102]
+    # total supplier mass is bounded by the scale (dangling mass drops)
+    assert sum(r.pr_units for r in out) <= PR_SCALE
+
+
+def test_pagerank_bit_identical_under_repartition(spark):
+    orders, lineitem = _graph(spark)
+    a = pagerank_suppliers(orders, lineitem, top=10).collect()
+    b = pagerank_suppliers(
+        orders.repartition(7), lineitem.repartition(5), top=10
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
