@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sortify_spark.functions.numeric import dsum, oracle_dsum
 from sortify_spark.queries import register, _t
 
 SESSION_GAP_MIN = 30
@@ -225,6 +226,102 @@ def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "cnt", F.round(F.avg("cnt").over(w), 4).alias("ma7")
     )
+
+
+#: High-value filter for the gap-fill query: sparse enough to leave
+#: missing (type, day) cells at every test SF (3 gaps at sf0.1, ~100 at
+#: sf0.01), so the densify + forward-fill machinery is exercised for
+#: real, not vacuously.
+GAP_VALUE_MIN = 250
+
+
+def gap_fill_daily(events: DataFrame, value_min: float = GAP_VALUE_MIN) -> DataFrame:
+    """Dense per-(event_type, day) daily series over high-value events,
+    with missing days filled: cnt=0, day_sum NULL, and ``filled_sum``
+    forward-filled from the last observed day (``last IGNORE NULLS``).
+
+    The time-series densify idiom: a calendar spine (``sequence`` over
+    the observed min..max day — one tiny aggregate) cross-joined with
+    the distinct-type dim (both broadcast — dims, not data), left-joined
+    against the daily aggregate, then one window per type for the
+    carry-forward.  The event stream is shuffled once for the daily
+    aggregate; the fill pass runs over (types x days) rows — calendar-
+    sized, independent of event volume, which is what makes the shape
+    safe at 100 TB.  Leading gaps (before a type's first observed day)
+    keep ``filled_sum`` NULL by definition.
+    """
+    ev = events.filter(F.col("value") > value_min).select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("value").alias("day_sum")
+    )
+    bounds = ev.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    cal = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(cal))
+    full = grid.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return full.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        "day_sum",
+        F.last("day_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        F.col("cnt").isNull().alias("is_gap"),
+    ).orderBy("event_type", "day")
+
+
+_GAP_FILL_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value
+  FROM events WHERE value > {GAP_VALUE_MIN}
+),
+daily AS (
+  SELECT event_type, day, COUNT(*) AS cnt,
+         {oracle_dsum('value')} AS day_sum
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev),
+cal AS (
+  SELECT CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+grid AS (
+  SELECT t.event_type, c.day
+  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN cal c
+)
+SELECT g.event_type, CAST(g.day AS VARCHAR) AS day,
+       COALESCE(d.cnt, 0) AS cnt, d.day_sum,
+       LAST_VALUE(d.day_sum IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+       d.cnt IS NULL AS is_gap
+FROM grid g
+LEFT JOIN daily d ON d.event_type = g.event_type AND d.day = g.day
+ORDER BY g.event_type, g.day
+"""
+
+
+@register(
+    "gap_fill_daily",
+    _GAP_FILL_SQL,
+    note="Time-series densify + forward fill: calendar spine "
+    "(sequence over observed min..max day) x distinct-type dim, "
+    "left-joined against the daily aggregate, missing days get cnt=0 "
+    "and last-observed-day carry-forward (last IGNORE NULLS window "
+    f"per type).  High-value filter (value > {GAP_VALUE_MIN}) keeps "
+    "real gaps at every SF.  Fill pass is calendar-sized, independent "
+    "of event volume.",
+)
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gap_fill_daily(_t(spark, sf_dir, "events"))
 
 
 #: Word-or-single-punctuation tokens — the BPE-ish pre-tokenizer split.

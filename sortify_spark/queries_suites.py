@@ -177,10 +177,22 @@ _suite(
                 val2="avg_us_from_first",
             ),
         ),
+        # round 7: time-series densify + forward fill (queries_scale)
+        (
+            "gap_fill_daily",
+            dict(
+                key1="event_type",
+                key2="day || '|' || CAST(is_gap AS STRING)",
+                cnt="cnt",
+                val="day_sum",
+                val2="filled_sum",
+            ),
+        ),
     ],
     note="Suite: A4/A6/A7/A8/A9 grouped aggregates + ROLLUP/CUBE "
     "grouping-set ops + cohort retention + the ordered "
-    "view->click->purchase funnel, shaped to (key, cnt, val) rows.",
+    "view->click->purchase funnel + calendar-spine gap fill with "
+    "carry-forward, shaped to (key, cnt, val) rows.",
 )
 
 # --- §2.3 / §2.7 / §2.5 relational: semi/anti joins, set ops, point
