@@ -103,6 +103,12 @@ HEADLINE = (
     "hybrid_lexical_semantic_rrf",
     # round 7: exact Jaccard join via PPJoin prefix filtering
     "jaccard_prefix_join",
+    # round 7: iterative-graph power iteration (5 joins over the reused
+    # edge+degree frame, exact integer fixed point); blocked Levenshtein
+    # record linkage over the name vocabulary; calendar-spine gap fill
+    "pagerank_suppliers",
+    "fuzzy_link_parts",
+    "gap_fill_daily",
 )
 
 
