@@ -109,6 +109,9 @@ HEADLINE = (
     "pagerank_suppliers",
     "fuzzy_link_parts",
     "gap_fill_daily",
+    # round 7: component-atomic train/val/test split with in-plan
+    # cross-split audit
+    "leakage_safe_split",
 )
 
 

@@ -167,3 +167,105 @@ def q_incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+#: Component-level split buckets: md5(comp) % 10 -> 0-7 train, 8 val,
+#: 9 test.  Assigning at COMPONENT granularity is the whole point: a
+#: near-dup pair split across train and test leaks evaluation data into
+#: training (the failure Lee et al. 2021 and the GPT-3 appendix both
+#: document); hashing the component id makes that impossible by
+#: construction, and the in-plan audit proves it.
+_SPLIT_BUCKETS = 10
+_SPLIT_VAL_BKT = 8
+_SPLIT_TEST_BKT = 9
+
+
+def _split_case_sql(bkt: str) -> str:
+    return (
+        f"CASE WHEN {bkt} = {_SPLIT_VAL_BKT} THEN 'val' "
+        f"WHEN {bkt} = {_SPLIT_TEST_BKT} THEN 'test' "
+        "ELSE 'train' END"
+    )
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH pairs AS ({_PAIRS_SQL}),
+    comp AS ({dedup.components_oracle_sql(_PAIRS_SQL)}),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    s AS (
+      SELECT doc_id, comp,
+             {_split_case_sql(
+                 "('0x' || substring(md5(CAST(comp AS VARCHAR)), 1, 7))"
+                 f"::BIGINT % {_SPLIT_BUCKETS}"
+             )} AS split
+      FROM labeled
+    ),
+    v AS (
+      SELECT COUNT(*) AS cross_split_pairs
+      FROM pairs p
+      JOIN s sa ON sa.doc_id = p.id_a
+      JOIN s sb ON sb.doc_id = p.id_b
+      WHERE sa.split <> sb.split
+    )
+    SELECT split, COUNT(*) AS docs, COUNT(DISTINCT comp) AS components,
+           (SELECT cross_split_pairs FROM v) AS cross_split_pairs
+    FROM s GROUP BY split ORDER BY split
+    """,
+    note="Leakage-safe corpus split: near-dup components (the SAME "
+    "closure as neardup_components) are assigned to train/val/test "
+    "ATOMICALLY via the portable md5 bucket of the component id — a "
+    "near-dup pair can never straddle splits, so eval never sees a "
+    "paraphrase of training data.  The cross-split pair audit is "
+    "computed IN the plan (two joins of the pair set against the "
+    "label map) and must be 0 — proven, not assumed.  Singletons hash "
+    "on their own id; the corpus never shuffles except the doc_id "
+    "equi-join against the (tiny) component map.",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = _pairs(spark, sf_dir)
+    comp = dedup.connected_components(pairs)
+    labeled = docs.join(
+        F.broadcast(comp), docs.doc_id == comp.node, "left"
+    ).select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("comp")
+    )
+    from sortify_spark.operators.sampling import hash_bucket
+
+    bkt = hash_bucket("comp", _SPLIT_BUCKETS)
+    s = labeled.withColumn(
+        "split",
+        F.when(bkt == _SPLIT_VAL_BKT, F.lit("val"))
+        .when(bkt == _SPLIT_TEST_BKT, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+    viol = (
+        pairs.join(
+            s.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")),
+            "id_a",
+        )
+        .join(
+            s.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).alias("cross_split_pairs"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("comp").alias("components"),
+        )
+        .crossJoin(F.broadcast(viol))
+        .orderBy("split")
+    )

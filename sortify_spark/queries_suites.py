@@ -1009,6 +1009,17 @@ _suite(
                 val2="CAST(max_run AS DOUBLE)",
             ),
         ),
+        # round 7: leakage-safe component-atomic train/val/test split
+        # with the in-plan cross-split pair audit (queries_graph).
+        (
+            "leakage_safe_split",
+            dict(
+                key1="split",
+                cnt="docs",
+                val="CAST(components AS DOUBLE)",
+                val2="CAST(cross_split_pairs AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "
