@@ -324,6 +324,70 @@ def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_daily(_t(spark, sf_dir, "events"))
 
 
+def mv_merge_daily(events: DataFrame) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily (cnt, sum)
+    aggregate maintained as BASE partials merged with DELTA partials
+    (event_id % 10 == 7 simulates the newly-arrived batch), proven
+    lossless because the oracle is the FULL recompute over all events —
+    a hash match means partial-merge maintenance loses nothing.
+
+    The algebra that makes this safe: partials keep the EXACT decimal
+    accumulator (`functions/numeric` contract) and only the merged
+    result rounds to double — merging already-rounded doubles would NOT
+    equal recompute.  count/sum are the associative-merge pattern every
+    streaming/IVM engine relies on (Materialize, Delta Live Tables);
+    at 100 TB the base partials are a materialized table and only the
+    delta aggregates per refresh — cost ∝ delta, not corpus.
+    """
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    is_delta = F.col("event_id") % 10 == 7
+
+    def partial(df: DataFrame, c: str, s: str) -> DataFrame:
+        return df.groupBy(day).agg(
+            F.count(F.lit(1)).alias(c),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias(s),
+        )
+
+    base = partial(events.filter(~is_delta), "c_b", "s_b")
+    delta = partial(events.filter(is_delta), "c_d", "s_d")
+    zero = F.lit(0).cast("decimal(38,10)")
+    return (
+        base.join(delta, "day", "full_outer")
+        .select(
+            "day",
+            (
+                F.coalesce("c_b", F.lit(0)) + F.coalesce("c_d", F.lit(0))
+            ).alias("cnt"),
+            F.round(
+                (F.coalesce("s_b", zero) + F.coalesce("s_d", zero)).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "mv_merge_daily",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt,
+           {oracle_dsum('value')} AS sum_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    note="Incremental materialized-view maintenance: daily (cnt, sum) "
+    "kept as base partials merged with delta partials (event_id%10=7 "
+    "is the arriving batch) on their EXACT decimal accumulators, "
+    "rounding only after the merge.  The oracle is the FULL recompute "
+    "— the hash match IS the proof that partial-merge maintenance "
+    "loses nothing.  At scale the base partials are a materialized "
+    "table and refresh cost is ∝ delta, not corpus.",
+)
+def q_mv_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mv_merge_daily(_t(spark, sf_dir, "events"))
+
+
 #: Word-or-single-punctuation tokens — the BPE-ish pre-tokenizer split.
 _BPE_RE = r"\w+|[^\w\s]"
 

@@ -177,6 +177,13 @@ _suite(
                 val2="avg_us_from_first",
             ),
         ),
+        # round 7: incremental MV maintenance — base ⊕ delta partial
+        # merge on exact decimal accumulators vs the full-recompute
+        # oracle (queries_scale).
+        (
+            "mv_merge_daily",
+            dict(key1="day", cnt="cnt", val="sum_value"),
+        ),
         # round 7: time-series densify + forward fill (queries_scale)
         (
             "gap_fill_daily",
