@@ -112,6 +112,10 @@ HEADLINE = (
     # round 7: component-atomic train/val/test split with in-plan
     # cross-split audit
     "leakage_safe_split",
+    # round 7: incremental MV maintenance (base ⊕ delta partial merge)
+    "mv_merge_daily",
+    # round 7: Gopher rule battery (row-local codegen, one agg)
+    "gopher_quality_rules",
 )
 
 

@@ -62,6 +62,12 @@ AUDIT = [
     "bm25_topk",
     "hybrid_lexical_semantic_rrf",
     "jaccard_prefix_join",
+    "pagerank_suppliers",
+    "fuzzy_link_parts",
+    "gap_fill_daily",
+    "leakage_safe_split",
+    "mv_merge_daily",
+    "gopher_quality_rules",
 ]
 
 

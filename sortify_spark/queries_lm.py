@@ -44,7 +44,7 @@ Monolingual Datasets from Web Crawl Data", LREC 2020).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sortify_spark.queries import register, _t
@@ -221,3 +221,131 @@ ORDER BY source
 )
 def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_quality(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule battery (Rae et al. 2021, Appendix A1.1)
+# ---------------------------------------------------------------------------
+
+#: Corpus-calibrated thresholds for the published Gopher quality rules
+#: (the paper's absolute numbers — 50..100k words, mean word length
+#: 3..10 — are tuned for web pages; this corpus's synthetic documents
+#: run 10-99 words, so the bounds are scaled to keep every rule's
+#: semantics while rejecting a real fraction at every SF).
+GOPHER_WC_MIN, GOPHER_WC_MAX = 30, 90
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 5.0
+GOPHER_ALPHA_FRAC_MIN = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_ALPHA_RE = "[A-Za-z]"
+
+
+def _gopher_flags(text: Column) -> dict[str, Column]:
+    """Row-local rule flags as pure Catalyst expressions (no UDF, no
+    explode — the token array never leaves the row).  Divisions are
+    per-row IEEE doubles, bit-identical to the DuckDB twin because no
+    aggregation order is involved."""
+    toks = F.split(text, " ")
+    wc = F.size(toks)
+    chars = F.length(F.regexp_replace(text, " ", ""))
+    mwl = chars.cast("double") / wc
+    alpha = F.size(F.filter(toks, lambda t: t.rlike(_ALPHA_RE)))
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    stop_any = F.lit(False)
+    for w in GOPHER_STOPWORDS:
+        stop_any = stop_any | padded.like(f"% {w} %")
+    return {
+        "wc_ok": (wc >= GOPHER_WC_MIN) & (wc <= GOPHER_WC_MAX),
+        "mwl_ok": (mwl >= GOPHER_MWL_MIN) & (mwl <= GOPHER_MWL_MAX),
+        "alpha_ok": alpha.cast("double") / wc >= GOPHER_ALPHA_FRAC_MIN,
+        "stop_ok": stop_any,
+    }
+
+
+def gopher_quality_rules(docs: DataFrame) -> DataFrame:
+    """Per-source Gopher rule attribution: docs, per-rule fail counts,
+    and the count passing ALL rules.
+
+    One projection + one hash aggregate: every rule is a row-local
+    codegen expression, so the corpus is read once and only per-source
+    rows shuffle.  Per-rule attribution is the point: a composite
+    boolean tells you WHAT was lost, not WHY.
+    """
+    flags = _gopher_flags(F.col("text"))
+    d = docs.select("source", *[c.alias(k) for k, c in flags.items()])
+
+    def fails(k: str) -> Column:
+        return F.sum(F.when(~F.col(k), 1).otherwise(0)).alias(
+            f"fail_{k[:-3]}"
+        )
+
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            fails("wc_ok"),
+            fails("mwl_ok"),
+            fails("alpha_ok"),
+            fails("stop_ok"),
+            F.sum(
+                F.when(
+                    F.col("wc_ok")
+                    & F.col("mwl_ok")
+                    & F.col("alpha_ok")
+                    & F.col("stop_ok"),
+                    1,
+                ).otherwise(0)
+            ).alias("pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+def _gopher_sql() -> str:
+    """DuckDB rendering of the same rules (engine-specific function
+    names — string_split/list_filter/regexp_matches — same row-local
+    arithmetic)."""
+    wc = "len(string_split(text, ' '))"
+    chars = "LENGTH(REPLACE(text, ' ', ''))"
+    alpha = (
+        "len(list_filter(string_split(text, ' '), "
+        f"t -> regexp_matches(t, '{_ALPHA_RE}')))"
+    )
+    stop_any = " OR ".join(
+        f"(' ' || text || ' ') LIKE '% {w} %'" for w in GOPHER_STOPWORDS
+    )
+    return f"""
+    WITH d AS (
+      SELECT source,
+             ({wc} >= {GOPHER_WC_MIN} AND {wc} <= {GOPHER_WC_MAX}) AS wc_ok,
+             (CAST({chars} AS DOUBLE) / {wc} >= {GOPHER_MWL_MIN}
+              AND CAST({chars} AS DOUBLE) / {wc} <= {GOPHER_MWL_MAX}) AS mwl_ok,
+             (CAST({alpha} AS DOUBLE) / {wc} >= {GOPHER_ALPHA_FRAC_MIN})
+               AS alpha_ok,
+             ({stop_any}) AS stop_ok
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS docs,
+           SUM(CASE WHEN NOT wc_ok THEN 1 ELSE 0 END) AS fail_wc,
+           SUM(CASE WHEN NOT mwl_ok THEN 1 ELSE 0 END) AS fail_mwl,
+           SUM(CASE WHEN NOT alpha_ok THEN 1 ELSE 0 END) AS fail_alpha,
+           SUM(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS fail_stop,
+           SUM(CASE WHEN wc_ok AND mwl_ok AND alpha_ok AND stop_ok
+                    THEN 1 ELSE 0 END) AS pass_all
+    FROM d GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "gopher_quality_rules",
+    _gopher_sql(),
+    note="Gopher rule battery (Rae et al. 2021 A1.1, corpus-calibrated "
+    f"bounds): word count {GOPHER_WC_MIN}-{GOPHER_WC_MAX}, mean word "
+    f"length {GOPHER_MWL_MIN}-{GOPHER_MWL_MAX}, alphabetic-token "
+    f"fraction >= {GOPHER_ALPHA_FRAC_MIN}, >= 1 Gopher stopword.  "
+    "Per-source per-rule fail attribution + pass-all count; every rule "
+    "is a row-local codegen expression (no UDF, no explode), corpus "
+    "read once, only per-source rows shuffle.",
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality_rules(_t(spark, sf_dir, "documents"))

@@ -357,11 +357,25 @@ _suite(
                 val2="summary_chars",
             ),
         ),
+        # round 7: Gopher rule battery with per-rule fail attribution
+        (
+            "gopher_quality_rules",
+            dict(
+                key1="source",
+                key2="CAST(fail_wc AS STRING) || '/' || "
+                "CAST(fail_mwl AS STRING) || '/' || "
+                "CAST(fail_alpha AS STRING) || '/' || "
+                "CAST(fail_stop AS STRING)",
+                cnt="docs",
+                val="CAST(pass_all AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: n-gram language ID distribution, per-source token "
     "statistics, JSON props extraction rollup, BM25 keyword top-10 "
     "(the lexical retrieval leg, scored end-to-end), entity-enrichment "
-    "metadata derivation (JSON round-trip).",
+    "metadata derivation (JSON round-trip), and the Gopher quality-rule "
+    "battery (per-rule fail attribution).",
 )
 
 # --- §2.9 clustering + eval metrics: M5 centroid assignment (full

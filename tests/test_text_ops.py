@@ -305,3 +305,24 @@ def test_span_removal_property_random(spark):
         for r in span_removal_stats(docs).collect()
     }
     assert got == {k: v for k, v in want.items()}
+
+
+def test_gopher_rules_each_rule_rejects(spark):
+    from sortify_spark.queries_lm import gopher_quality_rules
+
+    good = "the " + " ".join(["alpha beta gamma delta"] * 10)  # 41 words
+    docs = [
+        ("s", good),                      # passes all
+        ("s", "the short text"),          # fails wc (3 words)
+        ("s", "the " + "zz " * 39 + "z"),  # fails mwl (mean < 3)
+        ("s", good.replace("the", "999 111 222 333 444 555 666 777 888 000 123")),  # fails alpha+stop
+        ("s", good.replace("the", "xxx")),  # fails stop only
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    r = gopher_quality_rules(df).collect()[0]
+    assert r.docs == 5
+    assert r.fail_wc >= 1
+    assert r.fail_mwl >= 1
+    assert r.fail_alpha >= 1
+    assert r.fail_stop >= 2
+    assert r.pass_all == 1
