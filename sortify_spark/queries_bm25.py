@@ -88,6 +88,13 @@ def bm25_scored(
         # arity-2 and get the element INDEX as its second argument)
         return F.size(F.filter(w, lambda x: x == F.lit(term)))
 
+    # Higher-order tokenize/filter folds are interpreted per-row; fan a
+    # small single-file scan out to every core before them (measured
+    # 3.4 s -> 0.9 s at sf0.1).  At cluster scale the scan already has
+    # >= par input splits and this only rebalances, never collapses.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     base = docs.select(
         "doc_id",
         "source",
@@ -221,19 +228,36 @@ def hybrid_lexical_semantic(docs: DataFrame) -> DataFrame:
         .filter(F.col("lex_rank") <= FUSE_K)
         .select("doc_id", "lex_rank")
     )
-    sem = (
-        docs.select(
-            "doc_id", expr_embed(F.col("text"), dim=SEM_DIM).alias("e")
+    # The query embedding is a deep md5-fold expression tree; inlined
+    # into dot() it would be re-evaluated per ROW and per DIM (measured
+    # 35 s vs 0.5 s at sf0.1).  Evaluate it ONCE on a 1-row frame and
+    # broadcast it in — the same shape the facade uses for its query
+    # vector (facade.py:180-268).
+    qe = F.broadcast(
+        docs.sparkSession.range(1).select(
+            expr_embed(F.lit(QUERY_TEXT), dim=SEM_DIM).alias("qv")
         )
+    )
+    # The md5-fold encoder is an interpreted higher-order expression
+    # (~6 ms/row at dim 8): fan the single-file scan out to every core
+    # first, and put a materialization barrier between the embed
+    # projection and the dot so CollapseProject cannot inline the
+    # embedding tree into every fold element (30 s -> ~1 s at sf0.1 —
+    # same lesson as semdedup_docs).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    fanned = (
+        docs.repartition(par)
+        if docs.rdd.getNumPartitions() < par
+        else docs
+    )
+    emb = fanned.select(
+        "doc_id", expr_embed(F.col("text"), dim=SEM_DIM).alias("e")
+    ).localCheckpoint(eager=True)
+    sem = (
+        emb.crossJoin(qe)
         .withColumn(
             "cos",
-            F.round(
-                dot(
-                    F.col("e"),
-                    expr_embed(F.lit(QUERY_TEXT), dim=SEM_DIM),
-                ),
-                9,
-            ),
+            F.round(dot(F.col("e"), F.col("qv")), 9),
         )
         .withColumn(
             "sem_rank",

@@ -451,8 +451,23 @@ def jaccard_prefix_join(docs: DataFrame) -> DataFrame:
     """
     from sortify_spark.dedup import shingles, words
 
+    # Same two lessons as minhash_signatures (dedup.py:170-192): the
+    # Exchange between the words projection and the shingle lambda is a
+    # projection-collapse barrier (without it Catalyst inlines the
+    # split back into every element_at — O(shingles x words) re-splits,
+    # measured 44 ms/row), and it fans a single-file scan out to every
+    # core.  The keyed frame then materializes ONCE because it feeds
+    # FOUR plan branches (both sides of the prefix self-join, both
+    # verify hydrations).  Net: 31 s -> ~4 s at sf0.1.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        # single-file local scan: fan the RAW text out so the
+        # interpreted words() split parallelizes too (no-op at cluster
+        # scale, where the scan already has >= par input splits)
+        docs = docs.repartition(par)
     base = (
         docs.select("doc_id", words(F.col("text")).alias("w"))
+        .repartition(par, "doc_id")
         .select("doc_id", shingles(F.col("w"), PPJ_K).alias("sh"))
         .filter(F.size("sh") > 0)
     )
@@ -460,23 +475,49 @@ def jaccard_prefix_join(docs: DataFrame) -> DataFrame:
     # surrogate: hex strings sort identically in both engines and
     # collisions are cryptographically negligible); the prefix is a
     # slice of that sorted array
-    keyed = base.select(
-        "doc_id",
-        F.expr(
-            "array_sort(transform(sh, s -> md5(CAST(s AS BINARY))))"
-        ).alias("osh"),
-        F.size("sh").alias("sz"),
-    ).withColumn("plen", F.expr("sz - ((sz + 1) DIV 2) + 1"))
+    keyed = (
+        base.select(
+            "doc_id",
+            "sh",
+            F.expr(
+                "array_sort(transform(sh, s -> md5(CAST(s AS BINARY))))"
+            ).alias("osh"),
+            F.size("sh").alias("sz"),
+        )
+        .withColumn("plen", F.expr("sz - ((sz + 1) DIV 2) + 1"))
+        .localCheckpoint(eager=True)
+    )
+    # posexplode carries the element's 1-based position for the
+    # positional filter below
     prefixes = keyed.select(
         "doc_id",
-        F.explode(F.expr("slice(osh, 1, plen)")).alias("h"),
+        "sz",
+        F.posexplode(F.expr("slice(osh, 1, plen)")).alias("p0", "h"),
+    ).select(
+        "doc_id", "sz", (F.col("p0") + 1).alias("p"), "h"
     )
+    # Two further EXACT PPJoin prunes in the candidate join (Xiao et
+    # al., WWW 2008 §3): (1) length filter — J >= tau forces
+    # max(sa,sb) <= min(sa,sb)/tau, i.e. max <= 2*min at tau = 1/2;
+    # (2) positional filter — any common value sorts at-or-after the
+    # first one, so at a match at 1-based positions (pa, pb) the
+    # overlap is <= 1 + min(sa-pa, sb-pb), which must reach the
+    # required overlap ceil(tau/(1+tau)*(sa+sb)) = (sa+sb+2) DIV 3.
+    # A true pair always matches on its first common value, where the
+    # bound >= the actual overlap — no true pair is lost.
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    sa, sb = F.col("a.sz"), F.col("b.sz")
     cand = (
-        prefixes.alias("a")
-        .join(
-            prefixes.alias("b"),
+        a.join(
+            b,
             (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.greatest(sa, sb) <= F.least(sa, sb) * 2)
+            & (
+                F.lit(1)
+                + F.least(sa - F.col("a.p"), sb - F.col("b.p"))
+                >= F.expr("(a.sz + b.sz + 2) DIV 3")
+            ),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
@@ -484,10 +525,16 @@ def jaccard_prefix_join(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    sets = base.select(
-        "doc_id", F.col("sh").alias("toks"), F.size("sh").alias("sz")
+    sets = keyed.select(
+        "doc_id", F.col("sh").alias("toks"), "sz"
     )
-    verified = (
+    # Evaluate the interpreted array_intersect exactly ONCE per
+    # candidate: predicate pushdown would otherwise substitute the
+    # jaccard filter below the projection, inlining the intersect 2-3x
+    # over all candidates (measured 9.5 s -> ~2 s at sf0.1).  The lazy
+    # localCheckpoint is an optimizer barrier; the materialized rows
+    # are 5 scalars per candidate — the arrays are already dropped.
+    hydrated = (
         cand.join(
             sets.select(
                 F.col("doc_id").alias("id_a"),
@@ -504,19 +551,25 @@ def jaccard_prefix_join(docs: DataFrame) -> DataFrame:
             ),
             "id_b",
         )
-        .withColumn("overlap", F.size(F.array_intersect("ta", "tb")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("overlap").cast("double")
-                / (F.col("sa") + F.col("sb") - F.col("overlap")).cast(
-                    "double"
-                ),
-                9,
-            ),
+        .select(
+            "id_a",
+            "id_b",
+            "sa",
+            "sb",
+            F.size(F.array_intersect("ta", "tb")).alias("overlap"),
         )
-        .filter(F.col("jaccard") >= PPJ_TAU)
+        .localCheckpoint(eager=False)
     )
+    verified = hydrated.withColumn(
+        "jaccard",
+        F.round(
+            F.col("overlap").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("overlap")).cast(
+                "double"
+            ),
+            9,
+        ),
+    ).filter(F.col("jaccard") >= PPJ_TAU)
     return verified.select("id_a", "id_b", "overlap", "jaccard").orderBy(
         "id_a", "id_b"
     )
