@@ -116,6 +116,9 @@ HEADLINE = (
     "mv_merge_daily",
     # round 7: Gopher rule battery (row-local codegen, one agg)
     "gopher_quality_rules",
+    # round 7: Dolma paragraph-level keep-first dedup with rebuilt-text
+    # hash audit (combiner-collapsed winner agg)
+    "paragraph_dedup_keep_first",
 )
 
 

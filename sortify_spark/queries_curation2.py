@@ -1049,3 +1049,187 @@ FROM pd GROUP BY source ORDER BY source
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dolma-style paragraph-level exact dedup with document reassembly
+# ---------------------------------------------------------------------------
+
+PARA_W = 8  #: words per pseudo-paragraph (non-overlapping, tail kept short)
+#: composite (doc_id, pidx) -> bigint for the map-side-combinable MIN:
+#: pidx < 2^20 (a doc would need > 8M words to overflow) and
+#: doc_id < 2^43 — both documented bounds, asserted nowhere because a
+#: violation overflows into a WRONG winner, not a crash: the unit test
+#: pins the contract instead.
+PARA_POS_BASE = 1 << 20
+
+
+def paragraph_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Per-source paragraph-dedup audit with full text reassembly:
+    (source, docs, paras_total, paras_dropped, docs_emptied,
+    rebuilt_hash_sum).
+
+    Dolma (Soldaini et al. 2024) and RedPajama-v2 dedup at PARAGRAPH
+    granularity below document level: every duplicated paragraph keeps
+    exactly ONE copy corpus-wide (the earliest by (doc_id, position) —
+    first-writer-wins), and documents are re-emitted with their
+    surviving paragraphs in order.  This is a different contract from
+    ``common_span_removal`` (C4 boilerplate: spans frequent enough are
+    removed EVERYWHERE, no copy survives).  The synthetic corpus has no
+    newline structure, so pseudo-paragraphs are the non-overlapping
+    ``PARA_W``-word windows (trailing partial window kept — reassembly
+    is total: a doc is exactly the concatenation of its paragraphs).
+
+    ``rebuilt_hash_sum`` hash-checks the actual reconstructed text of
+    every doc (md5-prefix sum, the repo's hash-bucket idiom), so the
+    oracle proves the rebuilt strings — not just the counts.
+
+    Scale shape: one explode of the corpus into paragraphs; the winner
+    per paragraph is a MAP-SIDE-COMBINED min over a composite bigint
+    (doc_id * 2^20 + pidx) — on a duplicate-heavy crawl the combiner
+    collapses each hot paragraph to one row per partition before the
+    shuffle (a window row_number would sort the full occurrence stream
+    with no partial aggregation); join-back on the paragraph key, then
+    one groupBy(doc) rebuild and one per-source rollup.  No n², no
+    driver-side anything.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # single-file local scan fan-out
+    p = (
+        docs.select("doc_id", "source", _words().alias("w"))
+        # Exchange = projection-collapse barrier (dedup.py:170-192):
+        # without it the split re-evaluates inside every slice()
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.when(F.size("w") <= 0, F.array().cast("array<string>"))
+                .otherwise(
+                    F.expr(
+                        f"transform(sequence(0, (size(w) + {PARA_W - 1}) "
+                        f"DIV {PARA_W} - 1), "
+                        f"s -> array_join(slice(w, s * {PARA_W} + 1, "
+                        f"{PARA_W}), ' '))"
+                    )
+                )
+            ).alias("pidx", "ptext"),
+        )
+        .withColumn(
+            "pos_key",
+            F.col("doc_id") * F.lit(PARA_POS_BASE) + F.col("pidx"),
+        )
+    )
+    winners = p.groupBy("ptext").agg(F.min("pos_key").alias("w0"))
+    kept = (
+        p.join(winners, "ptext")
+        .filter(F.col("pos_key") == F.col("w0"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pidx, ptext))), x -> x.ptext), ' ')"
+            ).alias("rebuilt"),
+            F.count(F.lit(1)).alias("paras_kept"),
+        )
+    )
+    totals = p.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("paras_total")
+    )
+    d = totals.join(kept, "doc_id", "left").select(
+        "source",
+        "paras_total",
+        F.coalesce("paras_kept", F.lit(0)).alias("paras_kept"),
+        F.coalesce("rebuilt", F.lit("")).alias("rebuilt"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("paras_total").cast("bigint").alias("paras_total"),
+            F.sum(F.col("paras_total") - F.col("paras_kept"))
+            .cast("bigint")
+            .alias("paras_dropped"),
+            F.sum(F.when(F.col("paras_kept") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_emptied"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("rebuilt").cast("binary")), 1, 7
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rebuilt_hash_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_PARA_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+p0 AS (
+  SELECT doc_id, source, w,
+         unnest(range(0, (len(w) + {PARA_W - 1}) // {PARA_W})) AS pidx
+  FROM w
+),
+p AS (
+  SELECT doc_id, source, pidx,
+         array_to_string(
+             w[pidx * {PARA_W} + 1 : pidx * {PARA_W} + {PARA_W}], ' ')
+             AS ptext,
+         doc_id * {PARA_POS_BASE} + pidx AS pos_key
+  FROM p0
+),
+winners AS (SELECT ptext, MIN(pos_key) AS w0 FROM p GROUP BY ptext),
+kept AS (
+  SELECT p.doc_id,
+         string_agg(p.ptext, ' ' ORDER BY p.pidx) AS rebuilt,
+         COUNT(*) AS paras_kept
+  FROM p JOIN winners ON p.ptext = winners.ptext AND p.pos_key = winners.w0
+  GROUP BY p.doc_id
+),
+totals AS (
+  SELECT doc_id, source, COUNT(*) AS paras_total FROM p GROUP BY 1, 2
+),
+d AS (
+  SELECT totals.source, totals.paras_total,
+         COALESCE(kept.paras_kept, 0) AS paras_kept,
+         COALESCE(kept.rebuilt, '') AS rebuilt
+  FROM totals LEFT JOIN kept ON totals.doc_id = kept.doc_id
+)
+SELECT source, COUNT(*) AS docs,
+       CAST(SUM(paras_total) AS BIGINT) AS paras_total,
+       CAST(SUM(paras_total - paras_kept) AS BIGINT) AS paras_dropped,
+       CAST(SUM(CASE WHEN paras_kept = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_emptied,
+       CAST(SUM(('0x' || substring(md5(rebuilt), 1, 7))::BIGINT) AS BIGINT)
+           AS rebuilt_hash_sum
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "paragraph_dedup_keep_first",
+    _PARA_SQL,
+    note="Dolma/RedPajama-v2 paragraph-level exact dedup with document "
+    f"reassembly: non-overlapping {PARA_W}-word pseudo-paragraphs "
+    "(tail kept), every duplicated paragraph keeps exactly ONE copy "
+    "corpus-wide (earliest by (doc_id, position) via a map-side-"
+    "combined MIN over a composite bigint), docs re-emitted with "
+    "surviving paragraphs in order and the REBUILT TEXT hash-checked "
+    "per source — a different contract from common_span_removal "
+    "(C4 removes all copies of frequent spans).  One paragraph "
+    "explode, combiner-collapsed winner agg, key join-back, one "
+    "rebuild groupBy.",
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup_stats(_t(spark, sf_dir, "documents"))

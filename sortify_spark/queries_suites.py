@@ -1041,6 +1041,19 @@ _suite(
                 val2="CAST(cross_split_pairs AS DOUBLE)",
             ),
         ),
+        # round 7: Dolma-style paragraph-level keep-first dedup with the
+        # rebuilt document text hash-checked (queries_curation2.py).
+        (
+            "paragraph_dedup_keep_first",
+            dict(
+                key1="source",
+                key2="CAST(rebuilt_hash_sum AS STRING) || '|' "
+                "|| CAST(paras_total AS STRING)",
+                cnt="docs",
+                val="CAST(paras_dropped AS DOUBLE)",
+                val2="CAST(docs_emptied AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: Gopher repetition signals, stratified exact-N sampling, "
     "sliding-window counts, incremental batch-vs-corpus dedup, exact "

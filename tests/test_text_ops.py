@@ -326,3 +326,41 @@ def test_gopher_rules_each_rule_rejects(spark):
     assert r.fail_alpha >= 1
     assert r.fail_stop >= 2
     assert r.pass_all == 1
+
+
+def test_paragraph_dedup_keep_first_contract(spark):
+    """Cross-doc duplicate paragraphs keep only the earliest
+    (doc_id, position) copy; within-doc repeats collapse too; the tail
+    partial paragraph survives; a fully-duplicated doc is emptied; and
+    the rebuilt text is the ordered concatenation of survivors."""
+    from sortify_spark.queries_curation2 import (
+        PARA_W,
+        paragraph_dedup_stats,
+    )
+
+    p1 = " ".join(f"a{i}" for i in range(PARA_W))  # paragraph A
+    p2 = " ".join(f"b{i}" for i in range(PARA_W))  # paragraph B
+    tail = "t0 t1"  # partial tail paragraph
+    docs = spark.createDataFrame(
+        [
+            # doc 1: A + B + tail — everything first-seen, all kept
+            (1, f"{p1} {p2} {tail}", "s"),
+            # doc 2: A twice (cross-doc dup of p1 AND within-doc repeat)
+            (2, f"{p1} {p1}", "s"),
+            # doc 3: B only — fully duplicated, emptied
+            (3, p2, "s"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    [row] = paragraph_dedup_stats(docs).collect()
+    assert row.docs == 3
+    assert row.paras_total == 6  # 3 + 2 + 1 (tail counts)
+    assert row.paras_dropped == 3  # doc2 both copies, doc3's B
+    assert row.docs_emptied == 2  # doc2 and doc3 lose everything
+    # rebuilt texts: doc1 = original, doc2 = '', doc3 = ''
+    import hashlib
+
+    def hb(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    assert row.rebuilt_hash_sum == hb(f"{p1} {p2} {tail}") + 2 * hb("")
