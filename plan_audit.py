@@ -68,6 +68,7 @@ AUDIT = [
     "leakage_safe_split",
     "mv_merge_daily",
     "gopher_quality_rules",
+    "paragraph_dedup_keep_first",
 ]
 
 

@@ -246,6 +246,117 @@ def main() -> None:
 
         stage("neardup_component_sizes", neardup)
 
+        # -- leakage-safe split at inflated scale -----------------------
+        # Component-atomic train/val/test assignment over the inflated
+        # corpus, with the cross-split pair audit (must be 0 at any
+        # scale — the property is by-construction, the audit proves the
+        # plan preserves it when comp maps and pair sets are 100-1000x
+        # the toy size).
+        def leakage_split():
+            from sortify_spark.operators.sampling import hash_bucket
+
+            labeled = (
+                kept_exact.select("doc_id")
+                .join(comp, F.col("doc_id") == comp.node, "left")
+                .select(
+                    "doc_id", F.coalesce("comp", "doc_id").alias("comp")
+                )
+            )
+            bkt = hash_bucket("comp", 10)
+            s = labeled.withColumn(
+                "split",
+                F.when(bkt == 8, F.lit("val"))
+                .when(bkt == 9, F.lit("test"))
+                .otherwise(F.lit("train")),
+            ).persist()
+            per = {
+                r["split"]: r["docs"]
+                for r in s.groupBy("split")
+                .agg(F.count(F.lit(1)).alias("docs"))
+                .collect()
+            }
+            viol = (
+                pairs.join(
+                    s.select(
+                        F.col("doc_id").alias("id_a"),
+                        F.col("split").alias("sa"),
+                    ),
+                    "id_a",
+                )
+                .join(
+                    s.select(
+                        F.col("doc_id").alias("id_b"),
+                        F.col("split").alias("sb"),
+                    ),
+                    "id_b",
+                )
+                .filter(F.col("sa") != F.col("sb"))
+                .count()
+            )
+            s.unpersist()
+            return {
+                "rows": sum(per.values()),
+                "train": per.get("train", 0),
+                "val": per.get("val", 0),
+                "test": per.get("test", 0),
+                "cross_split_pairs": viol,
+            }
+
+        stage("leakage_safe_split", leakage_split)
+
+        # -- PageRank over an inflated purchase graph -------------------
+        # The graph is `reps` disjoint copies of the sf-dir purchase
+        # graph (both endpoints offset per replica), so node AND edge
+        # count scale with the factor while structure stays constant —
+        # the right shape for "per-iteration cost is one rank shuffle +
+        # one agg, linear in edges".  Replica factor is capped at 50
+        # (~25 M edges locally) and RECORDED — not a silent cap.
+        def pagerank_stage():
+            from sortify_spark.queries_linkage import (
+                PR_SUPP_OFFSET,
+                pagerank_suppliers,
+            )
+
+            reps_n = min(args.inflate, 50)
+            reps = F.broadcast(
+                spark.range(reps_n).select(F.col("id").alias("rep"))
+            )
+            o = (
+                load_table(spark, args.sf_dir, "orders")
+                .select("o_orderkey", "o_custkey")
+                .crossJoin(reps)
+                .select(
+                    (F.col("o_orderkey") + F.col("rep") * 10_000_000).alias(
+                        "o_orderkey"
+                    ),
+                    (F.col("o_custkey") + F.col("rep") * 1_000_000).alias(
+                        "o_custkey"
+                    ),
+                )
+            )
+            li = (
+                load_table(spark, args.sf_dir, "lineitem")
+                .select("l_orderkey", "l_suppkey")
+                .crossJoin(reps)
+                .select(
+                    (F.col("l_orderkey") + F.col("rep") * 10_000_000).alias(
+                        "l_orderkey"
+                    ),
+                    (F.col("l_suppkey") + F.col("rep") * 100_000).alias(
+                        "l_suppkey"
+                    ),
+                )
+            )
+            assert reps_n * 100_000 < PR_SUPP_OFFSET
+            top = pagerank_suppliers(o, li).collect()
+            return {
+                "rows": len(top),
+                "graph_replicas": reps_n,
+                "top_pr_units": int(top[0]["pr_units"]) if top else 0,
+            }
+
+        stage("pagerank_5iter_inflated", pagerank_stage)
+
         # -- published-pipeline quartet at inflated scale ---------------
         # The three text kernels run over the full inflated corpus; the
         # SemDeDup kernel runs over an embeddings table inflated with
