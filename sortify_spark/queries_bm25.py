@@ -90,11 +90,10 @@ def bm25_scored(
 
     # Higher-order tokenize/filter folds are interpreted per-row; fan a
     # small single-file scan out to every core before them (measured
-    # 3.4 s -> 0.9 s at sf0.1).  At cluster scale the scan already has
-    # >= par input splits and this only rebalances, never collapses.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # 3.4 s -> 0.9 s at sf0.1; cluster no-op).
+    from sortify_spark.operators.partitioning import fan_out
+
+    docs = fan_out(docs)
     base = docs.select(
         "doc_id",
         "source",
@@ -244,13 +243,9 @@ def hybrid_lexical_semantic(docs: DataFrame) -> DataFrame:
     # projection and the dot so CollapseProject cannot inline the
     # embedding tree into every fold element (30 s -> ~1 s at sf0.1 —
     # same lesson as semdedup_docs).
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    fanned = (
-        docs.repartition(par)
-        if docs.rdd.getNumPartitions() < par
-        else docs
-    )
-    emb = fanned.select(
+    from sortify_spark.operators.partitioning import fan_out
+
+    emb = fan_out(docs).select(
         "doc_id", expr_embed(F.col("text"), dim=SEM_DIM).alias("e")
     ).localCheckpoint(eager=True)
     sem = (

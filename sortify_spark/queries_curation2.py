@@ -1093,11 +1093,12 @@ def paragraph_dedup_stats(docs: DataFrame) -> DataFrame:
     one groupBy(doc) rebuild and one per-source rollup.  No n², no
     driver-side anything.
     """
+    from sortify_spark.operators.partitioning import fan_out
+
     par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)  # single-file local scan fan-out
     p = (
-        docs.select("doc_id", "source", _words().alias("w"))
+        fan_out(docs)
+        .select("doc_id", "source", _words().alias("w"))
         # Exchange = projection-collapse barrier (dedup.py:170-192):
         # without it the split re-evaluates inside every slice()
         .repartition(par, "doc_id")

@@ -459,14 +459,12 @@ def jaccard_prefix_join(docs: DataFrame) -> DataFrame:
     # core.  The keyed frame then materializes ONCE because it feeds
     # FOUR plan branches (both sides of the prefix self-join, both
     # verify hydrations).  Net: 31 s -> ~4 s at sf0.1.
+    from sortify_spark.operators.partitioning import fan_out
+
     par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        # single-file local scan: fan the RAW text out so the
-        # interpreted words() split parallelizes too (no-op at cluster
-        # scale, where the scan already has >= par input splits)
-        docs = docs.repartition(par)
     base = (
-        docs.select("doc_id", words(F.col("text")).alias("w"))
+        fan_out(docs)
+        .select("doc_id", words(F.col("text")).alias("w"))
         .repartition(par, "doc_id")
         .select("doc_id", shingles(F.col("w"), PPJ_K).alias("sh"))
         .filter(F.size("sh") > 0)
