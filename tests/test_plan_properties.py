@@ -443,3 +443,20 @@ def test_bigram_lm_quality_broadcast_lm_tables(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "partial_" in plan
+
+
+def test_fan_out_gated_on_partition_count(spark):
+    """fan_out widens a single-partition frame to default parallelism
+    and is an exact no-op (same plan object) on an already-parallel
+    frame — the cluster-scale contract."""
+    from sortify_spark.operators.partitioning import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    small = spark.createDataFrame([(i,) for i in range(10)], ["x"]).coalesce(1)
+    assert small.rdd.getNumPartitions() == 1
+    widened = fan_out(small)
+    assert widened.rdd.getNumPartitions() == par
+    assert widened.count() == 10
+
+    wide = spark.range(100).repartition(par)
+    assert fan_out(wide) is wide
