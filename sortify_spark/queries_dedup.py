@@ -522,6 +522,13 @@ def jaccard_prefix_join(docs: DataFrame) -> DataFrame:
             F.col("b.doc_id").alias("id_b"),
         )
         .distinct()
+        # AQE coalesces by BYTES, and 210k candidate id-pairs are only a
+        # few MB — it planned the downstream interpreted array_intersect
+        # onto 1-2 partitions (22 s vs 10 s measured under the engine
+        # session).  A user repartition is respected by AQE and spreads
+        # the CPU-bound verify across every core; the shuffled payload
+        # is two bigints per pair.
+        .repartition(par)
     )
     sets = keyed.select(
         "doc_id", F.col("sh").alias("toks"), "sz"
