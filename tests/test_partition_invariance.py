@@ -37,6 +37,15 @@ CASES = [
     "corpus_freq_buckets",
     "sequence_packing",
     "semdedup_prune",
+    # round 7: prefix-filtered exact similarity join (candidate set and
+    # verify must not depend on how prefixes are partitioned), keep-first
+    # paragraph dedup (winner = MIN over a composite key — any
+    # aggregation order), integer fixed-point PageRank (the determinism
+    # contract SCALE.md claims), and strict-order funnel windows.
+    "jaccard_prefix_join",
+    "paragraph_dedup_keep_first",
+    "pagerank_suppliers",
+    "funnel_conversion",
 ]
 
 
