@@ -119,6 +119,8 @@ HEADLINE = (
     # round 7: Dolma paragraph-level keep-first dedup with rebuilt-text
     # hash audit (combiner-collapsed winner agg)
     "paragraph_dedup_keep_first",
+    # round 7: dedup lineage (dropped -> rep + direct-jaccard audit)
+    "dedup_attribution",
 )
 
 

@@ -269,3 +269,163 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(viol))
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup attribution: WHY was each dropped doc dropped, and for WHOM
+# ---------------------------------------------------------------------------
+
+
+def dedup_attribution(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per dropped doc: (dropped_id, rep_id, rep_jaccard, via_id,
+    via_jaccard) — the data-lineage record a curation pipeline owes its
+    users (Dolma ships attribute files for exactly this reason; the
+    reference never resolves duplicate graphs at all).
+
+    ``rep_id`` is the kept component representative (min id in the
+    near-dup component).  ``via_id`` is the direct near-dup partner
+    that linked the doc into the component (max verified jaccard, min
+    id tie-break).  The honest part this row makes visible:
+    ``rep_jaccard`` — the doc's DIRECT similarity to its
+    representative — can be far below the pair threshold (or 0) on
+    transitive chains A~B~C: C is dropped for A's sake without
+    resembling A.  That is the component contract, and this query is
+    the audit that shows it rather than hiding it.
+
+    Scale shape: everything downstream of pair finding is sized by the
+    DROPPED set and the pair list (both tiny vs the corpus).  The only
+    corpus-wide work is the shingle-set projection, hydrated per
+    dropped row by an id equi-join; the window ranking runs over the
+    symmetric pair list (2 rows per near-dup pair).
+    """
+    from pyspark.sql.window import Window
+
+    from sortify_spark.operators.partitioning import fan_out
+
+    comp = dedup.connected_components(pairs)
+    dropped = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("dropped_id"), F.col("comp").alias("rep_id")
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("node"),
+        F.col("id_b").alias("partner"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("node"),
+            F.col("id_a").alias("partner"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("jaccard"), F.asc("partner")
+    )
+    via = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("node").alias("dropped_id"),
+            F.col("partner").alias("via_id"),
+            F.col("jaccard").alias("via_jaccard"),
+        )
+    )
+    # same shingle sets as the pair finder (words -> distinct 3-shingles),
+    # with the exchange barrier + tiny-scan fan-out (SCALE.md lessons)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        fan_out(docs)
+        .select("doc_id", dedup.words(F.col("text")).alias("w"))
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id", dedup.shingles(F.col("w"), _SHINGLE_K).alias("sh")
+        )
+    )
+    return (
+        dropped.join(
+            sh.select(
+                F.col("doc_id").alias("dropped_id"),
+                F.col("sh").alias("sh_d"),
+            ),
+            "dropped_id",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("rep_id"), F.col("sh").alias("sh_r")
+            ),
+            "rep_id",
+        )
+        .select(
+            "dropped_id",
+            "rep_id",
+            F.round(dedup.jaccard(F.col("sh_d"), F.col("sh_r")), 6).alias(
+                "rep_jaccard"
+            ),
+        )
+        .join(via, "dropped_id")
+        .select(
+            "dropped_id", "rep_id", "rep_jaccard", "via_id", "via_jaccard"
+        )
+        .orderBy("dropped_id")
+    )
+
+
+_ATTR_SQL = f"""
+WITH comp AS ({dedup.components_oracle_sql(_PAIRS_SQL)}),
+pairs AS ({_PAIRS_SQL}),
+dropped AS (
+  SELECT node AS dropped_id, comp AS rep_id FROM comp WHERE node <> comp
+),
+sym AS (
+  SELECT id_a AS node, id_b AS partner, jaccard FROM pairs
+  UNION ALL
+  SELECT id_b AS node, id_a AS partner, jaccard FROM pairs
+),
+via AS (
+  SELECT node AS dropped_id, partner AS via_id, jaccard AS via_jaccard
+  FROM sym
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY node ORDER BY jaccard DESC, partner ASC) = 1
+),
+wt AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - {_SHINGLE_K - 2}),
+             i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+  FROM wt WHERE len(w) >= {_SHINGLE_K}
+)
+SELECT d.dropped_id, d.rep_id,
+       ROUND(
+         CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
+              THEN 0.0
+              ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) + len(b.sh)
+                          - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         END, 6) AS rep_jaccard,
+       v.via_id, v.via_jaccard
+FROM dropped d
+JOIN sh a ON d.dropped_id = a.doc_id
+JOIN sh b ON d.rep_id = b.doc_id
+JOIN via v ON d.dropped_id = v.dropped_id
+ORDER BY d.dropped_id
+"""
+
+
+@register(
+    "dedup_attribution",
+    _ATTR_SQL,
+    note="Dedup lineage/attribution: for every dropped near-dup, the "
+    "kept representative, the DIRECT jaccard to it (exposing that "
+    "transitive chains drop docs that do not resemble their rep — the "
+    "component contract made auditable), and the max-jaccard partner "
+    "that linked it in.  Sized by the dropped set + pair list, never "
+    "the corpus; the only corpus-wide work is the shingle projection "
+    "hydrated by id equi-joins.",
+)
+def q_dedup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_attribution(
+        _t(spark, sf_dir, "documents"), _pairs(spark, sf_dir)
+    )

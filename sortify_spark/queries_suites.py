@@ -1041,6 +1041,18 @@ _suite(
                 val2="CAST(cross_split_pairs AS DOUBLE)",
             ),
         ),
+        # round 7: dedup lineage/attribution — dropped doc -> kept rep
+        # with direct-jaccard audit of the transitive-chain contract.
+        (
+            "dedup_attribution",
+            dict(
+                key1="CAST(dropped_id AS STRING)",
+                key2="CAST(rep_id AS STRING) || '|' "
+                "|| CAST(via_id AS STRING)",
+                val="rep_jaccard",
+                val2="via_jaccard",
+            ),
+        ),
         # round 7: Dolma-style paragraph-level keep-first dedup with the
         # rebuilt document text hash-checked (queries_curation2.py).
         (
