@@ -270,3 +270,118 @@ def test_shard_interleave_well_mixed(spark):
         assert 1 <= r.runs <= r.docs
         assert r.max_run <= 6, r  # ~20 sources: long runs ≈ impossible
         assert r.distinct_sources >= 2
+
+
+# ---------------------------------------------------------------------------
+# PPJoin exactness: prefix lemma + length/positional filters lose no pair
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ppjoin_shingles(ws: list[str], k: int = 3) -> frozenset[str]:
+    return frozenset(
+        " ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)
+    )
+
+
+def _ppjoin_candidates(sets: dict[int, frozenset[str]]) -> set:
+    """Pure-python mirror of jaccard_prefix_join's candidate stage:
+    md5-order prefixes + length filter + positional filter."""
+    import hashlib
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for i, sh in sets.items():
+        osh = sorted(
+            hashlib.md5(s.encode()).hexdigest() for s in sh
+        )
+        sz = len(osh)
+        plen = sz - ((sz + 1) // 2) + 1
+        for p, h in enumerate(osh[:plen], start=1):
+            by[h].append((i, p, sz))
+    out = set()
+    for lst in by.values():
+        for i1, p1, s1 in lst:
+            for i2, p2, s2 in lst:
+                if (
+                    i1 < i2
+                    and max(s1, s2) <= 2 * min(s1, s2)
+                    and 1 + min(s1 - p1, s2 - p2) >= (s1 + s2 + 2) // 3
+                ):
+                    out.add((i1, i2))
+    return out
+
+
+_DOCS = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+        min_size=3,
+        max_size=12,
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(_DOCS)
+@settings(max_examples=300, deadline=None)
+def test_ppjoin_prefix_filters_lose_no_true_pair(docs):
+    """Every pair with exact Jaccard >= 0.5 over 3-shingle sets MUST
+    survive the prefix + length + positional filters (candidate
+    completeness — the WWW'08 lemmas under the md5 total order).  The
+    tiny alphabet forces heavy shingle sharing, the adversarial case
+    for a hash-ordered prefix."""
+    sets = {
+        i: _ppjoin_shingles(ws)
+        for i, ws in enumerate(docs)
+        if len(ws) >= 3
+    }
+    sets = {i: s for i, s in sets.items() if s}
+    true_pairs = set()
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = sets[ids[ai]], sets[ids[bi]]
+            if len(a & b) * 2 >= len(a | b):  # J >= 0.5, exact integers
+                true_pairs.add((ids[ai], ids[bi]))
+    cands = _ppjoin_candidates(sets)
+    missing = true_pairs - cands
+    assert not missing, f"prefix filtering lost true pairs: {missing}"
+
+
+def test_ppjoin_spark_matches_bruteforce(spark):
+    """End-to-end: the Spark operator's verified pair set and overlap
+    counts equal a python brute force over an adversarial corpus (heavy
+    shared boilerplate + near-dup clones), independent of the DuckDB
+    oracle (which replays the same plan)."""
+    import random
+
+    from sortify_spark.queries_dedup import jaccard_prefix_join
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    boiler = ["the", "quick", "brown", "fox", "jumps", "over"]
+    rows = []
+    texts = {}
+    for i in range(40):
+        words = boiler * 2 + [rng.choice(vocab) for _ in range(rng.randint(3, 10))]
+        if i % 4 == 1:  # clone of the previous doc with a tweak
+            words = texts[i - 1].split()[:]
+            words[-1] = rng.choice(vocab)
+        texts[i] = " ".join(words)
+        rows.append((i, texts[i]))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.overlap
+        for r in jaccard_prefix_join(docs).collect()
+    }
+    want = {}
+    sets = {i: _ppjoin_shingles(t.split()) for i, t in texts.items()}
+    for a in range(40):
+        for b in range(a + 1, 40):
+            sa, sb = sets[a], sets[b]
+            if sa and sb and len(sa & sb) * 2 >= len(sa | sb):
+                want[(a, b)] = len(sa & sb)
+    assert got == want
