@@ -157,7 +157,18 @@ def main() -> None:
     # excluded from the total.
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
+    import gc
+
     for name in HEADLINE:
+        # Release the previous query's localCheckpoint blocks before
+        # timing the next one: checkpointed RDDs are unpersisted by the
+        # ContextCleaner only after their Python DataFrame is GC'd, and
+        # with 60+ queries x 2 passes the accumulated storage blocks
+        # steal execution memory from later queries (measured: a 1.3-3x
+        # systematic drift of the common set as the headline list grew).
+        # Per-query isolation is the point of the harness — cross-query
+        # interference is a harness artifact, not plan cost.
+        gc.collect()
         fn = REGISTRY[name].fn
         for _ in range(2):
             try:
