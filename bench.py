@@ -167,7 +167,12 @@ def main() -> None:
         # steal execution memory from later queries (measured: a 1.3-3x
         # systematic drift of the common set as the headline list grew).
         # Per-query isolation is the point of the harness — cross-query
-        # interference is a harness artifact, not plan cost.
+        # interference is a harness artifact, not plan cost.  (A
+        # System.gc() here as well was measured WORSE — the forced full
+        # collections cost more than the freed blocks bought back;
+        # python GC + the ContextCleaner's own cadence is the sweet
+        # spot: common-set ratio vs r6 was 1.21 with this line and 1.63
+        # with the JVM GC added.)
         gc.collect()
         fn = REGISTRY[name].fn
         for _ in range(2):

@@ -539,3 +539,91 @@ def q_trigger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "seq long, kind string, total long"
     ).orderBy("seq")
+
+
+# ---------------------------------------------------------------------------
+# Streaming paragraph-level keep-first dedup replay
+# ---------------------------------------------------------------------------
+
+
+def _paradedup_oracle_sql(n_batches: int = N_BATCHES) -> str:
+    from sortify_spark.queries_curation2 import PARA_POS_BASE, PARA_W
+
+    pw = PARA_W
+    batch_base = 1 << 50  # doc_id * 2^20 + pidx < 2^50 at any test SF
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+p0 AS (
+  SELECT doc_id, source, w,
+         unnest(range(0, (len(w) + {pw - 1}) // {pw})) AS pidx
+  FROM w
+),
+p AS (
+  SELECT doc_id, source, pidx,
+         array_to_string(
+             w[pidx * {pw} + 1 : pidx * {pw} + {pw}], ' ') AS ptext,
+         doc_id % {n_batches} AS batch,
+         (doc_id % {n_batches}) * {batch_base}
+             + doc_id * {PARA_POS_BASE} + pidx AS gkey
+  FROM p0
+),
+winners AS (SELECT ptext, MIN(gkey) AS w0 FROM p GROUP BY ptext),
+kept AS (
+  SELECT p.doc_id, p.pidx, p.ptext
+  FROM p JOIN winners ON p.ptext = winners.ptext AND p.gkey = winners.w0
+),
+reb AS (
+  SELECT doc_id, string_agg(ptext, ' ' ORDER BY pidx) AS rebuilt,
+         COUNT(*) AS paras_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, source, batch, COUNT(*) AS paras_total
+  FROM p GROUP BY 1, 2, 3
+)
+SELECT t.doc_id, t.source, t.batch, t.paras_total,
+       COALESCE(r.paras_kept, 0) AS paras_kept,
+       ('0x' || substring(md5(COALESCE(r.rebuilt, '')), 1, 7))::BIGINT
+           AS rebuilt_hash
+FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "paradedup_replay",
+    _paradedup_oracle_sql(),
+    note="Online Dolma paragraph dedup, end-to-end: documents stream "
+    f"in {N_BATCHES} micro-batches through paradedup_stream — within "
+    "a batch keep-first is the combiner-collapsed MIN over "
+    "(doc_id, position); across batches paragraphs seen in any "
+    "STRICTLY EARLIER seen-table partition are dropped (the LSM "
+    "pb-keyed discipline: replayed batches recompute identically) — "
+    "and the committed cleaned corpus, including the md5 of every "
+    "REBUILT document text, must hash-match the one-shot SQL replay "
+    "whose global winner key is (batch, doc_id, position).  The "
+    "streaming twin of paragraph_dedup_keep_first, sharing its "
+    "paragraph kernel.",
+)
+def q_paradedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.streaming.pipeline import (
+        paradedup_stream,
+        read_paradedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="sortify_paradedup_")
+    inp, table = f"{tmp}/in", f"{tmp}/table"
+    for b in range(N_BATCHES):
+        docs.filter(F.col("doc_id") % N_BATCHES == b).coalesce(
+            1
+        ).write.mode("append").parquet(inp)
+        q = paradedup_stream(spark, inp, table, f"{tmp}/ckpt")
+        q.awaitTermination(600)
+    return read_paradedup(spark, table).orderBy("doc_id")

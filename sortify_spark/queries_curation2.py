@@ -1064,6 +1064,45 @@ PARA_W = 8  #: words per pseudo-paragraph (non-overlapping, tail kept short)
 PARA_POS_BASE = 1 << 20
 
 
+def paragraphs_of(docs: DataFrame, para_w: int = PARA_W) -> DataFrame:
+    """Pseudo-paragraph rows (doc_id, source, pidx, ptext, pos_key):
+    non-overlapping ``para_w``-word windows (trailing partial kept, so
+    a doc is exactly the concatenation of its paragraphs in pidx
+    order); ``pos_key = doc_id * 2^20 + pidx`` is the composite bigint
+    the keep-first winner MIN aggregates over.  Shared by the batch
+    operator (:func:`paragraph_dedup_stats`) and the streaming variant
+    (``streaming.pipeline.paradedup_stream``)."""
+    from sortify_spark.operators.partitioning import fan_out
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        fan_out(docs)
+        .select("doc_id", "source", _words().alias("w"))
+        # Exchange = projection-collapse barrier (dedup.py:170-192):
+        # without it the split re-evaluates inside every slice()
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.when(F.size("w") <= 0, F.array().cast("array<string>"))
+                .otherwise(
+                    F.expr(
+                        f"transform(sequence(0, (size(w) + {para_w - 1}) "
+                        f"DIV {para_w} - 1), "
+                        f"s -> array_join(slice(w, s * {para_w} + 1, "
+                        f"{para_w}), ' '))"
+                    )
+                )
+            ).alias("pidx", "ptext"),
+        )
+        .withColumn(
+            "pos_key",
+            F.col("doc_id") * F.lit(PARA_POS_BASE) + F.col("pidx"),
+        )
+    )
+
+
 def paragraph_dedup_stats(docs: DataFrame) -> DataFrame:
     """Per-source paragraph-dedup audit with full text reassembly:
     (source, docs, paras_total, paras_dropped, docs_emptied,
@@ -1093,35 +1132,7 @@ def paragraph_dedup_stats(docs: DataFrame) -> DataFrame:
     one groupBy(doc) rebuild and one per-source rollup.  No n², no
     driver-side anything.
     """
-    from sortify_spark.operators.partitioning import fan_out
-
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    p = (
-        fan_out(docs)
-        .select("doc_id", "source", _words().alias("w"))
-        # Exchange = projection-collapse barrier (dedup.py:170-192):
-        # without it the split re-evaluates inside every slice()
-        .repartition(par, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            F.posexplode(
-                F.when(F.size("w") <= 0, F.array().cast("array<string>"))
-                .otherwise(
-                    F.expr(
-                        f"transform(sequence(0, (size(w) + {PARA_W - 1}) "
-                        f"DIV {PARA_W} - 1), "
-                        f"s -> array_join(slice(w, s * {PARA_W} + 1, "
-                        f"{PARA_W}), ' '))"
-                    )
-                )
-            ).alias("pidx", "ptext"),
-        )
-        .withColumn(
-            "pos_key",
-            F.col("doc_id") * F.lit(PARA_POS_BASE) + F.col("pidx"),
-        )
-    )
+    p = paragraphs_of(docs)
     winners = p.groupBy("ptext").agg(F.min("pos_key").alias("w0"))
     kept = (
         p.join(winners, "ptext")

@@ -772,6 +772,18 @@ _suite(
             "trigger_replay",
             dict(key1="CAST(seq AS STRING)", key2="kind", cnt="total"),
         ),
+        # round 7: online Dolma paragraph dedup — per-doc rebuilt-text
+        # hash across the evolving seen-paragraph side table.
+        (
+            "paradedup_replay",
+            dict(
+                key1="CAST(doc_id AS STRING)",
+                key2="source || '|' || CAST(batch AS STRING) || '|' "
+                "|| CAST(rebuilt_hash AS STRING)",
+                cnt="paras_total",
+                val="CAST(paras_kept AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: the engine's full streaming verification surface in "
     "one driver row — stateful exact dedup (applyInPandasWithState), "

@@ -1273,3 +1273,145 @@ def read_rollup(spark: SparkSession, table_path: str) -> DataFrame:
             ).alias("avg_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming paragraph-level keep-first dedup (the Dolma contract, online)
+# ---------------------------------------------------------------------------
+
+
+def paradedup_apply(
+    batch_df: DataFrame, batch_id: int, table_path: str
+) -> None:
+    """One micro-batch of online paragraph dedup — exposed at module
+    level so tests can drive replay semantics directly.
+
+    Within the batch, keep-first is the MIN over ``pos_key``
+    (doc_id, position); across batches, any paragraph whose md5 is in
+    the seen side table from a STRICTLY EARLIER batch partition is
+    dropped.  Reading only ``pb < batch_id`` is what makes a replayed
+    batch recompute the identical decision (its own partition is
+    excluded), and the keyed upserts rewrite its own rows
+    byte-identically — the LSM discipline every admission side table
+    uses.  Docs are re-emitted with surviving paragraphs in order
+    (possibly empty).  Commit order: cleaned docs first, then the seen
+    hashes — a crash between the two replays into identical commits.
+
+    Scale: the batch-side work is one paragraph explode + a map-side-
+    combined winner MIN; the seen anti-join is an equi-join on the
+    128-bit hash (corpus-side table is hash-partitioned by pb and only
+    grows by each batch's NOVEL paragraphs; md5 collisions are
+    cryptographically negligible and only ever cause a false drop).
+    """
+    if batch_df.isEmpty():
+        return
+    from sortify_spark.queries_curation2 import paragraphs_of
+    from sortify_spark.sources.versioned import (
+        read_manifest,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    spark = batch_df.sparkSession
+    seen_path = f"{table_path}__seen"
+    p = paragraphs_of(batch_df).withColumn(
+        "ph", F.md5(F.col("ptext").cast("binary"))
+    ).localCheckpoint(eager=False)
+    winners = p.groupBy("ptext").agg(F.min("pos_key").alias("w0"))
+    kept = p.join(winners, "ptext").filter(
+        F.col("pos_key") == F.col("w0")
+    )
+    if read_manifest(seen_path)["partitions"]:
+        seen = read_versioned(spark, seen_path, "pb").filter(
+            F.col("pb") < batch_id
+        )
+        survivors = kept.join(seen.select("ph"), "ph", "left_anti")
+    else:
+        survivors = kept
+    survivors = survivors.localCheckpoint(eager=False)
+    rebuilt = survivors.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(pidx, ptext))), x -> x.ptext), ' ')"
+        ).alias("rebuilt"),
+        F.count(F.lit(1)).alias("paras_kept"),
+    )
+    totals = p.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("paras_total")
+    )
+    out = totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "paras_total",
+        F.coalesce("paras_kept", F.lit(0)).alias("paras_kept"),
+        F.coalesce("rebuilt", F.lit("")).alias("rebuilt"),
+        F.lit(batch_id).cast("long").alias("pb"),
+    )
+    upsert_versioned(out, table_path, keys=["doc_id"], partition_col="pb")
+    new_hashes = (
+        survivors.select("ph")
+        .distinct()
+        .withColumn("pb", F.lit(batch_id).cast("long"))
+    )
+    upsert_versioned(
+        new_hashes, seen_path, keys=["ph"], partition_col="pb"
+    )
+
+
+def paradedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Online Dolma-style paragraph dedup: a document stream is
+    re-emitted with every paragraph seen in any earlier micro-batch (or
+    earlier in the same batch) removed — the streaming twin of
+    ``paragraph_dedup_keep_first``, sharing its paragraph kernel
+    (:func:`queries_curation2.paragraphs_of`).  State is the versioned
+    ``__seen`` hash side table, not the streaming state store: bounded
+    by novel-paragraph count, foldable with ``fold_partitions``, and
+    exactly-once by partition keying rather than a marker file."""
+    reader = spark.readStream.schema(
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+    ).format("parquet")
+    docs = reader.load(input_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        paradedup_apply(batch_df, batch_id, table_path)
+
+    writer = docs.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_paradedup(spark: SparkSession, table_path: str) -> DataFrame:
+    """Cleaned corpus: (doc_id, source, batch, paras_total, paras_kept,
+    rebuilt_hash) — the rebuilt text hashed with the repo's md5-prefix
+    idiom so the replay row proves the reconstructed strings."""
+    from sortify_spark.sources.versioned import read_versioned
+
+    return read_versioned(spark, table_path, "pb").select(
+        "doc_id",
+        "source",
+        F.col("pb").alias("batch"),
+        "paras_total",
+        "paras_kept",
+        F.conv(
+            F.substring(F.md5(F.col("rebuilt").cast("binary")), 1, 7),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("rebuilt_hash"),
+    )

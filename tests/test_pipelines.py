@@ -1512,3 +1512,43 @@ def test_vectorize_stream_maintains_ivf_index(spark, docs, tmp_path):
             ).collect()
         }
         assert vid in got
+
+
+def test_paradedup_apply_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch recomputes the identical paradedup
+    decision: batch 1 applied twice leaves the cleaned table and the
+    seen side table byte-identical (the pb < batch_id read discipline
+    plus keyed upserts)."""
+    from sortify_spark.sources.versioned import read_versioned
+    from sortify_spark.streaming.pipeline import paradedup_apply
+
+    table = str(tmp_path / "t")
+    p1 = " ".join(f"a{i}" for i in range(8))
+    p2 = " ".join(f"b{i}" for i in range(8))
+    b0 = spark.createDataFrame(
+        [(1, "s", f"{p1} {p2}")], ["doc_id", "source", "text"]
+    )
+    # batch 1: one clone doc (all paragraphs seen) + one novel doc
+    b1 = spark.createDataFrame(
+        [(2, "s", p1), (3, "s", " ".join(f"c{i}" for i in range(8)))],
+        ["doc_id", "source", "text"],
+    )
+    paradedup_apply(b0, 0, table)
+    paradedup_apply(b1, 1, table)
+
+    def state():
+        docs = sorted(
+            (r.doc_id, r.paras_kept, r.rebuilt)
+            for r in read_versioned(spark, table, "pb").collect()
+        )
+        seen = sorted(
+            (r.ph, r.pb)
+            for r in read_versioned(spark, f"{table}__seen", "pb").collect()
+        )
+        return docs, seen
+
+    before = state()
+    # doc 2 is fully duplicated, doc 3 fully novel
+    assert [(d, k) for d, k, _ in before[0]] == [(1, 2), (2, 0), (3, 1)]
+    paradedup_apply(b1, 1, table)  # replay
+    assert state() == before
