@@ -1017,6 +1017,82 @@ def main() -> None:
                 admission_fold_long_stream,
             )
 
+            # -- online paragraph dedup under a long stream -----------
+            # 20 micro-batches drawn from the replica-heavy corpus
+            # (replicas share every paragraph with their base doc
+            # except the suffixed tail), folding the __seen hash side
+            # table mid-stream.  Claims: dedup decisions continue
+            # identically across the fold (the folded level -1 is
+            # strictly earlier than any batch id — folding between
+            # triggers only touches checkpoint-committed batches, which
+            # can never replay), reader file count drops, and the seen
+            # table grows only by NOVEL paragraphs (≪ streamed
+            # paragraph count on a duplicate-heavy stream).
+            def paradedup_long_stream():
+                from sortify_spark.sources.versioned import (
+                    fold_partitions,
+                    read_versioned,
+                    snapshot_files,
+                )
+                from sortify_spark.streaming.pipeline import (
+                    paradedup_stream,
+                )
+
+                pdir = os.path.join(derived, "paradedup")
+                inp, tbl = f"{pdir}/in", f"{pdir}/table"
+                os.makedirs(inp, exist_ok=True)
+                n_batches, per_batch = 20, []
+                pool = fdocs.select("doc_id", "source", "text").limit(
+                    n_batches * 500
+                )
+                files_at_fold = {}
+                for b in range(n_batches):
+                    pool.filter(
+                        F.col("doc_id") % n_batches == b
+                    ).limit(500).coalesce(1).write.mode("append").parquet(
+                        inp
+                    )
+                    t0 = time.time()
+                    q = paradedup_stream(spark, inp, tbl, f"{pdir}/ck")
+                    q.awaitTermination(600)
+                    per_batch.append(round(time.time() - t0, 2))
+                    if b == n_batches // 2 - 1:
+                        files_at_fold["before"] = len(
+                            snapshot_files(f"{tbl}__seen")
+                        )
+                        fold_partitions(spark, f"{tbl}__seen", "pb", -1)
+                        files_at_fold["after"] = len(
+                            snapshot_files(f"{tbl}__seen")
+                        )
+                half = n_batches // 2
+                out = read_versioned(spark, tbl, "pb")
+                agg = out.agg(
+                    F.count(F.lit(1)).alias("docs"),
+                    F.sum("paras_total").alias("paras_total"),
+                    F.sum("paras_kept").alias("paras_kept"),
+                ).collect()[0]
+                return {
+                    "rows": agg["docs"],
+                    "paras_streamed": int(agg["paras_total"]),
+                    "paras_kept_novel": int(agg["paras_kept"]),
+                    "seen_table_rows": read_versioned(
+                        spark, f"{tbl}__seen", "pb"
+                    ).count(),
+                    "files_before_fold": files_at_fold["before"],
+                    "files_after_fold": files_at_fold["after"],
+                    "mean_batch_sec_pre_fold": round(
+                        sum(per_batch[:half]) / half, 2
+                    ),
+                    "mean_batch_sec_post_fold": round(
+                        sum(per_batch[half:]) / (n_batches - half), 2
+                    ),
+                }
+
+            stage(
+                f"paradedup_{FE}x_20batch_fold",
+                paradedup_long_stream,
+            )
+
         facade_stages()
 
         total = round(sum(s["sec"] for s in stages.values()), 2)
