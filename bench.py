@@ -173,9 +173,11 @@ def main() -> None:
         # python GC + the ContextCleaner's own cadence is the sweet
         # spot: common-set ratio vs r6 was 1.21 with this line and 1.63
         # with the JVM GC added.)
-        gc.collect()
         fn = REGISTRY[name].fn
         for _ in range(2):
+            # inside the 2-pass loop: pass 2 (the usual min-taker) must
+            # not run under pass 1's retained blocks either
+            gc.collect()
             try:
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -348,6 +348,21 @@ def main() -> None:
                 )
             )
             assert reps_n * 100_000 < PR_SUPP_OFFSET
+            # replica strides must also clear the base key ranges, or
+            # replicas silently share keys and the graph stops being
+            # "reps disjoint copies" (phantom cross-replica edges)
+            mx = (
+                load_table(spark, args.sf_dir, "orders")
+                .agg(
+                    F.max("o_orderkey").alias("ok"),
+                    F.max("o_custkey").alias("ck"),
+                )
+                .collect()[0]
+            )
+            assert mx["ok"] < 10_000_000 and mx["ck"] < 1_000_000, (
+                f"replica strides collide at this SF: max orderkey "
+                f"{mx['ok']}, max custkey {mx['ck']}"
+            )
             top = pagerank_suppliers(o, li).collect()
             return {
                 "rows": len(top),
@@ -1045,16 +1060,27 @@ def main() -> None:
                 pool = fdocs.select("doc_id", "source", "text").limit(
                     n_batches * 500
                 )
+                # Batch key MUST mix the replica index: replica ids are
+                # base + rep * 1_000_000 and 1_000_000 % 20 == 0, so a
+                # plain doc_id % 20 would put every replica of a base
+                # doc in the SAME batch and the cross-batch seen-table
+                # path (the thing the fold claim is about) would never
+                # fire.  base+rep spreads a doc's replicas across
+                # batches.
+                bkey = (
+                    F.col("doc_id") % 1_000_000
+                    + (F.col("doc_id") / 1_000_000).cast("long")
+                ) % n_batches
                 files_at_fold = {}
                 for b in range(n_batches):
-                    pool.filter(
-                        F.col("doc_id") % n_batches == b
-                    ).limit(500).coalesce(1).write.mode("append").parquet(
-                        inp
-                    )
+                    pool.filter(bkey == b).limit(500).coalesce(1).write.mode(
+                        "append"
+                    ).parquet(inp)
                     t0 = time.time()
                     q = paradedup_stream(spark, inp, tbl, f"{pdir}/ck")
-                    q.awaitTermination(600)
+                    # the fold below is only replay-safe for committed
+                    # batches — a still-running stream must fail loudly
+                    assert q.awaitTermination(600), "trigger timed out"
                     per_batch.append(round(time.time() - t0, 2))
                     if b == n_batches // 2 - 1:
                         files_at_fold["before"] = len(

@@ -405,6 +405,11 @@ class SortifyEngine:
             terms = tuple(
                 dict.fromkeys(t for t in query_text.split() if t)
             )[:8]
+            if not terms:
+                raise ValueError(
+                    f"{search_type!r} search requires a query with at "
+                    "least one term (got whitespace-only text)"
+                )
             lex = (
                 bm25_scored(self.documents, terms)
                 .select(

@@ -625,5 +625,5 @@ def q_paradedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             1
         ).write.mode("append").parquet(inp)
         q = paradedup_stream(spark, inp, table, f"{tmp}/ckpt")
-        q.awaitTermination(600)
+        assert q.awaitTermination(600), "paradedup trigger timed out"
     return read_paradedup(spark, table).orderBy("doc_id")

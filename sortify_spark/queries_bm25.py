@@ -81,6 +81,13 @@ def bm25_scored(
     explode); the (N, avgdl, df) stats row broadcasts back.  ``terms``
     parameterizes the facade's keyword strategy; the registered query
     uses the fixed default set."""
+    if not terms:
+        # F.expr("") on the zero-term CASE sum would raise an opaque
+        # ParseException mid-plan; fail loudly at the boundary instead
+        # (a whitespace-only facade query reaches here).
+        raise ValueError(
+            "bm25_scored requires at least one query term"
+        )
     w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
 
     def _tf(term: str):

@@ -1103,6 +1103,27 @@ def paragraphs_of(docs: DataFrame, para_w: int = PARA_W) -> DataFrame:
     )
 
 
+def rebuild_expr():
+    """Aggregate expression reassembling a doc's text from its
+    surviving (pidx, ptext) rows — shared by the batch and streaming
+    paradedup twins, whose oracle hash-match depends on this staying
+    byte-identical on both paths."""
+    return F.expr(
+        "array_join(transform(array_sort(collect_list("
+        "struct(pidx, ptext))), x -> x.ptext), ' ')"
+    )
+
+
+def md5_prefix_bigint(col):
+    """The repo's hash-bucket idiom as a value hash: first 7 md5 hex
+    chars of a string column as bigint (DuckDB:
+    ``('0x' || substring(md5(c), 1, 7))::BIGINT``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(c.cast("binary")), 1, 7), 16, 10
+    ).cast("bigint")
+
+
 def paragraph_dedup_stats(docs: DataFrame) -> DataFrame:
     """Per-source paragraph-dedup audit with full text reassembly:
     (source, docs, paras_total, paras_dropped, docs_emptied,
@@ -1139,10 +1160,7 @@ def paragraph_dedup_stats(docs: DataFrame) -> DataFrame:
         .filter(F.col("pos_key") == F.col("w0"))
         .groupBy("doc_id")
         .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list("
-                "struct(pidx, ptext))), x -> x.ptext), ' ')"
-            ).alias("rebuilt"),
+            rebuild_expr().alias("rebuilt"),
             F.count(F.lit(1)).alias("paras_kept"),
         )
     )
@@ -1166,15 +1184,7 @@ def paragraph_dedup_stats(docs: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("paras_kept") == 0, 1).otherwise(0))
             .cast("bigint")
             .alias("docs_emptied"),
-            F.sum(
-                F.conv(
-                    F.substring(
-                        F.md5(F.col("rebuilt").cast("binary")), 1, 7
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-            )
+            F.sum(md5_prefix_bigint("rebuilt"))
             .cast("bigint")
             .alias("rebuilt_hash_sum"),
         )

@@ -339,6 +339,9 @@ def dedup_attribution(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .select(
             "doc_id", dedup.shingles(F.col("w"), _SHINGLE_K).alias("sh")
         )
+        # materialize once: the interpreted shingle kernel feeds BOTH
+        # hydration branches (sh_d and sh_r) below
+        .localCheckpoint(eager=False)
     )
     return (
         dropped.join(

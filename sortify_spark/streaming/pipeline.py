@@ -1329,11 +1329,10 @@ def paradedup_apply(
     else:
         survivors = kept
     survivors = survivors.localCheckpoint(eager=False)
+    from sortify_spark.queries_curation2 import rebuild_expr
+
     rebuilt = survivors.groupBy("doc_id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list("
-            "struct(pidx, ptext))), x -> x.ptext), ' ')"
-        ).alias("rebuilt"),
+        rebuild_expr().alias("rebuilt"),
         F.count(F.lit(1)).alias("paras_kept"),
     )
     totals = p.groupBy("doc_id", "source").agg(
@@ -1401,17 +1400,13 @@ def read_paradedup(spark: SparkSession, table_path: str) -> DataFrame:
     idiom so the replay row proves the reconstructed strings."""
     from sortify_spark.sources.versioned import read_versioned
 
+    from sortify_spark.queries_curation2 import md5_prefix_bigint
+
     return read_versioned(spark, table_path, "pb").select(
         "doc_id",
         "source",
         F.col("pb").alias("batch"),
         "paras_total",
         "paras_kept",
-        F.conv(
-            F.substring(F.md5(F.col("rebuilt").cast("binary")), 1, 7),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("rebuilt_hash"),
+        md5_prefix_bigint("rebuilt").alias("rebuilt_hash"),
     )
