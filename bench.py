@@ -121,6 +121,8 @@ HEADLINE = (
     "paragraph_dedup_keep_first",
     # round 7: dedup lineage (dropped -> rep + direct-jaccard audit)
     "dedup_attribution",
+    # round 7: decontamination attribution (train doc -> benchmark item)
+    "contamination_attribution",
 )
 
 

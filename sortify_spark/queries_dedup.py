@@ -273,6 +273,131 @@ def q_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contamination_attribution_oracle(
+    shingle_k: int = 5, bench_mod: int = 53
+) -> str:
+    sh = dedup._shingle_list_expr(shingle_k)
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    base AS (SELECT doc_id, {sh} AS toks FROM w),
+    sh AS (SELECT doc_id, unnest(toks) AS shingle
+           FROM base WHERE len(toks) > 0),
+    tsh AS (SELECT * FROM sh WHERE doc_id % {bench_mod} <> 0),
+    bsh AS (SELECT doc_id AS bdoc, shingle FROM sh
+            WHERE doc_id % {bench_mod} = 0),
+    tot AS (SELECT doc_id, COUNT(*) AS total_shingles FROM tsh GROUP BY 1),
+    hit AS (
+      SELECT t.doc_id, b.bdoc, COUNT(*) AS shared_shingles
+      FROM tsh t JOIN bsh b ON t.shingle = b.shingle
+      GROUP BY t.doc_id, b.bdoc
+    ),
+    top AS (
+      SELECT doc_id, bdoc AS bench_doc, shared_shingles
+      FROM hit
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY doc_id
+        ORDER BY shared_shingles DESC, bdoc ASC) = 1
+    )
+    SELECT top.doc_id, d.source, top.bench_doc, top.shared_shingles,
+           tot.total_shingles,
+           ROUND(CAST(top.shared_shingles AS DOUBLE)
+                 / tot.total_shingles, 9) AS top_frac
+    FROM top
+    JOIN tot ON top.doc_id = tot.doc_id
+    JOIN documents d ON top.doc_id = d.doc_id
+    ORDER BY top.doc_id
+    """
+
+
+@register(
+    "contamination_attribution",
+    _contamination_attribution_oracle(),
+    note="Decontamination ATTRIBUTION: for every contaminated training "
+    "doc, the benchmark doc it most overlaps (max shared distinct "
+    "5-shingles, min-id tie-break), the shared count, and the doc's "
+    "overlap fraction against that item — the eval-integrity report "
+    "behind the flag ('train doc X contains benchmark item Y'), the "
+    "decontamination analog of dedup_attribution.  Plan: train "
+    "shingles inner-join the BROADCAST benchmark shingle table, "
+    "per-(doc, bench-doc) counts map-side combine, one window rank "
+    "over the contaminated subset only — the training stream never "
+    "shuffles for the join and the ranked set is hit-sized.",
+)
+def q_contamination_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return contamination_attribution(_t(spark, sf_dir, "documents"))
+
+
+def contamination_attribution(
+    docs: DataFrame, k: int = 5, bench_mod: int = 53
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+
+    def sh(df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id", dedup.words(F.col("text")).alias("__w"))
+            .repartition(par, "doc_id")
+            .select(
+                "doc_id",
+                F.explode(dedup.shingles(F.col("__w"), k)).alias(
+                    "shingle"
+                ),
+            )
+        )
+
+    train_sh = sh(
+        docs.filter(F.col("doc_id") % bench_mod != 0)
+    ).localCheckpoint(eager=False)
+    bench_sh = sh(docs.filter(F.col("doc_id") % bench_mod == 0)).select(
+        F.col("doc_id").alias("bdoc"), "shingle"
+    )
+    tot = train_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total_shingles")
+    )
+    hit = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "bdoc")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("shared_shingles"), F.asc("bdoc")
+    )
+    top = (
+        hit.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bdoc").alias("bench_doc"),
+            "shared_shingles",
+        )
+    )
+    return (
+        top.join(tot, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "bench_doc",
+            "shared_shingles",
+            "total_shingles",
+            F.round(
+                F.col("shared_shingles").cast("double")
+                / F.col("total_shingles"),
+                9,
+            ).alias("top_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _curation_full_oracle() -> str:
     """The complete pipeline oracle: every stage's SQL nested as a CTE —
     exact dedup → near-dup drop → benchmark decontamination → quality +

@@ -1053,6 +1053,18 @@ _suite(
                 val2="CAST(cross_split_pairs AS DOUBLE)",
             ),
         ),
+        # round 7: decontamination attribution — train doc -> the
+        # benchmark item it most overlaps.
+        (
+            "contamination_attribution",
+            dict(
+                key1="CAST(doc_id AS STRING)",
+                key2="source || '|' || CAST(bench_doc AS STRING)",
+                cnt="shared_shingles",
+                val="CAST(total_shingles AS DOUBLE)",
+                val2="top_frac",
+            ),
+        ),
         # round 7: dedup lineage/attribution — dropped doc -> kept rep
         # with direct-jaccard audit of the transitive-chain contract.
         (

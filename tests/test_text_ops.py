@@ -364,3 +364,46 @@ def test_paragraph_dedup_keep_first_contract(spark):
         return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
 
     assert row.rebuilt_hash_sum == hb(f"{p1} {p2} {tail}") + 2 * hb("")
+
+
+def test_contamination_attribution_picks_max_overlap(spark, duck):
+    """The attributed benchmark doc is the one sharing the MOST distinct
+    5-shingles (min-id tie-break), and top_frac is against the train
+    doc's own distinct shingle count — checked end-to-end through the
+    registered oracle on a crafted corpus."""
+    from sortify_spark.all_queries import REGISTRY
+
+    # bench docs are doc_id % 53 == 0: use 0 and 53; train doc 1 copies
+    # 6 consecutive words (2 shingles) from bench 53 and 5 words
+    # (1 shingle) from bench 0
+    b0 = " ".join(f"x{i}" for i in range(10))
+    b53 = " ".join(f"y{i}" for i in range(10))
+    train = " ".join(
+        [*(f"y{i}" for i in range(6)), *(f"x{i}" for i in range(5)),
+         "tail1", "tail2"]
+    )
+    del REGISTRY  # the factored function is driven directly
+    import duckdb as ddb
+    import pandas as pd
+
+    import sortify_spark.queries_dedup as qd
+
+    rows = [(0, b0, "s"), (53, b53, "s"), (1, train, "s")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = [tuple(r) for r in qd.contamination_attribution(df).collect()]
+
+    con = ddb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    want = [
+        tuple(r)
+        for r in con.sql(qd._contamination_attribution_oracle()).fetchall()
+    ]
+    assert got == want
+    assert len(got) == 1
+    (doc_id, source, bench_doc, shared, total, frac) = got[0]
+    assert (doc_id, bench_doc, shared) == (1, 53, 2)
+    # train doc: 13 words -> 9 overlapping 5-shingles, all distinct
+    assert total == 9
+    assert abs(frac - 2 / 9) < 1e-9
