@@ -59,6 +59,12 @@ class SearchConfig:
     #: commits (readers never observe a half-built index).
     ivf_nprobe: int = 3
     ivf_version: int | None = None
+    #: Keyword/hybrid_lexical term budget: BM25 cost is one tf column
+    #: per DISTINCT query term, so the query is truncated to its first
+    #: ``max_terms`` unique whitespace terms.  Truncation logs a
+    #: warning (ranking then covers a prefix of the query); raise the
+    #: knob if long queries must rank on every term (ADVICE r7).
+    max_terms: int = 8
 
 
 #: Engines keyed by (applicationId, sf_dir, dim, embed, doc_limit) — the
@@ -401,10 +407,21 @@ class SortifyEngine:
         if search_type in ("keyword", "hybrid_lexical"):
             from sortify_spark.queries_bm25 import bm25_scored
 
-            # bounded term set: BM25 cost is one tf column per term
-            terms = tuple(
+            # bounded term set: BM25 cost is one tf column per term —
+            # cap documented on SearchConfig.max_terms, truncation loud
+            all_terms = tuple(
                 dict.fromkeys(t for t in query_text.split() if t)
-            )[:8]
+            )
+            terms = all_terms[: cfg.max_terms]
+            if len(all_terms) > len(terms):
+                import warnings
+
+                warnings.warn(
+                    f"{search_type} query has {len(all_terms)} unique "
+                    f"terms; ranking on the first {len(terms)} only "
+                    "(raise SearchConfig.max_terms to cover more)",
+                    stacklevel=2,
+                )
             if not terms:
                 raise ValueError(
                     f"{search_type!r} search requires a query with at "

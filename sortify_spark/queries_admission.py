@@ -188,7 +188,7 @@ def q_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             semantic_tau=DOCSEM_TAU,
             use_index=True,
         )
-        q.awaitTermination(600)
+        assert q.awaitTermination(600), "stream timed out"
         if b == N_BATCHES // 2:
             # mid-stream LSM maintenance: fold the per-batch side
             # partitions into base level -1; later batches read the
@@ -234,7 +234,7 @@ def q_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             1
         ).write.mode("append").parquet(inp)
         q = rollup_stream(spark, inp, table, f"{tmp}/ckpt")
-        q.awaitTermination(600)
+        assert q.awaitTermination(600), "stream timed out"
     return read_rollup(spark, table).orderBy("day")
 
 
@@ -295,7 +295,7 @@ def q_vectorize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk_size=128,
             overlap=32,
         )
-        q.awaitTermination(600)
+        assert q.awaitTermination(600), "stream timed out"
     vec = spark.read.parquet(out)
     rowsum = F.round(
         F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x), 6
@@ -361,7 +361,7 @@ def q_stream_stream_join_replay(
     for half in halves:
         half.coalesce(1).write.mode("append").parquet(inp)
         q = interval_join_stream(spark, inp, out, f"{tmp}/ckpt")
-        q.awaitTermination(600)
+        assert q.awaitTermination(600), "stream timed out"
     return spark.read.parquet(out).orderBy("purchase_id", "click_id")
 
 
@@ -433,7 +433,7 @@ def q_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, inp, table, f"{tmp}/ckpt",
             keys=("doc_id",), partition_cols=("source",), versioned=True,
         )
-        q.awaitTermination(600)
+        assert q.awaitTermination(600), "stream timed out"
     return (
         read_versioned(spark, table, "source")
         .select("doc_id", "source", "lang", "n_chars", "text")
@@ -512,7 +512,7 @@ def q_trigger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = count_threshold_trigger(
             spark, inp, ckpt, threshold=threshold, on_threshold=fired.append
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "stream timed out"
         if b == 1:
             # mid-stream restart with no new input: the persisted
             # batch-id-keyed counter must neither re-fire nor re-count
@@ -524,7 +524,7 @@ def q_trigger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 threshold=threshold,
                 on_threshold=fired.append,
             )
-            q.awaitTermination(300)
+            assert q.awaitTermination(300), "stream timed out"
             if len(fired) != n_before:
                 raise AssertionError(
                     "restart re-fired the count-threshold trigger"

@@ -223,15 +223,23 @@ def hybrid_lexical_semantic(docs: DataFrame) -> DataFrame:
     from sortify_spark.functions.sql_embed import expr_embed
     from sortify_spark.functions.vectors import dot
 
+    # Pre-bound with TakeOrdered BEFORE the unpartitioned rank window:
+    # a bare Window.orderBy is a single-partition sort over every
+    # matched doc — corpus-sized at 100 TB.  orderBy().limit() plans as
+    # TakeOrderedAndProject (per-partition heaps, driver merge of k),
+    # and the row_number then sorts only FUSE_K rows.  The (bm25,
+    # doc_id) order is total, so the top-k set — and hence the ranks —
+    # are identical (ADVICE r7).
     lex = (
         bm25_scored(docs)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(FUSE_K)
         .withColumn(
             "lex_rank",
             F.row_number().over(
                 Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
             ),
         )
-        .filter(F.col("lex_rank") <= FUSE_K)
         .select("doc_id", "lex_rank")
     )
     # The query embedding is a deep md5-fold expression tree; inlined
@@ -255,19 +263,21 @@ def hybrid_lexical_semantic(docs: DataFrame) -> DataFrame:
     emb = fan_out(docs).select(
         "doc_id", expr_embed(F.col("text"), dim=SEM_DIM).alias("e")
     ).localCheckpoint(eager=True)
+    # Same TakeOrdered pre-bound as the lexical list above.
     sem = (
         emb.crossJoin(qe)
         .withColumn(
             "cos",
             F.round(dot(F.col("e"), F.col("qv")), 9),
         )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(FUSE_K)
         .withColumn(
             "sem_rank",
             F.row_number().over(
                 Window.orderBy(F.desc("cos"), F.asc("doc_id"))
             ),
         )
-        .filter(F.col("sem_rank") <= FUSE_K)
         .select("doc_id", "sem_rank")
     )
     fused = lex.join(sem, ["doc_id"], "full_outer").select(

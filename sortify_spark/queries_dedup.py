@@ -127,7 +127,11 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = streaming_exact_dedup(
         spark, f"{tmp}/in", f"{tmp}/ckpt", out_table="streaming_dedup_out"
     )
-    q.awaitTermination(300)
+    # availableNow terminates on its own; a False return means the
+    # 300 s timeout fired with the stream still running, and reading
+    # the memory table then would silently return a PARTIAL result
+    # that hash-mismatches the oracle with no err recorded (ADVICE r7)
+    assert q.awaitTermination(300), "streaming_dedup timed out"
     return spark.table("streaming_dedup_out")
 
 

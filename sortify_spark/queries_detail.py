@@ -250,7 +250,7 @@ def q_daily_trend_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_daily_trend_stream(
         spark, inp, ckpt, out_table="daily_trend_streamed_out"
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream timed out"
     return spark.table("daily_trend_streamed_out").orderBy("day")
 
 

@@ -39,6 +39,17 @@ FUNNEL_HORIZON_DAYS = 7  #: conversion window: steps must land within
 _DEC = "decimal(38,6)"
 
 
+def _rate(num: str, den: str, digits: int) -> str:
+    """Division guarded against a zero denominator with IDENTICAL text
+    on both engines: Spark's ``Divide`` yields NULL for 0/0 while
+    DuckDB's IEEE double division yields NaN, so an empty funnel (zero
+    step-1 users) would hash-diverge without the guard (ADVICE r7)."""
+    return (
+        f"CASE WHEN {den} = 0 THEN NULL "
+        f"ELSE ROUND(CAST({num} AS DOUBLE) / {den}, {digits}) END"
+    )
+
+
 def funnel_conversion(events: DataFrame) -> DataFrame:
     """3 rows — (step, step_name, users, conv_from_first,
     avg_us_from_first): users reaching each ordered step, conversion
@@ -96,12 +107,12 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
     )
     return agg.selectExpr(
         f"""stack(3,
-             1, '{s1}', u1, ROUND(CAST(u1 AS DOUBLE) / u1, 6),
+             1, '{s1}', u1, {_rate('u1', 'u1', 6)},
                 CAST(0.0 AS DOUBLE),
-             2, '{s2}', u2, ROUND(CAST(u2 AS DOUBLE) / u1, 6),
-                ROUND(CAST(d2 AS DOUBLE) / u2, 3),
-             3, '{s3}', u3, ROUND(CAST(u3 AS DOUBLE) / u1, 6),
-                ROUND(CAST(d3 AS DOUBLE) / u3, 3)
+             2, '{s2}', u2, {_rate('u2', 'u1', 6)},
+                {_rate('d2', 'u2', 3)},
+             3, '{s3}', u3, {_rate('u3', 'u1', 6)},
+                {_rate('d3', 'u3', 3)}
            ) AS (step, step_name, users, conv_from_first,
                  avg_us_from_first)"""
     ).orderBy("step")
@@ -144,16 +155,16 @@ agg AS (
   FROM per_user
 )
 SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS step_name, u1 AS users,
-       ROUND(CAST(u1 AS DOUBLE) / u1, 6) AS conv_from_first,
+       {_rate('u1', 'u1', 6)} AS conv_from_first,
        CAST(0.0 AS DOUBLE) AS avg_us_from_first
 FROM agg
 UNION ALL
-SELECT 2, '{FUNNEL_STEPS[1]}', u2, ROUND(CAST(u2 AS DOUBLE) / u1, 6),
-       ROUND(CAST(d2 AS DOUBLE) / u2, 3)
+SELECT 2, '{FUNNEL_STEPS[1]}', u2, {_rate('u2', 'u1', 6)},
+       {_rate('d2', 'u2', 3)}
 FROM agg
 UNION ALL
-SELECT 3, '{FUNNEL_STEPS[2]}', u3, ROUND(CAST(u3 AS DOUBLE) / u1, 6),
-       ROUND(CAST(d3 AS DOUBLE) / u3, 3)
+SELECT 3, '{FUNNEL_STEPS[2]}', u3, {_rate('u3', 'u1', 6)},
+       {_rate('d3', 'u3', 3)}
 FROM agg
 ORDER BY step
 """

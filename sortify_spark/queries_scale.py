@@ -131,7 +131,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_table="streaming_sessions_out",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream timed out"
     return (
         spark.table("streaming_sessions_out")
         .filter(F.col("user_id") < 10)

@@ -126,6 +126,32 @@ def test_funnel_steps_monotone(spark):
         assert r.avg_us_from_first >= 0.0
 
 
+def test_funnel_empty_is_null_not_nan(spark):
+    """Degenerate corpus with ZERO step-1 events: every rate division
+    is guarded (CASE WHEN den = 0 THEN NULL), so the result is NULL on
+    both engines — Spark's Divide yields NULL for 0/0 while DuckDB
+    yields NaN, which would hash-diverge unguarded (ADVICE r7)."""
+    import math
+
+    from sortify_spark.queries_funnel import funnel_conversion
+
+    events = spark.createDataFrame(
+        [(1, "click", 1_000_000), (1, "purchase", 2_000_000)],
+        "user_id bigint, event_type string, ts_us bigint",
+    ).select(
+        "user_id",
+        "event_type",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+    )
+    rows = funnel_conversion(events).collect()
+    assert [r.users for r in rows] == [0, 0, 0]
+    for r in rows:
+        assert r.conv_from_first is None or not math.isnan(
+            r.conv_from_first
+        ), r
+    assert all(r.conv_from_first is None for r in rows)
+
+
 def test_bm25_idf_orders_rare_term_first(spark):
     """The rare query term ('dup', df=25/500 at sf0.001-scale ratios)
     must outrank docs matching only common terms: every doc matching
