@@ -64,27 +64,45 @@ PR_TOP = 20
 # ---------------------------------------------------------------------------
 
 
-def fuzzy_link_parts(part: DataFrame, max_dist: int = LINK_MAX_DIST) -> DataFrame:
+def fuzzy_link_parts(
+    part: DataFrame,
+    max_dist: int = LINK_MAX_DIST,
+    hot_cap: int | None = None,
+    hot_groups: int | None = None,
+) -> DataFrame:
     """Linked part-name pairs: distinct names sharing a token block and
     within ``max_dist`` edit distance, with each side's occurrence count.
 
     Returns (name_a, name_b, dist, cnt_a, cnt_b) ordered by the pair.
     """
+    from sortify_spark.dedup import banded_self_join_pairs
+
     names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
     distinct = names.select("p_name")
     tok = distinct.select(
         "p_name", F.explode(F.split("p_name", " ")).alias("tok")
     )
+    # Block join through the runtime hot-bucket guard (dedup.py): a
+    # token shared by half the vocabulary ("steel", a brand word)
+    # would otherwise route that block's |block|² candidate work into
+    # ONE shuffle partition; the guard sub-splits over-cap blocks with
+    # the candidate set provably unchanged (VERDICT r7 #1).
+    from sortify_spark.dedup import (
+        DEFAULT_HOT_BUCKET_CAP,
+        DEFAULT_HOT_GROUPS,
+    )
+
     cand = (
-        tok.alias("a")
-        .join(
-            tok.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.p_name") < F.col("b.p_name")),
+        banded_self_join_pairs(
+            tok,
+            key_cols=("tok",),
+            id_col="p_name",
+            hot_cap=hot_cap or DEFAULT_HOT_BUCKET_CAP,
+            hot_groups=hot_groups or DEFAULT_HOT_GROUPS,
         )
         .select(
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
+            F.col("id_a").alias("name_a"),
+            F.col("id_b").alias("name_b"),
         )
         .distinct()
     )

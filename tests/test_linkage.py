@@ -37,6 +37,27 @@ def test_fuzzy_link_finds_within_block_pairs(spark):
     assert all(a < b for a, b in pairs)
 
 
+def test_fuzzy_link_guard_invariant(spark):
+    """Forcing the hot-bucket guard on (every token block over-cap,
+    sub-split) must leave the linked pair set identical — the r7
+    verdict's adversarial-skew hardening for a common blocking token."""
+    rows = [f"steel part {i}" for i in range(30)] + ["steel part 1x"]
+    df = _parts(spark, rows)
+    base = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_link_parts(df).collect()
+    }
+    for cap, groups in ((1, 3), (5, 2)):
+        got = {
+            (r.name_a, r.name_b, r.dist)
+            for r in fuzzy_link_parts(
+                df, hot_cap=cap, hot_groups=groups
+            ).collect()
+        }
+        assert got == base, (cap, groups)
+    assert base  # the adversarial block really links pairs
+
+
 def test_fuzzy_link_requires_shared_token_block(spark):
     # "abc x" vs "abd y" are edit distance 2 but share no token: the
     # blocker must never generate the candidate (that is the point —

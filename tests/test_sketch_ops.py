@@ -411,3 +411,17 @@ def test_ppjoin_spark_matches_bruteforce(spark):
             if sa and sb and len(sa & sb) * 2 >= len(sa | sb):
                 want[(a, b)] = len(sa & sb)
     assert got == want
+    # Guard forced ON (every prefix bucket over-cap, 3-way sub-split)
+    # and the classic ascending-df element order: the pair set and
+    # overlaps are provably order-/guard-invariant — exactness comes
+    # from the full-set verify (VERDICT r7 #1 done-criteria).
+    for kw in (
+        dict(hot_cap=1, hot_groups=3),
+        dict(order="freq"),
+        dict(order="freq", hot_cap=1, hot_groups=2),
+    ):
+        via = {
+            (r.id_a, r.id_b): r.overlap
+            for r in jaccard_prefix_join(docs, **kw).collect()
+        }
+        assert via == want, kw
