@@ -65,6 +65,16 @@ class SearchConfig:
     #: warning (ranking then covers a prefix of the query); raise the
     #: knob if long queries must rank on every term (ADVICE r7).
     max_terms: int = 8
+    #: Lexical serving path: ``"index"`` (default) probes the PERSISTED
+    #: BM25 inverted-index artifact (``search/lexical``) — reads only
+    #: the query terms' posting buckets, never the corpus; ``"scan"``
+    #: recomputes stats + scores with two corpus scans per query (the
+    #: pre-r8 behavior, kept as the index-free fallback).  Scores are
+    #: bit-identical either way (``bm25_index_probe`` proves it).
+    lexical: str = "index"
+    #: Pin the lexical probe to a committed anchor version (time
+    #: travel / serve-during-rebuild), like ``ivf_version``.
+    lex_version: int | None = None
 
 
 #: Engines keyed by (applicationId, sf_dir, dim, embed, doc_limit) — the
@@ -150,6 +160,7 @@ class SortifyEngine:
         #: engine (the point of a committed index).
         self._index_root = index_root
         self._ivf_built: set[str] = set()
+        self._lex_built = False
 
     # -- documents ---------------------------------------------------------
 
@@ -294,6 +305,45 @@ class SortifyEngine:
 
         return os.path.join(self._index_root, f"ivf_{vtype}")
 
+    # -- persisted lexical (BM25) index --------------------------------
+
+    def lexical_index_path(self) -> str:
+        """Path of the persisted BM25 inverted-index artifact."""
+        if self._index_root is None:
+            import tempfile
+
+            self._index_root = tempfile.mkdtemp(prefix="sortify_index_")
+        import os
+
+        return os.path.join(self._index_root, "lex")
+
+    def rebuild_lexical_index(self) -> int:
+        """(Re)build the persisted lexical index over the served
+        corpus — a new atomic anchor version; probes pinned to an older
+        version keep serving it (same contract as the IVF artifact).
+        Returns the committed anchor version."""
+        from sortify_spark.search.lexical import build_lexical_index
+
+        version = build_lexical_index(
+            self.documents.select("doc_id", "text"),
+            self.lexical_index_path(),
+        )
+        self._lex_built = True
+        return version
+
+    def _lexical_index(self) -> str:
+        """Ensure the artifact exists (first use builds version 1);
+        subsequent searches only read committed snapshots."""
+        if not self._lex_built:
+            from sortify_spark.sources.versioned import read_manifest
+
+            path = self.lexical_index_path()
+            if read_manifest(f"{path}/terms")["version"] == 0:
+                self.rebuild_lexical_index()
+            else:
+                self._lex_built = True
+        return self.lexical_index_path()
+
     def rebuild_ivf_index(self, vtype: str) -> int:
         """(Re)build the persisted IVF index for ``vtype`` — a new
         atomic version through the versioned store; readers pinned to
@@ -346,6 +396,19 @@ class SortifyEngine:
         # drop them so the next probe rebuilds over the grown corpus
         self._lsh_cache.clear()
         out: dict = {}
+        if self._lex_built:
+            from sortify_spark.search.lexical import upsert_lexical_index
+
+            # incremental posting/df/stats maintenance — add AND
+            # replace are exact (search/lexical contract), so the
+            # lexical artifact never needs a drift-budget rebuild
+            out["lexical"] = (
+                "upsert",
+                upsert_lexical_index(
+                    docs.select("doc_id", "text"),
+                    self.lexical_index_path(),
+                ),
+            )
         for vtype in sorted(self._ivf_built):
             path = self.ivf_index_path(vtype)
             m = read_manifest(f"{path}/assign")
@@ -427,19 +490,37 @@ class SortifyEngine:
                     f"{search_type!r} search requires a query with at "
                     "least one term (got whitespace-only text)"
                 )
-            lex = (
-                bm25_scored(self.documents, terms)
-                .select(
+            lex_k = (
+                cfg.top_k if search_type == "keyword" else cfg.top_k * 2
+            )
+            if cfg.lexical == "index":
+                # serve from the PERSISTED inverted-index artifact:
+                # |terms| posting buckets read, corpus never scanned
+                # (probe == scan bit-identical; bm25_index_probe)
+                from sortify_spark.search.lexical import (
+                    probe_lexical_index,
+                )
+
+                lex = probe_lexical_index(
+                    self.spark,
+                    self._lexical_index(),
+                    terms,
+                    k=lex_k,
+                    version=cfg.lex_version,
+                ).select(
                     F.col("doc_id").cast("string").alias("id"),
                     F.col("bm25").alias("score"),
                 )
-                .orderBy(F.desc("score"), F.asc("id"))
-                .limit(
-                    cfg.top_k
-                    if search_type == "keyword"
-                    else cfg.top_k * 2
+            else:
+                lex = (
+                    bm25_scored(self.documents, terms)
+                    .select(
+                        F.col("doc_id").cast("string").alias("id"),
+                        F.col("bm25").alias("score"),
+                    )
+                    .orderBy(F.desc("score"), F.asc("id"))
+                    .limit(lex_k)
                 )
-            )
             if search_type == "keyword":
                 return lex
             dense = self._scored(query_text, "summary", cfg.top_k * 2, cfg)

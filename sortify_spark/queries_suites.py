@@ -697,6 +697,20 @@ _suite(
                 val="rrf_score",
             ),
         ),
+        # round 8: the persisted lexical (BM25) index artifact — build
+        # v1 over a subset, incremental upsert (add + text REPLACE with
+        # exact df/stats deltas), probe both committed snapshots; vs a
+        # pure-SQL full-scan replay of both corpora
+        # (queries_bm25._bm25_index_oracle_sql).
+        (
+            "bm25_index_probe",
+            dict(
+                key1="CAST(ver AS STRING)",
+                key2="CAST(doc_id AS STRING)",
+                cnt="matched_terms",
+                val="bm25",
+            ),
+        ),
     ],
     note="Suite: portable hyperplane-LSH ANN (value-hash-checked index), "
     "int8 quantization error audit, per-doc quality scores, batched "

@@ -1452,6 +1452,55 @@ def test_facade_add_documents_incremental_index(spark, tmp_path):
     assert m3["centroid_version"] > m1["centroid_version"]
 
 
+def test_facade_lexical_index_serving_and_pinning(spark, tmp_path):
+    """keyword/hybrid_lexical serve from the PERSISTED BM25 artifact:
+    first search builds version 1, index and scan paths agree
+    value-for-value, add_documents incrementally upserts the index
+    (new doc immediately ranked), and a probe PINNED to version 1
+    keeps serving the pre-add snapshot — the serve-during-rebuild
+    contract the IVF artifact already has (VERDICT r7 missing #1)."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+    from sortify_spark.sources.versioned import read_manifest
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, doc_limit=200, index_root=str(tmp_path)
+    )
+    q = "dup spark merge"
+    idx = {
+        (r["id"], r["score"])
+        for r in eng.semantic_search(q, "keyword").collect()
+    }
+    path = eng.lexical_index_path()
+    assert read_manifest(f"{path}/terms")["version"] == 1
+    scan = {
+        (r["id"], r["score"])
+        for r in eng.semantic_search(
+            q, "keyword", SearchConfig(lexical="scan")
+        ).collect()
+    }
+    assert idx == scan and idx
+    hyb = eng.semantic_search(q, "hybrid_lexical").collect()
+    assert len(hyb) > 0
+    new = spark.createDataFrame(
+        [(900001, "dup dup spark merge dup spark merge", "en", "upload", 35)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = eng.add_documents(new)
+    assert out["lexical"][0] == "upsert"
+    assert read_manifest(f"{path}/terms")["version"] > 1
+    latest = {
+        r["id"] for r in eng.semantic_search(q, "keyword").collect()
+    }
+    assert "900001" in latest
+    pinned = {
+        (r["id"], r["score"])
+        for r in eng.semantic_search(
+            q, "keyword", SearchConfig(lex_version=1)
+        ).collect()
+    }
+    assert pinned == idx  # time travel: pre-add snapshot still served
+
+
 def test_vectorize_stream_maintains_ivf_index(spark, docs, tmp_path):
     """ST1 + online ANN maintenance: the vectorize stream builds the
     persisted IVF artifact on its first micro-batch and incrementally
