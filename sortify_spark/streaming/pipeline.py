@@ -1054,25 +1054,7 @@ def admission_stream(
         admitted = batch.drop("__fp").localCheckpoint(eager=True)
         if not admitted.isEmpty():
             _tick("admit_check")
-            a_emb_raw = None
-            if semantic_tau is not None and center is None:
-                # first admitted batch pins the semantic center; the
-                # write precedes every commit so replay converges.
-                # (On every later batch the center already exists and
-                # the batch embeddings live in the checkpointed screen
-                # frame `be` — no second embed pass.)
-                a_emb_raw = _emb_raw(admitted, "id").localCheckpoint(
-                    eager=True
-                )
-                _write_center(a_emb_raw)
-                center = _read_center()
-            # corpus FIRST, index second: a crash here leaves the index
-            # behind, which the next batch's catch-up heals; the inverse
-            # order could reject docs the corpus never received
-            upsert_versioned(
-                admitted, table_path, keys=["doc_id"],
-                partition_col=partition_col,
-            )
+            bands_fut = None
             if use_index:
                 a_ids = F.broadcast(
                     admitted.select(F.col("doc_id").alias("id")).distinct()
@@ -1089,23 +1071,45 @@ def admission_stream(
                     _, a_bands = dedup.signature_bands(
                         admitted, use_shingles=shingle_k
                     )
-                # LSM-style side-table commits: the partition value is
-                # the BATCH id, so each commit writes only its own new
-                # partition (append-shaped, zero rewrite amplification)
-                # instead of rewriting every band/bucket partition of
-                # the whole index per batch; readers scan the union and
-                # sources.versioned.compact folds old partitions.  A
-                # replayed batch rewrites ITS OWN partition
-                # idempotently.  (Checkpoint: each upsert evaluates its
-                # updates twice.)
-                upsert_versioned(
-                    a_bands.withColumn(
-                        "pb", F.lit(int(_batch_id))
-                    ).localCheckpoint(eager=True),
-                    bands_path,
-                    keys=["id", "band_idx"],
-                    partition_col="pb",
+                # Overlap the band COMPUTE (a side-effect-free
+                # materialization) with the center embed + corpus
+                # commit below — on a bootstrap batch this is a
+                # corpus-sized minhash pipeline that would otherwise
+                # run serially after an equally corpus-sized embed
+                # (VERDICT r7 #3).  Only the COMMIT is ordered after
+                # the corpus commit; a crash leaves at most an
+                # un-referenced checkpoint, never an index row.
+                from concurrent.futures import ThreadPoolExecutor
+
+                _pool = ThreadPoolExecutor(1)
+                bands_fut = _pool.submit(
+                    lambda df: df.localCheckpoint(eager=True),
+                    a_bands.withColumn("pb", F.lit(int(_batch_id))),
                 )
+                _pool.shutdown(wait=False)
+            a_emb_raw = None
+            if semantic_tau is not None and center is None:
+                # first admitted batch pins the semantic center; the
+                # write precedes every commit so replay converges.
+                # (On every later batch the center already exists and
+                # the batch embeddings live in the checkpointed screen
+                # frame `be` — no second embed pass.)
+                a_emb_raw = _emb_raw(admitted, "id").localCheckpoint(
+                    eager=True
+                )
+                _write_center(a_emb_raw)
+                center = _read_center()
+                _tick("center_write")
+            # corpus FIRST, index second: a crash here leaves the index
+            # behind, which the next batch's catch-up heals; the inverse
+            # order could reject docs the corpus never received
+            upsert_versioned(
+                admitted, table_path, keys=["doc_id"],
+                partition_col=partition_col,
+            )
+            _tick("corpus_commit")
+            if use_index:
+                a_emb = None
                 if semantic_tau is not None:
                     if be is not None:
                         a_emb = be.join(
@@ -1136,14 +1140,64 @@ def admission_stream(
                             F.col("__e").alias("e"),
                             F.col("__bk").alias("bk"),
                         )
-                    upsert_versioned(
-                        a_emb.withColumn(
-                            "pb", F.lit(int(_batch_id))
-                        ).localCheckpoint(eager=True),
-                        emb_path,
-                        keys=["id"],
-                        partition_col="pb",
+                # LSM-style side-table commits: the partition value is
+                # the BATCH id, so each commit writes only its own new
+                # partition (append-shaped, zero rewrite amplification)
+                # instead of rewriting every band/bucket partition of
+                # the whole index per batch; readers scan the union and
+                # sources.versioned.compact folds old partitions.  A
+                # replayed batch rewrites ITS OWN partition
+                # idempotently.  (Checkpoint: each upsert evaluates its
+                # updates twice.)
+                #
+                # Bootstrap-cost hardening (VERDICT r7 #3): (1) the
+                # write fan-out scales with the batch — a corpus-sized
+                # bootstrap batch writes its partition with up to
+                # `par` tasks instead of serializing ~4 band rows/doc
+                # through ONE writer, while steady small batches keep
+                # 1 file/commit (the LSM file-count contract);
+                # (2) the two independent side tables commit in
+                # PARALLEL threads — their compute+write pipelines
+                # overlap, and each one's catch-up heals a crash gap
+                # independently, so inter-side ordering never mattered
+                # (corpus-first ordering is preserved above).
+                n_adm = admitted.count()
+                wf = int(
+                    min(
+                        spark.sparkContext.defaultParallelism,
+                        max(1, n_adm // 5000),
                     )
+                )
+
+                def _commit_side(df_, path_, keys_, ready=False):
+                    if not ready:
+                        df_ = df_.withColumn(
+                            "pb", F.lit(int(_batch_id))
+                        ).localCheckpoint(eager=True)
+                    upsert_versioned(
+                        df_,
+                        path_,
+                        keys=keys_,
+                        partition_col="pb",
+                        write_files_per_partition=wf,
+                    )
+
+                # bands frame: the overlapped compute from above —
+                # block on the future (usually already done), commit
+                side_jobs = [
+                    (bands_fut.result(), bands_path, ["id", "band_idx"], True)
+                ]
+                if a_emb is not None:
+                    side_jobs.append((a_emb, emb_path, ["id"], False))
+                if len(side_jobs) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(len(side_jobs)) as ex:
+                        # materialize results to surface exceptions
+                        list(ex.map(lambda j: _commit_side(*j), side_jobs))
+                else:
+                    _commit_side(*side_jobs[0])
+                _tick("side_commits")
         _tick("commits")
         if use_index and fold_sides_over is not None:
             # in-stream LSM maintenance: when a side table has
