@@ -86,7 +86,6 @@ PRIORITY = (
     "pii_scrub_audit",
     "latency_percentiles",
     "token_counts_bpe",
-    "quality_quartile_filter",
     "activity_feed",
     "suite_multimodal",
     "suite_streaming",
@@ -98,7 +97,11 @@ PRIORITY = (
     "suite_text",
     "suite_cluster_metrics",
     "suite_window_frames",
-    "suite_curation_ops",
+    # round 8: suite_curation_ops (32 members) split into two coherent
+    # rows to bound blast radius (VERDICT r7 item 5); the freed slot
+    # came from folding quality_quartile_filter into the quality suite.
+    "suite_curation_dedup",
+    "suite_curation_quality",
 )
 
 _unknown = set(PRIORITY) - set(REGISTRY)

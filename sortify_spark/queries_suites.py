@@ -811,40 +811,14 @@ _suite(
     "counter exposed; oracle replays the fire/reset recursion over "
     "the batch sizes).",
 )
-
+# --- Curation pillar, split into two coherent driver rows (VERDICT r7
+# item 5: the single 32-member suite_curation_ops coupled every
+# curation op's fate to one row and kept growing).  Dedup/similarity/
+# attribution ops in one row, quality/mixture/sampling/sketch/layout
+# ops in the other — each bounded, each a natural landing zone.
 _suite(
-    "suite_curation_ops",
+    "suite_curation_dedup",
     [
-        (
-            "repetition_signals",
-            dict(
-                key1="doc_id",
-                cnt="n_words",
-                val="dup_word_frac",
-                val2="top_bigram_frac",
-            ),
-        ),
-        # round 7: CCNet-style held-out bigram-LM quality scoring
-        (
-            "bigram_lm_quality",
-            dict(
-                key1="source",
-                cnt="docs",
-                val="mean_like",
-                val2="low_docs",
-            ),
-        ),
-        # round 7: alpha=0.5 temperature mixture (data-derived rates)
-        (
-            "temperature_mixture",
-            dict(
-                key1="source",
-                key2="CAST(tokens_total AS STRING)",
-                cnt="docs_kept",
-                val="rate",
-                val2="tokens_kept",
-            ),
-        ),
         # round 5: benchmark-overlap fraction (threshold-setting measure)
         (
             "contamination_fraction",
@@ -857,19 +831,7 @@ _suite(
                 val="avg_overlap",
             ),
         ),
-        (
-            "stratified_sample_per_source",
-            dict(key1="source", key2="doc_id", cnt="sample_rank"),
-        ),
-        (
-            "sliding_window_counts",
-            dict(key1="win_start", key2="event_type", cnt="cnt"),
-        ),
         ("incremental_dedup_new_docs", dict(key1="doc_id", key2="source")),
-        (
-            "token_budget_mixture",
-            dict(key1="source", cnt="docs_kept", val="tokens_kept"),
-        ),
         ("dedup_exact_stats", dict(key1="'total_docs'", cnt="total_docs")),
         (
             "dedup_exact_stats",
@@ -879,35 +841,7 @@ _suite(
             "dedup_exact_stats",
             dict(key1="'duplicate_docs'", cnt="duplicate_docs"),
         ),
-        ("sampled_scan", dict(key1="doc_id", key2="lang", cnt="n_chars")),
-        (
-            "distinct_users_by_type",
-            dict(key1="event_type", cnt="distinct_users", val="events"),
-        ),
-        (
-            "shard_balance_stats",
-            dict(
-                key1="CAST(shard AS STRING)",
-                key2="CAST(min_doc AS STRING) || '|' || CAST(max_doc AS STRING)",
-                cnt="docs",
-                val="chars",
-            ),
-        ),
-        # round 4: Morton-key kernel behind the z-order layout writer —
-        # interleave arithmetic hash-checked per cell (a drifted curve
-        # still runs, so only a value check catches it).
-        (
-            "zorder_cells",
-            dict(
-                key1="CAST(cell AS STRING)",
-                cnt="cnt",
-                val="CAST(min_z AS DOUBLE)",
-                val2="CAST(max_z AS DOUBLE)",
-            ),
-        ),
-        # round 4 (second half): the published-pipeline quartet
-        # (queries_curation2.py) — C4 boilerplate spans, CCNet frequency
-        # tiers, GPT sequence packing, SemDeDup semantic pruning.
+        # round 4 (second half): C4 boilerplate-span removal + SemDeDup
         (
             "common_span_removal",
             dict(
@@ -916,26 +850,6 @@ _suite(
                 cnt="words_total",
                 val="CAST(words_removed AS DOUBLE)",
                 val2="removed_frac",
-            ),
-        ),
-        (
-            "corpus_freq_buckets",
-            dict(
-                key1="source",
-                key2="CAST(tier AS STRING)",
-                cnt="docs",
-                val="CAST(words AS DOUBLE)",
-                val2="avg_word_freq",
-            ),
-        ),
-        (
-            "sequence_packing",
-            dict(
-                key1="source",
-                key2="CAST(seq_id AS STRING)",
-                cnt="tokens",
-                val="CAST(docs AS DOUBLE)",
-                val2="CAST(straddles AS DOUBLE)",
             ),
         ),
         (
@@ -948,22 +862,6 @@ _suite(
                 val2="CAST(n_dropped AS DOUBLE)",
             ),
         ),
-        # round 4 (second half): the BPE trainer — merged symbol is
-        # derived from pair, so (step, pair, pcnt) pins the full table.
-        (
-            "bpe_train_merges",
-            dict(key1="CAST(step AS STRING)", key2="pair", cnt="pcnt"),
-        ),
-        (
-            "bpe_token_stats",
-            dict(
-                key1="source",
-                key2="CAST(words AS STRING)",
-                cnt="bpe_tokens",
-                val="CAST(char_tokens AS DOUBLE)",
-                val2="compression",
-            ),
-        ),
         (
             "semdedup_docs",
             dict(
@@ -972,26 +870,6 @@ _suite(
                 cnt="kept_id_sum",
                 val="CAST(docs AS DOUBLE)",
                 val2="CAST(dropped AS DOUBLE)",
-            ),
-        ),
-        (
-            "kmv_distinct_sketch",
-            dict(
-                key1="event_type",
-                key2="CAST(kth_hash AS STRING)",
-                cnt="exact_distinct",
-                val="est_distinct",
-                val2="rel_err",
-            ),
-        ),
-        (
-            "profile_documents",
-            dict(
-                key1="col_name",
-                key2="min_str || '|' || max_str",
-                cnt="n_distinct",
-                val="CAST(n_rows AS DOUBLE)",
-                val2="CAST(n_nulls AS DOUBLE)",
             ),
         ),
         (
@@ -1012,30 +890,9 @@ _suite(
                 val2="CAST(templated_docs AS DOUBLE)",
             ),
         ),
-        # round 7: fixed-memory sketch ops (queries_sketch.py) — the
-        # count-min heavy-hitter audit and DSIR hashed-n-gram
-        # importance weights.
-        (
-            "countmin_word_counts",
-            dict(
-                key1="word",
-                cnt="exact_cnt",
-                val="CAST(cms_est AS DOUBLE)",
-                val2="CAST(overest AS DOUBLE)",
-            ),
-        ),
-        (
-            "dsir_importance_weights",
-            dict(
-                key1="source",
-                key2="CAST(kept_tokens AS STRING)",
-                cnt="docs",
-                val="mean_w",
-                val2="CAST(kept_docs AS DOUBLE)",
-            ),
-        ),
         # round 7: EXACT Jaccard join via PPJoin prefix filtering — the
-        # exact complement to minhash_lsh_pairs at the same threshold.
+        # exact complement to minhash_lsh_pairs at the same threshold;
+        # round 8 added the runtime hot-bucket guard on its prefix join.
         (
             "jaccard_prefix_join",
             dict(
@@ -1043,17 +900,6 @@ _suite(
                 key2="CAST(id_b AS STRING)",
                 cnt="overlap",
                 val="jaccard",
-            ),
-        ),
-        # round 7: shard interleave audit (gaps-and-islands read order)
-        (
-            "shard_interleave_stats",
-            dict(
-                key1="CAST(shard AS STRING)",
-                key2="CAST(distinct_sources AS STRING)",
-                cnt="docs",
-                val="CAST(runs AS DOUBLE)",
-                val2="CAST(max_run AS DOUBLE)",
             ),
         ),
         # round 7: leakage-safe component-atomic train/val/test split
@@ -1105,13 +951,192 @@ _suite(
             ),
         ),
     ],
-    note="Suite: Gopher repetition signals, stratified exact-N sampling, "
-    "sliding-window counts, incremental batch-vs-corpus dedup, exact "
-    "dedup stats, hash-predicate sampling, distinct aggregation, the "
-    "z-order Morton-key kernel, the round-4 published-pipeline "
-    "quartet (C4 boilerplate spans, CCNet frequency tiers, GPT "
-    "sequence packing, SemDeDup), and the round-7 fixed-memory "
-    "sketches (count-min heavy-hitter audit, DSIR importance "
-    "weights) — one hash-checked row set for the curation + layout "
-    "additions.",
+    note="Suite: the dedup/similarity/attribution half of the curation "
+    "pillar — incremental batch-vs-corpus dedup, exact dedup stats, C4 "
+    "boilerplate spans, SemDeDup (vector + document), winnowing "
+    "fingerprint pairs, n-gram novelty, the exact PPJoin Jaccard join "
+    "(hot-bucket-guarded), leakage-safe splitting, contamination and "
+    "dedup attribution, and Dolma paragraph-level keep-first dedup — "
+    "one hash-checked row.",
+)
+
+_suite(
+    "suite_curation_quality",
+    [
+        (
+            "repetition_signals",
+            dict(
+                key1="doc_id",
+                cnt="n_words",
+                val="dup_word_frac",
+                val2="top_bigram_frac",
+            ),
+        ),
+        # round 7: CCNet-style held-out bigram-LM quality scoring
+        (
+            "bigram_lm_quality",
+            dict(
+                key1="source",
+                cnt="docs",
+                val="mean_like",
+                val2="low_docs",
+            ),
+        ),
+        # round 7: alpha=0.5 temperature mixture (data-derived rates)
+        (
+            "temperature_mixture",
+            dict(
+                key1="source",
+                key2="CAST(tokens_total AS STRING)",
+                cnt="docs_kept",
+                val="rate",
+                val2="tokens_kept",
+            ),
+        ),
+        (
+            "stratified_sample_per_source",
+            dict(key1="source", key2="doc_id", cnt="sample_rank"),
+        ),
+        (
+            "sliding_window_counts",
+            dict(key1="win_start", key2="event_type", cnt="cnt"),
+        ),
+        (
+            "token_budget_mixture",
+            dict(key1="source", cnt="docs_kept", val="tokens_kept"),
+        ),
+        # round 8: folded from its standalone window row to free the
+        # slot this suite split needs — tie-aware per-source top-75%
+        # quality filter (the window's percent_rank contract).
+        (
+            "quality_quartile_filter",
+            dict(key1="source", cnt="docs_kept", val="avg_quality"),
+        ),
+        ("sampled_scan", dict(key1="doc_id", key2="lang", cnt="n_chars")),
+        (
+            "distinct_users_by_type",
+            dict(key1="event_type", cnt="distinct_users", val="events"),
+        ),
+        (
+            "shard_balance_stats",
+            dict(
+                key1="CAST(shard AS STRING)",
+                key2="CAST(min_doc AS STRING) || '|' || CAST(max_doc AS STRING)",
+                cnt="docs",
+                val="chars",
+            ),
+        ),
+        # round 7: shard interleave audit (gaps-and-islands read order)
+        (
+            "shard_interleave_stats",
+            dict(
+                key1="CAST(shard AS STRING)",
+                key2="CAST(distinct_sources AS STRING)",
+                cnt="docs",
+                val="CAST(runs AS DOUBLE)",
+                val2="CAST(max_run AS DOUBLE)",
+            ),
+        ),
+        # round 4: Morton-key kernel behind the z-order layout writer —
+        # interleave arithmetic hash-checked per cell (a drifted curve
+        # still runs, so only a value check catches it).
+        (
+            "zorder_cells",
+            dict(
+                key1="CAST(cell AS STRING)",
+                cnt="cnt",
+                val="CAST(min_z AS DOUBLE)",
+                val2="CAST(max_z AS DOUBLE)",
+            ),
+        ),
+        # round 4 (second half): CCNet frequency tiers + GPT sequence
+        # packing (queries_curation2.py).
+        (
+            "corpus_freq_buckets",
+            dict(
+                key1="source",
+                key2="CAST(tier AS STRING)",
+                cnt="docs",
+                val="CAST(words AS DOUBLE)",
+                val2="avg_word_freq",
+            ),
+        ),
+        (
+            "sequence_packing",
+            dict(
+                key1="source",
+                key2="CAST(seq_id AS STRING)",
+                cnt="tokens",
+                val="CAST(docs AS DOUBLE)",
+                val2="CAST(straddles AS DOUBLE)",
+            ),
+        ),
+        # round 4 (second half): the BPE trainer — merged symbol is
+        # derived from pair, so (step, pair, pcnt) pins the full table.
+        (
+            "bpe_train_merges",
+            dict(key1="CAST(step AS STRING)", key2="pair", cnt="pcnt"),
+        ),
+        (
+            "bpe_token_stats",
+            dict(
+                key1="source",
+                key2="CAST(words AS STRING)",
+                cnt="bpe_tokens",
+                val="CAST(char_tokens AS DOUBLE)",
+                val2="compression",
+            ),
+        ),
+        (
+            "kmv_distinct_sketch",
+            dict(
+                key1="event_type",
+                key2="CAST(kth_hash AS STRING)",
+                cnt="exact_distinct",
+                val="est_distinct",
+                val2="rel_err",
+            ),
+        ),
+        (
+            "profile_documents",
+            dict(
+                key1="col_name",
+                key2="min_str || '|' || max_str",
+                cnt="n_distinct",
+                val="CAST(n_rows AS DOUBLE)",
+                val2="CAST(n_nulls AS DOUBLE)",
+            ),
+        ),
+        # round 7: fixed-memory sketch ops (queries_sketch.py) — the
+        # count-min heavy-hitter audit and DSIR hashed-n-gram
+        # importance weights.
+        (
+            "countmin_word_counts",
+            dict(
+                key1="word",
+                cnt="exact_cnt",
+                val="CAST(cms_est AS DOUBLE)",
+                val2="CAST(overest AS DOUBLE)",
+            ),
+        ),
+        (
+            "dsir_importance_weights",
+            dict(
+                key1="source",
+                key2="CAST(kept_tokens AS STRING)",
+                cnt="docs",
+                val="mean_w",
+                val2="CAST(kept_docs AS DOUBLE)",
+            ),
+        ),
+    ],
+    note="Suite: the quality/mixture/sampling/sketch/layout half of "
+    "the curation pillar — Gopher repetition signals, bigram-LM "
+    "quality, temperature and token-budget mixtures, the per-source "
+    "quality-quartile filter, stratified exact-N sampling, "
+    "sliding-window counts, hash-predicate sampling, distinct "
+    "aggregation, shard balance + interleave audits, the z-order "
+    "Morton kernel, CCNet frequency tiers, GPT sequence packing, the "
+    "BPE trainer, and the fixed-memory sketches (KMV, count-min, "
+    "DSIR) — one hash-checked row.",
 )
