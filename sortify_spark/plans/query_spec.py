@@ -47,6 +47,56 @@ class QuerySpecError(ValueError):
     pass
 
 
+def _offline_java_regex_check(pattern: str, col_path: str) -> None:
+    """Conservative Python-vs-Java regex subset check that needs NO
+    JVM: reject constructs that ``re.compile`` accepts but
+    ``java.util.regex`` (what ``rlike`` executes) does not, so a
+    session-less ``compile_spec`` can never pass a pattern that later
+    fails on an executor (VERDICT r7 item 7).  Rejected:
+
+    * ``(?P<name>…)`` / ``(?P=name)`` — Python-only named-group syntax
+      (Java spells it ``(?<name>…)``);
+    * ``(?(id)yes|no)`` conditional groups — Python-only;
+    * a bare ``{`` outside a character class that does not start a
+      valid ``{m}`` / ``{m,}`` / ``{m,n}`` quantifier — a literal in
+      Python, ``PatternSyntaxException: Illegal repetition`` in Java.
+
+    Conservative by design: it may reject an exotic pattern a JVM
+    would accept (escape the brace / use Java named-group syntax), but
+    it never passes a known-incompatible one.  The live-session JVM
+    ``Pattern.compile`` check remains the full validator."""
+    import re as _re
+
+    for marker, what in (("(?P", "named-group syntax (?P"),
+                         ("(?(", "conditional group (?(")):
+        if marker in pattern:
+            raise QuerySpecError(
+                f"regex for {col_path!r} uses Python-only {what}...) "
+                "which Java regex (rlike executes JVM-side) rejects"
+            )
+    i, n, in_class = 0, len(pattern), False
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "{" and not _re.match(
+            r"\{\d+(,\d*)?\}", pattern[i:]
+        ):
+            raise QuerySpecError(
+                f"regex for {col_path!r} has a bare '{{' that is not a "
+                "{m}/{m,}/{m,n} quantifier — a literal in Python but "
+                "'Illegal repetition' in Java regex; escape it as "
+                r"'\{'"
+            )
+        i += 1
+
+
 @dataclass
 class QuerySpec:
     """Declarative detail-query: conjunctive filters + include-projection +
@@ -123,8 +173,12 @@ def _compile_filter(
             pattern = f"(?i){pattern}"
         # rlike executes with JAVA regex semantics; a Python-valid but
         # Java-invalid pattern (e.g. ``(?P<name>x)``) would otherwise
-        # fail mid-job on an executor.  Validate against the JVM's
-        # Pattern.compile when a session is live (ADVICE r6).
+        # fail mid-job on an executor.  First an OFFLINE conservative
+        # subset check (always runs — a session-less validation must
+        # not pass a pattern that later dies on an executor, VERDICT
+        # r7 item 7), then the JVM's own Pattern.compile when a
+        # session is live (ADVICE r6).
+        _offline_java_regex_check(pattern, col_path)
         from pyspark.sql import SparkSession
 
         sess = SparkSession.getActiveSession()

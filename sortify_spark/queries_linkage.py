@@ -170,6 +170,9 @@ def pagerank_suppliers(
     lineitem: DataFrame,
     iters: int = PR_ITERS,
     top: int = PR_TOP,
+    tol_units: int | None = None,
+    dangling: bool = False,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Top suppliers by PageRank over the customer->supplier purchase
     graph (edge = customer ordered from supplier, distinct).
@@ -177,9 +180,29 @@ def pagerank_suppliers(
     Exact integer fixed-point power iteration: rank mass is bigint
     units of 1/PR_SCALE, every division is integer ``DIV``, so the
     result is independent of partitioning and aggregation order.
-    Dangling mass (suppliers have no out-edges) is dropped, which is
-    the standard "PageRank without dangling redistribution" variant —
-    fine for ranking, and what keeps both engines in exact lockstep.
+    By default dangling mass (suppliers have no out-edges) is dropped —
+    the standard "PageRank without dangling redistribution" variant,
+    fine for ranking and what the registered driver row pins.
+
+    Productionization knobs (VERDICT r7 item 6; the driver row uses
+    none of them, its plan and result are unchanged):
+
+    * ``tol_units`` — convergence-based stop: after each iteration the
+      L1 delta ``Σ |pr_new − pr_old|`` is computed IN FIXED-POINT UNITS
+      (an exact bigint — the test an engine on any cluster layout
+      reproduces identically, unlike a float epsilon) and the loop
+      stops early once it is ≤ ``tol_units``.  Each iteration's vector
+      is materialized for the delta check, which doubles as the
+      lineage cut below.
+    * ``dangling=True`` — classic dangling-mass redistribution: the
+      rank mass sitting on out-degree-0 nodes is collected per
+      iteration (one aggregate over the node-sized vector) and
+      redistributed uniformly inside the damped term, conserving total
+      mass up to integer truncation (≤ 1 unit per DIV per node).
+    * ``checkpoint_every=k`` — lineage-cut cadence for long runs: every
+      k iterations the rank vector materializes via localCheckpoint,
+      bounding plan depth (GraphX's periodic-checkpoint idiom); without
+      it an N-iteration lazy plan is O(N) joins deep.
 
     Returns (s_suppkey, pr_units, rank) for the top ``top`` suppliers.
     """
@@ -221,26 +244,56 @@ def pagerank_suppliers(
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "id", F.expr(f"DIV({PR_SCALE}, n)").alias("pr")
     )
-    for _ in range(iters):
+    if tol_units is not None:
+        pr = pr.localCheckpoint(eager=True)
+    for it in range(1, iters + 1):
         contrib = (
             edeg.join(pr, edeg.src == pr.id)
             .select("dst", F.expr("DIV(pr, deg)").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        pr = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, nodes.id == contrib.dst, "left")
-            .select(
-                "id",
-                (
-                    base
-                    + F.expr(
-                        f"DIV({PR_DAMP_NUM} * coalesce(s, 0L), {PR_DAMP_DEN})"
-                    )
-                ).cast("long").alias("pr"),
+        damped = f"DIV({PR_DAMP_NUM} * coalesce(s, 0L), {PR_DAMP_DEN})"
+        new_pr = nodes.crossJoin(F.broadcast(nn))
+        if dangling:
+            # rank mass on out-degree-0 nodes, redistributed uniformly
+            # inside the damped term — one node-sized aggregate
+            dm = (
+                pr.join(outdeg, pr.id == outdeg.src, "left_anti")
+                .agg(
+                    F.coalesce(F.sum("pr"), F.lit(0))
+                    .cast("long")
+                    .alias("dm")
+                )
             )
+            damped = (
+                f"DIV({PR_DAMP_NUM} * (coalesce(s, 0L) + DIV(dm, n)),"
+                f" {PR_DAMP_DEN})"
+            )
+            new_pr = new_pr.crossJoin(F.broadcast(dm))
+        new_pr = new_pr.join(
+            contrib, nodes.id == contrib.dst, "left"
+        ).select(
+            "id",
+            (base + F.expr(damped)).cast("long").alias("pr"),
         )
+        if tol_units is not None:
+            new_pr = new_pr.localCheckpoint(eager=True)
+            delta = (
+                pr.select("id", F.col("pr").alias("p0"))
+                .join(new_pr, "id")
+                .agg(
+                    F.sum(F.abs(F.col("pr") - F.col("p0"))).alias("d")
+                )
+                .first()["d"]
+            )
+            pr = new_pr
+            if delta is not None and delta <= tol_units:
+                break
+        else:
+            pr = new_pr
+            if checkpoint_every and it % checkpoint_every == 0:
+                pr = pr.localCheckpoint(eager=True)
     supp = pr.filter(F.col("id") >= PR_SUPP_OFFSET).select(
         (F.col("id") - PR_SUPP_OFFSET).alias("s_suppkey"),
         F.col("pr").alias("pr_units"),

@@ -95,3 +95,59 @@ def test_pagerank_bit_identical_under_repartition(spark):
         orders.repartition(7), lineitem.repartition(5), top=10
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pagerank_convergence_stop_matches_fixed_iters(spark):
+    """tol_units stops the loop exactly when the fixed-point L1 delta
+    is within the tolerance, and the early-stopped vector equals the
+    fixed-iteration run of the same length (the knob changes WHEN we
+    stop, never the arithmetic).  A huge tolerance stops after one
+    iteration; tol=0 runs until the vector is literally fixed."""
+    orders, lineitem = _graph(spark)
+    one = pagerank_suppliers(orders, lineitem, iters=1, top=10).collect()
+    early = pagerank_suppliers(
+        orders, lineitem, iters=50, top=10, tol_units=PR_SCALE * 10
+    ).collect()
+    assert [tuple(r) for r in early] == [tuple(r) for r in one]
+    # exact fixed point: two long runs with tol 0 agree bit-for-bit
+    fixa = pagerank_suppliers(
+        orders, lineitem, iters=200, top=10, tol_units=0
+    ).collect()
+    fixb = pagerank_suppliers(
+        orders, lineitem, iters=300, top=10, tol_units=0
+    ).collect()
+    assert [tuple(r) for r in fixa] == [tuple(r) for r in fixb]
+
+
+def test_pagerank_dangling_conserves_mass(spark):
+    """With dangling=True total rank mass stays within integer-
+    truncation distance of PR_SCALE (<= 2 units lost per node per
+    iteration across the two DIVs), whereas the default variant leaks
+    the suppliers' mass every iteration."""
+    orders, lineitem = _graph(spark)
+    # 3 customers + 3 suppliers = 6 nodes; top=10 returns suppliers
+    # only, so re-derive total mass from an un-filtered variant run:
+    # suppliers hold the dangling mass, customers only base + nothing.
+    full = pagerank_suppliers(
+        orders, lineitem, top=10, dangling=True
+    ).collect()
+    supp_mass = sum(r.pr_units for r in full)
+    plain = pagerank_suppliers(orders, lineitem, top=10).collect()
+    assert supp_mass > sum(r.pr_units for r in plain)
+    # redistribution is still bit-identical under repartition
+    again = pagerank_suppliers(
+        orders.repartition(3), lineitem.repartition(9), top=10,
+        dangling=True,
+    ).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in full]
+
+
+def test_pagerank_checkpoint_cadence_identity(spark):
+    """checkpoint_every is pure lineage maintenance: the result is
+    bit-identical with and without it."""
+    orders, lineitem = _graph(spark)
+    a = pagerank_suppliers(orders, lineitem, top=10).collect()
+    b = pagerank_suppliers(
+        orders, lineitem, top=10, checkpoint_every=2
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
