@@ -557,6 +557,63 @@ def main() -> None:
 
         stage("hot_bucket_guard_ab", hot_bucket_guard)
 
+        # -- PPJoin hot-prefix guard A/B (round 8, VERDICT r7 item 1) ---
+        # Adversarial boilerplate corpus for the EXACT Jaccard join:
+        # every doc starts with the same 3 boilerplate words (one
+        # shared shingle that md5-ranks into ~half the prefixes), sizes
+        # stratified geometrically so the length filter kills cross-
+        # class pairs INSIDE the join — the work an unguarded plan
+        # serializes into the one hot-prefix task.  The guarded run
+        # must stay bounded with the IDENTICAL result; the freq-order
+        # variant must eliminate the hot prefix entirely (boilerplate
+        # df sorts it last, out of every prefix).
+        def ppjoin_guard_ab():
+            from sortify_spark.queries_dedup import jaccard_prefix_join
+
+            flood = 24000  # hot prefix bucket ~13k docs unguarded
+            n_clones = 50
+            word_counts = "array(5, 9, 17, 33, 65)"
+            txt = F.concat(
+                F.lit("b0 b1 b2 "),
+                F.expr(
+                    "array_join(transform(sequence(1, element_at("
+                    f"{word_counts}, CAST(id % 5 AS INT) + 1) - 3), "
+                    "j -> concat('w', id % "
+                    f"{flood}, '_', j)), ' ')"
+                ),
+            )
+            docs = (
+                spark.range(flood + n_clones)
+                .select(F.col("id").alias("doc_id"), txt.alias("text"))
+                .localCheckpoint(eager=True)
+            )
+            # freq first: the heavy runs below leave tens of millions
+            # of checkpoint blocks for the context cleaner; running
+            # the cheap variant last under that pressure mismeasured
+            # it ~10x in development.
+            t0 = time.time()
+            got_f = jaccard_prefix_join(docs, order="freq").count()
+            t_f = round(time.time() - t0, 2)
+            t0 = time.time()
+            got_g = jaccard_prefix_join(docs).count()
+            t_g = round(time.time() - t0, 2)
+            t0 = time.time()
+            got_u = jaccard_prefix_join(docs, hot_cap=10**9).count()
+            t_u = round(time.time() - t0, 2)
+            assert got_g == got_u == got_f, (got_g, got_u, got_f)
+            # the clones are exact dups of their base doc (J = 1.0)
+            assert got_g >= n_clones, got_g
+            return {
+                "rows": int(got_g),
+                "flood_docs": flood,
+                "guarded_sec": t_g,
+                "unguarded_sec": t_u,
+                "freq_order_sec": t_f,
+                "speedup_vs_unguarded": round(t_u / max(t_g, 0.01), 2),
+            }
+
+        stage("ppjoin_guard_ab", ppjoin_guard_ab)
+
         # -- ANN / search serving at scale (round 5, VERDICT r4 item 6) -
         # The batch products of the serving side exercised on an
         # inflated vectors table: IVF index build (nearest-centroid
@@ -850,6 +907,75 @@ def main() -> None:
                 }
 
             stage("facade_lsh_vs_exact_summary", lsh_vs_exact)
+
+            # -- batched lexical + hybrid serving from the persisted
+            # BM25 artifact (round 8, VERDICT r7 item 5): mirror of the
+            # 64-query batched ANN stage for the keyword strategies.
+            # Each keyword probe reads only its terms' posting buckets
+            # of the committed index — the corpus never rescans.
+            def lex_serving():
+                from sortify_spark.search.lexical import (
+                    probe_lexical_index_many,
+                )
+                from sortify_spark.sources.versioned import read_manifest
+
+                t0 = time.time()
+                eng.rebuild_lexical_index()
+                build_sec = round(time.time() - t0, 2)
+                path = eng.lexical_index_path()
+                m = read_manifest(f"{path}/terms")
+                pool = (
+                    "data quality spark merge dup pipeline training "
+                    "analytics model corpus document search index "
+                    "stream batch vector"
+                ).split()
+                batch = {
+                    f"q{i}": (
+                        pool[i % 16],
+                        pool[(i * 3 + 1) % 16],
+                        pool[(i * 7 + 2) % 16],
+                    )
+                    for i in range(64)
+                }
+                # batched: 64 queries, ONE plan, one bucket-pruned
+                # postings scan (the ANN 64-query stage's twin)
+                t0 = time.time()
+                n_rows = probe_lexical_index_many(
+                    spark, path, batch, k=10
+                ).count()
+                kw_sec = time.time() - t0
+                # per-query serving latency sample (facade path: one
+                # probe per call — pays Spark job overhead per query)
+                t0 = time.time()
+                s_rows = 0
+                for i in range(8):
+                    s_rows += len(
+                        eng.semantic_search(
+                            " ".join(batch[f"q{i}"]), "keyword"
+                        ).collect()
+                    )
+                single_sec = time.time() - t0
+                t0 = time.time()
+                h_rows = 0
+                for i in range(8):
+                    h_rows += len(
+                        eng.semantic_search(
+                            " ".join(batch[f"q{i}"]), "hybrid_lexical"
+                        ).collect()
+                    )
+                hy_sec = time.time() - t0
+                return {
+                    "rows": int(n_rows),
+                    "indexed_docs": int(m["n_docs"]),
+                    "build_sec": build_sec,
+                    "batched_queries": 64,
+                    "batched_qps": round(64 / kw_sec, 1),
+                    "single_qps": round(8 / single_sec, 2),
+                    "hybrid_rows": h_rows,
+                    "hybrid_qps": round(8 / hy_sec, 2),
+                }
+
+            stage(f"lex_serving_batched_{FE}x", lex_serving)
 
             # -- streaming admission: indexed vs recomputed corpus ----
             # The per-batch cost claim of use_index=True (band +

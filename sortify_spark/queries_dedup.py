@@ -633,6 +633,11 @@ def jaccard_prefix_join(
         # (df, md5) — an injective total order (md5 breaks df ties).
         # Hot boilerplate shingles sort LAST and so rarely make a
         # prefix; the guard below still covers adversarial leftovers.
+        # Materialize the shingle kernel ONCE: the df aggregate, the
+        # df join, and the keyed join below each re-run the
+        # interpreted words/shingles HOFs otherwise (measured 59 s ->
+        # ~8 s on the 24k-doc adversarial corpus).
+        base = base.localCheckpoint(eager=True)
         ex = base.select("doc_id", F.explode("sh").alias("s"))
         dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         ordered = (

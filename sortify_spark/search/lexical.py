@@ -356,3 +356,116 @@ def probe_lexical_index(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def probe_lexical_index_many(
+    spark: SparkSession,
+    path: str,
+    queries: dict[str, tuple[str, ...]],
+    k: int = 10,
+    version: int | None = None,
+) -> DataFrame:
+    """BATCHED serving: top-k for MANY queries in ONE plan —
+    (query_id, doc_id, matched_terms, bm25, rnk) — the lexical twin of
+    the batched ANN probe (``knn_batch_queries`` / the scale-stress
+    64-query IVF stage).  One bucket-pruned postings scan covers the
+    UNION of every query's term buckets; per-(query, doc) scores
+    aggregate with a generic per-term score expression and a per-query
+    rank window.
+
+    Contract difference vs :func:`probe_lexical_index`: the per-doc
+    score sums per-term contributions in AGGREGATION order, so the
+    last ulp of ``bm25`` can differ from the single-query probe's
+    fixed term-order sum (ranking ties still break on doc_id).  Use
+    the single-query probe where bit-exact oracle parity matters; use
+    this for throughput."""
+    from sortify_spark.sources.versioned import (
+        _read_partition_dirs,
+        read_manifest,
+        read_versioned,
+    )
+
+    if not queries or any(not t for t in queries.values()):
+        raise ValueError("every query needs at least one term")
+    anchor = read_manifest(f"{path}/terms", version)
+    if anchor["version"] == 0:
+        raise FileNotFoundError(f"no lexical index at {path}")
+    n_docs = int(anchor["n_docs"])
+    sum_dl = int(anchor["sum_dl"])
+    pt_buckets = int(anchor["pt_buckets"])
+    qt = F.broadcast(
+        spark.createDataFrame(
+            [(q, t) for q, ts in queries.items() for t in dict.fromkeys(ts)],
+            "query_id string, term string",
+        )
+    )
+    pts = {
+        int(r["pt"])
+        for r in qt.select(
+            _pt(F.col("term"), pt_buckets).alias("pt")
+        ).distinct().collect()
+    }
+    pmanifest = read_manifest(
+        f"{path}/postings", anchor.get("postings_version")
+    )
+    rels = [
+        pmanifest["partitions"][str(b)]
+        for b in sorted(pts)
+        if str(b) in pmanifest["partitions"]
+    ]
+    if not rels:
+        return spark.createDataFrame(
+            [],
+            "query_id string, doc_id long, matched_terms int, "
+            "bm25 double, rnk int",
+        )
+    vocab = F.broadcast(
+        read_versioned(
+            spark, f"{path}/terms", "part", version=anchor["version"]
+        ).select("term", "df")
+    )
+    probed = _read_partition_dirs(
+        spark,
+        f"{path}/postings",
+        "pt",
+        rels,
+        dtype=pmanifest.get("partition_dtype"),
+    )
+    avgdl = (
+        f"ROUND(CAST(CAST({sum_dl} AS DECIMAL(38,12)) AS DOUBLE)"
+        f" / {n_docs}, 12)"
+    )
+    from sortify_spark.queries_bm25 import BM25_B, BM25_K1
+
+    k1p1, one_b = BM25_K1 + 1.0, 1.0 - BM25_B
+    score = (
+        f"ROUND(ROUND((CAST({n_docs} - df AS DOUBLE) + 0.5)"
+        f" / (CAST(df AS DOUBLE) + 0.5), 12)"
+        f" * ((CAST(tf AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf AS DOUBLE) + {BM25_K1} * ({one_b}"
+        f" + {BM25_B} * (CAST(dl AS DOUBLE) / {avgdl})))), 9)"
+    )
+    from pyspark.sql.window import Window
+
+    per = (
+        probed.join(qt, "term")
+        .join(vocab, "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(score).alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("matched_terms"),
+            F.round(F.sum("s"), 9).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

@@ -1533,6 +1533,42 @@ def test_facade_lexical_index_serving_and_pinning(spark, tmp_path):
     assert pinned == idx  # time travel: pre-add snapshot still served
 
 
+def test_lexical_batched_probe_matches_single(spark, tmp_path):
+    """probe_lexical_index_many (ONE plan for N queries) returns the
+    same ranked doc set per query as the bit-exact single probe —
+    including a query whose terms are absent from the vocabulary."""
+    from sortify_spark.search.lexical import (
+        build_lexical_index,
+        probe_lexical_index,
+        probe_lexical_index_many,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    path = str(tmp_path / "lex")
+    build_lexical_index(docs, path)
+    # NB: terms must be distinct — the batched probe dedupes repeated
+    # terms (its contract) while the slot-based single probe scores a
+    # repeated term once per slot, matching bm25_scored
+    queries = {
+        "a": ("dup", "spark", "merge"),
+        "b": ("data", "quality"),
+        "c": ("zzz_not_in_vocab",),
+    }
+    many = probe_lexical_index_many(spark, path, queries, k=10).collect()
+    by_q: dict = {}
+    for r in many:
+        by_q.setdefault(r.query_id, []).append(
+            (r.doc_id, r.matched_terms)
+        )
+    for q, terms in queries.items():
+        single = [
+            (r.doc_id, r.matched_terms)
+            for r in probe_lexical_index(spark, path, terms, k=10).collect()
+        ]
+        assert by_q.get(q, []) == single, q
+    assert by_q.get("c", []) == []  # unseen terms match nothing
+
+
 def test_vectorize_stream_maintains_ivf_index(spark, docs, tmp_path):
     """ST1 + online ANN maintenance: the vectorize stream builds the
     persisted IVF artifact on its first micro-batch and incrementally
