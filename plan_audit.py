@@ -139,9 +139,65 @@ def main() -> None:
                 "unit": "shuffle_mb_total",
                 "sf_dir": sf_dir,
                 "queries": out,
+                "hot_buckets": _hot_bucket_audit(spark, sf_dir),
             }
         )
     )
+
+
+def _hot_bucket_audit(spark, sf_dir: str) -> dict:
+    """Per-round bucket-skew observability (VERDICT r7 item 8): run
+    ``dedup.hot_bucket_stats`` over the banded frames the guarded joins
+    actually build on this corpus — MinHash-LSH bands and the PPJoin
+    prefix buckets — and record how many buckets exceed the runtime
+    guard's cap and the largest one.  An all-zero record documents the
+    corpus is benign at this SF; a non-zero one shows the guard's
+    sub-split is live."""
+    from pyspark.sql import functions as F
+
+    from sortify_spark import dedup
+    from sortify_spark.dedup import DEFAULT_HOT_BUCKET_CAP, words
+    from sortify_spark.dedup import shingles as _sh
+    from sortify_spark.operators.partitioning import fan_out
+    from sortify_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, bands = dedup.signature_bands(docs, use_shingles=3)
+
+    def _summ(banded, key_cols) -> dict:
+        hot = dedup.hot_bucket_stats(banded, key_cols=key_cols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.max("bucket_size"), F.lit(0)).alias("mx"),
+        ).first()
+        return {
+            "over_cap_buckets": int(hot["n"]),
+            "max_bucket": int(hot["mx"]),
+            "cap": DEFAULT_HOT_BUCKET_CAP,
+        }
+
+    from sortify_spark.queries_dedup import PPJ_K
+
+    base = (
+        fan_out(docs)
+        .select("doc_id", words(F.col("text")).alias("w"))
+        .select("doc_id", _sh(F.col("w"), PPJ_K).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_sort(transform(sh, s -> md5(CAST(s AS BINARY))))"
+            ).alias("osh"),
+            F.size("sh").alias("sz"),
+        )
+        .withColumn("plen", F.expr("sz - ((sz + 1) DIV 2) + 1"))
+    )
+    prefixes = base.select(
+        F.explode(F.expr("slice(osh, 1, plen)")).alias("h")
+    )
+    return {
+        "minhash_bands": _summ(bands, ("band_idx", "band_key")),
+        "ppjoin_prefixes": _summ(prefixes, ("h",)),
+    }
 
 
 if __name__ == "__main__":

@@ -587,29 +587,72 @@ def main() -> None:
                 .select(F.col("id").alias("doc_id"), txt.alias("text"))
                 .localCheckpoint(eager=True)
             )
+            # Wall clock swings up to 2x with host noise (SCALE.md), so
+            # the guard's claim — MAX-TASK time stays bounded — is
+            # measured directly: the longest single stage wall inside
+            # each variant's run window (the unguarded hot join stage's
+            # wall IS its straggler task; every other stage is
+            # wide-parallel).
+            import urllib.request as _rq
+
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+
+            def _stages():
+                url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+                with _rq.urlopen(url, timeout=10) as r:
+                    return json.load(r)
+
+            def _max_stage_wall(before_ids: set) -> float:
+                import datetime as _dt
+
+                def _p(ts):
+                    return _dt.datetime.strptime(
+                        ts.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f"
+                    )
+
+                walls = [
+                    (_p(s["completionTime"]) - _p(s["firstTaskLaunchedTime"]))
+                    .total_seconds()
+                    for s in _stages()
+                    if s["stageId"] not in before_ids
+                    and s.get("completionTime")
+                    and s.get("firstTaskLaunchedTime")
+                ]
+                return round(max(walls), 2) if walls else 0.0
+
             # freq first: the heavy runs below leave tens of millions
             # of checkpoint blocks for the context cleaner; running
             # the cheap variant last under that pressure mismeasured
             # it ~10x in development.
-            t0 = time.time()
-            got_f = jaccard_prefix_join(docs, order="freq").count()
-            t_f = round(time.time() - t0, 2)
-            t0 = time.time()
-            got_g = jaccard_prefix_join(docs).count()
-            t_g = round(time.time() - t0, 2)
-            t0 = time.time()
-            got_u = jaccard_prefix_join(docs, hot_cap=10**9).count()
-            t_u = round(time.time() - t0, 2)
-            assert got_g == got_u == got_f, (got_g, got_u, got_f)
+            runs = {}
+            for label, kw in (
+                ("freq_order", dict(order="freq")),
+                ("guarded", dict()),
+                ("unguarded", dict(hot_cap=10**9)),
+            ):
+                seen = {s["stageId"] for s in _stages()}
+                t0 = time.time()
+                n = jaccard_prefix_join(docs, **kw).count()
+                runs[label] = {
+                    "rows": int(n),
+                    "sec": round(time.time() - t0, 2),
+                    "max_stage_wall_sec": _max_stage_wall(seen),
+                }
+            rows = {r["rows"] for r in runs.values()}
+            assert len(rows) == 1, runs
             # the clones are exact dups of their base doc (J = 1.0)
-            assert got_g >= n_clones, got_g
+            assert runs["guarded"]["rows"] >= n_clones, runs
             return {
-                "rows": int(got_g),
+                "rows": runs["guarded"]["rows"],
                 "flood_docs": flood,
-                "guarded_sec": t_g,
-                "unguarded_sec": t_u,
-                "freq_order_sec": t_f,
-                "speedup_vs_unguarded": round(t_u / max(t_g, 0.01), 2),
+                **{f"{k}_{m}": v[m] for k, v in runs.items()
+                   for m in ("sec", "max_stage_wall_sec")},
+                "max_task_bound_ratio": round(
+                    runs["unguarded"]["max_stage_wall_sec"]
+                    / max(runs["guarded"]["max_stage_wall_sec"], 0.01),
+                    2,
+                ),
             }
 
         stage("ppjoin_guard_ab", ppjoin_guard_ab)
