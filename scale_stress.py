@@ -643,14 +643,85 @@ def main() -> None:
             assert len(rows) == 1, runs
             # the clones are exact dups of their base doc (J = 1.0)
             assert runs["guarded"]["rows"] >= n_clones, runs
+
+            # Candidate-stage A/B at a flood the full operator cannot
+            # afford: 50k prefix rows on ONE hot hash (~1.25e9 pair
+            # evaluations), (sz, p) crafted so the length+positional
+            # prunes kill EVERY hot pair inside the join — i.e. the
+            # exact work an unguarded plan serializes into the one hot
+            # SMJ task, with zero verify cost confounding the measure.
+            # (The 24k full-operator corpus above proves result
+            # equality; at that size the hot task is only ~85M evals,
+            # ~1 s of JVM time — too small to separate from noise.)
+            # ~11e9 hot-pair evaluations: a single codegen'd SMJ task
+            # streams ~2.5e8 filter evals/s on this box, so the
+            # unguarded straggler is O(45 s) while the guarded plan
+            # spreads the same work over g(g+1)/2 sub-partitions.
+            hot_n, cold_n = 150_000, 200_000
+            pref = (
+                spark.range(hot_n + cold_n)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.when(F.col("id") < hot_n, F.lit("h0"))
+                    .otherwise(
+                        F.pmod(F.abs(F.xxhash64("id")), F.lit(100_000))
+                        .cast("string")
+                    )
+                    .alias("h"),
+                    # sizes 10/100 alternate: cross pairs die at the
+                    # length filter (ratio 10 > 2); p = sz/2 makes
+                    # same-size pairs die at the positional filter
+                    # (bound 1 + s/2 < required (2s+2) DIV 3 for both)
+                    F.when(F.col("id") % 2 == 0, F.lit(10))
+                    .otherwise(F.lit(100))
+                    .alias("sz"),
+                )
+                .withColumn("p", (F.col("sz") / 2).cast("int"))
+                .localCheckpoint(eager=True)
+            )
+
+            def _prunes():
+                sa, sb = F.col("sz_a"), F.col("sz_b")
+                return (F.greatest(sa, sb) <= F.least(sa, sb) * 2) & (
+                    F.lit(1)
+                    + F.least(sa - F.col("p_a"), sb - F.col("p_b"))
+                    >= F.expr("(sz_a + sz_b + 2) DIV 3")
+                )
+
+            def cand_count(hot_cap):
+                return dedup.banded_self_join_pairs(
+                    pref,
+                    key_cols=("h",),
+                    id_col="doc_id",
+                    carry_cols=("sz", "p"),
+                    hot_cap=hot_cap,
+                    # the operator's own shape: prunes AT the join
+                    pair_filter=_prunes,
+                ).count()
+
+            cand = {}
+            for label, cap in (
+                ("guarded", dedup.DEFAULT_HOT_BUCKET_CAP),
+                ("unguarded", 10**9),
+            ):
+                seen = {s["stageId"] for s in _stages()}
+                t0 = time.time()
+                n = cand_count(cap)
+                cand[label] = {
+                    "pairs": int(n),
+                    "sec": round(time.time() - t0, 2),
+                    "max_stage_wall_sec": _max_stage_wall(seen),
+                }
+            assert cand["guarded"]["pairs"] == cand["unguarded"]["pairs"]
             return {
                 "rows": runs["guarded"]["rows"],
                 "flood_docs": flood,
                 **{f"{k}_{m}": v[m] for k, v in runs.items()
                    for m in ("sec", "max_stage_wall_sec")},
+                "candidate_stage_50k_hot": cand,
                 "max_task_bound_ratio": round(
-                    runs["unguarded"]["max_stage_wall_sec"]
-                    / max(runs["guarded"]["max_stage_wall_sec"], 0.01),
+                    cand["unguarded"]["max_stage_wall_sec"]
+                    / max(cand["guarded"]["max_stage_wall_sec"], 0.01),
                     2,
                 ),
             }

@@ -225,6 +225,13 @@ def signature_bands(
 #: guard becomes a single quadratic join partition.
 DEFAULT_HOT_BUCKET_CAP = 1024
 DEFAULT_HOT_GROUPS = 8
+#: Adaptive-group clamp: a bucket of n rows splits into
+#: clamp(ceil(n/cap), hot_groups, MAX_HOT_GROUPS) id-hash groups, so
+#: sub-task pair work stays ~cap² until the clamp binds (n > 256·cap ≈
+#: 262k rows per bucket at defaults), past which it grows as
+#: (n/256)² — the duplication-vs-straggler trade documented in
+#: :func:`banded_self_join_pairs`.
+MAX_HOT_GROUPS = 256
 
 
 def hot_bucket_stats(
@@ -250,6 +257,7 @@ def banded_self_join_pairs(
     carry_cols: tuple[str, ...] = (),
     hot_cap: int = DEFAULT_HOT_BUCKET_CAP,
     hot_groups: int = DEFAULT_HOT_GROUPS,
+    pair_filter=None,
 ) -> DataFrame:
     """All within-bucket ordered candidate pairs (``id_a < id_b``) with
     a RUNTIME hot-bucket guard — the skew hardening every banded join in
@@ -276,6 +284,18 @@ def banded_self_join_pairs(
 
     ``carry_cols`` ride along as ``<col>_a`` / ``<col>_b`` (e.g. the
     SimHash signature for the Hamming verify).
+
+    ``pair_filter`` (a zero-arg callable returning a Column over the
+    ``id_a/id_b/<carry>_a/<carry>_b`` names) prunes candidate pairs AT
+    THE JOIN, before the hot path's canonicalization projection.  A
+    filter applied by the caller AFTER this function evaluates on the
+    hot path only past the ~10 swap-CASE expressions of the
+    canonicalized projection — on a flooded bucket that is billions of
+    discarded pairs each paying the full projection (measured: a 150k
+    hot bucket's guarded plan went from ~50 s to ~3 s moving the
+    PPJoin prunes inside).  The predicate MUST be symmetric under an
+    a/b swap — the hot path evaluates it on pre-canonical (possibly
+    id-reversed) pairs.
     """
     keys = list(key_cols)
     # Materialize the band rows once: the size count AND the join(s)
@@ -285,12 +305,34 @@ def banded_self_join_pairs(
     # persist — so the blocks are freed by the context cleaner when the
     # result is dropped, and the signature lineage is truncated.
     banded = banded.localCheckpoint(eager=False)
+    # Per-bucket ADAPTIVE group count (round 8): a fixed g leaves each
+    # sub-task (|bucket|/g)² pair evaluations — still quadratic in the
+    # bucket, so a 150k-row flood serialized ~350M evals per sub-task
+    # and the "guarded" plan lost to the raw join (measured).  With
+    # g_b = ceil(|bucket|/cap) each sub-task does ~cap² evals — a
+    # CONSTANT — and the bucket's quadratic total spreads over
+    # g(g+1)/2 keys.  The trade is row duplication (each hot row ships
+    # ~g_b/2 copies, i.e. |bucket|²/(2·cap) shuffled rows per bucket),
+    # so g_b is clamped at MAX_HOT_GROUPS: past the clamp, sub-task
+    # work grows quadratically again but over a 256-way split —
+    # raise the cap (more memory per task) or the clamp (more shuffle)
+    # for pathological corpora; both knobs are per-call.
     hot_keys_df = (
         banded.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__bn"))
         .filter(F.col("__bn") > hot_cap)
-        .select(*keys)
-        .withColumn("__hot", F.lit(True))
+        .select(
+            *keys,
+            F.least(
+                F.greatest(
+                    F.ceil(F.col("__bn") / F.lit(hot_cap)),
+                    F.lit(hot_groups),
+                ),
+                F.lit(MAX_HOT_GROUPS),
+            )
+            .cast("long")
+            .alias("__gn"),
+        )
     )
     tagged = banded.join(F.broadcast(hot_keys_df), keys, "left")
 
@@ -302,15 +344,16 @@ def banded_self_join_pairs(
             *extra,
         )
 
-    cold = tagged.filter(F.col("__hot").isNull())
+    cold = tagged.filter(F.col("__gn").isNull())
     cold_pairs = (
         _side(cold, "a", [])
         .join(_side(cold, "b", []), on=keys)
         .filter(F.col("id_a") < F.col("id_b"))
     )
-    g = hot_groups
-    grp = F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(g))
-    hot = tagged.filter(F.col("__hot").isNotNull()).withColumn("__g", grp)
+    if pair_filter is not None:
+        cold_pairs = cold_pairs.filter(pair_filter())
+    grp = F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.col("__gn"))
+    hot = tagged.filter(F.col("__gn").isNotNull()).withColumn("__g", grp)
     # EXPLICIT repartition on the extended key, both sides: the join
     # reuses this partitioning (no extra exchange), and — critically —
     # AQE cannot coalesce a user repartition with a fixed partition
@@ -325,14 +368,15 @@ def banded_self_join_pairs(
     hot_keys = keys + ["__ga", "__gb"]
     hl = _side(
         hot.withColumn("__ga", F.col("__g")).withColumn(
-            "__gb", F.explode(F.sequence(F.col("__g"), F.lit(g - 1)))
+            "__gb",
+            F.explode(F.sequence(F.col("__g"), F.col("__gn") - 1)),
         ),
         "a",
         ["__ga", "__gb"],
     ).repartition(n_part, *hot_keys)
     hr = _side(
         hot.withColumn("__gb", F.col("__g")).withColumn(
-            "__ga", F.explode(F.sequence(F.lit(0), F.col("__g")))
+            "__ga", F.explode(F.sequence(F.lit(0).cast("long"), F.col("__g")))
         ),
         "b",
         ["__ga", "__gb"],
@@ -342,11 +386,18 @@ def banded_self_join_pairs(
     def _canon(c_a: str, c_b: str, out: str):
         return F.when(swap, F.col(c_b)).otherwise(F.col(c_a)).alias(out)
 
-    hot_pairs = (
-        hl.join(hr, on=keys + ["__ga", "__gb"])
+    hot_pairs = hl.join(hr, on=keys + ["__ga", "__gb"]).filter(
         # cross-group pairs arrive exactly once (possibly id-reversed —
         # canonicalize); same-group keys see both orderings, keep one
-        .filter((F.col("__ga") < F.col("__gb")) | (F.col("id_a") < F.col("id_b")))
+        (F.col("__ga") < F.col("__gb")) | (F.col("id_a") < F.col("id_b"))
+    )
+    if pair_filter is not None:
+        # pre-canonical prune: predicate is symmetric by contract, so
+        # id-reversed pairs evaluate identically — the discarded pairs
+        # never reach the swap-CASE projection below
+        hot_pairs = hot_pairs.filter(pair_filter())
+    hot_pairs = (
+        hot_pairs
         .select(
             _canon("id_a", "id_b", "id_a"),
             _canon("id_b", "id_a", "id_b"),

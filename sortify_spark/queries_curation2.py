@@ -1255,3 +1255,237 @@ FROM d GROUP BY source ORDER BY source
 )
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2021) — sliding-window keep-first
+# ---------------------------------------------------------------------------
+
+SSD_W = 8  #: duplicated-window width in words (Lee et al. use 50 BPE
+#: tokens on web crawl; the synthetic docs are short, so 8 keeps the
+#: operator observable at test SF — the plan is width-independent)
+SSD_BASE = 1 << 20  #: composite (doc_id, window-start) bigint base —
+#: same documented bounds as PARA_POS_BASE (doc_id < 2^43, s < 2^20)
+
+
+def substring_dedup_stats(docs: DataFrame, w: int = SSD_W) -> DataFrame:
+    """Per-source EXACT substring dedup audit with text reassembly:
+    (source, docs, tokens_total, tokens_removed, docs_emptied,
+    rebuilt_hash_sum).
+
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better") dedupe exact SUBSTRINGS below both document and
+    paragraph granularity with suffix arrays; the Spark-native exact
+    equivalent at window granularity: every ``w``-token sliding window
+    (stride 1) that occurs more than once corpus-wide keeps its FIRST
+    occurrence (min (doc_id, position)), and a token survives iff it
+    is covered by at least one KEPT window (tokens of sub-``w`` docs
+    always survive — nothing to match).  That coverage rule is what
+    makes this Lee-style rather than naive: in a self-repeating doc
+    ``x*n`` the first window keeps its ``w`` tokens and only the tail
+    is removed, and a doc embedding a copied span keeps the span's
+    boundary tokens (whose windows straddle into unique text) while
+    the interior is removed.  Differs from ``paragraph_dedup`` (fixed
+    non-overlapping blocks — misses dups at unaligned offsets) and
+    from ``common_span_removal`` (C4 removes ALL copies, no survivor).
+
+    Scale shape: ONE wide shuffle — the per-window-gram MIN over a
+    composite bigint, map-side combinable, so a duplicate-heavy crawl
+    collapses each hot window to one row per partition before the
+    exchange; windows are md5 surrogates (16 bytes, never the text).
+    The winner rows THEMSELVES encode (doc_id, start) — no join back
+    to the window stream at all (the aggregate output is decoded with
+    DIV/MOD), so the boilerplate-gram skew that would make a join-back
+    one-sided never materializes.  Interval merging is two
+    same-partitioning windows over the winner rows (one per distinct
+    surviving gram — bounded), and the rebuild is interval SLICES of
+    the token array (no per-token lambda over intervals).
+    """
+    from sortify_spark.operators.partitioning import fan_out
+    from pyspark.sql.window import Window
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        fan_out(docs)
+        .select("doc_id", "source", _words().alias("w"))
+        # projection-collapse barrier (dedup.py:170-192): without the
+        # exchange the split re-evaluates inside every slice()
+        .repartition(par, "doc_id")
+        .select("doc_id", "source", "w", F.size("w").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    wins = toks.filter(F.col("n") >= w).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, n - {w}), "
+                f"s -> md5(CAST(array_join(slice(w, s + 1, {w}), ' ') "
+                "AS BINARY)))"
+            )
+        ).alias("s", "g"),
+    )
+    kept = (
+        wins.groupBy("g")
+        .agg(
+            F.min(
+                F.col("doc_id") * F.lit(SSD_BASE) + F.col("s")
+            ).alias("k")
+        )
+        .select(
+            F.expr(f"k DIV {SSD_BASE}").alias("doc_id"),
+            F.expr(f"k % {SSD_BASE}").cast("int").alias("s"),
+        )
+    )
+    # gaps-and-islands merge of the kept [s, s+w) intervals per doc
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = kept.withColumn(
+        "brk",
+        F.when(
+            F.col("s")
+            > F.coalesce(F.max(F.col("s") + w).over(prev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    ).withColumn("grp", F.sum("brk").over(cum))
+    merged = isl.groupBy("doc_id", "grp").agg(
+        F.min("s").alias("st"), (F.max("s") + w).alias("en")
+    )
+    parts = merged.join(toks, "doc_id").select(
+        "doc_id",
+        "st",
+        F.expr("array_join(slice(w, st + 1, en - st), ' ')").alias(
+            "part"
+        ),
+        (F.col("en") - F.col("st")).alias("kept_tok"),
+    )
+    agg_parts = parts.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(st, part))), x -> x.part), ' ')"
+        ).alias("kept_text"),
+        F.sum("kept_tok").alias("kept_tok"),
+    )
+    perdoc = toks.join(agg_parts, "doc_id", "left").select(
+        "source",
+        "n",
+        F.when(F.col("n") < w, F.expr("array_join(w, ' ')"))
+        .otherwise(F.coalesce("kept_text", F.lit("")))
+        .alias("rebuilt"),
+        F.when(F.col("n") < w, F.lit(0))
+        .otherwise(F.col("n") - F.coalesce("kept_tok", F.lit(0)))
+        .alias("removed"),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n").cast("bigint").alias("tokens_total"),
+            F.sum("removed").cast("bigint").alias("tokens_removed"),
+            F.sum(
+                F.when(
+                    (F.col("n") >= w) & (F.col("rebuilt") == ""), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_emptied"),
+            F.sum(md5_prefix_bigint("rebuilt"))
+            .cast("bigint")
+            .alias("rebuilt_hash_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_SSD_SQL = f"""
+WITH tn AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+  FROM documents
+),
+wins0 AS (
+  SELECT doc_id, w, unnest(range(0, n - {SSD_W} + 1)) AS s FROM tn
+),
+wins AS (
+  SELECT doc_id, s,
+         md5(array_to_string(w[s + 1 : s + {SSD_W}], ' ')) AS g
+  FROM wins0
+),
+kept AS (
+  SELECT k // {SSD_BASE} AS doc_id, k % {SSD_BASE} AS s
+  FROM (SELECT MIN(doc_id * {SSD_BASE} + s) AS k FROM wins GROUP BY g)
+),
+isl AS (
+  SELECT doc_id, s,
+         CASE WHEN s > COALESCE(MAX(s + {SSD_W}) OVER (
+                  PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM kept
+),
+isl2 AS (
+  SELECT doc_id, s,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS grp
+  FROM isl
+),
+merged AS (
+  SELECT doc_id, MIN(s) AS st, MAX(s) + {SSD_W} AS en
+  FROM isl2 GROUP BY doc_id, grp
+),
+parts AS (
+  SELECT m.doc_id, m.st,
+         array_to_string(t.w[m.st + 1 : m.en], ' ') AS part,
+         m.en - m.st AS kept_tok
+  FROM merged m JOIN tn t ON m.doc_id = t.doc_id
+),
+agg_parts AS (
+  SELECT doc_id, string_agg(part, ' ' ORDER BY st) AS kept_text,
+         SUM(kept_tok) AS kept_tok
+  FROM parts GROUP BY doc_id
+),
+perdoc AS (
+  SELECT t.source, t.n,
+         CASE WHEN t.n < {SSD_W} THEN array_to_string(t.w, ' ')
+              ELSE COALESCE(a.kept_text, '') END AS rebuilt,
+         CASE WHEN t.n < {SSD_W} THEN 0
+              ELSE t.n - COALESCE(a.kept_tok, 0) END AS removed
+  FROM tn t LEFT JOIN agg_parts a ON t.doc_id = a.doc_id
+)
+SELECT source, COUNT(*) AS docs,
+       CAST(SUM(n) AS BIGINT) AS tokens_total,
+       CAST(SUM(removed) AS BIGINT) AS tokens_removed,
+       CAST(SUM(CASE WHEN n >= {SSD_W} AND rebuilt = '' THEN 1 ELSE 0
+                END) AS BIGINT) AS docs_emptied,
+       CAST(SUM(('0x' || substring(md5(rebuilt), 1, 7))::BIGINT)
+            AS BIGINT) AS rebuilt_hash_sum
+FROM perdoc GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "substring_dedup_keep_first",
+    _SSD_SQL,
+    note="EXACT substring dedup below paragraph granularity (Lee et "
+    f"al. 2021, window form): every duplicated {SSD_W}-token sliding "
+    "window keeps its FIRST occurrence corpus-wide (map-side-combined "
+    "MIN over a composite bigint of md5 window surrogates); a token "
+    "survives iff covered by at least one kept window, so copied-span "
+    "interiors are removed while boundary tokens and the first copy "
+    "survive; docs rebuilt from merged kept intervals (gaps-and-"
+    "islands) and the REBUILT TEXT hash-checked per source.  Winner "
+    "rows encode (doc, start) directly — no join back onto the "
+    "window stream, so hot boilerplate grams never skew a join.",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dedup_stats(_t(spark, sf_dir, "documents"))

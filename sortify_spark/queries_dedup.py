@@ -708,6 +708,15 @@ def jaccard_prefix_join(
         DEFAULT_HOT_GROUPS,
     )
 
+    def _ppjoin_prunes():
+        # SYMMETRIC under a/b swap (the pair_filter contract): both
+        # prunes are functions of {sa, sb} / {sa-pa, sb-pb} as sets
+        sa, sb = F.col("sz_a"), F.col("sz_b")
+        return (F.greatest(sa, sb) <= F.least(sa, sb) * 2) & (
+            F.lit(1) + F.least(sa - F.col("p_a"), sb - F.col("p_b"))
+            >= F.expr("(sz_a + sz_b + 2) DIV 3")
+        )
+
     pairs = banded_self_join_pairs(
         prefixes,
         key_cols=("h",),
@@ -715,17 +724,13 @@ def jaccard_prefix_join(
         carry_cols=("sz", "p"),
         hot_cap=hot_cap or DEFAULT_HOT_BUCKET_CAP,
         hot_groups=hot_groups or DEFAULT_HOT_GROUPS,
+        # evaluated AT the join, before the hot path's swap-CASE
+        # projection — a flooded prefix discards its pairs at 3
+        # expressions each instead of ~13 (dedup.py pair_filter note)
+        pair_filter=_ppjoin_prunes,
     )
-    sa, sb = F.col("sz_a"), F.col("sz_b")
     cand = (
-        pairs.filter(
-            (F.greatest(sa, sb) <= F.least(sa, sb) * 2)
-            & (
-                F.lit(1) + F.least(sa - F.col("p_a"), sb - F.col("p_b"))
-                >= F.expr("(sz_a + sz_b + 2) DIV 3")
-            )
-        )
-        .select("id_a", "id_b")
+        pairs.select("id_a", "id_b")
         .distinct()
         # AQE coalesces by BYTES, and 210k candidate id-pairs are only a
         # few MB — it planned the downstream interpreted array_intersect

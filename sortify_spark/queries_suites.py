@@ -950,6 +950,19 @@ _suite(
                 val2="CAST(docs_emptied AS DOUBLE)",
             ),
         ),
+        # round 8: Lee et al. exact substring dedup — sliding-window
+        # keep-first with maximal-span rebuild, rebuilt text hashed.
+        (
+            "substring_dedup_keep_first",
+            dict(
+                key1="source",
+                key2="CAST(rebuilt_hash_sum AS STRING) || '|' "
+                "|| CAST(tokens_total AS STRING)",
+                cnt="docs",
+                val="CAST(tokens_removed AS DOUBLE)",
+                val2="CAST(docs_emptied AS DOUBLE)",
+            ),
+        ),
     ],
     note="Suite: the dedup/similarity/attribution half of the curation "
     "pillar — incremental batch-vs-corpus dedup, exact dedup stats, C4 "

@@ -366,6 +366,63 @@ def test_paragraph_dedup_keep_first_contract(spark):
     assert row.rebuilt_hash_sum == hb(f"{p1} {p2} {tail}") + 2 * hb("")
 
 
+def test_substring_dedup_keep_first_contract(spark):
+    """Lee-style exact substring dedup semantics on a crafted corpus:
+    a token survives iff covered by at least one KEPT (first-occurrence)
+    window — so an exact clone is emptied, a copied span embedded in
+    unique text loses its interior but keeps the boundary tokens
+    (their windows straddle into unique text), a self-repeating doc
+    keeps exactly its first window, and sub-window docs are untouched."""
+    import hashlib
+
+    from sortify_spark.queries_curation2 import (
+        SSD_W,
+        substring_dedup_stats,
+    )
+
+    span = " ".join(f"a{i}" for i in range(SSD_W + 4))  # 12 tokens
+    uniq_pre = " ".join(f"p{i}" for i in range(SSD_W))
+    uniq_post = " ".join(f"q{i}" for i in range(SSD_W))
+    rep_tok = " ".join("r" for _ in range(SSD_W + 3))  # self-repeat
+    docs = spark.createDataFrame(
+        [
+            (1, span, "s"),  # first owner of the span
+            (2, span, "s"),  # exact clone -> emptied
+            (3, f"{uniq_pre} {span} {uniq_post}", "s"),  # embedded copy
+            (4, rep_tok, "s"),  # within-doc repeat
+            (5, "too short", "s"),  # n < W: untouched
+        ],
+        ["doc_id", "text", "source"],
+    )
+    [row] = substring_dedup_stats(docs).collect()
+    assert row.docs == 5
+    n3 = SSD_W + 12 + SSD_W
+    assert row.tokens_total == 12 + 12 + n3 + (SSD_W + 3) + 2
+    assert row.docs_emptied == 1  # doc 2 only
+    # doc 2 removes all 12; doc 3: every window containing a boundary
+    # token straddles into unique text (first-seen) so only the span
+    # tokens at depth >= W from both boundaries die: the span's 12
+    # tokens each lie in SOME window with unique text iff within W-1
+    # of a boundary — interior loss = 12 - 2*(W-1) (>=0); with W=8
+    # that is 0: too-short interiors survive via straddling windows.
+    interior = max(0, 12 - 2 * (SSD_W - 1))
+    # doc 4: windows all identical; first window's W tokens kept,
+    # remaining 3 removed
+    assert row.tokens_removed == 12 + interior + 3
+    # rebuilt: doc1/doc3/doc5 intact, doc2 empty, doc4 = first W tokens
+    def hb(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    kept4 = " ".join("r" for _ in range(SSD_W))
+    assert row.rebuilt_hash_sum == (
+        hb(span)
+        + hb("")
+        + hb(f"{uniq_pre} {span} {uniq_post}")
+        + hb(kept4)
+        + hb("too short")
+    )
+
+
 def test_contamination_attribution_picks_max_overlap(spark, duck):
     """The attributed benchmark doc is the one sharing the MOST distinct
     5-shingles (min-id tie-break), and top_frac is against the train
