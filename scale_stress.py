@@ -718,7 +718,7 @@ def main() -> None:
                 "flood_docs": flood,
                 **{f"{k}_{m}": v[m] for k, v in runs.items()
                    for m in ("sec", "max_stage_wall_sec")},
-                "candidate_stage_50k_hot": cand,
+                "candidate_stage_150k_hot": cand,
                 "max_task_bound_ratio": round(
                     cand["unguarded"]["max_stage_wall_sec"]
                     / max(cand["guarded"]["max_stage_wall_sec"], 0.01),
