@@ -333,12 +333,27 @@ class SortifyEngine:
 
     def _lexical_index(self) -> str:
         """Ensure the artifact exists (first use builds version 1);
-        subsequent searches only read committed snapshots."""
+        subsequent searches only read committed snapshots.
+
+        Adopting a PRE-EXISTING on-disk artifact reconciles it against
+        the served corpus first: docs added via :meth:`add_documents`
+        before the first lexical search (while ``_lex_built`` was
+        False) were never upserted into it, so a bare adoption would
+        leave them permanently unsearchable (ADVICE r8).  The drift
+        check is the anchor's exact ``n_docs`` vs one corpus count —
+        any mismatch rebuilds (the corpus is the source of truth; a
+        count tie with replaced TEXT is out of adoption scope, since
+        this engine's corpus mutations all flow through
+        ``add_documents``/``delete_vectors`` which maintain the
+        artifact in place once built)."""
         if not self._lex_built:
             from sortify_spark.sources.versioned import read_manifest
 
             path = self.lexical_index_path()
-            if read_manifest(f"{path}/terms")["version"] == 0:
+            anchor = read_manifest(f"{path}/terms")
+            if anchor["version"] == 0 or int(
+                anchor.get("n_docs", -1)
+            ) != self.documents.count():
                 self.rebuild_lexical_index()
             else:
                 self._lex_built = True
@@ -470,6 +485,14 @@ class SortifyEngine:
         if search_type in ("keyword", "hybrid_lexical"):
             from sortify_spark.queries_bm25 import bm25_scored
 
+            if cfg.lexical not in ("index", "scan"):
+                # a typo ("indexed") must not silently fall back to the
+                # two-corpus-scan path (ADVICE r8)
+                raise ValueError(
+                    f"SearchConfig.lexical must be 'index' or 'scan', "
+                    f"got {cfg.lexical!r}"
+                )
+
             # bounded term set: BM25 cost is one tf column per term —
             # cap documented on SearchConfig.max_terms, truncation loud
             all_terms = tuple(
@@ -512,14 +535,19 @@ class SortifyEngine:
                     F.col("bm25").alias("score"),
                 )
             else:
+                # tie-break on NUMERIC doc_id before the string cast —
+                # the probe path orders numerically before its limit,
+                # so both serving modes share one total order at tied
+                # scores (ADVICE r8: string order '10' < '9' made the
+                # idx==scan equality corpus-dependent)
                 lex = (
                     bm25_scored(self.documents, terms)
+                    .orderBy(F.desc("bm25"), F.asc("doc_id"))
+                    .limit(lex_k)
                     .select(
                         F.col("doc_id").cast("string").alias("id"),
                         F.col("bm25").alias("score"),
                     )
-                    .orderBy(F.desc("score"), F.asc("id"))
-                    .limit(lex_k)
                 )
             if search_type == "keyword":
                 return lex
@@ -603,17 +631,57 @@ class SortifyEngine:
     def delete_vectors(self, doc_ids: DataFrame | list) -> DataFrame:
         """S10: delete-by-document-id (``vector_db_service.py:263-323``)
         rewritten for an immutable columnar store: the deletion list
-        becomes a broadcast LEFT ANTI join and the caller rewrites the
-        table with the result (with Delta this is a real ``DELETE``)."""
+        becomes a broadcast LEFT ANTI join, the served vectors/documents
+        tables swap to the survivors (with Delta this is a real
+        ``DELETE``), and — the reference's contract that a deleted
+        document is UNFINDABLE, VERDICT r8 next #1 — every BUILT
+        persisted artifact is maintained in place: the BM25 lexical
+        index via :func:`search.lexical.delete_from_lexical_index`
+        (postings/doclen removed, df/n_docs/sum_dl decremented by exact
+        deltas) and each IVF index via
+        :func:`search.index.delete_from_ivf_index` (keyed bucket
+        delete), so ``keyword``/``hybrid_lexical``/``ivf`` searches
+        stop returning the doc WITHOUT a rebuild.  Returns the
+        surviving vectors frame (also the new ``self.vectors``)."""
         if not isinstance(doc_ids, DataFrame):
             doc_ids = self.spark.createDataFrame(
                 [(str(d),) for d in doc_ids], "document_id string"
             )
-        return self.vectors.join(
-            F.broadcast(doc_ids.select("document_id")),
-            "document_id",
+        ids = (
+            doc_ids.select("document_id").distinct()
+            .localCheckpoint(eager=True)  # read per artifact + 2 anti-joins
+        )
+        if self._lex_built:
+            from sortify_spark.search.lexical import (
+                delete_from_lexical_index,
+            )
+
+            delete_from_lexical_index(
+                ids.select(F.col("document_id").cast("long").alias("doc_id")),
+                self.lexical_index_path(),
+            )
+        for vtype in sorted(self._ivf_built):
+            from sortify_spark.search.index import delete_from_ivf_index
+
+            gone = (
+                self.vectors.filter(F.col("vtype") == vtype)
+                .join(F.broadcast(ids), "document_id", "left_semi")
+                .select(F.col("vector_id").alias("vec_id"))
+            )
+            delete_from_ivf_index(gone, self.ivf_index_path(vtype))
+        self.vectors = self.vectors.join(
+            F.broadcast(ids), "document_id", "left_anti"
+        ).persist()
+        self.documents = self.documents.join(
+            F.broadcast(
+                ids.select(F.col("document_id").cast("long").alias("doc_id"))
+            ),
+            "doc_id",
             "left_anti",
         )
+        # LSH centers derive from the pre-delete corpus
+        self._lsh_cache.clear()
+        return self.vectors
 
     # -- analytics ---------------------------------------------------------
 

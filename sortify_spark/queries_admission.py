@@ -46,6 +46,7 @@ from sortify_spark.queries_curation2 import (
     DOCSEM_TAU,
 )
 from sortify_spark.search.knn import lsh_key_sql
+from sortify_spark.streaming import await_or_raise
 
 #: micro-batches fed to each streaming replay (batch b = id % N == b)
 N_BATCHES = 3
@@ -188,7 +189,7 @@ def q_admission_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             semantic_tau=DOCSEM_TAU,
             use_index=True,
         )
-        assert q.awaitTermination(600), "stream timed out"
+        await_or_raise(q, 600, "stream")
         if b == N_BATCHES // 2:
             # mid-stream LSM maintenance: fold the per-batch side
             # partitions into base level -1; later batches read the
@@ -234,7 +235,7 @@ def q_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             1
         ).write.mode("append").parquet(inp)
         q = rollup_stream(spark, inp, table, f"{tmp}/ckpt")
-        assert q.awaitTermination(600), "stream timed out"
+        await_or_raise(q, 600, "stream")
     return read_rollup(spark, table).orderBy("day")
 
 
@@ -295,7 +296,7 @@ def q_vectorize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk_size=128,
             overlap=32,
         )
-        assert q.awaitTermination(600), "stream timed out"
+        await_or_raise(q, 600, "stream")
     vec = spark.read.parquet(out)
     rowsum = F.round(
         F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x), 6
@@ -361,7 +362,7 @@ def q_stream_stream_join_replay(
     for half in halves:
         half.coalesce(1).write.mode("append").parquet(inp)
         q = interval_join_stream(spark, inp, out, f"{tmp}/ckpt")
-        assert q.awaitTermination(600), "stream timed out"
+        await_or_raise(q, 600, "stream")
     return spark.read.parquet(out).orderBy("purchase_id", "click_id")
 
 
@@ -433,7 +434,7 @@ def q_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, inp, table, f"{tmp}/ckpt",
             keys=("doc_id",), partition_cols=("source",), versioned=True,
         )
-        assert q.awaitTermination(600), "stream timed out"
+        await_or_raise(q, 600, "stream")
     return (
         read_versioned(spark, table, "source")
         .select("doc_id", "source", "lang", "n_chars", "text")
@@ -512,7 +513,7 @@ def q_trigger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = count_threshold_trigger(
             spark, inp, ckpt, threshold=threshold, on_threshold=fired.append
         )
-        assert q.awaitTermination(300), "stream timed out"
+        await_or_raise(q, 300, "stream")
         if b == 1:
             # mid-stream restart with no new input: the persisted
             # batch-id-keyed counter must neither re-fire nor re-count
@@ -524,7 +525,7 @@ def q_trigger_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 threshold=threshold,
                 on_threshold=fired.append,
             )
-            assert q.awaitTermination(300), "stream timed out"
+            await_or_raise(q, 300, "stream")
             if len(fired) != n_before:
                 raise AssertionError(
                     "restart re-fired the count-threshold trigger"
@@ -625,5 +626,5 @@ def q_paradedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             1
         ).write.mode("append").parquet(inp)
         q = paradedup_stream(spark, inp, table, f"{tmp}/ckpt")
-        assert q.awaitTermination(600), "paradedup trigger timed out"
+        await_or_raise(q, 600, "paradedup trigger")
     return read_paradedup(spark, table).orderBy("doc_id")

@@ -408,14 +408,21 @@ v2docs AS (
               ELSE text END AS text
   FROM documents
 ),
+v3docs AS (
+  SELECT doc_id, source, text FROM v2docs WHERE doc_id % 7 <> 3
+),
 {_bm25_scored_sql(rel="v1docs", prefix="a_")},
-{_bm25_scored_sql(rel="v2docs", prefix="b_")}
+{_bm25_scored_sql(rel="v2docs", prefix="b_")},
+{_bm25_scored_sql(rel="v3docs", prefix="c_")}
 SELECT * FROM (
   SELECT 1 AS ver, doc_id, matched_terms, bm25 FROM (
     SELECT * FROM a_scored ORDER BY bm25 DESC, doc_id ASC LIMIT {k}) __a
   UNION ALL
   SELECT 2, doc_id, matched_terms, bm25 FROM (
     SELECT * FROM b_scored ORDER BY bm25 DESC, doc_id ASC LIMIT {k}) __b
+  UNION ALL
+  SELECT 3, doc_id, matched_terms, bm25 FROM (
+    SELECT * FROM c_scored ORDER BY bm25 DESC, doc_id ASC LIMIT {k}) __c
 ) __u ORDER BY ver, doc_id
 """
 
@@ -429,17 +436,22 @@ SELECT * FROM (
     "vocabulary df table, exact integer N/sum_dl in the anchor "
     "manifest), incremental-UPSERT the held-out slice plus REPLACED "
     "texts (stale postings deleted, df adjusted by exact deltas), "
-    "then probe BOTH committed snapshots: partition-pruned posting "
+    "then DELETE a slice (postings/doclen removed, df and N/sum_dl "
+    "decremented by exact deltas — delete_from_lexical_index, the S10 "
+    "vector_db_service.py:263-323 contract on the artifact), then "
+    "probe ALL THREE committed snapshots: partition-pruned posting "
     "reads + the scan path's exact rounded score expressions.  "
-    "Hash-checked against a pure-SQL full-scan replay of both "
-    "corpora — probe == scan, bit-for-bit, across build, upsert, and "
-    "time travel.",
+    "Hash-checked against a pure-SQL full-scan replay of the three "
+    "corpora — probe == scan, bit-for-bit, across build, upsert, "
+    "delete, and time travel (the delete probe bit-matches a "
+    "from-scratch rebuild of the shrunk corpus).",
 )
 def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from sortify_spark.search.lexical import (
         build_lexical_index,
+        delete_from_lexical_index,
         probe_lexical_index,
         upsert_lexical_index,
     )
@@ -453,8 +465,11 @@ def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v2 = upsert_lexical_index(batch, path)
+    v3 = delete_from_lexical_index(
+        docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"), path
+    )
     parts = []
-    for ver, tag in ((v1, 1), (v2, 2)):
+    for ver, tag in ((v1, 1), (v2, 2), (v3, 3)):
         parts.append(
             probe_lexical_index(
                 spark, path, QUERY_TERMS, k=BM25_TOPK, version=ver
@@ -465,4 +480,7 @@ def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bm25",
             )
         )
-    return parts[0].unionByName(parts[1]).orderBy("ver", "doc_id")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("ver", "doc_id")

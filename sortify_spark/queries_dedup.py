@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from sortify_spark import dedup
 from sortify_spark import textstats as ts
 from sortify_spark.queries import register, _t
+from sortify_spark.streaming import await_or_raise
 
 _FP = ts.FINGERPRINT_SQL.format(t="text")
 
@@ -131,7 +132,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 300 s timeout fired with the stream still running, and reading
     # the memory table then would silently return a PARTIAL result
     # that hash-mismatches the oracle with no err recorded (ADVICE r7)
-    assert q.awaitTermination(300), "streaming_dedup timed out"
+    await_or_raise(q, 300, "streaming_dedup")
     return spark.table("streaming_dedup_out")
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from sortify_spark.functions.numeric import oracle_davg
 from sortify_spark.queries import register, _t
+from sortify_spark.streaming import await_or_raise
 
 #: Fixed spec standing in for an LLM-produced one (the untrusted-JSON
 #: boundary of ``QuerySpec.from_json`` is the same either way).  One
@@ -250,7 +251,7 @@ def q_daily_trend_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_daily_trend_stream(
         spark, inp, ckpt, out_table="daily_trend_streamed_out"
     )
-    assert q.awaitTermination(300), "stream timed out"
+    await_or_raise(q, 300, "stream")
     return spark.table("daily_trend_streamed_out").orderBy("day")
 
 

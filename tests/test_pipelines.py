@@ -1569,6 +1569,220 @@ def test_lexical_batched_probe_matches_single(spark, tmp_path):
     assert by_q.get("c", []) == []  # unseen terms match nothing
 
 
+def test_facade_delete_maintains_lexical_and_ivf(spark, tmp_path):
+    """S10 on the persisted artifacts (VERDICT r8 next #1): deleting a
+    document removes it from keyword/hybrid_lexical AND ivf serving
+    WITHOUT a rebuild — the lexical anchor's stats shrink by exact
+    deltas and untouched posting partitions keep their original
+    version dirs (proof the delete was keyed maintenance, not a
+    full-snapshot replace)."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+    from sortify_spark.sources.versioned import read_manifest
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, doc_limit=200, index_root=str(tmp_path)
+    )
+    q = "dup spark merge"
+    cfg_ivf = SearchConfig(ann="ivf", ivf_nprobe=16)
+    before_kw = [r["id"] for r in eng.semantic_search(q, "keyword").collect()]
+    before_ivf = [
+        r["id"]
+        for r in eng.semantic_search(
+            q, search_type="summary_only", cfg=cfg_ivf
+        ).collect()
+    ]
+    assert before_kw and before_ivf
+    victim = before_kw[0]
+    lex_path = eng.lexical_index_path()
+    a1 = read_manifest(f"{lex_path}/terms")
+    eng.delete_vectors([victim])
+    a2 = read_manifest(f"{lex_path}/terms")
+    assert a2["n_docs"] == a1["n_docs"] - 1
+    assert a2["sum_dl"] < a1["sum_dl"]
+    # keyed maintenance, not a rebuild: some posting partition still
+    # points at a pre-delete version dir
+    p2 = read_manifest(
+        f"{lex_path}/postings", a2.get("postings_version")
+    )["partitions"]
+    old_vdirs = {
+        rel.split("/", 1)[0]
+        for rel in read_manifest(
+            f"{lex_path}/postings", a1.get("postings_version")
+        )["partitions"].values()
+    }
+    assert any(rel.split("/", 1)[0] in old_vdirs for rel in p2.values())
+    after_kw = [r["id"] for r in eng.semantic_search(q, "keyword").collect()]
+    assert victim not in after_kw
+    after_hyb = [
+        r["id"] for r in eng.semantic_search(q, "hybrid_lexical").collect()
+    ]
+    assert victim not in after_hyb
+    after_ivf = [
+        r["id"]
+        for r in eng.semantic_search(
+            q, search_type="summary_only", cfg=cfg_ivf
+        ).collect()
+    ]
+    assert victim not in after_ivf
+    # the post-delete keyword list equals a FRESH engine over the
+    # shrunk corpus (scan path = ground truth, no artifact involved)
+    fresh = [
+        r["id"]
+        for r in eng.semantic_search(
+            q, "keyword", SearchConfig(lexical="scan")
+        ).collect()
+    ]
+    assert after_kw == fresh
+
+
+def test_facade_lexical_scan_index_share_tie_order(spark, tmp_path):
+    """At TIED BM25 scores straddling the top-k boundary the index and
+    scan paths must return the SAME doc set: both order by NUMERIC
+    doc_id (ADVICE r8 — the scan path previously tie-broke on the
+    string-cast id, where '10' < '9')."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, doc_limit=10, index_root=str(tmp_path)
+    )
+    # 15 identical docs, ids 1..15: every score ties, so top-10 is
+    # decided purely by the tie-break; string order would pick
+    # {1,10,11,12,13,14,15,2,3,4}, numeric picks 1..10
+    eng.documents = spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", "web", 16) for i in range(1, 16)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    idx = [r["id"] for r in eng.semantic_search("alpha", "keyword").collect()]
+    scan = [
+        r["id"]
+        for r in eng.semantic_search(
+            "alpha", "keyword", SearchConfig(lexical="scan")
+        ).collect()
+    ]
+    assert idx == scan == [str(i) for i in range(1, 11)]
+
+
+def test_facade_lexical_config_validated(spark, tmp_path):
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, doc_limit=20, index_root=str(tmp_path)
+    )
+    with pytest.raises(ValueError, match="lexical"):
+        eng.semantic_search(
+            "data", "keyword", SearchConfig(lexical="indexed")
+        )
+
+
+def test_facade_lexical_adoption_reconciles_drift(spark, tmp_path):
+    """Adopting a pre-existing on-disk artifact reconciles it against
+    the served corpus (ADVICE r8): docs added BEFORE the first lexical
+    search (while _lex_built was False) must still be searchable —
+    the adoption drift check rebuilds on an n_docs mismatch."""
+    from sortify_spark.facade import SortifyEngine
+
+    e1 = SortifyEngine(
+        spark, SF_DIR, dim=16, doc_limit=50, index_root=str(tmp_path)
+    )
+    e1.semantic_search("data", "keyword")  # builds the artifact
+    e2 = SortifyEngine(
+        spark, SF_DIR, dim=16, doc_limit=50, index_root=str(tmp_path)
+    )
+    new = spark.createDataFrame(
+        [(900002, "xylophone zephyr quill a drifted document", "en",
+          "upload", 42)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    e2.add_documents(new)  # _lex_built False: artifact NOT upserted
+    got = {
+        r["id"]
+        for r in e2.semantic_search("xylophone zephyr", "keyword").collect()
+    }
+    assert "900002" in got
+
+
+def test_lexical_pd_buckets_recorded_and_honored(spark, tmp_path):
+    """The doclen fan-out is a build-time placement decision recorded
+    in the anchor (ADVICE r8): an upsert against an index built with a
+    NON-default pd_buckets must hash replaced docs into the partitions
+    the BUILD chose — otherwise the old doclen row survives in an
+    untouched partition and repl/sum_dl accounting double-counts."""
+    from sortify_spark.search.lexical import (
+        build_lexical_index,
+        upsert_lexical_index,
+    )
+    from sortify_spark.sources.versioned import (
+        read_manifest,
+        read_versioned,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    path = str(tmp_path / "lex")
+    build_lexical_index(docs, path, pd_buckets=4)
+    anchor = read_manifest(f"{path}/terms")
+    assert anchor["pd_buckets"] == 4
+    repl = docs.filter(F.col("doc_id") < 5).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" replaced tail"))
+    )
+    upsert_lexical_index(repl, path)
+    a2 = read_manifest(f"{path}/terms")
+    assert a2["pd_buckets"] == 4
+    assert a2["n_docs"] == anchor["n_docs"]  # pure replace
+    dupes = (
+        read_versioned(
+            spark, f"{path}/doclen", "pd", version=a2["doclen_version"]
+        )
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert dupes.isEmpty()
+
+
+def test_delete_from_ivf_index_unit(spark, tmp_path):
+    """Keyed IVF delete: deleted ids vanish from probes, survivors'
+    scores are unchanged, centroid pairing + built_rows carry through,
+    and a no-match delete is a no-op commit."""
+    from sortify_spark.search.index import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        probe_ivf_index,
+    )
+    from sortify_spark.sources.versioned import read_manifest
+
+    vecs = load_table(spark, SF_DIR, "embeddings").limit(300).select(
+        F.col("vec_id").cast("string").alias("vec_id"),
+        F.col("embedding"),
+        F.col("label").alias("seed"),
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(vecs, path, seed_col="seed")
+    m1 = read_manifest(f"{path}/assign")
+    q = vecs.limit(1).select("embedding")
+    before = probe_ivf_index(spark, path, q, k=10, nprobe=8).collect()
+    victims = [r["vec_id"] for r in before[:3]]
+    vdf = spark.createDataFrame([(v,) for v in victims], "vec_id string")
+    v2 = delete_from_ivf_index(vdf, path)
+    m2 = read_manifest(f"{path}/assign")
+    assert v2 == m2["version"] > m1["version"]
+    assert m2["centroid_version"] == m1["centroid_version"]
+    assert m2.get("built_rows") == m1.get("built_rows")
+    after = probe_ivf_index(spark, path, q, k=10, nprobe=8).collect()
+    ids_after = {r["vec_id"] for r in after}
+    assert not ids_after & set(victims)
+    kept = {r["vec_id"]: r["score"] for r in before if r["vec_id"] not in victims}
+    for r in after:
+        if r["vec_id"] in kept:
+            assert r["score"] == kept[r["vec_id"]]
+    # idempotent: deleting unknown ids commits nothing
+    v3 = delete_from_ivf_index(
+        spark.createDataFrame([("nope",)], "vec_id string"), path
+    )
+    assert v3 == v2
+
+
 def test_vectorize_stream_maintains_ivf_index(spark, docs, tmp_path):
     """ST1 + online ANN maintenance: the vectorize stream builds the
     persisted IVF artifact on its first micro-batch and incrementally
