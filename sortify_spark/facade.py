@@ -495,19 +495,7 @@ class SortifyEngine:
 
             # bounded term set: BM25 cost is one tf column per term —
             # cap documented on SearchConfig.max_terms, truncation loud
-            all_terms = tuple(
-                dict.fromkeys(t for t in query_text.split() if t)
-            )
-            terms = all_terms[: cfg.max_terms]
-            if len(all_terms) > len(terms):
-                import warnings
-
-                warnings.warn(
-                    f"{search_type} query has {len(all_terms)} unique "
-                    f"terms; ranking on the first {len(terms)} only "
-                    "(raise SearchConfig.max_terms to cover more)",
-                    stacklevel=2,
-                )
+            terms = self._split_terms(query_text, cfg)
             if not terms:
                 raise ValueError(
                     f"{search_type!r} search requires a query with at "
@@ -596,6 +584,157 @@ class SortifyEngine:
 
         return fusion.two_stage_hybrid(
             summary, chunk_scored_fn, stage1_k=STAGE1_K, top_k=STAGE2_K
+        )
+
+    def _split_terms(self, query_text: str, cfg: SearchConfig) -> tuple:
+        """max_terms-bounded unique whitespace terms (loud truncation)."""
+        all_terms = tuple(dict.fromkeys(t for t in query_text.split() if t))
+        terms = all_terms[: cfg.max_terms]
+        if len(all_terms) > len(terms):
+            import warnings
+
+            warnings.warn(
+                f"query has {len(all_terms)} unique terms; ranking on "
+                f"the first {len(terms)} only (raise "
+                "SearchConfig.max_terms to cover more)",
+                stacklevel=3,
+            )
+        return terms
+
+    def _query_df_many(self, queries: dict[str, str]) -> DataFrame:
+        """(query_id, embedding) for a serving batch — N driver-side
+        encodes (the reference encodes per request too); the frame
+        broadcasts into the batched scoring join."""
+        if self.embed == "expr":
+            from sortify_spark.functions.sql_embed import expr_embed
+
+            return self.spark.createDataFrame(
+                [(q, t[:512]) for q, t in queries.items()],
+                "query_id string, t string",
+            ).select(
+                "query_id", expr_embed(F.col("t"), self.dim).alias("embedding")
+            )
+        return self.spark.createDataFrame(
+            [(q, hash_embed_text(t[:512], self.dim)) for q, t in queries.items()],
+            "query_id string, embedding array<float>",
+        )
+
+    def _scored_many(
+        self, queries: dict[str, str], vtype: str, k: int
+    ) -> DataFrame:
+        """Batched :meth:`_scored` (exact path): per-query top-k over
+        chunk-level rows, then best-chunk-per-doc dedupe — the same
+        order of operations as the single path, so per-query results
+        parity-match the loop.  One corpus scan for ALL queries."""
+        from sortify_spark.search.knn import brute_force_topk_many
+
+        base = self.vectors.filter(F.col("vtype") == vtype)
+        topk = brute_force_topk_many(
+            base, self._query_df_many(queries), id_col="document_id", k=k
+        )
+        return (
+            topk.select("query_id", F.col("document_id").alias("id"), "score")
+            .groupBy("query_id", "id")
+            .agg(F.max("score").alias("score"))
+        )
+
+    def semantic_search_many(
+        self,
+        queries: dict[str, str],
+        search_type: str = "hybrid_lexical",
+        cfg: SearchConfig | None = None,
+    ) -> DataFrame:
+        """BATCHED serving: per-query top-k for N queries in ONE plan
+        per leg (VERDICT r8 next #2) — (query_id, id, score, rnk),
+        per-query rows identical to the :meth:`semantic_search` loop
+        (parity-tested), at batch throughput: the corpus/posting scans
+        and the fusion shuffle amortize across the whole batch instead
+        of paying 2-3 driver jobs per query (measured 0.5-0.7 q/s
+        per-query vs 17-18 q/s batched lexical, SCALE_STRESS_r08).
+
+        Strategies: ``keyword`` (one bucket-pruned probe over the union
+        of every query's term buckets — ``probe_lexical_index_many``),
+        ``hybrid_lexical`` (that probe + one batched dense scan, fused
+        per query by ``fusion.rrf_fuse_many``), ``summary_only`` /
+        ``chunks_only`` (one batched dense scan), ``rrf_fusion`` (two
+        batched dense scans + grouped fusion).  The dense legs serve
+        the EXACT path; the two-stage ``hybrid`` strategy stays
+        per-query (its stage-2 plan depends on stage-1 results).
+        Batched keyword serves from the persisted artifact only
+        (``cfg.lexical='scan'`` would re-scan the corpus per batch —
+        use the per-query API for the index-free fallback)."""
+        cfg = cfg or SearchConfig()
+        if not queries:
+            raise ValueError("semantic_search_many requires ≥1 query")
+        if search_type in ("keyword", "hybrid_lexical"):
+            if cfg.lexical != "index":
+                raise ValueError(
+                    "batched keyword serving reads the persisted lexical "
+                    "artifact; per-query semantic_search supports "
+                    "lexical='scan'"
+                )
+            from sortify_spark.search.lexical import probe_lexical_index_many
+
+            terms = {q: self._split_terms(t, cfg) for q, t in queries.items()}
+            empty = [q for q, ts in terms.items() if not ts]
+            if empty:
+                raise ValueError(
+                    f"queries {empty!r} have no terms (whitespace-only)"
+                )
+            lex_k = (
+                cfg.top_k if search_type == "keyword" else cfg.top_k * 2
+            )
+            lex = probe_lexical_index_many(
+                self.spark,
+                self._lexical_index(),
+                terms,
+                k=lex_k,
+                version=cfg.lex_version,
+            ).select(
+                "query_id",
+                F.col("doc_id").cast("string").alias("id"),
+                F.col("bm25").alias("score"),
+                "rnk",
+            )
+            if search_type == "keyword":
+                return lex
+            dense = self._scored_many(queries, "summary", cfg.top_k * 2)
+            return fusion.rrf_fuse_many(
+                dense,
+                lex.drop("rnk"),
+                k=cfg.rrf_k,
+                w_summary=1.0,
+                w_chunks=1.0,
+                top_k=cfg.top_k,
+            ).select(
+                "query_id", "id", F.col("rrf_score").alias("score"), "rnk"
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("id")
+        )
+        if search_type in ("summary_only", "chunks_only"):
+            vtype = "summary" if search_type == "summary_only" else "chunk"
+            return (
+                self._scored_many(queries, vtype, cfg.top_k)
+                .withColumn("rnk", F.row_number().over(w))
+            )
+        if search_type == "rrf_fusion":
+            return fusion.rrf_fuse_many(
+                self._scored_many(queries, "summary", cfg.top_k * 2),
+                self._scored_many(queries, "chunk", cfg.top_k * 2),
+                k=cfg.rrf_k,
+                w_summary=cfg.w_summary,
+                w_chunks=cfg.w_chunks,
+                top_k=cfg.top_k,
+            ).select(
+                "query_id", "id", F.col("rrf_score").alias("score"), "rnk"
+            )
+        raise ValueError(
+            f"semantic_search_many does not support {search_type!r} "
+            "(two-stage 'hybrid' is per-query by design: its stage-2 "
+            "plan depends on stage-1 results)"
         )
 
     def cached_search(

@@ -76,6 +76,76 @@ def brute_force_topk(
     ).limit(k)
 
 
+def score_vectors_many(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    """BATCHED :func:`score_vectors`: N queries against the corpus in
+    ONE plan — (query_id, id, score) with scores BIT-IDENTICAL to the
+    single-query path (same norm folds computed below the join, same
+    multiply order, same round-6), so a batched serving API can be
+    parity-tested row-for-row against the per-query loop.
+
+    Scale shape: the query side is a broadcast of N rows (serving
+    batches are small); each stored vector's norm folds ONCE, then the
+    broadcast nested-loop join emits N×corpus scored rows that feed a
+    per-query rank window — corpus scanned once, not N times."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(query_vec_col).alias("__qvec"),
+        ).withColumn("__qn", l2_norm("__qvec"))
+    )
+    base = vectors.filter(pre_filter) if pre_filter is not None else vectors
+    base = base.withColumn("__vn", l2_norm(vec_col))
+    return base.crossJoin(q).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_given_norms(
+                F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
+            ),
+            6,
+        ).alias("score"),
+    )
+
+
+def brute_force_topk_many(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = DEFAULT_TOP_K,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    """Exact cosine top-k for N queries in ONE plan — the batched twin
+    of :func:`brute_force_topk` (VERDICT r8 next #2).  The global
+    TakeOrdered becomes a per-query rank window: partitioned by
+    query_id, so it is a distributed sort across queries, never a
+    single-partition global sort.  Returns (query_id, id, score, rnk),
+    per-query rows ranked exactly as the single-query path orders
+    (score desc, id asc)."""
+    from pyspark.sql.window import Window
+
+    scored = score_vectors_many(
+        vectors, queries, id_col, vec_col,
+        query_id_col, query_vec_col, pre_filter,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def build_centroids(
     vectors: DataFrame,
     assign_col: str,
