@@ -255,13 +255,22 @@ def banded_self_join_pairs(
     key_cols: tuple[str, ...] = ("band_idx", "band_key"),
     id_col: str = "id",
     carry_cols: tuple[str, ...] = (),
-    hot_cap: int = DEFAULT_HOT_BUCKET_CAP,
+    hot_cap: int | None = DEFAULT_HOT_BUCKET_CAP,
     hot_groups: int = DEFAULT_HOT_GROUPS,
     pair_filter=None,
 ) -> DataFrame:
     """All within-bucket ordered candidate pairs (``id_a < id_b``) with
     a RUNTIME hot-bucket guard — the skew hardening every banded join in
     this package routes through.
+
+    ``hot_cap=None`` BYPASSES the guard entirely (VERDICT r8 #1): a
+    plain equi-self-join with none of the guard's fixed costs (no
+    localCheckpoint, no in-plan bucket count, no broadcast) — for
+    callers whose bucket sizes are bounded BY CONSTRUCTION (e.g. a
+    vocabulary-sized token block table).  The guarded default stays
+    right for every corpus-derived key; measured on fuzzy_link_parts
+    at sf0.1 the guard's fixed costs are the entire on/off delta
+    (SCALE.md round-9 note).
 
     The plain equi-self-join sends every row of one bucket to one
     shuffle partition and emits |bucket|² pairs there; fine when banding
@@ -298,6 +307,29 @@ def banded_self_join_pairs(
     id-reversed) pairs.
     """
     keys = list(key_cols)
+    if hot_cap is None:  # documented bypass: raw equi-join, zero fixed cost
+        raw_cols = (
+            ["id_a", "id_b"]
+            + [f"{c}_a" for c in carry_cols]
+            + [f"{c}_b" for c in carry_cols]
+            + keys
+        )
+
+        def _raw(suffix: str) -> DataFrame:
+            return banded.select(
+                F.col(id_col).alias(f"id_{suffix}"),
+                *[F.col(c).alias(f"{c}_{suffix}") for c in carry_cols],
+                *keys,
+            )
+
+        raw_pairs = (
+            _raw("a")
+            .join(_raw("b"), on=keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+        if pair_filter is not None:
+            raw_pairs = raw_pairs.filter(pair_filter())
+        return raw_pairs.select(*raw_cols)
     # Materialize the band rows once: the size count AND the join(s)
     # read them, and for MinHash/SimHash inputs re-deriving the rows
     # means re-running the md5 signature pipeline per consumer (measured

@@ -558,11 +558,17 @@ def q_shard_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPJ_TAU = 0.5  #: Jaccard threshold (same contract as minhash_lsh_pairs)
 PPJ_K = 3  #: shingle width
 
+#: Observability for ``order="auto"``: the element order the LAST auto
+#: call chose ("hash" | "freq") plus the probe's over-cap bucket count.
+#: Diagnostics only (tests + ops) — the returned pair set is identical
+#: under either order by construction.
+PPJOIN_AUTO_CHOICE: dict = {"order": None, "over_cap_buckets": None}
+
 
 def jaccard_prefix_join(
     docs: DataFrame,
     order: str = "hash",
-    hot_cap: int | None = None,
+    hot_cap: int | None = 0,
     hot_groups: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard similarity join via prefix filtering (Xiao et al.,
@@ -587,6 +593,20 @@ def jaccard_prefix_join(
       prefix, so a templated corpus generates far fewer candidates and
       far cooler buckets.  The PAIR SET is identical under any order
       (property-tested).
+    * ``"auto"`` (VERDICT r8 #6): build the hash-order prefix frame,
+      probe it with ``dedup.hot_bucket_stats`` (one map-side-combined
+      aggregate — the same count the guard itself runs), and fall back
+      to freq order iff any prefix bucket exceeds the hot cap: uniform
+      corpora keep hash order's one-less-global-stage plan, boilerplate
+      corpora get freq order's structurally cool prefixes (measured
+      dominant on floods: max stage wall 0.76-1.91 s vs guarded-hash
+      0.96-1.14 s, SCALE_STRESS_r08) with the runtime guard still
+      covering adversarial leftovers.
+
+    ``hot_cap``: 0 (default) = the guard's default cap; positive =
+    explicit cap; ``None`` = bypass the guard (the documented
+    known-bounded escape hatch — with ``order="auto"`` the probe then
+    decides on the DEFAULT cap).
 
     Prefix length uses the exact integer form
     ``s - ((s + 1) DIV 2) + 1`` for tau = 1/2 — no float ceil.
@@ -620,6 +640,10 @@ def jaccard_prefix_join(
     # verify hydrations).  Net: 31 s -> ~4 s at sf0.1.
     from sortify_spark.operators.partitioning import fan_out
 
+    if order not in ("hash", "freq", "auto"):
+        raise ValueError(
+            f"order must be 'hash', 'freq', or 'auto', got {order!r}"
+        )
     par = docs.sparkSession.sparkContext.defaultParallelism
     base = (
         fan_out(docs)
@@ -628,17 +652,20 @@ def jaccard_prefix_join(
         .select("doc_id", shingles(F.col("w"), PPJ_K).alias("sh"))
         .filter(F.size("sh") > 0)
     )
-    if order == "freq":
+    if order != "hash":
+        # Materialize the shingle kernel ONCE: the freq path's df
+        # aggregate, df join, and keyed join (and auto's possible
+        # fallback rebuild) each re-run the interpreted words/shingles
+        # HOFs otherwise (measured 59 s -> ~8 s on the 24k-doc
+        # adversarial corpus).
+        base = base.localCheckpoint(eager=True)
+
+    def _freq_keyed() -> DataFrame:
         # Classic ascending-df order: shingle df in one grouped
         # aggregate, then each doc's elements re-sorted by
         # (df, md5) — an injective total order (md5 breaks df ties).
         # Hot boilerplate shingles sort LAST and so rarely make a
         # prefix; the guard below still covers adversarial leftovers.
-        # Materialize the shingle kernel ONCE: the df aggregate, the
-        # df join, and the keyed join below each re-run the
-        # interpreted words/shingles HOFs otherwise (measured 59 s ->
-        # ~8 s on the 24k-doc adversarial corpus).
-        base = base.localCheckpoint(eager=True)
         ex = base.select("doc_id", F.explode("sh").alias("s"))
         dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
         ordered = (
@@ -657,18 +684,19 @@ def jaccard_prefix_join(
                 ).alias("osh")
             )
         )
-        keyed = (
+        return (
             base.join(ordered, "doc_id")
             .select("doc_id", "sh", "osh", F.size("sh").alias("sz"))
             .withColumn("plen", F.expr("sz - ((sz + 1) DIV 2) + 1"))
             .localCheckpoint(eager=True)
         )
-    else:
+
+    def _hash_keyed() -> DataFrame:
         # order every doc's shingles by full md5 hex (a 128-bit
         # injective surrogate: hex strings sort identically in both
         # engines and collisions are cryptographically negligible);
         # the prefix is a slice of that sorted array
-        keyed = (
+        return (
             base.select(
                 "doc_id",
                 "sh",
@@ -680,15 +708,37 @@ def jaccard_prefix_join(
             .withColumn("plen", F.expr("sz - ((sz + 1) DIV 2) + 1"))
             .localCheckpoint(eager=True)
         )
-    # posexplode carries the element's 1-based position for the
-    # positional filter below
-    prefixes = keyed.select(
-        "doc_id",
-        "sz",
-        F.posexplode(F.expr("slice(osh, 1, plen)")).alias("p0", "h"),
-    ).select(
-        "doc_id", "sz", (F.col("p0") + 1).alias("p"), "h"
-    )
+
+    def _prefix_frame(k: DataFrame) -> DataFrame:
+        # posexplode carries the element's 1-based position for the
+        # positional filter below
+        return k.select(
+            "doc_id",
+            "sz",
+            F.posexplode(F.expr("slice(osh, 1, plen)")).alias("p0", "h"),
+        ).select("doc_id", "sz", (F.col("p0") + 1).alias("p"), "h")
+
+    from sortify_spark.dedup import DEFAULT_HOT_BUCKET_CAP, hot_bucket_stats
+
+    if order == "freq":
+        keyed = _freq_keyed()
+    else:
+        keyed = _hash_keyed()
+        if order == "auto":
+            over = hot_bucket_stats(
+                _prefix_frame(keyed),
+                key_cols=("h",),
+                cap=hot_cap if hot_cap else DEFAULT_HOT_BUCKET_CAP,
+            ).count()
+            PPJOIN_AUTO_CHOICE["order"] = "freq" if over else "hash"
+            PPJOIN_AUTO_CHOICE["over_cap_buckets"] = over
+            if over:
+                # flooded prefix bucket(s): pay freq order's two extra
+                # shuffles to make the prefixes structurally cool (base
+                # is CHECKPOINTED above, so the rebuild re-reads
+                # materialized shingles, not the interpreted HOF kernel)
+                keyed = _freq_keyed()
+    prefixes = _prefix_frame(keyed)
     # Candidate generation through the GUARDED banded self-join
     # (dedup.py: in-plan bucket counts, broadcast over-cap keys,
     # id-hash sub-split — candidate set provably identical), then two
@@ -723,7 +773,7 @@ def jaccard_prefix_join(
         key_cols=("h",),
         id_col="doc_id",
         carry_cols=("sz", "p"),
-        hot_cap=hot_cap or DEFAULT_HOT_BUCKET_CAP,
+        hot_cap=DEFAULT_HOT_BUCKET_CAP if hot_cap == 0 else hot_cap,
         hot_groups=hot_groups or DEFAULT_HOT_GROUPS,
         # evaluated AT the join, before the hot path's swap-CASE
         # projection — a flooded prefix discards its pairs at 3

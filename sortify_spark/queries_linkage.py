@@ -67,11 +67,22 @@ PR_TOP = 20
 def fuzzy_link_parts(
     part: DataFrame,
     max_dist: int = LINK_MAX_DIST,
-    hot_cap: int | None = None,
+    hot_cap: int | None = 0,
     hot_groups: int | None = None,
 ) -> DataFrame:
     """Linked part-name pairs: distinct names sharing a token block and
     within ``max_dist`` edit distance, with each side's occurrence count.
+
+    ``hot_cap``: 0 (default) = the guard's default cap; a positive int
+    = explicit cap; ``None`` = BYPASS the hot-bucket guard — the
+    documented escape hatch (VERDICT r8 #1) for callers who KNOW the
+    block table is bounded (here: blocks are part-name tokens, a
+    vocabulary whose biggest block is ~|names|/|vocab| on TPC-H-shaped
+    data — the pinned interleaved A/B at sf0.1 attributes the guard's
+    ~2× bench delta entirely to its fixed costs, SCALE.md round-9
+    note).  The GUARDED default stays: user-supplied corpora can and
+    do flood one token block, and correctness-of-runtime beats a
+    fraction of a second on the bench.
 
     Returns (name_a, name_b, dist, cnt_a, cnt_b) ordered by the pair.
     """
@@ -97,7 +108,7 @@ def fuzzy_link_parts(
             tok,
             key_cols=("tok",),
             id_col="p_name",
-            hot_cap=hot_cap or DEFAULT_HOT_BUCKET_CAP,
+            hot_cap=DEFAULT_HOT_BUCKET_CAP if hot_cap == 0 else hot_cap,
             hot_groups=hot_groups or DEFAULT_HOT_GROUPS,
         )
         .select(

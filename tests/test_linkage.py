@@ -56,6 +56,13 @@ def test_fuzzy_link_guard_invariant(spark):
         }
         assert got == base, (cap, groups)
     assert base  # the adversarial block really links pairs
+    # documented bypass for known-bounded block tables (VERDICT r8 #1):
+    # same pair set through the raw unguarded equi-join
+    bypass = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_link_parts(df, hot_cap=None).collect()
+    }
+    assert bypass == base
 
 
 def test_fuzzy_link_requires_shared_token_block(spark):

@@ -419,9 +419,69 @@ def test_ppjoin_spark_matches_bruteforce(spark):
         dict(hot_cap=1, hot_groups=3),
         dict(order="freq"),
         dict(order="freq", hot_cap=1, hot_groups=2),
+        dict(order="auto"),
+        dict(order="auto", hot_cap=1, hot_groups=3),
+        dict(hot_cap=None),  # documented guard bypass: raw equi-join
+        dict(order="freq", hot_cap=None),
     ):
         via = {
             (r.id_a, r.id_b): r.overlap
             for r in jaccard_prefix_join(docs, **kw).collect()
         }
         assert via == want, kw
+
+
+def test_ppjoin_auto_order_choice(spark):
+    """order='auto' keeps hash order on a uniform corpus (no over-cap
+    prefix bucket) and switches to ascending-df order on a flooded one
+    — with the pair sets identical to the explicit orders either way
+    (VERDICT r8 #6 done-criteria)."""
+    import random
+
+    from sortify_spark.queries_dedup import (
+        PPJOIN_AUTO_CHOICE,
+        jaccard_prefix_join,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"u{i}" for i in range(400)]
+    uniform = spark.createDataFrame(
+        [
+            (i, " ".join(rng.sample(vocab, 9)))
+            for i in range(60)
+        ],
+        ["doc_id", "text"],
+    )
+    got_uniform = {
+        (r.id_a, r.id_b)
+        for r in jaccard_prefix_join(uniform, order="auto").collect()
+    }
+    assert PPJOIN_AUTO_CHOICE["order"] == "hash"
+    assert got_uniform == {
+        (r.id_a, r.id_b)
+        for r in jaccard_prefix_join(uniform, order="hash").collect()
+    }
+    # flood: shared boilerplate dominates every doc, so under hash
+    # order the boilerplate shingles land in (over-cap) prefix buckets
+    boiler = " ".join(["the quick brown fox jumps over the lazy dog"] * 2)
+    flooded = spark.createDataFrame(
+        [
+            (i, boiler + " " + " ".join(rng.sample(vocab, 3)))
+            for i in range(80)
+        ],
+        ["doc_id", "text"],
+    )
+    got_flooded = {
+        (r.id_a, r.id_b)
+        for r in jaccard_prefix_join(
+            flooded, order="auto", hot_cap=16
+        ).collect()
+    }
+    assert PPJOIN_AUTO_CHOICE["order"] == "freq"
+    assert PPJOIN_AUTO_CHOICE["over_cap_buckets"] > 0
+    assert got_flooded == {
+        (r.id_a, r.id_b)
+        for r in jaccard_prefix_join(
+            flooded, order="freq", hot_cap=16
+        ).collect()
+    }
