@@ -60,8 +60,8 @@ PRIORITY = (
     "log_filter_page",
     "batch_lookup",
     "slice_last_words",
-    # vector / fusion
-    "knn_bruteforce",
+    # vector / fusion (knn_bruteforce folded into suite_ann_dense in
+    # round 9 — its slot funds the suite_ann_contracts split)
     "rrf_fusion",
     "two_stage_hybrid",
     "traditional_merge",
@@ -90,7 +90,11 @@ PRIORITY = (
     "suite_multimodal",
     "suite_streaming",
     # operator suites (families of round-1-green operators, one row each)
-    "suite_ann_contracts",
+    # round 9: suite_ann_contracts (22 members) split into the dense
+    # retrieval surface and the persisted-artifact lifecycle surface
+    # (VERDICT r8 item 5; the r8 suite_curation_ops precedent).
+    "suite_ann_dense",
+    "suite_index_lifecycle",
     "suite_scalar_aggs",
     "suite_group_aggs",
     "suite_relational",

@@ -554,8 +554,16 @@ _suite(
 # (VERDICT r2 item 5) plus the two singles whose window slots this suite
 # and pii_scrub_audit take over.
 _suite(
-    "suite_ann_contracts",
+    "suite_ann_dense",
     [
+        # round 9: knn_bruteforce folded in from its standalone window
+        # slot (VERDICT r8 #5 — the slot funds the suite split below);
+        # its exact-cosine τ+top-k contract is the baseline every other
+        # member's ANN path is measured against.
+        (
+            "knn_bruteforce",
+            dict(key1="CAST(id AS STRING)", key2="label", val="score"),
+        ),
         (
             "knn_lsh_portable",
             dict(key1="CAST(id AS STRING)", key2="label", val="score"),
@@ -614,32 +622,6 @@ _suite(
             dict(key1="id", val="score"),
         ),
         ("e2e_search_lsh", dict(key1="id", val="score")),
-        # round 6: the PERSISTED IVF index artifact — build v1, rebuild
-        # v2 (full-snapshot replace), probe both committed snapshots;
-        # probed buckets + rerank per version vs a pure-SQL replay of
-        # both builds (queries_vector._ivf_index_oracle_sql).
-        (
-            "ivf_index_probe",
-            dict(
-                key1="CAST(ver AS STRING) || '/' || kind",
-                key2="CAST(id AS STRING)",
-                cnt="bucket",
-                val="score",
-            ),
-        ),
-        # round 7: incremental IVF maintenance — upsert the held-out
-        # slice against the STORED quantizer (centroids unchanged),
-        # probe the upserted index; vs a SQL replay of build + add
-        # (queries_vector._ivf_upsert_oracle_sql).
-        (
-            "ivf_index_upsert_probe",
-            dict(
-                key1="kind",
-                key2="CAST(id AS STRING)",
-                cnt="bucket",
-                val="score",
-            ),
-        ),
         (
             "facade_lsh_recall",
             dict(
@@ -677,6 +659,55 @@ _suite(
             "pq_recall_at_10",
             dict(cnt="overlap_at_10", key1="CAST(k AS STRING)"),
         ),
+    ],
+    note="Suite: DENSE retrieval — exact brute-force cosine (the "
+    "baseline contract), portable hyperplane-LSH ANN (value-hash-"
+    "checked index), int8 quantization error audit, per-doc quality "
+    "scores, batched multi-query top-k (whole query batch in one "
+    "scan), the e2e facade rows (ingest audit + summary_only/hybrid/"
+    "RRF/traditional search) whose oracles replay the full pipeline "
+    "from raw text, and the PQ family.  Split from suite_ann_contracts "
+    "in round 9 (VERDICT r8 #5, the suite_curation_ops precedent): the "
+    "index-LIFECYCLE rows live in suite_index_lifecycle so one flaky "
+    "artifact commit cannot invalidate the dense-retrieval surface, "
+    "and vice versa.",
+)
+
+# --- round 9: the persisted-artifact LIFECYCLE surface — build /
+# incremental upsert / DELETE / probe-with-time-travel for both index
+# artifacts (dense IVF, lexical BM25) plus the lexical scoring + fusion
+# contracts those artifacts serve.  Split out of suite_ann_contracts
+# (VERDICT r8 #5): this is the natural landing place for every new
+# index-lifecycle query, so it gets its own blast radius.
+_suite(
+    "suite_index_lifecycle",
+    [
+        # round 6: the PERSISTED IVF index artifact — build v1, rebuild
+        # v2 (full-snapshot replace), probe both committed snapshots;
+        # probed buckets + rerank per version vs a pure-SQL replay of
+        # both builds (queries_vector._ivf_index_oracle_sql).
+        (
+            "ivf_index_probe",
+            dict(
+                key1="CAST(ver AS STRING) || '/' || kind",
+                key2="CAST(id AS STRING)",
+                cnt="bucket",
+                val="score",
+            ),
+        ),
+        # round 7: incremental IVF maintenance — upsert the held-out
+        # slice against the STORED quantizer (centroids unchanged),
+        # probe the upserted index; vs a SQL replay of build + add
+        # (queries_vector._ivf_upsert_oracle_sql).
+        (
+            "ivf_index_upsert_probe",
+            dict(
+                key1="kind",
+                key2="CAST(id AS STRING)",
+                cnt="bucket",
+                val="score",
+            ),
+        ),
         # round 7: the lexical half of hybrid retrieval (queries_bm25) —
         # rational-idf BM25 top-k and the lexical x dense RRF fusion.
         (
@@ -697,11 +728,12 @@ _suite(
                 val="rrf_score",
             ),
         ),
-        # round 8: the persisted lexical (BM25) index artifact — build
-        # v1 over a subset, incremental upsert (add + text REPLACE with
-        # exact df/stats deltas), probe both committed snapshots; vs a
-        # pure-SQL full-scan replay of both corpora
-        # (queries_bm25._bm25_index_oracle_sql).
+        # round 8/9: the persisted lexical (BM25) index artifact —
+        # build v1 over a subset, incremental upsert (add + text
+        # REPLACE with exact df/stats deltas), keyed DELETE of a slice
+        # (df/N/sum_dl decremented exactly), probe all three committed
+        # snapshots; vs a pure-SQL full-scan replay of the three
+        # corpora (queries_bm25._bm25_index_oracle_sql).
         (
             "bm25_index_probe",
             dict(
@@ -712,15 +744,13 @@ _suite(
             ),
         ),
     ],
-    note="Suite: portable hyperplane-LSH ANN (value-hash-checked index), "
-    "int8 quantization error audit, per-doc quality scores, batched "
-    "multi-query top-k (whole query batch in one scan), the e2e facade "
-    "rows (ingest audit + summary_only/hybrid/RRF/traditional search) "
-    "whose oracles replay the full pipeline from raw text, the PQ "
-    "family, and the persisted IVF index artifact (build/rebuild/probe "
-    "both committed snapshots).  The streaming compositions moved to "
-    "suite_streaming in round 6, halving this suite's Spark-side cost "
-    "in the driver run.",
+    note="Suite: the persisted-artifact lifecycle — the versioned IVF "
+    "index (build / full-snapshot rebuild / incremental upsert against "
+    "the stored quantizer / probe with time travel) and the versioned "
+    "BM25 lexical index (build / exact-delta upsert / keyed delete / "
+    "partition-pruned probe, bit-matching full-scan replays), plus the "
+    "BM25 scoring and lexical x dense fusion contracts those artifacts "
+    "serve.",
 )
 
 # --- round 6: ALL end-to-end streaming rows in one suite — the replay
