@@ -1078,6 +1078,24 @@ def main() -> None:
                         ).collect()
                     )
                 hy_sec = time.time() - t0
+                # r9 (VERDICT r8 #2): the batched facade API — whole
+                # query batch per strategy in ONE plan.  64 keyword
+                # queries and 64 hybrid queries through
+                # semantic_search_many; done-criterion: batched-hybrid
+                # q/s within ~2x of the weaker leg (batched lexical).
+                texts = {
+                    q: " ".join(ts) for q, ts in batch.items()
+                }
+                t0 = time.time()
+                mk_rows = eng.semantic_search_many(
+                    texts, "keyword"
+                ).count()
+                many_kw_sec = time.time() - t0
+                t0 = time.time()
+                mh_rows = eng.semantic_search_many(
+                    texts, "hybrid_lexical"
+                ).count()
+                many_hy_sec = time.time() - t0
                 return {
                     "rows": int(n_rows),
                     "indexed_docs": int(m["n_docs"]),
@@ -1087,6 +1105,12 @@ def main() -> None:
                     "single_qps": round(8 / single_sec, 2),
                     "hybrid_rows": h_rows,
                     "hybrid_qps": round(8 / hy_sec, 2),
+                    "facade_batched_kw_rows": int(mk_rows),
+                    "facade_batched_kw_qps": round(64 / many_kw_sec, 1),
+                    "facade_batched_hybrid_rows": int(mh_rows),
+                    "facade_batched_hybrid_qps": round(
+                        64 / many_hy_sec, 1
+                    ),
                 }
 
             stage(f"lex_serving_batched_{FE}x", lex_serving)
@@ -1145,6 +1169,17 @@ def main() -> None:
                     )
                     q.awaitTermination(600)
                     bootstrap_sec = round(time.time() - t0, 2)
+                    # r9: the bootstrap trigger returns after the CORPUS
+                    # commit; the corpus-sized index construction runs
+                    # in the background.  Join it here so (a) its cost
+                    # is reported explicitly, (b) batch2 is timed clean.
+                    from sortify_spark.streaming.pipeline import (
+                        drain_side_builds,
+                    )
+
+                    t0 = time.time()
+                    drain_side_builds(tbl)
+                    side_build_sec = round(time.time() - t0, 2)
                     t0 = time.time()
                     batch2.coalesce(1).write.mode("append").parquet(inp)
                     q = admission_stream(
@@ -1162,6 +1197,7 @@ def main() -> None:
                     return {
                         "rows": n,
                         "bootstrap_sec": bootstrap_sec,
+                        "side_build_sec": side_build_sec,
                         "batch2_sec": batch2_sec,
                         "use_index": use_index,
                     }

@@ -19,6 +19,29 @@ from pyspark.sql import types as T
 
 from sortify_spark.pipelines import ingest_vectorize
 
+#: In-flight DEFERRED bootstrap side-table builds, keyed by corpus
+#: table path (VERDICT r8 #3): the bootstrap trigger of an indexed
+#: admission stream commits the CORPUS and returns — the corpus-sized
+#: band/embedding index construction continues in a background thread,
+#: because admission decisions never depend on the index being current
+#: (the exact-twin screen reads the corpus itself, and every batch's
+#: catch-up self-heals a missing index).  Every later trigger — and any
+#: other writer — must join these futures before touching the side
+#: tables (single-writer protocol); :func:`drain_side_builds` is the
+#: public join point for tests/operators reading the sides right after
+#: a bootstrap trigger.
+_PENDING_SIDE_BUILDS: dict[str, list] = {}
+
+
+def drain_side_builds(table_path: str) -> None:
+    """Block until any deferred bootstrap index build for
+    ``table_path`` has committed (no-op when none is pending);
+    re-raises a failed build's exception loudly (the next trigger's
+    catch-up heals whatever the failure left missing)."""
+    for fut in _PENDING_SIDE_BUILDS.pop(table_path, []):
+        fut.result()
+
+
 DOCS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -633,6 +656,7 @@ def admission_stream(
     semantic_tau: float | None = None,
     use_index: bool = False,
     fold_sides_over: int | None = None,
+    lexical_index: bool = False,
 ):
     """Streaming corpus admission: the full training-data front door as
     one continuous pipeline — new documents stream in, every micro-batch
@@ -673,6 +697,29 @@ def admission_stream(
     admissions provably unchanged), so a long-running stream's read
     cost stays O(N + 1) files instead of O(batches ever committed).
 
+    BOOTSTRAP latency (VERDICT r8 #3): on the FIRST trigger (empty
+    corpus, no screens) the index-side construction is corpus-sized;
+    the trigger now returns after the CORPUS commit and builds/commits
+    the sides in a background thread (registered in
+    ``_PENDING_SIDE_BUILDS``; joined by the next trigger before it
+    touches the side tables, or explicitly via
+    :func:`drain_side_builds`).  Admission decisions are identical by
+    construction — the index is advisory for screens, the exact-twin
+    screen reads the corpus, and the per-batch catch-up heals a build
+    that crashed mid-flight.  Steady-state triggers keep committing
+    their sides synchronously (small, and the LSM append shape).
+
+    ``lexical_index=True`` additionally maintains the persisted BM25
+    lexical artifact (``search/lexical``) at ``<table>__lex`` from the
+    same admission flow — ordered AFTER the corpus commit each
+    trigger, with the band/emb sides' self-healing contract (the
+    artifact can only ever be BEHIND the corpus; every trigger
+    reconciles corpus ids against the doclen forward table and upserts
+    exactly the missing docs).  An admitted document is
+    keyword-searchable via ``probe_lexical_index`` at trigger end, and
+    the artifact is value-identical to a batch build over the same
+    corpus (hash-checked in tests).
+
     This is the streaming composition of three independently
     oracle-checked kernels: ``textstats.fingerprint`` (exact),
     ``dedup.signature_bands`` + Jaccard verify (the
@@ -708,6 +755,41 @@ def admission_stream(
 
     bands_path = table_path + "__bands"
     emb_path = table_path + "__emb"
+    lex_path = table_path + "__lex"
+
+    def _maintain_lex() -> None:
+        """Reconcile the persisted BM25 artifact with the just-committed
+        corpus: missing ids (this trigger's admissions, plus any gap a
+        crash left) hydrate from the corpus and upsert with exact df /
+        n_docs / sum_dl deltas.  Steady-state cost: one id-column
+        corpus scan + the compact doclen id scan; only missing docs
+        tokenize."""
+        from sortify_spark.search.lexical import (
+            build_lexical_index,
+            upsert_lexical_index,
+        )
+
+        if not read_manifest(table_path)["partitions"]:
+            return  # nothing admitted yet
+        corpus_now = read_versioned(spark, table_path, partition_col)
+        if read_manifest(f"{lex_path}/terms")["version"] == 0:
+            build_lexical_index(
+                corpus_now.select("doc_id", "text"), lex_path
+            )
+            return
+        indexed = read_versioned(spark, f"{lex_path}/doclen", "pd").select(
+            "doc_id"
+        )
+        missing = corpus_now.select("doc_id").join(
+            indexed, "doc_id", "left_anti"
+        )
+        if missing.isEmpty():
+            return
+        upsert_lexical_index(
+            corpus_now.join(F.broadcast(missing), "doc_id", "left_semi")
+            .select("doc_id", "text"),
+            lex_path,
+        )
 
     def _read_side(path: str, pcol: str):
         return (
@@ -795,6 +877,12 @@ def admission_stream(
         if batch_df.isEmpty():
             return
         _tick("batch_poll")
+        # join any deferred bootstrap index build (previous trigger or
+        # a restarted stream on the same table) BEFORE reading/writing
+        # the side tables — the single-writer protocol would otherwise
+        # refuse the race loudly; a failed build surfaces here and the
+        # catch-up below heals whatever it left missing
+        drain_side_builds(table_path)
         fp = textstats.fingerprint(F.col("text"))
         # in-batch exact dedup: deterministic min-doc_id representative
         w = F.row_number().over(
@@ -1071,22 +1159,30 @@ def admission_stream(
                     _, a_bands = dedup.signature_bands(
                         admitted, use_shingles=shingle_k
                     )
-                # Overlap the band COMPUTE (a side-effect-free
-                # materialization) with the center embed + corpus
-                # commit below — on a bootstrap batch this is a
-                # corpus-sized minhash pipeline that would otherwise
-                # run serially after an equally corpus-sized embed
-                # (VERDICT r7 #3).  Only the COMMIT is ordered after
-                # the corpus commit; a crash leaves at most an
-                # un-referenced checkpoint, never an index row.
-                from concurrent.futures import ThreadPoolExecutor
-
-                _pool = ThreadPoolExecutor(1)
-                bands_fut = _pool.submit(
-                    lambda df: df.localCheckpoint(eager=True),
-                    a_bands.withColumn("pb", F.lit(int(_batch_id))),
+                a_bands_pb = a_bands.withColumn(
+                    "pb", F.lit(int(_batch_id))
                 )
-                _pool.shutdown(wait=False)
+                if corpus is not None:
+                    # Steady state: overlap the band COMPUTE (a
+                    # side-effect-free materialization) with the corpus
+                    # commit below (VERDICT r7 #3).  Only the COMMIT is
+                    # ordered after the corpus commit; a crash leaves
+                    # at most an un-referenced checkpoint, never an
+                    # index row.
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    _pool = ThreadPoolExecutor(1)
+                    bands_fut = _pool.submit(
+                        lambda df: df.localCheckpoint(eager=True),
+                        a_bands_pb,
+                    )
+                    _pool.shutdown(wait=False)
+                # BOOTSTRAP (corpus None): bands_fut stays None and the
+                # corpus-sized minhash pipeline runs entirely inside
+                # the DEFERRED background job — measured (r9, 180k):
+                # pre-commit overlap still stole executor CPU from the
+                # corpus commit, which was the whole residual +21%
+                # premium VERDICT r8 #3 flagged.
             a_emb_raw = None
             if semantic_tau is not None and center is None:
                 # first admitted batch pins the semantic center; the
@@ -1182,24 +1278,61 @@ def admission_stream(
                         write_files_per_partition=wf,
                     )
 
-                # bands frame: the overlapped compute from above —
-                # block on the future (usually already done), commit
-                side_jobs = [
-                    (bands_fut.result(), bands_path, ["id", "band_idx"], True)
-                ]
-                if a_emb is not None:
-                    side_jobs.append((a_emb, emb_path, ["id"], False))
-                if len(side_jobs) > 1:
+                def _run_side_jobs():
                     from concurrent.futures import ThreadPoolExecutor
 
-                    with ThreadPoolExecutor(len(side_jobs)) as ex:
-                        # materialize results to surface exceptions
-                        list(ex.map(lambda j: _commit_side(*j), side_jobs))
+                    # bands frame: steady state = the overlapped compute
+                    # from above (block on the future, usually already
+                    # done); bootstrap = compute + checkpoint HERE, in
+                    # the deferred background job
+                    bands_ready = (
+                        bands_fut.result()
+                        if bands_fut is not None
+                        else a_bands_pb.localCheckpoint(eager=True)
+                    )
+                    jobs = [
+                        (bands_ready, bands_path, ["id", "band_idx"], True)
+                    ]
+                    if a_emb is not None:
+                        jobs.append((a_emb, emb_path, ["id"], False))
+                    if len(jobs) > 1:
+                        with ThreadPoolExecutor(len(jobs)) as ex:
+                            # materialize results to surface exceptions
+                            list(ex.map(lambda j: _commit_side(*j), jobs))
+                    else:
+                        _commit_side(*jobs[0])
+
+                if corpus is None:
+                    # BOOTSTRAP trigger (VERDICT r8 #3): the corpus is
+                    # committed — return the trigger now and finish the
+                    # corpus-sized index construction in the
+                    # background.  The next trigger joins the future
+                    # before touching the sides; a crash mid-build is
+                    # exactly the crash-between-commits case the
+                    # per-batch catch-up already heals.
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    _bg = ThreadPoolExecutor(1)
+                    _PENDING_SIDE_BUILDS.setdefault(
+                        table_path, []
+                    ).append(_bg.submit(_run_side_jobs))
+                    _bg.shutdown(wait=False)
                 else:
-                    _commit_side(*side_jobs[0])
+                    _run_side_jobs()
                 _tick("side_commits")
         _tick("commits")
-        if use_index and fold_sides_over is not None:
+        if lexical_index:
+            # ordered AFTER the corpus commit (the artifact can only be
+            # BEHIND); runs even when nothing was admitted — that is
+            # the crash-heal path (corpus committed, lexical didn't,
+            # replayed batch admits nothing)
+            _maintain_lex()
+            _tick("lex_maintain")
+        if (
+            use_index
+            and fold_sides_over is not None
+            and table_path not in _PENDING_SIDE_BUILDS
+        ):
             # in-stream LSM maintenance: when a side table has
             # accumulated more than `fold_sides_over` batch partitions,
             # fold the cold ones into base level -1 (pure layout —

@@ -1063,6 +1063,12 @@ def test_admission_stream_indexed_sides_and_crash_heal(spark):
 
         feed([(1, base_text, "en", "web", 99)], inp)
         run("c1")
+        # the bootstrap trigger returns after the CORPUS commit and
+        # builds the sides in the background (VERDICT r8 #3) — join the
+        # deferred build before reading them
+        from sortify_spark.streaming.pipeline import drain_side_builds
+
+        drain_side_builds(table)
         # index side tables exist and cover doc 1
         bands = read_versioned(spark, table + "__bands", "pb")
         embs = read_versioned(spark, table + "__emb", "pb")
@@ -1140,6 +1146,94 @@ def test_admission_stream_indexed_sides_and_crash_heal(spark):
             for r in read_versioned(spark, table, "source").collect()
         }
         assert got == {1, 12, 13, 21}  # near-dup of 21 → rejected
+
+
+def test_admission_stream_maintains_lexical_index(spark):
+    """lexical_index=True: an admitted document is keyword-searchable
+    through the persisted BM25 artifact at trigger end, the artifact
+    survives a crash that loses it entirely (next trigger's reconcile
+    rebuilds), and after every trigger it is VALUE-IDENTICAL to a
+    batch build over the same corpus (VERDICT r8 #7 done-criteria)."""
+    from sortify_spark.search.lexical import (
+        build_lexical_index,
+        probe_lexical_index,
+    )
+    from sortify_spark.sources.versioned import read_versioned
+    from sortify_spark.streaming.pipeline import admission_stream
+
+    def feed(rows, inp):
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    def probe_all(path, terms):
+        return [
+            (r["doc_id"], r["matched_terms"], r["bm25"])
+            for r in probe_lexical_index(
+                spark, path, terms, k=50
+            ).collect()
+        ]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        inp, table = f"{tmp}/in", f"{tmp}/table"
+        lex = table + "__lex"
+
+        def run(ckpt):
+            q = admission_stream(
+                spark, inp, table, f"{tmp}/{ckpt}", lexical_index=True
+            )
+            q.awaitTermination(120)
+
+        feed(
+            [
+                (1, "the quick brown fox jumps over the lazy dog "
+                    "tonight in the forest", "en", "web", 60),
+                (2, "spark streaming admission pipelines commit "
+                    "atomic manifests", "en", "web", 55),
+            ],
+            inp,
+        )
+        run("c1")
+        # keyword-searchable at trigger end
+        got = probe_all(lex, ("spark", "manifests"))
+        assert [d for d, _, _ in got] == [2]
+        # batch 2: a new doc + an exact twin (rejected, must NOT enter)
+        feed(
+            [
+                (10, "entirely fresh material about inverted index "
+                     "maintenance under streams", "en", "mail", 64),
+                (11, "spark streaming admission pipelines commit "
+                     "atomic manifests", "en", "web", 55),
+            ],
+            inp,
+        )
+        run("c2")
+        got = probe_all(lex, ("inverted", "maintenance"))
+        assert [d for d, _, _ in got] == [10]
+        # the streamed artifact == a batch build over the same corpus,
+        # score-for-score
+        corpus = read_versioned(spark, table, "source")
+        ref = f"{tmp}/ref_lex"
+        build_lexical_index(corpus.select("doc_id", "text"), ref)
+        for terms in (("spark", "manifests"), ("inverted", "the"),
+                      ("fox", "streams", "atomic")):
+            assert probe_all(lex, terms) == probe_all(ref, terms), terms
+        # crash: lose the whole artifact; the next trigger reconciles
+        # corpus-vs-doclen and rebuilds — even though it admits nothing
+        import shutil
+
+        shutil.rmtree(lex)
+        feed(
+            [(11, "spark streaming admission pipelines commit "
+                  "atomic manifests", "en", "web", 55)],
+            inp,
+        )
+        run("c3")
+        assert probe_all(lex, ("inverted", "maintenance")) == probe_all(
+            ref, ("inverted", "maintenance")
+        )
 
 
 def test_admission_stream_degenerate_texts(spark):
@@ -1239,6 +1333,10 @@ def test_admission_replay_center_exists_empty_corpus(spark):
             for r in read_versioned(spark, table, "source").collect()
         }
         assert got == {1}
+        # bootstrap side build is deferred (VERDICT r8 #3) — join it
+        from sortify_spark.streaming.pipeline import drain_side_builds
+
+        drain_side_builds(table)
         # the emb side table committed from the re-embedded batch
         assert read_versioned(spark, table + "__emb", "pb").count() >= 1
 
