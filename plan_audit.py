@@ -194,9 +194,37 @@ def _hot_bucket_audit(spark, sf_dir: str) -> dict:
     prefixes = base.select(
         F.explode(F.expr("slice(osh, 1, plen)")).alias("h")
     )
+    # round 9 (VERDICT r8 #8): the two other guarded frames — the
+    # fuzzy-linkage token blocks (part-name tokens) and the exact
+    # substring-dedup window grams
+    part = load_table(spark, sf_dir, "part")
+    tok = (
+        part.select("p_name")
+        .distinct()
+        .select(F.explode(F.split("p_name", " ")).alias("tok"))
+    )
+    from sortify_spark.queries_curation2 import SSD_W
+
+    grams = (
+        fan_out(docs)
+        .select("doc_id", words(F.col("text")).alias("w"))
+        .select("doc_id", "w", F.size("w").alias("n"))
+        .filter(F.col("n") >= SSD_W)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, n - {SSD_W}), "
+                    f"s -> md5(CAST(array_join(slice(w, s + 1, {SSD_W}), "
+                    "' ') AS BINARY)))"
+                )
+            ).alias("g")
+        )
+    )
     return {
         "minhash_bands": _summ(bands, ("band_idx", "band_key")),
         "ppjoin_prefixes": _summ(prefixes, ("h",)),
+        "fuzzy_link_token_blocks": _summ(tok, ("tok",)),
+        "substring_dedup_grams": _summ(grams, ("g",)),
     }
 
 
