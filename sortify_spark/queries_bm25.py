@@ -142,25 +142,30 @@ def bm25_topk(docs: DataFrame) -> DataFrame:
     ).limit(BM25_TOPK)
 
 
-def _bm25_scored_sql(rel: str = "documents", prefix: str = "") -> str:
+def _bm25_scored_sql(
+    rel: str = "documents",
+    prefix: str = "",
+    terms: tuple[str, ...] = QUERY_TERMS,
+) -> str:
     """The scored-corpus CTE chain, parameterized so the persisted-index
-    driver row can replay BM25 over derived corpora (``rel``) with
-    disambiguated CTE names (``prefix``)."""
+    driver rows can replay BM25 over derived corpora (``rel``) and
+    arbitrary query term sets (``terms``) with disambiguated CTE names
+    (``prefix``)."""
     p = prefix
     tf_cols = ", ".join(
         f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
-        for i, t in enumerate(QUERY_TERMS)
+        for i, t in enumerate(terms)
     )
     df_cols = ", ".join(
         f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-        for i in range(len(QUERY_TERMS))
+        for i in range(len(terms))
     )
     score_cols = ", ".join(
-        f"{_score_expr(i)} AS __s{i}" for i in range(len(QUERY_TERMS))
+        f"{_score_expr(i)} AS __s{i}" for i in range(len(terms))
     )
     matched = " + ".join(
         f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
-        for i in range(len(QUERY_TERMS))
+        for i in range(len(terms))
     )
     return f"""
 {p}base AS (
@@ -184,7 +189,7 @@ def _bm25_scored_sql(rel: str = "documents", prefix: str = "") -> str:
 ),
 {p}scored AS (
   SELECT doc_id, source, {matched} AS matched_terms,
-         {_bm25_sum_expr()} AS bm25
+         {_bm25_sum_expr(len(terms))} AS bm25
   FROM {p}scored0
   WHERE {matched} > 0
 )"""
@@ -484,3 +489,88 @@ def q_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("ver", "doc_id")
+
+
+#: Fixed serving batch for the BATCHED-probe driver row: three queries
+#: (shared common terms, a rare term, an out-of-vocabulary term) — the
+#: multi-query union exercises overlapping posting buckets, per-query
+#: df broadcast, and the per-query rank window in ONE plan.
+_BATCH_QUERIES: dict[str, tuple[str, ...]] = {
+    "qa": ("dup", "spark", "merge"),
+    "qb": ("scan", "window", "join"),
+    "qc": ("vector", "zz_not_in_vocab", "stream"),
+}
+_BATCH_K = 10
+
+
+def _bm25_batched_oracle_sql() -> str:
+    """Oracle for ``bm25_batched_probe``: one scored-corpus CTE chain
+    per query (fixed-term-order sums), per-query rank ≤ k.  The
+    batched probe's per-doc score sums per-term contributions in
+    AGGREGATION order (its documented contract vs the bit-exact single
+    probe), so both sides compare at ROUND(bm25, 6): the round-9
+    per-term contributions are identical, and a further round-6
+    collapses any summation-order ulp."""
+    parts = []
+    for q, terms in _BATCH_QUERIES.items():
+        parts.append(
+            f"""
+SELECT '{q}' AS query_id, doc_id, matched_terms,
+       ROUND(bm25, 6) AS bm25_r6, rnk
+FROM (
+  SELECT doc_id, matched_terms, bm25,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+  FROM {q}_scored
+) __{q} WHERE rnk <= {_BATCH_K}"""
+        )
+    ctes = ",\n".join(
+        _bm25_scored_sql(prefix=f"{q}_", terms=t).lstrip("\n")
+        for q, t in _BATCH_QUERIES.items()
+    )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT * FROM (
+{union}
+) __u ORDER BY query_id, rnk
+"""
+
+
+@register(
+    "bm25_batched_probe",
+    _bm25_batched_oracle_sql(),
+    note="BATCHED lexical serving (VERDICT r8 #2): three queries' BM25 "
+    "top-k through the persisted index in ONE plan "
+    "(search/lexical.probe_lexical_index_many — one bucket-pruned "
+    "postings scan over the union of every query's term buckets, "
+    "per-query rank windows, never a global sort; the shape "
+    "facade.semantic_search_many serves).  Hash-checked against a "
+    "pure-SQL full-scan replay per query at ROUND(bm25, 6): the "
+    "batched probe's aggregation-order sum is documented to differ "
+    "from the fixed-order single probe only in the last ulp of the "
+    "round-9 score, which round-6 collapses.",
+)
+def q_bm25_batched_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sortify_spark.search.lexical import (
+        build_lexical_index,
+        probe_lexical_index_many,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="sortify_lexbatch_") + "/lex"
+    build_lexical_index(docs, path)
+    return (
+        probe_lexical_index_many(
+            spark, path, _BATCH_QUERIES, k=_BATCH_K
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "matched_terms",
+            F.round("bm25", 6).alias("bm25_r6"),
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )

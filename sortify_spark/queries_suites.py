@@ -743,6 +743,18 @@ _suite(
                 val="bm25",
             ),
         ),
+        # round 9: BATCHED serving through the artifact — three queries'
+        # top-k in ONE plan (probe_lexical_index_many, the
+        # semantic_search_many shape) vs per-query full-scan replays.
+        (
+            "bm25_batched_probe",
+            dict(
+                key1="query_id",
+                key2="CAST(doc_id AS STRING) || '/' || CAST(rnk AS STRING)",
+                cnt="matched_terms",
+                val="bm25_r6",
+            ),
+        ),
     ],
     note="Suite: the persisted-artifact lifecycle — the versioned IVF "
     "index (build / full-snapshot rebuild / incremental upsert against "
