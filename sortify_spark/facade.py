@@ -620,22 +620,48 @@ class SortifyEngine:
         )
 
     def _scored_many(
-        self, queries: dict[str, str], vtype: str, k: int
+        self,
+        queries: dict[str, str],
+        vtype: str,
+        k: int,
+        cfg: SearchConfig | None = None,
     ) -> DataFrame:
-        """Batched :meth:`_scored` (exact path): per-query top-k over
-        chunk-level rows, then best-chunk-per-doc dedupe — the same
-        order of operations as the single path, so per-query results
-        parity-match the loop.  One corpus scan for ALL queries."""
-        from sortify_spark.search.knn import brute_force_topk_many
+        """Batched :meth:`_scored`: per-query top-k over chunk-level
+        rows, then best-chunk-per-doc dedupe — the same order of
+        operations as the single path, so per-query results
+        parity-match the loop.  ``cfg.ann == "ivf"`` probes the
+        persisted index once for the whole batch
+        (``probe_ivf_index_many`` — union-of-buckets scan); anything
+        else is the exact path's one corpus scan for ALL queries."""
+        if cfg is not None and cfg.ann == "ivf":
+            from sortify_spark.search.index import probe_ivf_index_many
 
-        base = self.vectors.filter(F.col("vtype") == vtype)
-        topk = brute_force_topk_many(
-            base, self._query_df_many(queries), id_col="document_id", k=k
-        )
-        return (
-            topk.select("query_id", F.col("document_id").alias("id"), "score")
-            .groupBy("query_id", "id")
-            .agg(F.max("score").alias("score"))
+            topk = probe_ivf_index_many(
+                self.spark,
+                self._ivf_index(vtype),
+                self._query_df_many(queries),
+                k=k,
+                nprobe=cfg.ivf_nprobe,
+                version=cfg.ivf_version,
+            ).select(
+                "query_id",
+                F.split(F.col("vec_id"), "#")[0].alias("id"),
+                "score",
+            )
+        else:
+            from sortify_spark.search.knn import brute_force_topk_many
+
+            base = self.vectors.filter(F.col("vtype") == vtype)
+            topk = brute_force_topk_many(
+                base,
+                self._query_df_many(queries),
+                id_col="document_id",
+                k=k,
+            ).select(
+                "query_id", F.col("document_id").alias("id"), "score"
+            )
+        return topk.groupBy("query_id", "id").agg(
+            F.max("score").alias("score")
         )
 
     def semantic_search_many(
@@ -698,7 +724,9 @@ class SortifyEngine:
             )
             if search_type == "keyword":
                 return lex
-            dense = self._scored_many(queries, "summary", cfg.top_k * 2)
+            dense = self._scored_many(
+                queries, "summary", cfg.top_k * 2, cfg
+            )
             return fusion.rrf_fuse_many(
                 dense,
                 lex.drop("rnk"),
@@ -717,13 +745,13 @@ class SortifyEngine:
         if search_type in ("summary_only", "chunks_only"):
             vtype = "summary" if search_type == "summary_only" else "chunk"
             return (
-                self._scored_many(queries, vtype, cfg.top_k)
+                self._scored_many(queries, vtype, cfg.top_k, cfg)
                 .withColumn("rnk", F.row_number().over(w))
             )
         if search_type == "rrf_fusion":
             return fusion.rrf_fuse_many(
-                self._scored_many(queries, "summary", cfg.top_k * 2),
-                self._scored_many(queries, "chunk", cfg.top_k * 2),
+                self._scored_many(queries, "summary", cfg.top_k * 2, cfg),
+                self._scored_many(queries, "chunk", cfg.top_k * 2, cfg),
                 k=cfg.rrf_k,
                 w_summary=cfg.w_summary,
                 w_chunks=cfg.w_chunks,

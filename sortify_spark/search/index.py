@@ -293,6 +293,112 @@ def probe_ivf_index(
     return knn.brute_force_topk(probed, query, k=k)
 
 
+def probe_ivf_index_many(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    version: int | None = None,
+) -> DataFrame:
+    """BATCHED probe: top-k for N queries through the stored index in
+    ONE plan — (query_id, vec_id, score, rnk) — the IVF twin of
+    ``lexical.probe_lexical_index_many`` (VERDICT r8 #2, the
+    scale-stress 64-query stage promoted to the library).
+
+    Per-query centroid ranking runs against the broadcast queries ×
+    the stored centroid table (same rounded score + bucket tie-break
+    as :func:`rank_index_buckets`, so each query probes EXACTLY the
+    buckets its single-query probe would); the UNION of every query's
+    buckets reads once (partition-pruned via the manifest); candidates
+    join to their probing queries on bucket; exact cosine rerank uses
+    the single-probe's fold/rounding (scores bit-identical), bounded
+    by a per-query rank window — a distributed sort across queries,
+    never a global one.
+
+    ``queries``: (query_id, embedding).  Cost: one |union-of-buckets|
+    scan for the WHOLE batch vs nprobe buckets × N single probes."""
+    from pyspark.sql.window import Window
+
+    from sortify_spark.functions.vectors import cosine, l2_norm
+    from sortify_spark.sources.versioned import (
+        _read_partition_dirs,
+        read_manifest,
+    )
+
+    manifest = read_manifest(f"{path}/assign", version)
+    cents = __read(
+        spark, f"{path}/centroids", "part",
+        manifest.get("centroid_version"),
+    ).select("bucket", "centroid")
+    q = F.broadcast(
+        queries.select(
+            F.col("query_id"), F.col("embedding").alias("__qvec")
+        ).withColumn("__qn", l2_norm("__qvec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("bscore"), F.asc("bucket")
+    )
+    qb = (
+        cents.crossJoin(q)
+        .select(
+            "query_id",
+            "bucket",
+            "__qvec",
+            "__qn",
+            F.round(
+                cosine(F.col("centroid"), F.col("__qvec")), 6
+            ).alias("bscore"),
+        )
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "bucket", "__qvec", "__qn")
+    )
+    qb = qb.localCheckpoint(eager=True)  # read twice: bucket set + join
+    buckets = sorted(
+        {int(r["bucket"]) for r in qb.select("bucket").distinct().collect()}
+    )
+    rels = [
+        manifest["partitions"][str(b)]
+        for b in buckets
+        if str(b) in manifest["partitions"]
+    ]
+    if not rels:
+        return spark.createDataFrame(
+            [], "query_id string, vec_id string, score double, rnk int"
+        )
+    probed = _read_partition_dirs(
+        spark,
+        f"{path}/assign",
+        "bucket",
+        rels,
+        dtype=manifest.get("partition_dtype"),
+    ).withColumn("__vn", l2_norm("embedding"))
+    from sortify_spark.functions.vectors import cosine_given_norms
+
+    scored = probed.join(F.broadcast(qb), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine_given_norms(
+                F.col("embedding"),
+                F.col("__qvec"),
+                F.col("__vn"),
+                F.col("__qn"),
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
 def rank_index_buckets(
     spark: SparkSession,
     path: str,

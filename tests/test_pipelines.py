@@ -1902,6 +1902,69 @@ def test_facade_batched_serving_matches_per_query(spark, tmp_path):
         eng.semantic_search_many({"x": "   "}, "keyword")
 
 
+def test_ivf_batched_probe_matches_single(spark, tmp_path):
+    """probe_ivf_index_many (N queries, ONE union-of-buckets plan)
+    returns per query exactly the single probe's ranked list — same
+    probed buckets (same rounded centroid ranking), same round-6
+    scores — and the facade's batched ivf strategy matches the
+    per-query loop."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+    from sortify_spark.search.index import (
+        build_ivf_index,
+        probe_ivf_index,
+        probe_ivf_index_many,
+    )
+
+    vecs = load_table(spark, SF_DIR, "embeddings").limit(400).select(
+        F.col("vec_id").cast("string").alias("vec_id"),
+        "embedding",
+        F.col("label").alias("seed"),
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(vecs, path, seed_col="seed")
+    qrows = vecs.limit(3).collect()
+    queries = spark.createDataFrame(
+        [(f"q{i}", r["embedding"]) for i, r in enumerate(qrows)],
+        "query_id string, embedding array<float>",
+    )
+    many = {}
+    for r in probe_ivf_index_many(
+        spark, path, queries, k=10, nprobe=4
+    ).collect():
+        many.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for i, qr in enumerate(qrows):
+        single = [
+            (r["vec_id"], r["score"])
+            for r in probe_ivf_index(
+                spark,
+                path,
+                spark.createDataFrame(
+                    [(qr["embedding"],)], "embedding array<float>"
+                ),
+                k=10,
+                nprobe=4,
+            ).collect()
+        ]
+        assert many.get(f"q{i}", []) == single, f"q{i}"
+    # facade: batched ivf summary search == per-query loop
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, doc_limit=150, index_root=str(tmp_path / "e")
+    )
+    cfg = SearchConfig(ann="ivf", ivf_nprobe=4)
+    qs = {"a": "data quality", "b": "spark merge windows"}
+    batched = {}
+    for r in eng.semantic_search_many(qs, "summary_only", cfg).collect():
+        batched.setdefault(r["query_id"], set()).add((r["id"], r["score"]))
+    for q, text in qs.items():
+        single = {
+            (r["id"], r["score"])
+            for r in eng.semantic_search(
+                text, "summary_only", cfg
+            ).collect()
+        }
+        assert batched.get(q, set()) == single, q
+
+
 def test_delete_from_ivf_index_unit(spark, tmp_path):
     """Keyed IVF delete: deleted ids vanish from probes, survivors'
     scores are unchanged, centroid pairing + built_rows carry through,
