@@ -633,6 +633,15 @@ class SortifyEngine:
         persisted index once for the whole batch
         (``probe_ivf_index_many`` — union-of-buckets scan); anything
         else is the exact path's one corpus scan for ALL queries."""
+        if cfg is not None and cfg.ann == "lsh":
+            # the batched path must not SILENTLY serve different
+            # results than the per-query loop would (LSH recall < 1);
+            # batched LSH is not implemented, so refuse loudly
+            raise ValueError(
+                "semantic_search_many supports ann='exact' and "
+                "ann='ivf'; use per-query semantic_search for the "
+                "portable-LSH path"
+            )
         if cfg is not None and cfg.ann == "ivf":
             from sortify_spark.search.index import probe_ivf_index_many
 

@@ -862,6 +862,10 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
                 removed.append(v)
         elif entry.startswith(f"{_MANIFEST}.v"):
             v = int(entry.rsplit(".v", 1)[1])
-            if v <= horizon:
+            # never reclaim the CURRENT version's retained manifest —
+            # readers pin to it for snapshot consistency (the lexical
+            # anchor reads its own paired tables by version), and at
+            # keep_last=0 the horizon includes the live version itself
+            if v <= horizon and v != manifest["version"]:
                 os.remove(os.path.join(path, entry))
     return sorted(removed)

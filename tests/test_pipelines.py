@@ -1965,6 +1965,51 @@ def test_ivf_batched_probe_matches_single(spark, tmp_path):
         assert batched.get(q, set()) == single, q
 
 
+def test_lexical_artifact_vacuum_preserves_current_probe(spark, tmp_path):
+    """Vacuum on the lexical artifact's tables reclaims superseded
+    version dirs without touching the CURRENT anchored snapshot: after
+    several upserts, vacuuming all three tables leaves the probe
+    value-identical, while a probe PINNED to a vacuumed anchor fails
+    loudly (the versioned store's vacuumed-snapshot contract applied
+    to the BM25 artifact lifecycle).  Note upserts rewrite whole pt/pd
+    partitions (1 file each), so the artifact never needs file-level
+    compaction — vacuum is its only maintenance."""
+    from sortify_spark.search.lexical import (
+        build_lexical_index,
+        probe_lexical_index,
+        upsert_lexical_index,
+    )
+    from sortify_spark.sources.versioned import vacuum
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    path = str(tmp_path / "lex")
+    v1 = build_lexical_index(docs.filter(F.col("doc_id") < 40), path)
+    for lo, hi in ((40, 80), (80, 120)):
+        upsert_lexical_index(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ),
+            path,
+        )
+    terms = ("dup", "spark", "merge")
+    before = [
+        (r["doc_id"], r["matched_terms"], r["bm25"])
+        for r in probe_lexical_index(spark, path, terms, k=30).collect()
+    ]
+    removed = []
+    for sub in ("postings", "doclen", "terms"):
+        removed += vacuum(f"{path}/{sub}", keep_last=0)
+    assert removed  # superseded version dirs actually reclaimed
+    after = [
+        (r["doc_id"], r["matched_terms"], r["bm25"])
+        for r in probe_lexical_index(spark, path, terms, k=30).collect()
+    ]
+    assert after == before
+    # time travel to the vacuumed v1 anchor now fails loudly
+    with pytest.raises(FileNotFoundError):
+        probe_lexical_index(spark, path, terms, k=5, version=v1).collect()
+
+
 def test_delete_from_ivf_index_unit(spark, tmp_path):
     """Keyed IVF delete: deleted ids vanish from probes, survivors'
     scores are unchanged, centroid pairing + built_rows carry through,
