@@ -161,6 +161,12 @@ class SortifyEngine:
         self._index_root = index_root
         self._ivf_built: set[str] = set()
         self._lex_built = False
+        #: Corpus mutated while _lex_built was False: a later adoption
+        #: of a pre-existing on-disk artifact must rebuild even when
+        #: n_docs happens to tie (a balanced add+delete passes the
+        #: count check but leaves the deleted doc findable and the
+        #: added doc unsearchable — review r9).
+        self._lex_dirty = False
 
     # -- documents ---------------------------------------------------------
 
@@ -351,10 +357,13 @@ class SortifyEngine:
 
             path = self.lexical_index_path()
             anchor = read_manifest(f"{path}/terms")
-            if anchor["version"] == 0 or int(
-                anchor.get("n_docs", -1)
-            ) != self.documents.count():
+            if (
+                self._lex_dirty
+                or anchor["version"] == 0
+                or int(anchor.get("n_docs", -1)) != self.documents.count()
+            ):
                 self.rebuild_lexical_index()
+                self._lex_dirty = False
             else:
                 self._lex_built = True
         return self.lexical_index_path()
@@ -411,6 +420,8 @@ class SortifyEngine:
         # drop them so the next probe rebuilds over the grown corpus
         self._lsh_cache.clear()
         out: dict = {}
+        if not self._lex_built:
+            self._lex_dirty = True  # adoption must not trust n_docs alone
         if self._lex_built:
             from sortify_spark.search.lexical import upsert_lexical_index
 
@@ -827,6 +838,8 @@ class SortifyEngine:
             doc_ids.select("document_id").distinct()
             .localCheckpoint(eager=True)  # read per artifact + 2 anti-joins
         )
+        if not self._lex_built:
+            self._lex_dirty = True  # adoption must not trust n_docs alone
         if self._lex_built:
             from sortify_spark.search.lexical import (
                 delete_from_lexical_index,

@@ -508,18 +508,21 @@ def _bm25_batched_oracle_sql() -> str:
     per query (fixed-term-order sums), per-query rank ≤ k.  The
     batched probe's per-doc score sums per-term contributions in
     AGGREGATION order (its documented contract vs the bit-exact single
-    probe), so both sides compare at ROUND(bm25, 6): the round-9
-    per-term contributions are identical, and a further round-6
-    collapses any summation-order ulp."""
+    probe), so both sides compare at ROUND(bm25, 6) — AND both sides
+    RANK on the round-6 value (the Spark side over-fetches at its
+    round-9 order, then re-ranks at round-6): the round-9 per-term
+    contributions are identical, so round-6 collapses any
+    summation-order ulp in both the values and the rank order."""
     parts = []
     for q, terms in _BATCH_QUERIES.items():
         parts.append(
             f"""
-SELECT '{q}' AS query_id, doc_id, matched_terms,
-       ROUND(bm25, 6) AS bm25_r6, rnk
+SELECT '{q}' AS query_id, doc_id, matched_terms, bm25_r6, rnk
 FROM (
-  SELECT doc_id, matched_terms, bm25,
-         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+  SELECT doc_id, matched_terms, ROUND(bm25, 6) AS bm25_r6,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(bm25, 6) DESC, doc_id ASC
+         ) AS rnk
   FROM {q}_scored
 ) __{q} WHERE rnk <= {_BATCH_K}"""
         )
@@ -558,19 +561,28 @@ def q_bm25_batched_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_lexical_index_many,
     )
 
+    from pyspark.sql.window import Window
+
     docs = _t(spark, sf_dir, "documents")
     path = tempfile.mkdtemp(prefix="sortify_lexbatch_") + "/lex"
     build_lexical_index(docs, path)
+    # over-fetch at the probe's round-9 order, then RE-RANK at round-6
+    # (+ doc_id tie-break) so the reported ranks are summation-order-
+    # independent on both engines; 3x covers any round-6 tie group
+    # straddling the k boundary
+    over = probe_lexical_index_many(
+        spark, path, _BATCH_QUERIES, k=_BATCH_K * 3
+    ).select(
+        "query_id",
+        "doc_id",
+        "matched_terms",
+        F.round("bm25", 6).alias("bm25_r6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_r6"), F.asc("doc_id")
+    )
     return (
-        probe_lexical_index_many(
-            spark, path, _BATCH_QUERIES, k=_BATCH_K
-        )
-        .select(
-            "query_id",
-            "doc_id",
-            "matched_terms",
-            F.round("bm25", 6).alias("bm25_r6"),
-            "rnk",
-        )
+        over.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BATCH_K)
         .orderBy("query_id", "rnk")
     )

@@ -188,6 +188,12 @@ def upsert_ivf_index(
         .select("vec_id", F.col("old_bucket").alias("bucket"))
     )
     pair = {"centroid_version": manifest.get("centroid_version")}
+    if manifest.get("built_rows") is not None:
+        # the drift-budget denominator must survive incremental commits
+        # (review r9: dropping it made the next add_documents see
+        # built=0 -> grown=inf -> a spurious full re-train every other
+        # add); it still records the QUANTIZER's training size
+        pair["built_rows"] = manifest["built_rows"]
     if not moved.isEmpty():
         delete_versioned(
             moved, f"{path}/assign", keys=["vec_id"],

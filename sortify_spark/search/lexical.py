@@ -95,10 +95,23 @@ def _tokenized(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .withColumn("pt", _pt(F.col("term"), pt_buckets))
     )
-    doclen = base.select("doc_id", "dl").withColumn(
-        "pd", _pt(F.col("doc_id").cast("string"), pd_buckets)
-    )
+    # fp: content fingerprint of the TOKENIZED text (what the index
+    # actually scores) — reconcilers compare (doc_id, fp) so a
+    # re-admitted id with REPLACED text shows up as drifted, not
+    # already-indexed (the streaming admission heal's contract)
+    doclen = base.select(
+        "doc_id", "dl", doc_fp(F.col("w")).alias("fp")
+    ).withColumn("pd", _pt(F.col("doc_id").cast("string"), pd_buckets))
     return postings, doclen
+
+
+def doc_fp(tokens_col) -> "F.Column":
+    """md5 of the tokenized text — the doclen table's content
+    fingerprint (tokenizer-level: two texts that tokenize identically
+    score identically, so they ARE the same document to this index)."""
+    return F.md5(
+        F.array_join(tokens_col, " ").cast("binary")
+    )
 
 
 def build_lexical_index(

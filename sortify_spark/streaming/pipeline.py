@@ -759,34 +759,50 @@ def admission_stream(
 
     def _maintain_lex() -> None:
         """Reconcile the persisted BM25 artifact with the just-committed
-        corpus: missing ids (this trigger's admissions, plus any gap a
-        crash left) hydrate from the corpus and upsert with exact df /
-        n_docs / sum_dl deltas.  Steady-state cost: one id-column
-        corpus scan + the compact doclen id scan; only missing docs
-        tokenize."""
+        corpus: drifted docs (this trigger's admissions, a crash gap,
+        AND re-admitted ids whose text the keyed corpus upsert
+        REPLACED) hydrate from the corpus and upsert with exact df /
+        n_docs / sum_dl deltas.  Drift = the corpus (doc_id, content
+        fingerprint) pair absent from the ANCHOR-PAIRED doclen
+        snapshot: the pinned read makes a crash BETWEEN the lexical
+        upsert's internal commits (doclen committed, anchor not)
+        re-process the doc instead of skipping it — the unpinned
+        latest-doclen read would see the orphaned row and never heal
+        the anchor's stats (review r9); the keyed merges make the
+        re-process idempotent.  Steady-state cost: one corpus scan
+        (doc_id + tokenize-fp) + the compact doclen scan; only drifted
+        docs build postings."""
         from sortify_spark.search.lexical import (
             build_lexical_index,
+            doc_fp,
             upsert_lexical_index,
         )
 
         if not read_manifest(table_path)["partitions"]:
             return  # nothing admitted yet
         corpus_now = read_versioned(spark, table_path, partition_col)
-        if read_manifest(f"{lex_path}/terms")["version"] == 0:
+        anchor = read_manifest(f"{lex_path}/terms")
+        if anchor["version"] == 0:
             build_lexical_index(
                 corpus_now.select("doc_id", "text"), lex_path
             )
             return
-        indexed = read_versioned(spark, f"{lex_path}/doclen", "pd").select(
-            "doc_id"
+        indexed = read_versioned(
+            spark,
+            f"{lex_path}/doclen",
+            "pd",
+            version=anchor.get("doclen_version"),
+        ).select("doc_id", "fp")
+        w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        drifted = (
+            corpus_now.select("doc_id", doc_fp(w).alias("fp"))
+            .join(indexed, ["doc_id", "fp"], "left_anti")
+            .select("doc_id")
         )
-        missing = corpus_now.select("doc_id").join(
-            indexed, "doc_id", "left_anti"
-        )
-        if missing.isEmpty():
+        if drifted.isEmpty():
             return
         upsert_lexical_index(
-            corpus_now.join(F.broadcast(missing), "doc_id", "left_semi")
+            corpus_now.join(F.broadcast(drifted), "doc_id", "left_semi")
             .select("doc_id", "text"),
             lex_path,
         )

@@ -1234,6 +1234,28 @@ def test_admission_stream_maintains_lexical_index(spark):
         assert probe_all(lex, ("inverted", "maintenance")) == probe_all(
             ref, ("inverted", "maintenance")
         )
+        # REPLACED text: a re-delivered doc_id with NEW content passes
+        # the exact-twin screen and the keyed corpus upsert replaces
+        # the row — the (doc_id, fp) reconcile must re-index it
+        # (review r9: an id-presence reconcile served stale postings)
+        feed(
+            [(10, "replaced corpus body mentioning zymurgy overhaul",
+              "en", "mail", 48)],
+            inp,
+        )
+        run("c4")
+        got = probe_all(lex, ("zymurgy", "overhaul"))
+        assert [d for d, _, _ in got] == [10]
+        # old text's distinctive terms no longer match doc 10
+        assert all(
+            d != 10 for d, _, _ in probe_all(lex, ("inverted",))
+        )
+        # still value-identical to a batch build over the final corpus
+        corpus = read_versioned(spark, table, "source")
+        ref2 = f"{tmp}/ref_lex2"
+        build_lexical_index(corpus.select("doc_id", "text"), ref2)
+        for terms in (("zymurgy",), ("spark", "manifests"), ("the",)):
+            assert probe_all(lex, terms) == probe_all(ref2, terms), terms
 
 
 def test_admission_stream_degenerate_texts(spark):
@@ -1859,14 +1881,18 @@ def test_facade_batched_serving_matches_per_query(spark, tmp_path):
             out.setdefault(r["query_id"], []).append((r["id"], r["score"]))
         return out
 
-    # keyword: ordered lists must match exactly
+    # keyword: ordered doc lists match; scores at round-6 (the batched
+    # probe's aggregation-order sum differs from the single probe's
+    # fixed-order sum only in the last round-9 ulp — its contract)
     many = by_query(eng.semantic_search_many(qs, "keyword"))
     for q, text in qs.items():
         single = [
-            (r["id"], r["score"])
+            (r["id"], round(r["score"], 6))
             for r in eng.semantic_search(text, "keyword").collect()
         ]
-        assert many.get(q, []) == single, q
+        assert [
+            (i, round(s, 6)) for i, s in many.get(q, [])
+        ] == single, q
     # hybrid_lexical: fused order + scores must match
     many = by_query(eng.semantic_search_many(qs, "hybrid_lexical"))
     for q, text in qs.items():
