@@ -702,13 +702,17 @@ class SortifyEngine:
         of every query's term buckets — ``probe_lexical_index_many``),
         ``hybrid_lexical`` (that probe + one batched dense scan, fused
         per query by ``fusion.rrf_fuse_many``), ``summary_only`` /
-        ``chunks_only`` (one batched dense scan), ``rrf_fusion`` (two
-        batched dense scans + grouped fusion).  The dense legs serve
-        the EXACT path; the two-stage ``hybrid`` strategy stays
-        per-query (its stage-2 plan depends on stage-1 results).
-        Batched keyword serves from the persisted artifact only
-        (``cfg.lexical='scan'`` would re-scan the corpus per batch —
-        use the per-query API for the index-free fallback)."""
+        ``chunks_only`` (one batched dense scan), ``rrf_fusion`` /
+        ``traditional`` (two batched dense scans + grouped fusion),
+        and the default two-stage ``hybrid`` (every query's stage-1
+        candidates gathered into ONE (query, id) pair frame; stage 2
+        is one semi-joined chunk scan scored per pair —
+        ``fusion.two_stage_hybrid_many``).  Dense legs serve the EXACT
+        path by default and the persisted IVF index under
+        ``cfg.ann='ivf'``; ``ann='lsh'`` is per-query only (refused
+        loudly).  Batched keyword serves from the persisted artifact
+        only (``cfg.lexical='scan'`` would re-scan the corpus per
+        batch — use the per-query API for the index-free fallback)."""
         cfg = cfg or SearchConfig()
         if not queries:
             raise ValueError("semantic_search_many requires ≥1 query")
@@ -779,10 +783,76 @@ class SortifyEngine:
             ).select(
                 "query_id", "id", F.col("rrf_score").alias("score"), "rnk"
             )
+        if search_type == "traditional":
+            return fusion.traditional_merge_many(
+                self._scored_many(queries, "summary", cfg.top_k * 2, cfg),
+                self._scored_many(queries, "chunk", cfg.top_k * 2, cfg),
+                top_k=cfg.top_k,
+            )
+        if search_type == "hybrid":
+            # batched two-stage: every query's stage-1 candidates
+            # gather in ONE frame; stage 2 scores chunks restricted to
+            # the (query, candidate) PAIRS — one semi-joined scan for
+            # the whole batch, each chunk row scored against ITS
+            # query's embedding with the single path's exact folds
+            from sortify_spark.functions.vectors import (
+                cosine_given_norms,
+                l2_norm,
+            )
+
+            summary = self._scored_many(queries, "summary", STAGE1_K, cfg)
+
+            def chunk_scored_fn(cand_pairs: DataFrame) -> DataFrame:
+                q = F.broadcast(
+                    self._query_df_many(queries)
+                    .select(
+                        "query_id", F.col("embedding").alias("__qvec")
+                    )
+                    .withColumn("__qn", l2_norm("__qvec"))
+                )
+                restricted = (
+                    self.vectors.filter(F.col("vtype") == "chunk")
+                    .join(
+                        F.broadcast(
+                            cand_pairs.withColumnRenamed(
+                                "id", "document_id"
+                            )
+                        ),
+                        "document_id",
+                    )
+                    .withColumn("__vn", l2_norm("embedding"))
+                    .join(q, "query_id")
+                )
+                scored = restricted.select(
+                    "query_id",
+                    F.col("document_id").alias("id"),
+                    F.round(
+                        cosine_given_norms(
+                            F.col("embedding"),
+                            F.col("__qvec"),
+                            F.col("__vn"),
+                            F.col("__qn"),
+                        ),
+                        6,
+                    ).alias("score"),
+                )
+                w = Window.partitionBy("query_id").orderBy(
+                    F.desc("score"), F.asc("id")
+                )
+                return (
+                    scored.withColumn("__r", F.row_number().over(w))
+                    .filter(F.col("__r") <= 2 * STAGE2_K)
+                    .drop("__r")
+                )
+
+            return fusion.two_stage_hybrid_many(
+                summary,
+                chunk_scored_fn,
+                stage1_k=STAGE1_K,
+                top_k=STAGE2_K,
+            ).select("query_id", "id", "score", "tier", "rnk")
         raise ValueError(
-            f"semantic_search_many does not support {search_type!r} "
-            "(two-stage 'hybrid' is per-query by design: its stage-2 "
-            "plan depends on stage-1 results)"
+            f"semantic_search_many does not support {search_type!r}"
         )
 
     def cached_search(

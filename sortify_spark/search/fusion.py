@@ -241,6 +241,73 @@ def two_stage_hybrid(
     ).limit(top_k)
 
 
+def two_stage_hybrid_many(
+    summary_scored: DataFrame,
+    chunk_scored_fn,
+    group_col: str = "query_id",
+    id_col: str = "id",
+    stage1_k: int = 10,
+    top_k: int = 5,
+) -> DataFrame:
+    """BATCHED :func:`two_stage_hybrid`: N queries' coarse→fine search
+    in ONE plan per stage.  ``chunk_scored_fn`` receives the whole
+    batch's (group, id) candidate PAIRS (each query's stage-1 top
+    ``stage1_k``) and must return per-(group, id) fine scores
+    restricted to those pairs — the batched semi-join pushdown.
+    Dedup-prefer-stage-2, then per-group (tier asc, score desc, id
+    asc) rank ≤ top_k — per group identical to the single-query
+    operator's rows, with ``rnk`` added."""
+    stage1 = add_rank_grouped(summary_scored, group_col, id_col).filter(
+        F.col("rank") <= stage1_k
+    )
+    candidates = stage1.select(group_col, id_col)
+    stage2 = chunk_scored_fn(candidates)
+    s2 = stage2.select(
+        group_col, id_col, F.col("score"), F.lit(0).alias("tier")
+    )
+    s1 = stage1.select(
+        group_col, id_col, F.col("score"), F.lit(1).alias("tier")
+    )
+    unioned = s2.unionByName(s1)
+    w = Window.partitionBy(group_col, id_col).orderBy(
+        F.col("tier").asc(), F.col("score").desc()
+    )
+    deduped = (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col("tier").asc(), F.col("score").desc(), F.col(id_col).asc()
+    )
+    return deduped.withColumn("rnk", F.row_number().over(w2)).filter(
+        F.col("rnk") <= top_k
+    )
+
+
+def traditional_merge_many(
+    summary_scored: DataFrame,
+    chunk_scored: DataFrame,
+    group_col: str = "query_id",
+    id_col: str = "id",
+    top_k: int = 10,
+) -> DataFrame:
+    """BATCHED :func:`traditional_merge`: per-(group, id) max score,
+    per-group rank ≤ top_k — one shuffle for the whole batch."""
+    unioned = summary_scored.select(
+        group_col, id_col, "score"
+    ).unionByName(chunk_scored.select(group_col, id_col, "score"))
+    merged = unioned.groupBy(group_col, id_col).agg(
+        F.max("score").alias("score")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return merged.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= top_k
+    )
+
+
 def traditional_merge(
     summary_scored: DataFrame,
     chunk_scored: DataFrame,

@@ -1917,9 +1917,26 @@ def test_facade_batched_serving_matches_per_query(spark, tmp_path):
             for r in eng.semantic_search(text, "rrf_fusion").collect()
         ]
         assert many.get(q, []) == single, q
+    # hybrid (the default two-stage strategy): ordered (id, score)
+    # per query must match the loop; tier breaks remaining ties
+    many = by_query(eng.semantic_search_many(qs, "hybrid"))
+    for q, text in qs.items():
+        single = [
+            (r["id"], r["score"])
+            for r in eng.semantic_search(text, "hybrid").collect()
+        ]
+        assert many.get(q, []) == single, q
+    # traditional: per-doc max-score merge
+    many = by_query(eng.semantic_search_many(qs, "traditional"))
+    for q, text in qs.items():
+        single = [
+            (r["id"], r["score"])
+            for r in eng.semantic_search(text, "traditional").collect()
+        ]
+        assert many.get(q, []) == single, q
     # contract errors
-    with pytest.raises(ValueError, match="per-query"):
-        eng.semantic_search_many(qs, "hybrid")
+    with pytest.raises(ValueError, match="not support"):
+        eng.semantic_search_many(qs, "no_such_strategy")
     with pytest.raises(ValueError, match="scan"):
         eng.semantic_search_many(
             qs, "keyword", SearchConfig(lexical="scan")
