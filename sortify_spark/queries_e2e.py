@@ -233,6 +233,58 @@ def q_e2e_search_traditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark, sf_dir).semantic_search(E2E_QUERY, "traditional")
 
 
+#: Serving batch for the BATCHED facade row (quote-free literals).
+E2E_BATCH_QUERIES = {
+    "qa": E2E_QUERY,
+    "qb": "vector index build and search serving",
+    "qc": "streaming admission and atomic commits",
+}
+
+
+def _batched_hybrid_oracle() -> str:
+    """Oracle for ``e2e_search_batched``: the single-query two-stage
+    replay (`_hybrid_ctes`) instantiated once per batch member over
+    ONE shared ingest replay — exactly what the batched plan amortizes
+    on the Spark side."""
+    ctes = [_ingest_ctes()]
+    selects = []
+    for q, text in E2E_BATCH_QUERIES.items():
+        ctes.append(_query_ctes(text, qref=f"{q}q"))
+        ctes.append(_hybrid_ctes(f"{q}_", qref=f"{q}q"))
+        selects.append(
+            f"""SELECT '{q}' AS query_id, id, score, tier,
+       ROW_NUMBER() OVER (ORDER BY tier ASC, score DESC, id ASC) AS rnk
+FROM {q}_final"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n{body}\n) __u ORDER BY query_id, rnk"
+    )
+
+
+@register(
+    "e2e_search_batched",
+    _batched_hybrid_oracle(),
+    note="E2E BATCHED serving (VERDICT r8 #2): three queries through "
+    "facade.semantic_search_many('hybrid') — every query's stage-1 "
+    "candidates in ONE frame, stage 2 one semi-joined chunk scan "
+    "scored per (query, candidate) pair, per-query tier dedup + "
+    "backfill (fusion.two_stage_hybrid_many).  The oracle replays "
+    "ingest, per-query embedding, and both stages from raw text per "
+    "batch member — the batched plan must be bit-identical per query "
+    "to the single-query pipeline (the md5 expression encoder and "
+    "round-6 cosine make every score an exact expression).",
+)
+def q_e2e_search_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _engine(spark, sf_dir)
+        .semantic_search_many(dict(E2E_BATCH_QUERIES), "hybrid")
+        .orderBy("query_id", "rnk")
+    )
+
+
 # --- QA document_search e2e (V6) and chunks-by-document (V8) ---------------
 
 #: Classifies as document_search ("find" + "about" cues, confidence 0.9,

@@ -622,6 +622,18 @@ _suite(
             dict(key1="id", val="score"),
         ),
         ("e2e_search_lsh", dict(key1="id", val="score")),
+        # round 9: the batched facade serving row — three queries'
+        # two-stage hybrid in one plan per stage vs per-query replays.
+        (
+            "e2e_search_batched",
+            dict(
+                key1="query_id",
+                key2="id",
+                cnt="rnk",
+                val="score",
+                val2="CAST(tier AS DOUBLE)",
+            ),
+        ),
         (
             "facade_lsh_recall",
             dict(
