@@ -123,6 +123,13 @@ HEADLINE = (
     "dedup_attribution",
     # round 7: decontamination attribution (train doc -> benchmark item)
     "contamination_attribution",
+    # round 8: exact substring dedup (Lee et al. window granularity;
+    # one map-side-combinable wide shuffle + interval-merge rebuild)
+    "substring_dedup_keep_first",
+    # round 9: batched lexical serving through the persisted artifact
+    # (build + 3-query probe in one plan — the semantic_search_many
+    # keyword shape, timed end-to-end including the index build)
+    "bm25_batched_probe",
 )
 
 
