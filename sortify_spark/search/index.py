@@ -38,6 +38,7 @@ def build_ivf_index(
     seed_col: str | None = None,
     nlist_per_seed: int = 1,
     exact_assign: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> int:
     """Build/refresh the IVF index at ``path``; returns the committed
     version of the assignment table.
@@ -58,12 +59,20 @@ def build_ivf_index(
     between the two commits can never skew a probe: the centroid
     snapshot is resolved from the assign commit being probed, not from
     a parallel version counter.
+
+    ``carry_cols``: metadata columns stored alongside each vector in
+    the assign table — the substrate for FILTERED ANN (the reference
+    combines Chroma ``where`` metadata filters with vector search,
+    ``vector_db_service.py:193-224``): a probe's ``pre_filter``
+    evaluates on these inside the probed buckets, so the filter rides
+    the partition-pruned scan instead of a corpus join.
     """
     from sortify_spark.sources.versioned import overwrite_versioned
 
     base = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
+        *[F.col(c) for c in carry_cols],
         (
             F.col(seed_col)
             if seed_col is not None
@@ -82,7 +91,9 @@ def build_ivf_index(
         else knn.assign_nearest_centroid_np
     )
     assigned = assign(base, seeds).withColumnRenamed("label", "bucket")
-    data = base.select("vec_id", "embedding").join(assigned, "vec_id")
+    data = base.select("vec_id", "embedding", *carry_cols).join(
+        assigned, "vec_id"
+    )
     cents = knn.build_centroids(data, "bucket").select(
         "bucket", "centroid", F.lit(0).alias("part")
     )
@@ -264,6 +275,7 @@ def probe_ivf_index(
     k: int = 10,
     nprobe: int = 3,
     version: int | None = None,
+    pre_filter=None,
 ) -> DataFrame:
     """Top-k through the stored index: rank the stored centroids,
     read ONLY the probed buckets (partition-pruned via the manifest),
@@ -271,7 +283,15 @@ def probe_ivf_index(
     snapshot (time travel); its paired centroid snapshot comes from
     the assign manifest's recorded ``centroid_version``, so the pair
     is always the one a single build committed — the two tables'
-    version counters need not stay in lockstep."""
+    version counters need not stay in lockstep.
+
+    ``pre_filter``: a Column over the assign table's columns (vec_id
+    plus the build's ``carry_cols`` metadata) — FILTERED ANN, the
+    Chroma where-filter analog: evaluated inside the probed buckets
+    before scoring, so the filter never touches the corpus.  Standard
+    IVF filtered-search caveat: bucket choice ignores the filter, so
+    matching vectors whose buckets were not probed are missed — raise
+    ``nprobe`` when the filter is highly selective."""
     from sortify_spark.sources.versioned import (
         _read_partition_dirs,
         read_manifest,
@@ -296,6 +316,8 @@ def probe_ivf_index(
         rels,
         dtype=manifest.get("partition_dtype"),
     )
+    if pre_filter is not None:
+        probed = probed.filter(pre_filter)
     return knn.brute_force_topk(probed, query, k=k)
 
 
@@ -306,6 +328,7 @@ def probe_ivf_index_many(
     k: int = 10,
     nprobe: int = 3,
     version: int | None = None,
+    pre_filter=None,
 ) -> DataFrame:
     """BATCHED probe: top-k for N queries through the stored index in
     ONE plan — (query_id, vec_id, score, rnk) — the IVF twin of
@@ -379,7 +402,12 @@ def probe_ivf_index_many(
         "bucket",
         rels,
         dtype=manifest.get("partition_dtype"),
-    ).withColumn("__vn", l2_norm("embedding"))
+    )
+    if pre_filter is not None:
+        # filtered ANN (see probe_ivf_index): evaluated inside the
+        # probed buckets, before the norm fold and scoring join
+        probed = probed.filter(pre_filter)
+    probed = probed.withColumn("__vn", l2_norm("embedding"))
     from sortify_spark.functions.vectors import cosine_given_norms
 
     scored = probed.join(F.broadcast(qb), "bucket").select(

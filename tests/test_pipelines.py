@@ -2053,6 +2053,60 @@ def test_lexical_artifact_vacuum_preserves_current_probe(spark, tmp_path):
         probe_lexical_index(spark, path, terms, k=5, version=v1).collect()
 
 
+def test_ivf_filtered_probe(spark, tmp_path):
+    """Filtered ANN: carry_cols metadata rides the assign table, and a
+    probe's pre_filter evaluates inside the probed buckets — results
+    equal the unfiltered probe post-filtered (the filter can only
+    remove rows from probed buckets), every hit satisfies the
+    predicate, and the batched probe agrees with the single one."""
+    from sortify_spark.search.index import (
+        build_ivf_index,
+        probe_ivf_index,
+        probe_ivf_index_many,
+    )
+
+    vecs = load_table(spark, SF_DIR, "embeddings").limit(300).select(
+        F.col("vec_id").cast("string").alias("vec_id"),
+        "embedding",
+        "label",
+        F.col("label").alias("seed"),
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(vecs, path, seed_col="seed", carry_cols=("label",))
+    q = vecs.limit(1).select("embedding")
+    flt = F.col("label") % 2 == 0
+    hits = probe_ivf_index(
+        spark, path, q, k=10, nprobe=8, pre_filter=flt
+    ).collect()
+    assert hits
+    # every hit satisfies the predicate (label is even by vec_id join)
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in vecs.select("vec_id", "label").collect()
+    }
+    assert all(labels[r["vec_id"]] % 2 == 0 for r in hits)
+    # filtered probe == unfiltered probe's rows restricted to the
+    # predicate, re-limited (same buckets, same scores)
+    unfiltered = probe_ivf_index(spark, path, q, k=300, nprobe=8).collect()
+    want = [
+        (r["vec_id"], r["score"])
+        for r in unfiltered
+        if labels[r["vec_id"]] % 2 == 0
+    ][:10]
+    assert [(r["vec_id"], r["score"]) for r in hits] == want
+    # batched probe with the same filter agrees per query
+    queries = spark.createDataFrame(
+        [("q0", q.first()["embedding"])],
+        "query_id string, embedding array<float>",
+    )
+    many = probe_ivf_index_many(
+        spark, path, queries, k=10, nprobe=8, pre_filter=flt
+    ).collect()
+    assert [(r["vec_id"], r["score"]) for r in many] == [
+        (r["vec_id"], r["score"]) for r in hits
+    ]
+
+
 def test_delete_from_ivf_index_unit(spark, tmp_path):
     """Keyed IVF delete: deleted ids vanish from probes, survivors'
     scores are unchanged, centroid pairing + built_rows carry through,
