@@ -69,6 +69,10 @@ AUDIT = [
     "mv_merge_daily",
     "gopher_quality_rules",
     "paragraph_dedup_keep_first",
+    # round 8/9 flagships: exact substring dedup (one map-side-combined
+    # wide shuffle) and batched lexical serving (bucket-pruned probe)
+    "substring_dedup_keep_first",
+    "bm25_batched_probe",
 ]
 
 
