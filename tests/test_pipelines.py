@@ -2008,6 +2008,60 @@ def test_ivf_batched_probe_matches_single(spark, tmp_path):
         assert batched.get(q, set()) == single, q
 
 
+def test_lexical_upsert_heals_orphaned_partial_commit(spark, tmp_path):
+    """Crash INSIDE upsert_lexical_index (postings + doclen committed,
+    terms ANCHOR not): probes keep serving the pre-crash snapshot, and
+    RE-RUNNING the upsert for the affected doc (what the streaming
+    reconcile's anchor-pinned drift check issues — review r9) heals
+    the artifact to value-identity with a from-scratch rebuild; the
+    orphaned newer versions are absorbed by the keyed merges."""
+    from sortify_spark.search.lexical import (
+        _tokenized,
+        build_lexical_index,
+        probe_lexical_index,
+        upsert_lexical_index,
+    )
+    from sortify_spark.sources.versioned import (
+        read_manifest,
+        upsert_versioned,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    path = str(tmp_path / "lex")
+    build_lexical_index(docs.filter(F.col("doc_id") != 7), path)
+    a1 = read_manifest(f"{path}/terms")
+    # simulate the crash: commit doc 7's postings + doclen rows exactly
+    # as upsert_lexical_index would, but never the anchor
+    bpost, bdoclen = _tokenized(
+        docs.filter(F.col("doc_id") == 7), "doc_id", "text",
+        int(a1["pt_buckets"]), int(a1["pd_buckets"]),
+    )
+    upsert_versioned(
+        bpost, f"{path}/postings", keys=["term", "doc_id"],
+        partition_col="pt",
+    )
+    upsert_versioned(
+        bdoclen, f"{path}/doclen", keys=["doc_id"], partition_col="pd"
+    )
+    terms = ("dup", "spark", "merge")
+    # the anchor still pins the pre-crash pair: doc 7 invisible
+    pre = probe_lexical_index(spark, path, terms, k=50).collect()
+    assert all(r["doc_id"] != 7 for r in pre)
+    # the heal: re-run the upsert for the drifted doc
+    upsert_lexical_index(docs.filter(F.col("doc_id") == 7), path)
+    ref = str(tmp_path / "ref")
+    build_lexical_index(docs, ref)
+    got = [
+        (r["doc_id"], r["matched_terms"], r["bm25"])
+        for r in probe_lexical_index(spark, path, terms, k=50).collect()
+    ]
+    want = [
+        (r["doc_id"], r["matched_terms"], r["bm25"])
+        for r in probe_lexical_index(spark, ref, terms, k=50).collect()
+    ]
+    assert got == want
+
+
 def test_lexical_artifact_vacuum_preserves_current_probe(spark, tmp_path):
     """Vacuum on the lexical artifact's tables reclaims superseded
     version dirs without touching the CURRENT anchored snapshot: after
