@@ -160,6 +160,11 @@ class SortifyEngine:
         #: engine (the point of a committed index).
         self._index_root = index_root
         self._ivf_built: set[str] = set()
+        #: vtypes mutated while not in ``_ivf_built``: adoption of a
+        #: pre-existing on-disk IVF artifact must rebuild even when the
+        #: row count happens to tie (ADVICE r9 — the lexical artifact's
+        #: ``_lex_dirty`` discipline, mirrored).
+        self._ivf_dirty: set[str] = set()
         self._lex_built = False
         #: Corpus mutated while _lex_built was False: a later adoption
         #: of a pre-existing on-disk artifact must rebuild even when
@@ -415,13 +420,22 @@ class SortifyEngine:
             docs, chunk_size=128, overlap=32, dim=self.dim
         ).persist()
         self.documents = self.documents.unionByName(docs)
+        # swap-then-release (ADVICE r9): materialize the grown frame
+        # BEFORE unpersisting the old one it builds on, so repeated
+        # mutations don't accumulate cached lineages in executor storage
+        old_vectors = self.vectors
         self.vectors = self.vectors.unionByName(new_vecs).persist()
+        self.vectors.count()
+        old_vectors.unpersist()
         # LSH caches key against a center derived from the OLD corpus;
         # drop them so the next probe rebuilds over the grown corpus
         self._lsh_cache.clear()
         out: dict = {}
         if not self._lex_built:
             self._lex_dirty = True  # adoption must not trust n_docs alone
+        # same discipline for unbuilt IVF artifacts (ADVICE r9): a later
+        # adoption must rebuild rather than trust the stale snapshot
+        self._ivf_dirty.update({"summary", "chunk"} - self._ivf_built)
         if self._lex_built:
             from sortify_spark.search.lexical import upsert_lexical_index
 
@@ -465,13 +479,36 @@ class SortifyEngine:
 
     def _ivf_index(self, vtype: str) -> str:
         """Ensure the artifact exists (first use builds version 1);
-        subsequent searches only read committed snapshots."""
+        subsequent searches only read committed snapshots.
+
+        Adopting a PRE-EXISTING on-disk artifact reconciles it against
+        the served vectors first (ADVICE r9, mirroring
+        :meth:`_lexical_index`): vectors added or deleted via
+        :meth:`add_documents` / :meth:`delete_vectors` before the first
+        ``ann='ivf'`` probe (while ``vtype`` was not in ``_ivf_built``)
+        were never upserted into it, so a bare adoption would leave
+        deleted docs probe-able and added docs unsearchable.  The drift
+        check is the assign table's exact row count vs one served-
+        vectors count; any mismatch — or a mutation recorded in
+        ``_ivf_dirty`` (a balanced add+delete passes the count check)
+        — rebuilds."""
         if vtype not in self._ivf_built:
-            from sortify_spark.sources.versioned import read_manifest
+            from sortify_spark.sources.versioned import (
+                read_manifest,
+                read_versioned,
+            )
 
             path = self.ivf_index_path(vtype)
             if read_manifest(f"{path}/assign")["version"] == 0:
                 self.rebuild_ivf_index(vtype)
+            elif (
+                vtype in self._ivf_dirty
+                or read_versioned(self.spark, f"{path}/assign", "bucket")
+                .count()
+                != self.vectors.filter(F.col("vtype") == vtype).count()
+            ):
+                self.rebuild_ivf_index(vtype)
+                self._ivf_dirty.discard(vtype)
             else:
                 self._ivf_built.add(vtype)
         return self.ivf_index_path(vtype)
@@ -910,6 +947,7 @@ class SortifyEngine:
         )
         if not self._lex_built:
             self._lex_dirty = True  # adoption must not trust n_docs alone
+        self._ivf_dirty.update({"summary", "chunk"} - self._ivf_built)
         if self._lex_built:
             from sortify_spark.search.lexical import (
                 delete_from_lexical_index,
@@ -928,9 +966,14 @@ class SortifyEngine:
                 .select(F.col("vector_id").alias("vec_id"))
             )
             delete_from_ivf_index(gone, self.ivf_index_path(vtype))
+        # swap-then-release (ADVICE r9): materialize survivors before
+        # unpersisting the frame they filter from
+        old_vectors = self.vectors
         self.vectors = self.vectors.join(
             F.broadcast(ids), "document_id", "left_anti"
         ).persist()
+        self.vectors.count()
+        old_vectors.unpersist()
         self.documents = self.documents.join(
             F.broadcast(
                 ids.select(F.col("document_id").cast("long").alias("doc_id"))

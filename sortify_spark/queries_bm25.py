@@ -568,21 +568,47 @@ def q_bm25_batched_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_lexical_index(docs, path)
     # over-fetch at the probe's round-9 order, then RE-RANK at round-6
     # (+ doc_id tie-break) so the reported ranks are summation-order-
-    # independent on both engines; 3x covers any round-6 tie group
-    # straddling the k boundary
-    over = probe_lexical_index_many(
-        spark, path, _BATCH_QUERIES, k=_BATCH_K * 3
-    ).select(
-        "query_id",
-        "doc_id",
-        "matched_terms",
-        F.round("bm25", 6).alias("bm25_r6"),
-    )
+    # independent on both engines.  TIE-SAFE over-fetch (ADVICE r9): a
+    # round-6 tie group larger than the over-fetch margin could
+    # straddle the fetch boundary and cut lower-doc_id members the
+    # full-scan oracle ranks inside top-k — so when any query's
+    # round-6 score at rank k equals its score at the fetch boundary
+    # (and the boundary was actually reached), re-probe wider.  The
+    # check is one ≤3-row aggregate collect per iteration; real corpora
+    # exit on the first pass.
     w = Window.partitionBy("query_id").orderBy(
         F.desc("bm25_r6"), F.asc("doc_id")
     )
+    kk = _BATCH_K * 3
+    while True:
+        over = probe_lexical_index_many(
+            spark, path, _BATCH_QUERIES, k=kk
+        ).select(
+            "query_id",
+            "doc_id",
+            "matched_terms",
+            F.round("bm25", 6).alias("bm25_r6"),
+        )
+        ranked = over.withColumn("rnk", F.row_number().over(w))
+        boundary = (
+            ranked.groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(
+                    F.when(F.col("rnk") == _BATCH_K, F.col("bm25_r6"))
+                ).alias("at_k"),
+                F.min("bm25_r6").alias("at_edge"),
+            )
+            .collect()
+        )
+        if not any(
+            r["n"] == kk and r["at_k"] is not None
+            and r["at_k"] == r["at_edge"]
+            for r in boundary
+        ):
+            break
+        kk *= 4
     return (
-        over.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _BATCH_K)
+        ranked.filter(F.col("rnk") <= _BATCH_K)
         .orderBy("query_id", "rnk")
     )

@@ -1326,13 +1326,44 @@ def admission_stream(
                     # before touching the sides; a crash mid-build is
                     # exactly the crash-between-commits case the
                     # per-batch catch-up already heals.
-                    from concurrent.futures import ThreadPoolExecutor
+                    #
+                    # A DAEMON thread, not ThreadPoolExecutor (ADVICE
+                    # r9): executor threads are non-daemon and joined
+                    # at interpreter exit, so a caller that never
+                    # drained would block shutdown on a corpus-sized
+                    # build (and race TemporaryDirectory cleanup).
+                    # With a daemon thread an undrained build is simply
+                    # abandoned at exit — the per-batch catch-up heals
+                    # it, same as a crash.  Failures are LOGGED here
+                    # (not only surfaced on drain): an abandoned future
+                    # must not swallow its exception silently.
+                    import threading
+                    from concurrent.futures import Future
 
-                    _bg = ThreadPoolExecutor(1)
+                    fut: Future = Future()
+
+                    def _bg_build(fut=fut):
+                        try:
+                            fut.set_result(_run_side_jobs())
+                        except BaseException as e:  # noqa: BLE001
+                            import logging
+
+                            logging.getLogger(__name__).exception(
+                                "deferred bootstrap side build failed "
+                                "for %s (next trigger's catch-up heals "
+                                "the missing index)",
+                                table_path,
+                            )
+                            fut.set_exception(e)
+
+                    threading.Thread(
+                        target=_bg_build,
+                        daemon=True,
+                        name="sortify-side-build",
+                    ).start()
                     _PENDING_SIDE_BUILDS.setdefault(
                         table_path, []
-                    ).append(_bg.submit(_run_side_jobs))
-                    _bg.shutdown(wait=False)
+                    ).append(fut)
                 else:
                     _run_side_jobs()
                 _tick("side_commits")
