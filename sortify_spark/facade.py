@@ -90,20 +90,27 @@ def get_engine(
     dim: int = 64,
     embed: str = "hash",
     doc_limit: int | None = None,
+    owner_col: str | None = None,
 ) -> "SortifyEngine":
-    """Shared engine per (session, sf_dir, dim, embed, doc_limit); builds
-    + persists the vector index on first use."""
+    """Shared engine per (session, sf_dir, dim, embed, doc_limit,
+    owner_col); builds + persists the vector index on first use."""
     key = (
         spark.sparkContext.applicationId or "local",
         sf_dir,
         dim,
         embed,
         doc_limit,
+        owner_col,
     )
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
         eng = _ENGINE_CACHE[key] = SortifyEngine(
-            spark, sf_dir, dim=dim, embed=embed, doc_limit=doc_limit
+            spark,
+            sf_dir,
+            dim=dim,
+            embed=embed,
+            doc_limit=doc_limit,
+            owner_col=owner_col,
         )
     return eng
 
@@ -129,11 +136,17 @@ class SortifyEngine:
         embed: str = "hash",
         doc_limit: int | None = None,
         index_root: str | None = None,
+        owner_col: str | None = None,
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
         self.dim = dim
         self.embed = embed
+        #: Tenant column of the documents table (P9 / the reference's
+        #: ``owner_id`` on every Chroma scan).  When set, every vector
+        #: and every persisted-artifact row carries ``owner_id`` and the
+        #: search APIs accept an ``owner_id`` to scope EVERY leg.
+        self.owner_col = owner_col
         self.documents = load_table(spark, sf_dir, "documents")
         if doc_limit is not None:
             self.documents = self.documents.filter(
@@ -145,7 +158,11 @@ class SortifyEngine:
         # behavior on the short synthetic docs).
         build = ingest_vectorize_expr if embed == "expr" else ingest_vectorize
         self.vectors = build(
-            self.documents, chunk_size=128, overlap=32, dim=dim
+            self.documents,
+            owner_col=owner_col,
+            chunk_size=128,
+            overlap=32,
+            dim=dim,
         ).persist()
         #: Result cache for repeated searches (reference caches AI search
         #: responses keyed by question hash, ``ai_cache_manager.py:244-257``).
@@ -215,8 +232,29 @@ class SortifyEngine:
             [(vec,)], "embedding array<float>"
         )
 
+    def _owner_pred(self, owner_id: str | None):
+        """The tenant predicate every leg pushes down (P9; reference
+        ``vector_db_service.py:199-221`` — every Chroma scan is
+        owner-filtered).  ``None`` = unscoped; scoping requires the
+        engine to have been built with ``owner_col`` (vectors and
+        artifacts otherwise carry the constant ``'default'`` owner,
+        which would silently match nothing — refuse loudly instead)."""
+        if owner_id is None:
+            return None
+        if self.owner_col is None:
+            raise ValueError(
+                "owner-scoped search requires an engine built with "
+                "owner_col (every vector then carries owner_id)"
+            )
+        return F.col("owner_id") == F.lit(str(owner_id))
+
     def _scored(
-        self, query_text: str, vtype: str, k: int, cfg: SearchConfig | None = None
+        self,
+        query_text: str,
+        vtype: str,
+        k: int,
+        cfg: SearchConfig | None = None,
+        owner_id: str | None = None,
     ) -> DataFrame:
         """Top-k scored list deduped to the BEST chunk per document.
 
@@ -230,9 +268,16 @@ class SortifyEngine:
         probe (``knn.lsh_portable_topk``): only the query's bucket is
         scored, exact cosine rerank inside — recall < 1 by construction,
         cost 1/2^nbits of the scan.
-        """
+
+        ``owner_id`` scopes every path to one tenant BEFORE ranking:
+        exact via the scan pre-filter, LSH by filtering the keyed index
+        frame inside the probed bucket, IVF via the assign table's
+        carried ``owner_id`` (``probe pre_filter`` — the standard
+        filtered-IVF caveat applies: bucket CHOICE ignores the filter,
+        so raise ``ivf_nprobe`` for highly selective tenants)."""
         from sortify_spark.search.knn import lsh_portable_topk
 
+        pred = self._owner_pred(owner_id)
         q = self._query_df(query_text)
         if cfg is not None and cfg.ann == "ivf":
             from sortify_spark.search.index import probe_ivf_index
@@ -245,6 +290,7 @@ class SortifyEngine:
                 k=k,
                 nprobe=cfg.ivf_nprobe,
                 version=cfg.ivf_version,
+                pre_filter=pred,
             ).select(
                 # vec_id is the vector_id "doc#vtype#chunk"; recover the
                 # document for the per-doc dedupe below
@@ -253,6 +299,8 @@ class SortifyEngine:
             )
         elif cfg is not None and cfg.ann == "lsh":
             center, keyed = self._lsh_index(vtype, cfg.lsh_nbits)
+            if pred is not None:
+                keyed = keyed.filter(pred)
             topk = lsh_portable_topk(
                 keyed,
                 q,
@@ -265,7 +313,9 @@ class SortifyEngine:
             )
         else:
             base = self.vectors.filter(F.col("vtype") == vtype)
-            topk = brute_force_topk(base, q, id_col="document_id", k=k)
+            topk = brute_force_topk(
+                base, q, id_col="document_id", k=k, pre_filter=pred
+            )
         return (
             topk.select(F.col("document_id").alias("id"), "score")
             .groupBy("id")
@@ -328,6 +378,19 @@ class SortifyEngine:
 
         return os.path.join(self._index_root, "lex")
 
+    def _lex_docs(self, docs: DataFrame) -> DataFrame:
+        """The lexical-index input frame: (doc_id, text) plus the
+        normalized ``owner_id`` carry column when the engine is
+        tenant-scoped — postings then carry the owner so probes can
+        pre-filter without touching the corpus."""
+        if self.owner_col is None:
+            return docs.select("doc_id", "text")
+        return docs.select(
+            "doc_id",
+            "text",
+            F.col(self.owner_col).cast("string").alias("owner_id"),
+        )
+
     def rebuild_lexical_index(self) -> int:
         """(Re)build the persisted lexical index over the served
         corpus — a new atomic anchor version; probes pinned to an older
@@ -336,8 +399,9 @@ class SortifyEngine:
         from sortify_spark.search.lexical import build_lexical_index
 
         version = build_lexical_index(
-            self.documents.select("doc_id", "text"),
+            self._lex_docs(self.documents),
             self.lexical_index_path(),
+            carry_cols=("owner_id",) if self.owner_col else (),
         )
         self._lex_built = True
         return version
@@ -366,6 +430,13 @@ class SortifyEngine:
                 self._lex_dirty
                 or anchor["version"] == 0
                 or int(anchor.get("n_docs", -1)) != self.documents.count()
+                # a tenant-scoped engine needs owner_id carried in the
+                # postings; an artifact built without it cannot serve
+                # owner-filtered probes — rebuild
+                or (
+                    self.owner_col is not None
+                    and "owner_id" not in (anchor.get("carry") or [])
+                )
             ):
                 self.rebuild_lexical_index()
                 self._lex_dirty = False
@@ -383,12 +454,19 @@ class SortifyEngine:
         base = self.vectors.filter(F.col("vtype") == vtype).select(
             F.col("vector_id").alias("vec_id"),
             "embedding",
+            # tenant metadata rides each assign row so owner-scoped
+            # probes pre_filter INSIDE the probed buckets (filtered
+            # ANN, vector_db_service.py:193-224)
+            "owner_id",
             F.pmod(
                 F.abs(F.xxhash64("document_id")), F.lit(16)
             ).alias("seed"),
         )
         version = build_ivf_index(
-            base, self.ivf_index_path(vtype), seed_col="seed"
+            base,
+            self.ivf_index_path(vtype),
+            seed_col="seed",
+            carry_cols=("owner_id",),
         )
         self._ivf_built.add(vtype)
         return version
@@ -417,7 +495,11 @@ class SortifyEngine:
             else ingest_vectorize
         )
         new_vecs = build(
-            docs, chunk_size=128, overlap=32, dim=self.dim
+            docs,
+            owner_col=self.owner_col,
+            chunk_size=128,
+            overlap=32,
+            dim=self.dim,
         ).persist()
         self.documents = self.documents.unionByName(docs)
         # swap-then-release (ADVICE r9): materialize the grown frame
@@ -445,7 +527,7 @@ class SortifyEngine:
             out["lexical"] = (
                 "upsert",
                 upsert_lexical_index(
-                    docs.select("doc_id", "text"),
+                    self._lex_docs(docs),
                     self.lexical_index_path(),
                 ),
             )
@@ -453,7 +535,7 @@ class SortifyEngine:
             path = self.ivf_index_path(vtype)
             m = read_manifest(f"{path}/assign")
             adds = new_vecs.filter(F.col("vtype") == vtype).select(
-                F.col("vector_id").alias("vec_id"), "embedding"
+                F.col("vector_id").alias("vec_id"), "embedding", "owner_id"
             )
             n_add = adds.count()
             if n_add == 0:
@@ -499,10 +581,14 @@ class SortifyEngine:
             )
 
             path = self.ivf_index_path(vtype)
-            if read_manifest(f"{path}/assign")["version"] == 0:
+            manifest = read_manifest(f"{path}/assign")
+            if manifest["version"] == 0:
                 self.rebuild_ivf_index(vtype)
             elif (
                 vtype in self._ivf_dirty
+                # an artifact without the owner_id carry cannot serve
+                # owner-filtered probes — rebuild on adoption
+                or "owner_id" not in (manifest.get("carry") or [])
                 or read_versioned(self.spark, f"{path}/assign", "bucket")
                 .count()
                 != self.vectors.filter(F.col("vtype") == vtype).count()
@@ -518,6 +604,7 @@ class SortifyEngine:
         query_text: str,
         search_type: str = "hybrid",
         cfg: SearchConfig | None = None,
+        owner_id: str | None = None,
     ) -> DataFrame:
         """POST /semantic-search: strategy dispatch V7 over V1-V5 plans.
 
@@ -528,8 +615,19 @@ class SortifyEngine:
         with the dense summary list (the published lexical x dense
         hybrid; weights 1/1, ``fusion.rrf_fuse`` so the contribution
         columns read summary=dense / chunks=lexical).
+
+        ``owner_id`` scopes EVERY leg to one tenant (P9, the
+        reference's mandatory ``where={owner_id}`` on every index scan,
+        ``vector_db_service.py:199-221``): dense legs filter before
+        ranking (exact scan / LSH bucket / IVF carried metadata), the
+        lexical-index leg pre-filters the carried ``owner_id`` inside
+        the probed posting buckets, and the scan fallback semi-joins
+        the owner's doc ids.  BM25 statistics stay corpus-global —
+        filter-then-rank, the reference's semantics — and requires an
+        engine built with ``owner_col``.
         """
         cfg = cfg or SearchConfig()
+        pred = self._owner_pred(owner_id)
         if search_type in ("keyword", "hybrid_lexical"):
             from sortify_spark.queries_bm25 import bm25_scored
 
@@ -566,6 +664,7 @@ class SortifyEngine:
                     terms,
                     k=lex_k,
                     version=cfg.lex_version,
+                    pre_filter=pred,
                 ).select(
                     F.col("doc_id").cast("string").alias("id"),
                     F.col("bm25").alias("score"),
@@ -576,8 +675,20 @@ class SortifyEngine:
                 # so both serving modes share one total order at tied
                 # scores (ADVICE r8: string order '10' < '9' made the
                 # idx==scan equality corpus-dependent)
+                scored = bm25_scored(self.documents, terms)
+                if owner_id is not None:
+                    # scan fallback: restrict to the owner's docs BEFORE
+                    # the top-k (scores stay global-corpus, same as the
+                    # index path's pre_filter)
+                    owner_ids = self.documents.filter(
+                        F.col(self.owner_col).cast("string")
+                        == F.lit(str(owner_id))
+                    ).select("doc_id")
+                    scored = scored.join(
+                        F.broadcast(owner_ids), "doc_id", "left_semi"
+                    )
                 lex = (
-                    bm25_scored(self.documents, terms)
+                    scored
                     .orderBy(F.desc("bm25"), F.asc("doc_id"))
                     .limit(lex_k)
                     .select(
@@ -587,7 +698,9 @@ class SortifyEngine:
                 )
             if search_type == "keyword":
                 return lex
-            dense = self._scored(query_text, "summary", cfg.top_k * 2, cfg)
+            dense = self._scored(
+                query_text, "summary", cfg.top_k * 2, cfg, owner_id
+            )
             return fusion.rrf_fuse(
                 dense,
                 lex,
@@ -597,14 +710,14 @@ class SortifyEngine:
                 top_k=cfg.top_k,
             )
         if search_type == "summary_only":
-            return self._scored(query_text, "summary", cfg.top_k, cfg)
+            return self._scored(query_text, "summary", cfg.top_k, cfg, owner_id)
         if search_type == "chunks_only":
-            return self._scored(query_text, "chunk", cfg.top_k, cfg)
+            return self._scored(query_text, "chunk", cfg.top_k, cfg, owner_id)
         if search_type == "rrf_fusion":
             # O5: bounded candidate over-fetch (k*2) before fusion/rerank.
             return fusion.rrf_fuse(
-                self._scored(query_text, "summary", cfg.top_k * 2, cfg),
-                self._scored(query_text, "chunk", cfg.top_k * 2, cfg),
+                self._scored(query_text, "summary", cfg.top_k * 2, cfg, owner_id),
+                self._scored(query_text, "chunk", cfg.top_k * 2, cfg, owner_id),
                 k=cfg.rrf_k,
                 w_summary=cfg.w_summary,
                 w_chunks=cfg.w_chunks,
@@ -612,16 +725,22 @@ class SortifyEngine:
             )
         if search_type == "traditional":
             return fusion.traditional_merge(
-                self._scored(query_text, "summary", cfg.top_k * 2, cfg),
-                self._scored(query_text, "chunk", cfg.top_k * 2, cfg),
+                self._scored(query_text, "summary", cfg.top_k * 2, cfg, owner_id),
+                self._scored(query_text, "chunk", cfg.top_k * 2, cfg, owner_id),
                 top_k=cfg.top_k,
             )
         # default: two-stage hybrid (V3)
-        summary = self._scored(query_text, "summary", STAGE1_K, cfg)
+        summary = self._scored(query_text, "summary", STAGE1_K, cfg, owner_id)
 
         def chunk_scored_fn(candidates: DataFrame) -> DataFrame:
             q = self._query_df(query_text)
-            restricted = self.vectors.filter(F.col("vtype") == "chunk").join(
+            base = self.vectors.filter(F.col("vtype") == "chunk")
+            if pred is not None:
+                # stage-1 candidates are already owner-scoped and chunks
+                # share their document's owner, but the explicit filter
+                # keeps the isolation invariant local to this scan
+                base = base.filter(pred)
+            restricted = base.join(
                 F.broadcast(candidates.withColumnRenamed("id", "document_id")),
                 "document_id",
                 "left_semi",
@@ -673,22 +792,39 @@ class SortifyEngine:
         vtype: str,
         k: int,
         cfg: SearchConfig | None = None,
+        owner_id: str | None = None,
     ) -> DataFrame:
         """Batched :meth:`_scored`: per-query top-k over chunk-level
         rows, then best-chunk-per-doc dedupe — the same order of
         operations as the single path, so per-query results
         parity-match the loop.  ``cfg.ann == "ivf"`` probes the
         persisted index once for the whole batch
-        (``probe_ivf_index_many`` — union-of-buckets scan); anything
-        else is the exact path's one corpus scan for ALL queries."""
+        (``probe_ivf_index_many`` — union-of-buckets scan);
+        ``cfg.ann == "lsh"`` probes the cached keyed frame once for
+        the union of every query's buckets
+        (``lsh_portable_topk_many``, VERDICT r9 #3); anything else is
+        the exact path's one corpus scan for ALL queries."""
+        pred = self._owner_pred(owner_id)
         if cfg is not None and cfg.ann == "lsh":
-            # the batched path must not SILENTLY serve different
-            # results than the per-query loop would (LSH recall < 1);
-            # batched LSH is not implemented, so refuse loudly
-            raise ValueError(
-                "semantic_search_many supports ann='exact' and "
-                "ann='ivf'; use per-query semantic_search for the "
-                "portable-LSH path"
+            from sortify_spark.search.knn import lsh_portable_topk_many
+
+            center, keyed = self._lsh_index(vtype, cfg.lsh_nbits)
+            if pred is not None:
+                keyed = keyed.filter(pred)
+            topk = lsh_portable_topk_many(
+                keyed,
+                self._query_df_many(queries),
+                id_col="document_id",
+                k=k,
+                nbits=cfg.lsh_nbits,
+                center=center,
+                probe_hamming=cfg.lsh_probe_hamming,
+                pre_keyed=True,
+            ).select(
+                "query_id", F.col("document_id").alias("id"), "score"
+            )
+            return topk.groupBy("query_id", "id").agg(
+                F.max("score").alias("score")
             )
         if cfg is not None and cfg.ann == "ivf":
             from sortify_spark.search.index import probe_ivf_index_many
@@ -700,6 +836,7 @@ class SortifyEngine:
                 k=k,
                 nprobe=cfg.ivf_nprobe,
                 version=cfg.ivf_version,
+                pre_filter=pred,
             ).select(
                 "query_id",
                 F.split(F.col("vec_id"), "#")[0].alias("id"),
@@ -714,6 +851,7 @@ class SortifyEngine:
                 self._query_df_many(queries),
                 id_col="document_id",
                 k=k,
+                pre_filter=pred,
             ).select(
                 "query_id", F.col("document_id").alias("id"), "score"
             )
@@ -726,6 +864,7 @@ class SortifyEngine:
         queries: dict[str, str],
         search_type: str = "hybrid_lexical",
         cfg: SearchConfig | None = None,
+        owner_id: str | None = None,
     ) -> DataFrame:
         """BATCHED serving: per-query top-k for N queries in ONE plan
         per leg (VERDICT r8 next #2) — (query_id, id, score, rnk),
@@ -745,12 +884,15 @@ class SortifyEngine:
         candidates gathered into ONE (query, id) pair frame; stage 2
         is one semi-joined chunk scan scored per pair —
         ``fusion.two_stage_hybrid_many``).  Dense legs serve the EXACT
-        path by default and the persisted IVF index under
-        ``cfg.ann='ivf'``; ``ann='lsh'`` is per-query only (refused
-        loudly).  Batched keyword serves from the persisted artifact
+        path by default, the persisted IVF index under
+        ``cfg.ann='ivf'``, and the cached portable-LSH keyed frame
+        under ``cfg.ann='lsh'`` (one union-of-buckets probe for the
+        whole batch, per-query rows identical to the single-query
+        probe).  Batched keyword serves from the persisted artifact
         only (``cfg.lexical='scan'`` would re-scan the corpus per
         batch — use the per-query API for the index-free fallback)."""
         cfg = cfg or SearchConfig()
+        pred = self._owner_pred(owner_id)
         if not queries:
             raise ValueError("semantic_search_many requires ≥1 query")
         if search_type in ("keyword", "hybrid_lexical"):
@@ -777,6 +919,7 @@ class SortifyEngine:
                 terms,
                 k=lex_k,
                 version=cfg.lex_version,
+                pre_filter=pred,
             ).select(
                 "query_id",
                 F.col("doc_id").cast("string").alias("id"),
@@ -786,7 +929,7 @@ class SortifyEngine:
             if search_type == "keyword":
                 return lex
             dense = self._scored_many(
-                queries, "summary", cfg.top_k * 2, cfg
+                queries, "summary", cfg.top_k * 2, cfg, owner_id
             )
             return fusion.rrf_fuse_many(
                 dense,
@@ -806,13 +949,17 @@ class SortifyEngine:
         if search_type in ("summary_only", "chunks_only"):
             vtype = "summary" if search_type == "summary_only" else "chunk"
             return (
-                self._scored_many(queries, vtype, cfg.top_k, cfg)
+                self._scored_many(queries, vtype, cfg.top_k, cfg, owner_id)
                 .withColumn("rnk", F.row_number().over(w))
             )
         if search_type == "rrf_fusion":
             return fusion.rrf_fuse_many(
-                self._scored_many(queries, "summary", cfg.top_k * 2, cfg),
-                self._scored_many(queries, "chunk", cfg.top_k * 2, cfg),
+                self._scored_many(
+                    queries, "summary", cfg.top_k * 2, cfg, owner_id
+                ),
+                self._scored_many(
+                    queries, "chunk", cfg.top_k * 2, cfg, owner_id
+                ),
                 k=cfg.rrf_k,
                 w_summary=cfg.w_summary,
                 w_chunks=cfg.w_chunks,
@@ -822,8 +969,12 @@ class SortifyEngine:
             )
         if search_type == "traditional":
             return fusion.traditional_merge_many(
-                self._scored_many(queries, "summary", cfg.top_k * 2, cfg),
-                self._scored_many(queries, "chunk", cfg.top_k * 2, cfg),
+                self._scored_many(
+                    queries, "summary", cfg.top_k * 2, cfg, owner_id
+                ),
+                self._scored_many(
+                    queries, "chunk", cfg.top_k * 2, cfg, owner_id
+                ),
                 top_k=cfg.top_k,
             )
         if search_type == "hybrid":
@@ -837,7 +988,9 @@ class SortifyEngine:
                 l2_norm,
             )
 
-            summary = self._scored_many(queries, "summary", STAGE1_K, cfg)
+            summary = self._scored_many(
+                queries, "summary", STAGE1_K, cfg, owner_id
+            )
 
             def chunk_scored_fn(cand_pairs: DataFrame) -> DataFrame:
                 q = F.broadcast(
@@ -847,8 +1000,11 @@ class SortifyEngine:
                     )
                     .withColumn("__qn", l2_norm("__qvec"))
                 )
+                chunk_base = self.vectors.filter(F.col("vtype") == "chunk")
+                if pred is not None:
+                    chunk_base = chunk_base.filter(pred)
                 restricted = (
-                    self.vectors.filter(F.col("vtype") == "chunk")
+                    chunk_base
                     .join(
                         F.broadcast(
                             cand_pairs.withColumnRenamed(
@@ -897,16 +1053,24 @@ class SortifyEngine:
         query_text: str,
         search_type: str = "hybrid",
         cfg: SearchConfig | None = None,
+        owner_id: str | None = None,
     ) -> DataFrame:
         """semantic_search through the TTL result cache: a repeat of the
-        same (query, strategy, config) returns the persisted result
-        without re-planning (the reference's cached AI-response path)."""
+        same (query, strategy, config, owner) returns the persisted
+        result without re-planning (the reference's cached AI-response
+        path keys per-user too, ``ai_cache_manager.py:244-257`` — the
+        owner MUST be part of the key or a cache hit would serve one
+        tenant's results to another)."""
         cfg = cfg or SearchConfig()
         key = QueryResultCache.cache_key(
-            f"{search_type}|{self.dim}|{cfg}|{query_text}", prefix="search:"
+            f"{search_type}|{self.dim}|{cfg}|{owner_id}|{query_text}",
+            prefix="search:",
         )
         return self.result_cache.get_or_compute(
-            key, lambda: self.semantic_search(query_text, search_type, cfg)
+            key,
+            lambda: self.semantic_search(
+                query_text, search_type, cfg, owner_id
+            ),
         )
 
     def document_chunks(

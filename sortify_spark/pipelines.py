@@ -165,32 +165,42 @@ def ingest_vectorize_expr_oracle_sql(
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     overlap: int = DEFAULT_OVERLAP,
     dim: int = 16,
+    owner_expr: str | None = None,
 ) -> str:
     """DuckDB CTE chain replaying :func:`ingest_vectorize_expr` over the
     ``documents`` view bit-exactly — generated from the same constants so
     engine and oracle cannot drift.  Yields CTEs ending in
     ``vec(document_id, vtype, chunk_index, total_chunks, chunk_text, e,
     vn)`` where ``e`` is the normalized embedding and ``vn`` its fold
-    norm (≈1; kept because the engine re-folds norms when scoring)."""
+    norm (≈1; kept because the engine re-folds norms when scoring).
+
+    ``owner_expr`` (a SQL expression over the documents row, e.g.
+    ``"source"``) replays the ``owner_col`` tenant column: ``vec`` then
+    also carries ``owner_id`` — the oracle substrate for owner-scoped
+    search replays."""
     from sortify_spark.functions import sql_embed as SE
 
     stride = chunk_size - overlap
     where = f"WHERE doc_id < {doc_limit}" if doc_limit is not None else ""
+    own_src = (
+        f", CAST({owner_expr} AS VARCHAR) AS owner_id" if owner_expr else ""
+    )
+    own = ", owner_id" if owner_expr else ""
     return f"""
-    src AS (SELECT doc_id, text FROM documents {where}),
+    src AS (SELECT doc_id, text{own_src} FROM documents {where}),
     vsrc AS (
       SELECT CAST(doc_id AS VARCHAR) AS document_id, 'summary' AS vtype,
              0 AS chunk_index, 1 AS total_chunks,
              CASE WHEN length(text) <= {SUMMARY_MAX_CHARS} THEN text
                   ELSE substr(text, 1, {SUMMARY_MAX_CHARS}) || '...'
-             END AS chunk_text
+             END AS chunk_text{own}
       FROM src
       UNION ALL
       SELECT CAST(doc_id AS VARCHAR), 'chunk',
              CAST(i AS INT),
              CAST(ceil(greatest(length(text) - {overlap}, 1)
                        / {stride}.0) AS INT),
-             substr(text, CAST(i * {stride} + 1 AS BIGINT), {chunk_size})
+             substr(text, CAST(i * {stride} + 1 AS BIGINT), {chunk_size}){own}
       FROM src, LATERAL unnest(range(0,
            CAST(ceil(greatest(length(text) - {overlap}, 1)
                      / {stride}.0) AS BIGINT))) AS u(i)
@@ -200,7 +210,7 @@ def ingest_vectorize_expr_oracle_sql(
     rawe AS (SELECT *, {SE.raw_embed_sql('toks', dim)} AS re FROM tokd),
     nrm AS (SELECT *, {SE.norm_sql('re')} AS n0 FROM rawe),
     vec AS (
-      SELECT document_id, vtype, chunk_index, total_chunks, chunk_text,
+      SELECT document_id, vtype, chunk_index, total_chunks, chunk_text{own},
              {SE.normalize_sql('re', 'n0')} AS e,
              {SE.norm_sql(SE.normalize_sql('re', 'n0'))} AS vn
       FROM nrm

@@ -375,6 +375,125 @@ def q_e2e_chunks_for_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- owner-scoped (tenant-isolated) serving e2e (P9, VERDICT r9 #1) --------
+
+#: Two tenants of the e2e fixture (the documents' ``source`` column is
+#: the owner: 20 owners × 15 docs at doc_limit 300, identical across
+#: SFs).  Every leg must return ONLY the queried owner's documents.
+E2E_OWNERS = ("src3", "src7")
+
+
+def _engine_owned(spark: SparkSession, sf_dir: str):
+    from sortify_spark.facade import get_engine
+
+    return get_engine(
+        spark,
+        sf_dir,
+        dim=E2E_DIM,
+        embed="expr",
+        doc_limit=E2E_DOC_LIMIT,
+        owner_col="source",
+    )
+
+
+def _owner_kw_terms() -> tuple:
+    """The facade's term split of E2E_QUERY (unique whitespace terms,
+    max_terms-bounded) — shared by engine and oracle builder."""
+    return tuple(dict.fromkeys(E2E_QUERY.split()))[:8]
+
+
+def _owner_scoped_oracle() -> str:
+    """Replay of ``e2e_search_owner_scoped``: the owner-carrying ingest
+    (→ ``vec(…, owner_id)``), the dense summary_only leg per owner
+    (owner filter BEFORE the top-k, exactly ``facade._scored``'s
+    pre_filter), and the keyword leg per owner: GLOBAL-corpus BM25
+    (stats over every indexed doc — the artifact's anchor integers)
+    with the owner filter applied before the top-k, exactly the probed
+    ``pre_filter`` semantics (filter-then-rank, Chroma where-filter
+    analog)."""
+    from sortify_spark.queries_bm25 import _bm25_scored_sql
+
+    cos = SE.cosine_sql("v.e", "q.qe", "v.vn", "q.qn", E2E_DIM)
+    rel = (
+        f"(SELECT doc_id, source, text FROM documents "
+        f"WHERE doc_id < {E2E_DOC_LIMIT}) __own"
+    )
+    ctes = [
+        ingest_vectorize_expr_oracle_sql(
+            doc_limit=E2E_DOC_LIMIT,
+            chunk_size=128,
+            overlap=32,
+            dim=E2E_DIM,
+            owner_expr="source",
+        ),
+        _query_ctes(E2E_QUERY),
+        _bm25_scored_sql(rel=rel, prefix="kw_", terms=_owner_kw_terms())
+        .lstrip("\n"),
+    ]
+    selects = []
+    for i, o in enumerate(E2E_OWNERS):
+        ctes.append(
+            f"""
+    d{i}sc AS (SELECT v.document_id, ROUND({cos}, 6) AS score
+               FROM vec v, q
+               WHERE v.vtype = 'summary' AND v.owner_id = '{o}'),
+    d{i}tk AS (SELECT document_id, score FROM d{i}sc
+               ORDER BY score DESC, document_id ASC LIMIT 10),
+    d{i}s AS (SELECT document_id AS id, MAX(score) AS score
+              FROM d{i}tk GROUP BY document_id)
+    """
+        )
+        selects.append(
+            f"SELECT '{o}' AS owner, 'summary_only' AS strategy, "
+            f"id, score FROM d{i}s"
+        )
+        selects.append(
+            f"""SELECT '{o}' AS owner, 'keyword' AS strategy,
+       CAST(doc_id AS VARCHAR) AS id, bm25 AS score
+FROM (SELECT doc_id, bm25 FROM kw_scored WHERE source = '{o}'
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 10) __kw{i}"""
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n{body}\n) __u "
+        "ORDER BY owner, strategy, score DESC, id ASC"
+    )
+
+
+@register(
+    "e2e_search_owner_scoped",
+    _owner_scoped_oracle(),
+    note="E2E TENANT ISOLATION (P9, VERDICT r9 #1 — the reference "
+    "pushes where={owner_id} into EVERY Chroma scan, "
+    "vector_db_service.py:199-221): an owner_col engine serves "
+    "summary_only (dense pre-filtered scan) and keyword (persisted "
+    "BM25 artifact with owner_id carried in the postings, pre-filtered "
+    "inside the probed buckets) for TWO owners; the oracle replays the "
+    "owner-carrying ingest and both legs per owner from raw text — "
+    "filter-then-rank with global-corpus BM25 stats, so a single "
+    "cross-tenant row anywhere flips the hash.",
+)
+def q_e2e_search_owner_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine_owned(spark, sf_dir)
+    parts = []
+    for o in E2E_OWNERS:
+        for st in ("summary_only", "keyword"):
+            parts.append(
+                eng.semantic_search(E2E_QUERY, st, owner_id=o).select(
+                    F.lit(o).alias("owner"),
+                    F.lit(st).alias("strategy"),
+                    "id",
+                    "score",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("owner", "strategy", F.desc("score"), F.asc("id"))
+
+
 def _lsh_oracle() -> str:
     from sortify_spark.search.knn import embedding_mean_sql, lsh_key_sql
 

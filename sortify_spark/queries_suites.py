@@ -643,6 +643,13 @@ _suite(
                 val="recall_at_10",
             ),
         ),
+        # round 10: tenant isolation (P9 / VERDICT r9 #1) — two owners
+        # × (dense pre-filtered scan, owner-carrying BM25 artifact
+        # probe), every row hash-checked against the per-owner replay.
+        (
+            "e2e_search_owner_scoped",
+            dict(key1="owner || '/' || strategy", key2="id", val="score"),
+        ),
         (
             "e2e_chunks_for_document",
             dict(
@@ -719,6 +726,13 @@ _suite(
                 cnt="bucket",
                 val="score",
             ),
+        ),
+        # round 10: FILTERED ANN (VERDICT r9 #2) — carried metadata
+        # pre-filtered inside the probed buckets vs the post-filter
+        # composition, both oracle-replayed.
+        (
+            "knn_ivf_filtered",
+            dict(key1="kind", key2="CAST(id AS STRING)", val="score"),
         ),
         # round 7: the lexical half of hybrid retrieval (queries_bm25) —
         # rational-idf BM25 top-k and the lexical x dense RRF fusion.

@@ -1065,3 +1065,117 @@ def q_ivf_index_upsert_probe(
         )
     )
     return pb.unionByName(tk).orderBy("kind", "id")
+
+
+def _ivf_filtered_oracle_sql(
+    k: int = 10, nprobe: int = 3, dim: int = 64
+) -> str:
+    """Oracle for ``knn_ivf_filtered``: replay the persisted build WITH
+    the carried ``label`` metadata, then BOTH serving shapes — the
+    filtered probe (predicate evaluated inside the probed buckets
+    before ranking) and the post-filter composition (unbounded rank
+    inside the probed buckets, then filter, then top-k).  The two legs
+    are semantically identical by construction (the filter commutes
+    with the rank); emitting both, each independently replayed, is the
+    VERDICT r9 #2 contract: filtered probe ≡ unfiltered probe
+    post-filtered, hash-checked."""
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    fc AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id <> 0),
+    fsd AS (SELECT label, r.range AS i, AVG(e[r.range]) AS m
+            FROM fc, range(1, {dim + 1}) r GROUP BY label, r.range),
+    fseed AS (SELECT label AS bucket, list(m ORDER BY i) AS cent
+              FROM fsd GROUP BY label),
+    fasg AS (SELECT vec_id, label, e, bucket FROM (
+        SELECT c.vec_id, c.label, c.e, s.bucket,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(c.e, s.cent), 6)
+                            DESC,
+                          s.bucket ASC) AS rn
+        FROM fc c CROSS JOIN fseed s) WHERE rn = 1),
+    fcd AS (SELECT bucket, r.range AS i, AVG(e[r.range]) AS m
+            FROM fasg, range(1, {dim + 1}) r GROUP BY bucket, r.range),
+    fcent AS (SELECT bucket, list(m ORDER BY i) AS cent
+              FROM fcd GROUP BY bucket),
+    fpb AS (SELECT bucket,
+                   ROUND(list_cosine_similarity(cent, qe), 6) AS bscore
+            FROM fcent CROSS JOIN q
+            ORDER BY bscore DESC, bucket ASC LIMIT {nprobe}),
+    flt AS (SELECT a.vec_id AS id,
+                   ROUND(list_cosine_similarity(a.e, qe), 6) AS score
+            FROM fasg a JOIN fpb ON a.bucket = fpb.bucket CROSS JOIN q
+            WHERE a.label % 2 = 0
+            ORDER BY score DESC, id ASC LIMIT {k}),
+    wide AS (SELECT a.vec_id AS id, a.label,
+                    ROUND(list_cosine_similarity(a.e, qe), 6) AS score
+             FROM fasg a JOIN fpb ON a.bucket = fpb.bucket CROSS JOIN q),
+    post AS (SELECT id, score FROM wide WHERE label % 2 = 0
+             ORDER BY score DESC, id ASC LIMIT {k})
+    SELECT * FROM (
+      SELECT 'filtered' AS kind, id, score FROM flt
+      UNION ALL SELECT 'postfilter', id, score FROM post
+    ) __u ORDER BY kind, id
+    """
+
+
+@register(
+    "knn_ivf_filtered",
+    _ivf_filtered_oracle_sql(),
+    note="FILTERED ANN through the persisted IVF artifact (VERDICT r9 "
+    "#2; reference analog: Chroma where-filters combined with vector "
+    "search, vector_db_service.py:193-224): the index is built with "
+    "carry_cols=('label',) so the metadata rides each assign row, and "
+    "the probe's pre_filter (label % 2 = 0) evaluates INSIDE the "
+    "probed bucket partitions — the filter rides the partition-pruned "
+    "scan, never a corpus join.  Two legs, both oracle-replayed: the "
+    "filtered probe, and the unfiltered probe post-filtered + "
+    "re-limited — hash equality between them IS the filtered-ANN "
+    "contract (bucket choice ignores the filter by design; raise "
+    "nprobe for highly selective predicates).",
+)
+def q_knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sortify_spark.search.index import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    path = tempfile.mkdtemp(prefix="sortify_ivfflt_") + "/ivf"
+    build_ivf_index(
+        data,
+        path,
+        seed_col="label",
+        exact_assign=True,
+        carry_cols=("label",),
+    )
+    filt = probe_ivf_index(
+        spark,
+        path,
+        query,
+        k=10,
+        nprobe=3,
+        pre_filter=F.col("label") % 2 == 0,
+    ).select(
+        F.lit("filtered").alias("kind"),
+        F.col("vec_id").alias("id"),
+        "score",
+    )
+    even_ids = data.filter(F.col("label") % 2 == 0).select("vec_id")
+    post = (
+        probe_ivf_index(spark, path, query, k=1_000_000, nprobe=3)
+        .join(F.broadcast(even_ids), "vec_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select(
+            F.lit("postfilter").alias("kind"),
+            F.col("vec_id").alias("id"),
+            "score",
+        )
+    )
+    return filt.unionByName(post).orderBy("kind", "id")

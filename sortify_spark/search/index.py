@@ -114,6 +114,10 @@ def build_ivf_index(
             # growth budget for rebuild decisions: callers compare
             # current row count to the quantizer's training size
             "built_rows": data.count(),
+            # metadata schema of the assign rows — incremental upserts
+            # must keep carrying these or a probe's pre_filter would
+            # see nulls on newly added vectors
+            "carry": list(carry_cols),
         },
     )
 
@@ -170,9 +174,17 @@ def upsert_ivf_index(
         "part",
         version=manifest.get("centroid_version"),
     ).select("bucket", "centroid")
+    carry = tuple(manifest.get("carry") or ())
+    missing = [c for c in carry if c not in vectors.columns]
+    if missing:
+        raise ValueError(
+            f"index at {path} carries assign metadata {list(carry)}; "
+            f"the upsert batch is missing columns {missing}"
+        )
     base = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
+        *[F.col(c) for c in carry],
     )
     assign = (
         knn.assign_nearest_centroid
@@ -180,10 +192,10 @@ def upsert_ivf_index(
         else knn.assign_nearest_centroid_np
     )
     assigned = (
-        assign(base, cents)
+        assign(base.select("vec_id", "embedding"), cents)
         .withColumnRenamed("label", "bucket")
         .join(base, "vec_id")
-        .select("vec_id", "embedding", "bucket")
+        .select("vec_id", "embedding", *carry, "bucket")
     )
     assigned = assigned.localCheckpoint(eager=True)
     # ids already indexed under a DIFFERENT bucket: delete before the
@@ -205,6 +217,7 @@ def upsert_ivf_index(
         # built=0 -> grown=inf -> a spurious full re-train every other
         # add); it still records the QUANTIZER's training size
         pair["built_rows"] = manifest["built_rows"]
+    pair["carry"] = list(carry)
     if not moved.isEmpty():
         delete_versioned(
             moved, f"{path}/assign", keys=["vec_id"],
@@ -262,6 +275,7 @@ def delete_from_ivf_index(
     extra = {"centroid_version": manifest.get("centroid_version")}
     if manifest.get("built_rows") is not None:
         extra["built_rows"] = manifest["built_rows"]
+    extra["carry"] = list(manifest.get("carry") or ())
     return delete_versioned(
         gone, f"{path}/assign", keys=["vec_id"],
         partition_col="bucket", extra=extra,

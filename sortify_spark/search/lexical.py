@@ -81,17 +81,30 @@ def _tokenized(
     text_col: str,
     pt_buckets: int,
     pd_buckets: int = DEFAULT_PD_BUCKETS,
+    carry_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """(postings, doclen) frames for one batch — the SAME whitespace
     tokenizer as ``queries_bm25.bm25_scored`` (split on single spaces,
-    drop empties), so index scores replay the scan exactly."""
+    drop empties), so index scores replay the scan exactly.
+
+    ``carry_cols``: per-document metadata columns stored alongside each
+    posting row (the substrate for FILTERED lexical probes — the tenant
+    predicate the reference pushes into every Chroma scan,
+    ``vector_db_service.py:199-221``, applied to the BM25 artifact);
+    functionally dependent on ``doc_id``, so they join the posting
+    group-by keys for free."""
     w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     base = docs.select(
-        F.col(id_col).alias("doc_id"), F.size(w).alias("dl"), w.alias("w")
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carry_cols],
+        F.size(w).alias("dl"),
+        w.alias("w"),
     )
     postings = (
-        base.select("doc_id", "dl", F.explode("w").alias("term"))
-        .groupBy("doc_id", "dl", "term")
+        base.select(
+            "doc_id", *carry_cols, "dl", F.explode("w").alias("term")
+        )
+        .groupBy("doc_id", *carry_cols, "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .withColumn("pt", _pt(F.col("term"), pt_buckets))
     )
@@ -121,16 +134,21 @@ def build_lexical_index(
     text_col: str = "text",
     pt_buckets: int = DEFAULT_PT_BUCKETS,
     pd_buckets: int = DEFAULT_PD_BUCKETS,
+    carry_cols: tuple[str, ...] = (),
 ) -> int:
     """Full-snapshot build; returns the committed ANCHOR (terms-table)
     version.  Input ids must be unique (the upload pipeline's exact
     dedup guarantees this upstream); empty/whitespace-only docs count
     toward N and sum_dl with dl = 0 — matching ``bm25_scored``'s stats
-    over every document."""
+    over every document.
+
+    ``carry_cols`` (e.g. ``("owner_id",)``) ride each posting row and
+    are recorded in the anchor, so incremental upserts keep carrying
+    them and probes can ``pre_filter`` on them (tenant isolation)."""
     from sortify_spark.sources.versioned import overwrite_versioned
 
     postings, doclen = _tokenized(
-        docs, id_col, text_col, pt_buckets, pd_buckets
+        docs, id_col, text_col, pt_buckets, pd_buckets, carry_cols
     )
     # the three consumers below (stats, terms, write) re-evaluate the
     # tokenize+aggregate otherwise — one materialization, blocks freed
@@ -165,6 +183,9 @@ def build_lexical_index(
             # unrecorded pd fan-out would let a replaced doc's old
             # doclen row survive in an untouched partition)
             "pd_buckets": pd_buckets,
+            # posting-row metadata schema — upserts must keep carrying
+            # these or a probe's pre_filter would see nulls on new rows
+            "carry": list(carry_cols),
         },
     )
 
@@ -201,8 +222,15 @@ def upsert_lexical_index(
         )
     pt_buckets = int(anchor["pt_buckets"])
     pd_buckets = int(anchor.get("pd_buckets", DEFAULT_PD_BUCKETS))
+    carry = tuple(anchor.get("carry") or ())
+    missing = [c for c in carry if c not in docs.columns]
+    if missing:
+        raise ValueError(
+            f"index at {path} carries posting metadata {list(carry)}; "
+            f"the upsert batch is missing columns {missing}"
+        )
     bpost, bdoclen = _tokenized(
-        docs, id_col, text_col, pt_buckets, pd_buckets
+        docs, id_col, text_col, pt_buckets, pd_buckets, carry
     )
     bpost = bpost.localCheckpoint(eager=True)
     bdoclen = bdoclen.localCheckpoint(eager=True)
@@ -280,6 +308,7 @@ def upsert_lexical_index(
             "sum_dl": int(anchor["sum_dl"]) + int(batch["s"]) - int(repl["s"]),
             "pt_buckets": pt_buckets,
             "pd_buckets": pd_buckets,
+            "carry": list(carry),
         },
     )
 
@@ -388,6 +417,7 @@ def delete_from_lexical_index(
             "sum_dl": int(anchor["sum_dl"]) - int(gone["s"]),
             "pt_buckets": pt_buckets,
             "pd_buckets": pd_buckets,
+            "carry": list(anchor.get("carry") or ()),
         },
     )
 
@@ -398,6 +428,7 @@ def probe_lexical_index(
     terms: tuple[str, ...],
     k: int = 10,
     version: int | None = None,
+    pre_filter=None,
 ) -> DataFrame:
     """BM25 top-k through the stored index: (doc_id, matched_terms,
     bm25) — bit-identical scores to ``queries_bm25.bm25_scored`` over
@@ -405,7 +436,17 @@ def probe_lexical_index(
 
     ``version`` pins a historical ANCHOR snapshot (time travel); its
     paired postings snapshot comes from the anchor manifest, so the
-    pair is always the one a single commit wrote."""
+    pair is always the one a single commit wrote.
+
+    ``pre_filter``: a Column over the postings' build-time
+    ``carry_cols`` metadata (e.g. ``F.col('owner_id') == 'u1'``) —
+    evaluated on the probed posting rows BEFORE ranking, so the top-k
+    is the best k among the filtered docs (tenant isolation, the
+    Chroma where-filter analog the reference pushes into every scan,
+    ``vector_db_service.py:199-221``).  Scores stay GLOBAL-corpus BM25
+    (N/avgdl/df from the anchor) — the filter restricts candidates,
+    it does not re-statistic the sub-corpus, matching the reference's
+    filter-then-rank semantics."""
     from sortify_spark.queries_bm25 import _bm25_sum_expr, _score_expr
     from sortify_spark.sources.versioned import (
         _read_partition_dirs,
@@ -461,6 +502,10 @@ def probe_lexical_index(
         rels,
         dtype=pmanifest.get("partition_dtype"),
     ).join(F.broadcast(tdf), "term", "left_semi")
+    if pre_filter is not None:
+        # filtered probe: evaluated inside the probed buckets, before
+        # the pivot — rides the partition-pruned scan, never the corpus
+        probed = probed.filter(pre_filter)
 
     # pivot per-term tf to the tf{i} columns of bm25_scored's frame,
     # then apply the IDENTICAL score expressions (same text, same
@@ -503,6 +548,7 @@ def probe_lexical_index_many(
     queries: dict[str, tuple[str, ...]],
     k: int = 10,
     version: int | None = None,
+    pre_filter=None,
 ) -> DataFrame:
     """BATCHED serving: top-k for MANY queries in ONE plan —
     (query_id, doc_id, matched_terms, bm25, rnk) — the lexical twin of
@@ -570,6 +616,10 @@ def probe_lexical_index_many(
         rels,
         dtype=pmanifest.get("partition_dtype"),
     )
+    if pre_filter is not None:
+        # filtered batched probe (see probe_lexical_index): candidates
+        # restricted inside the pruned buckets, global-corpus scoring
+        probed = probed.filter(pre_filter)
     avgdl = (
         f"ROUND(CAST(CAST({sum_dl} AS DECIMAL(38,12)) AS DOUBLE)"
         f" / {n_docs}, 12)"

@@ -2303,3 +2303,286 @@ def test_paradedup_apply_replay_idempotent(spark, tmp_path):
     assert [(d, k) for d, k, _ in before[0]] == [(1, 2), (2, 0), (3, 1)]
     paradedup_apply(b1, 1, table)  # replay
     assert state() == before
+
+
+# ---------------------------------------------------------------------------
+# Round 10: owner-scoped (tenant-isolated) serving — VERDICT r9 #1
+# ---------------------------------------------------------------------------
+
+
+def test_owner_scoped_search_every_strategy(spark, tmp_path):
+    """Every facade strategy (dense exact, LSH, IVF, keyword via the
+    owner-carrying BM25 artifact, hybrid_lexical, two-stage hybrid,
+    RRF, traditional) honors owner_id: results ⊆ the owner's docs, two
+    owners' result sets are disjoint, and the dense path equals the
+    filter-then-topk composition computed independently."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+    from sortify_spark.search.knn import brute_force_topk
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=120,
+        index_root=str(tmp_path), owner_col="source",
+    )
+    owners = [
+        r["source"]
+        for r in eng.documents.select("source").distinct()
+        .orderBy("source").limit(2).collect()
+    ]
+    docs_of = {
+        o: {
+            str(r["doc_id"])
+            for r in eng.documents.filter(F.col("source") == o)
+            .select("doc_id").collect()
+        }
+        for o in owners
+    }
+    q = "data pipeline quality and join performance"
+    strategies = [
+        ("summary_only", None),
+        ("chunks_only", None),
+        ("rrf_fusion", None),
+        ("traditional", None),
+        ("hybrid", None),
+        ("keyword", None),
+        ("hybrid_lexical", None),
+        ("summary_only", SearchConfig(ann="lsh", lsh_nbits=4)),
+        ("summary_only", SearchConfig(ann="ivf", ivf_nprobe=16)),
+    ]
+    for st, cfg in strategies:
+        per_owner = {}
+        for o in owners:
+            ids = {
+                r["id"]
+                for r in eng.semantic_search(
+                    q, st, cfg, owner_id=o
+                ).collect()
+            }
+            assert ids <= docs_of[o], (st, o, ids - docs_of[o])
+            per_owner[o] = ids
+        assert not (per_owner[owners[0]] & per_owner[owners[1]]), st
+    # dense exact == independent filter-then-topk composition
+    o = owners[0]
+    got = {
+        (r["id"], r["score"])
+        for r in eng.semantic_search(q, "summary_only", owner_id=o).collect()
+    }
+    qdf = eng._query_df(q)
+    base = eng.vectors.filter(
+        (F.col("vtype") == "summary") & (F.col("owner_id") == o)
+    )
+    exp = {
+        (r["document_id"], r["score"])
+        for r in brute_force_topk(
+            base, qdf, id_col="document_id", k=10
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_owner_scoped_batched_matches_per_query(spark, tmp_path):
+    """semantic_search_many(owner_id=...) parity: per-query rows match
+    the single-query loop for every batched strategy (round-6 for the
+    lexical legs, the documented batched contract)."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=120,
+        index_root=str(tmp_path), owner_col="source",
+    )
+    owner = eng.documents.select("source").orderBy("source").first()[
+        "source"
+    ]
+    queries = {
+        "q1": "data pipeline quality and join performance",
+        "q2": "vector index build and search serving",
+    }
+    for st in (
+        "keyword",
+        "hybrid_lexical",
+        "summary_only",
+        "rrf_fusion",
+        "traditional",
+        "hybrid",
+    ):
+        many = (
+            eng.semantic_search_many(queries, st, owner_id=owner)
+            .orderBy("query_id", "rnk")
+            .collect()
+        )
+        for qid, text in queries.items():
+            sdf = eng.semantic_search(text, st, owner_id=owner)
+            # single-query fusion paths emit rrf_score; the batched API
+            # normalizes every strategy to a `score` column
+            scol = "rrf_score" if "rrf_score" in sdf.columns else "score"
+            single = sdf.orderBy(F.desc(scol), F.asc("id")).collect()
+            got = [
+                (r["id"], round(r["score"], 6))
+                for r in many
+                if r["query_id"] == qid
+            ]
+            exp = [(r["id"], round(r[scol], 6)) for r in single]
+            if st == "hybrid":
+                # two_stage orders by (tier, score); compare as sets
+                assert {g[0] for g in got} == {e[0] for e in exp}, (st, qid)
+            else:
+                assert sorted(got) == sorted(exp), (st, qid)
+        ids = {r["id"] for r in many}
+        owner_docs = {
+            str(r["doc_id"])
+            for r in eng.documents.filter(F.col("source") == owner)
+            .select("doc_id").collect()
+        }
+        assert ids <= owner_docs, st
+
+
+def test_owner_scoped_requires_owner_col(spark):
+    """An engine built without owner_col refuses owner-scoped search
+    loudly (its vectors carry the constant 'default' owner — silently
+    matching nothing would look like an empty corpus)."""
+    import pytest
+
+    from sortify_spark.facade import SortifyEngine
+
+    eng = SortifyEngine(spark, SF_DIR, dim=16, embed="expr", doc_limit=50)
+    with pytest.raises(ValueError, match="owner_col"):
+        eng.semantic_search("data", "summary_only", owner_id="u1")
+    with pytest.raises(ValueError, match="owner_col"):
+        eng.semantic_search_many({"q": "data"}, "summary_only", owner_id="u1")
+
+
+def test_owner_scoped_artifacts_survive_mutations(spark, tmp_path):
+    """Owner metadata stays correct through the artifact lifecycle:
+    add_documents upserts owner-carrying postings/assign rows (the new
+    doc is findable under ITS owner only), delete keeps serving the
+    survivors, and the result cache keys per owner."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=60,
+        index_root=str(tmp_path), owner_col="source",
+    )
+    owner = eng.documents.select("source").orderBy("source").first()[
+        "source"
+    ]
+    other = [
+        r["source"]
+        for r in eng.documents.select("source").distinct().collect()
+        if r["source"] != owner
+    ][0]
+    cfg = SearchConfig(ann="ivf", ivf_nprobe=16)
+    # build both artifacts (lexical via keyword, ivf via config)
+    eng.semantic_search("data", "keyword", owner_id=owner)
+    eng.semantic_search("data", "summary_only", cfg, owner_id=owner)
+    new = spark.createDataFrame(
+        [
+            (
+                910001,
+                "xylophone quasar document about owner scoped upsert",
+                "en",
+                owner,
+                52,
+            )
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    eng.add_documents(new)
+    probe_q = "xylophone quasar owner scoped upsert"
+    for st, c in (("keyword", None), ("summary_only", cfg)):
+        mine = {
+            r["id"]
+            for r in eng.semantic_search(
+                probe_q, st, c, owner_id=owner
+            ).collect()
+        }
+        assert "910001" in mine, st
+        theirs = {
+            r["id"]
+            for r in eng.semantic_search(
+                probe_q, st, c, owner_id=other
+            ).collect()
+        }
+        assert "910001" not in theirs, st
+    eng.delete_vectors(["910001"])
+    for st, c in (("keyword", None), ("summary_only", cfg)):
+        mine = {
+            r["id"]
+            for r in eng.semantic_search(
+                probe_q, st, c, owner_id=owner
+            ).collect()
+        }
+        assert "910001" not in mine, st
+    # result cache: same query text, different owner → different rows
+    a = {
+        r["id"]
+        for r in eng.cached_search("data", "summary_only", owner_id=owner)
+        .collect()
+    }
+    b = {
+        r["id"]
+        for r in eng.cached_search("data", "summary_only", owner_id=other)
+        .collect()
+    }
+    assert a and b and not (a & b)
+
+
+def test_lsh_batched_probe_matches_single(spark, tmp_path):
+    """lsh_portable_topk_many (VERDICT r9 #3): per-query rows through
+    semantic_search_many(ann='lsh') are IDENTICAL to the single-query
+    LSH probe loop — same buckets, same multi-probe flips, same
+    round-6 scores — and owner scoping composes with it."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=150,
+        index_root=str(tmp_path), owner_col="source",
+    )
+    cfg = SearchConfig(ann="lsh", lsh_nbits=4)
+    queries = {
+        "q1": "data pipeline quality and join performance",
+        "q2": "vector index build and search serving",
+        "q3": "streaming admission and atomic commits",
+    }
+    many = (
+        eng.semantic_search_many(queries, "summary_only", cfg)
+        .orderBy("query_id", "rnk")
+        .collect()
+    )
+    assert many
+    for qid, text in queries.items():
+        single = [
+            (r["id"], r["score"])
+            for r in eng.semantic_search(text, "summary_only", cfg)
+            .orderBy(F.desc("score"), F.asc("id"))
+            .collect()
+        ]
+        got = [
+            (r["id"], r["score"]) for r in many if r["query_id"] == qid
+        ]
+        assert got == single, qid
+    # owner scoping composes with the batched LSH probe
+    owner = eng.documents.select("source").orderBy("source").first()[
+        "source"
+    ]
+    owner_docs = {
+        str(r["doc_id"])
+        for r in eng.documents.filter(F.col("source") == owner)
+        .select("doc_id").collect()
+    }
+    scoped = eng.semantic_search_many(
+        queries, "summary_only", cfg, owner_id=owner
+    ).collect()
+    ids = {r["id"] for r in scoped}
+    assert ids <= owner_docs
+    for qid, text in queries.items():
+        single = [
+            (r["id"], r["score"])
+            for r in eng.semantic_search(
+                text, "summary_only", cfg, owner_id=owner
+            ).orderBy(F.desc("score"), F.asc("id")).collect()
+        ]
+        got = sorted(
+            ((r["id"], r["score"]) for r in scoped if r["query_id"] == qid),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == single, qid
