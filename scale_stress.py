@@ -1115,6 +1115,71 @@ def main() -> None:
 
             stage(f"lex_serving_batched_{FE}x", lex_serving)
 
+            # -- batched LSH serving (round 10, VERDICT r9 #3): the
+            # portable-LSH leg of the batched matrix — 64 queries
+            # through ONE union-of-buckets probe of the cached keyed
+            # frame vs the per-query loop, with per-query parity
+            # asserted on a sample.
+            def lsh_batched_serving():
+                from sortify_spark.facade import SearchConfig
+
+                cfg = SearchConfig(ann="lsh", lsh_nbits=4)
+                pool = (
+                    "data quality spark merge dup pipeline training "
+                    "analytics model corpus document search index "
+                    "stream batch vector"
+                ).split()
+                texts = {
+                    f"q{i}": " ".join(
+                        (
+                            pool[i % 16],
+                            pool[(i * 3 + 1) % 16],
+                            pool[(i * 7 + 2) % 16],
+                        )
+                    )
+                    for i in range(64)
+                }
+                # warm the keyed index frame (write-once, cached)
+                eng.semantic_search(texts["q0"], "summary_only", cfg)
+                t0 = time.time()
+                many = eng.semantic_search_many(
+                    texts, "summary_only", cfg
+                )
+                rows = many.collect()
+                many_sec = time.time() - t0
+                t0 = time.time()
+                s_rows = 0
+                sample = list(texts.items())[:8]
+                singles = {}
+                for qid, text in sample:
+                    got = eng.semantic_search(
+                        text, "summary_only", cfg
+                    ).collect()
+                    singles[qid] = {
+                        (r["id"], r["score"]) for r in got
+                    }
+                    s_rows += len(got)
+                single_sec = time.time() - t0
+                mismatch = sum(
+                    1
+                    for qid, _ in sample
+                    if {
+                        (r["id"], r["score"])
+                        for r in rows
+                        if r["query_id"] == qid
+                    }
+                    != singles[qid]
+                )
+                return {
+                    "rows": len(rows),
+                    "batched_queries": 64,
+                    "batched_qps": round(64 / many_sec, 1),
+                    "single_qps": round(8 / single_sec, 2),
+                    "parity_mismatches_of_8": mismatch,
+                }
+
+            stage("ann_batched_64_queries_lsh", lsh_batched_serving)
+
             # -- streaming admission: indexed vs recomputed corpus ----
             # The per-batch cost claim of use_index=True (band +
             # embedding side tables maintained by the commits): after
@@ -1394,6 +1459,246 @@ def main() -> None:
                 f"paradedup_{FE}x_20batch_fold",
                 paradedup_long_stream,
             )
+
+            # -- persisted SEARCH-ARTIFACT maintenance under a long
+            # stream (round 10, VERDICT r9 #5).  The lexical postings /
+            # IVF assign tables are partitioned by a SEMANTIC key
+            # (term-hash bucket / centroid bucket) that probes prune
+            # on — fold_partitions (which RE-KEYS partitions into one
+            # base level, right for the batch-keyed __bands/__emb
+            # tables) would destroy that pruning.  These artifacts are
+            # maintained differently BY CONSTRUCTION: every keyed
+            # upsert merge-REWRITES each touched partition into one
+            # file, so reader-visible files stay flat at O(buckets)
+            # however long the stream runs (measured below, not
+            # asserted); what accumulates is old VERSION DIRS on disk,
+            # reclaimed by vacuum.  This stage proves all three claims
+            # over 20 streaming triggers: flat probe file count,
+            # compact() is a structural no-op, and a mid-stream vacuum
+            # drops disk dirs while the probe result is hash-stable —
+            # and the end-state artifact is value-identical to a
+            # from-scratch rebuild.
+            def lex_artifact_maintenance():
+                import glob
+
+                from sortify_spark.search.lexical import (
+                    build_lexical_index,
+                    probe_lexical_index,
+                )
+                from sortify_spark.sources.versioned import (
+                    compact,
+                    read_versioned,
+                    snapshot_files,
+                    vacuum,
+                )
+                from sortify_spark.streaming.pipeline import (
+                    drain_side_builds,
+                )
+
+                adir = os.path.join(derived, "adm_lexmaint")
+                inp, tbl = f"{adir}/in", f"{adir}/table"
+                lex = tbl + "__lex"
+                os.makedirs(inp, exist_ok=True)
+                fdocs.filter(~is_b2).limit(5000).coalesce(2).write.mode(
+                    "append"
+                ).parquet(inp)
+
+                def trigger():
+                    q = admission_stream(
+                        spark, inp, tbl, f"{adir}/ck",
+                        semantic_tau=0.995, use_index=True,
+                        lexical_index=True,
+                    )
+                    assert q.awaitTermination(600), "trigger timed out"
+
+                trigger()  # bootstrap
+                drain_side_builds(tbl)
+                terms = ("data", "pipeline", "quality", "training")
+
+                def probe_rows():
+                    return [
+                        (
+                            r["doc_id"],
+                            r["matched_terms"],
+                            round(r["bm25"], 9),
+                        )
+                        for r in probe_lexical_index(
+                            spark, lex, terms, k=50
+                        ).collect()
+                    ]
+
+                def version_dirs():
+                    return sum(
+                        len(glob.glob(os.path.join(lex, t, "v=*")))
+                        for t in ("postings", "doclen", "terms")
+                    )
+
+                n_batches, per_batch, files_seen = 20, [], []
+                pool = fdocs.filter(is_b2).limit(n_batches * 200)
+                disk: dict = {}
+                for b in range(n_batches):
+                    batch = (
+                        pool.filter(
+                            (F.col("doc_id") / 10).cast("long")
+                            % n_batches
+                            == b
+                        )
+                        .limit(200)
+                        .select(
+                            (
+                                F.col("doc_id") + (b + 1) * 10_000_000
+                            ).alias("doc_id"),
+                            F.concat(
+                                F.translate(
+                                    F.col("text"), "aeiou", "01234"
+                                ),
+                                F.lit(f" b{b}lex"),
+                                F.col("doc_id").cast("string"),
+                            ).alias("text"),
+                            "lang",
+                            "source",
+                            "n_chars",
+                        )
+                    )
+                    batch.coalesce(1).write.mode("append").parquet(inp)
+                    t0 = time.time()
+                    trigger()
+                    per_batch.append(round(time.time() - t0, 2))
+                    files_seen.append(
+                        len(snapshot_files(f"{lex}/postings"))
+                    )
+                    if b == n_batches // 2 - 1:
+                        before_probe = probe_rows()
+                        disk["version_dirs_before_vacuum"] = (
+                            version_dirs()
+                        )
+                        # structural no-op expected: the keyed upsert's
+                        # merge-rewrite keeps each partition at one file
+                        disk["compact_was_noop"] = all(
+                            compact(spark, f"{lex}/{t}", pc) is None
+                            for t, pc in (
+                                ("postings", "pt"),
+                                ("doclen", "pd"),
+                                ("terms", "part"),
+                            )
+                        )
+                        for t in ("postings", "doclen", "terms"):
+                            vacuum(f"{lex}/{t}", keep_last=1)
+                        disk["version_dirs_after_vacuum"] = (
+                            version_dirs()
+                        )
+                        disk["probe_stable_across_vacuum"] = (
+                            probe_rows() == before_probe
+                        )
+                corpus = read_versioned(spark, tbl, "source")
+                fresh = os.path.join(adir, "freshlex")
+                build_lexical_index(
+                    corpus.select("doc_id", "text"), fresh
+                )
+                fresh_probe = [
+                    (
+                        r["doc_id"],
+                        r["matched_terms"],
+                        round(r["bm25"], 9),
+                    )
+                    for r in probe_lexical_index(
+                        spark, fresh, terms, k=50
+                    ).collect()
+                ]
+                half = n_batches // 2
+                return {
+                    "rows": corpus.count(),
+                    "probe_files_min": min(files_seen),
+                    "probe_files_max": max(files_seen),
+                    **disk,
+                    "end_probe_equals_fresh_rebuild": (
+                        probe_rows() == fresh_probe
+                    ),
+                    "mean_batch_sec_pre": round(
+                        sum(per_batch[:half]) / half, 2
+                    ),
+                    "mean_batch_sec_post": round(
+                        sum(per_batch[half:]) / (n_batches - half), 2
+                    ),
+                }
+
+            stage(
+                f"lex_artifact_maintenance_{FE}x_20trigger",
+                lex_artifact_maintenance,
+            )
+
+            # -- the IVF artifact under the same discipline: 20 keyed
+            # upsert batches against a built index — probe files stay
+            # flat at O(buckets), vacuum reclaims old version dirs,
+            # probes are hash-stable across it.
+            def ivf_artifact_maintenance():
+                import glob
+
+                from sortify_spark.search.index import (
+                    build_ivf_index,
+                    probe_ivf_index,
+                    upsert_ivf_index,
+                )
+                from sortify_spark.sources.versioned import (
+                    snapshot_files,
+                    vacuum,
+                )
+
+                vecs = eng.vectors.filter(
+                    F.col("vtype") == "summary"
+                ).select(
+                    F.col("vector_id").alias("vec_id"), "embedding"
+                )
+                vecs = vecs.localCheckpoint(eager=True)
+                path = os.path.join(derived, "ivf_maint") + "/ivf"
+                build_ivf_index(vecs, path)
+                q = eng._query_df(qtext)
+
+                def probe_rows():
+                    return [
+                        (r["vec_id"], r["score"])
+                        for r in probe_ivf_index(
+                            spark, path, q, k=20, nprobe=4
+                        ).collect()
+                    ]
+
+                files_seen, per_batch = [], []
+                for b in range(20):
+                    batch = vecs.limit(200).select(
+                        F.concat(
+                            F.lit(f"u{b}#"), F.col("vec_id")
+                        ).alias("vec_id"),
+                        "embedding",
+                    )
+                    t0 = time.time()
+                    upsert_ivf_index(batch, path)
+                    per_batch.append(round(time.time() - t0, 2))
+                    files_seen.append(
+                        len(snapshot_files(f"{path}/assign"))
+                    )
+                before_probe = probe_rows()
+                dirs_before = len(
+                    glob.glob(os.path.join(path, "assign", "v=*"))
+                )
+                vacuum(f"{path}/assign", keep_last=1)
+                dirs_after = len(
+                    glob.glob(os.path.join(path, "assign", "v=*"))
+                )
+                return {
+                    "rows": len(before_probe),
+                    "probe_files_min": min(files_seen),
+                    "probe_files_max": max(files_seen),
+                    "version_dirs_before_vacuum": dirs_before,
+                    "version_dirs_after_vacuum": dirs_after,
+                    "probe_stable_across_vacuum": (
+                        probe_rows() == before_probe
+                    ),
+                    "mean_upsert_sec": round(
+                        sum(per_batch) / len(per_batch), 2
+                    ),
+                }
+
+            stage("ivf_artifact_maintenance_20upsert", ivf_artifact_maintenance)
 
         facade_stages()
 

@@ -274,6 +274,67 @@ def compile_spec(
     return out
 
 
+def discover_document_schema(
+    df: DataFrame, json_col: str, sample_n: int = 5
+) -> tuple[dict[str, str], dict[str, list[str]]]:
+    """Reference-parity document-schema discovery
+    (``document_detail_query_handler.py:189-258``): sample ≤``sample_n``
+    rows of a document-JSON column and walk the nested
+    ``analysis.ai_analysis_output.key_information`` subtree (depth 4+):
+
+    * ``dynamic_fields``: each field → key ``dynamic_fields.{name}``
+      labeled ``"{name} ({python type name})"`` — FIRST-SEEN-WINS
+      across the sample (the reference's ``if field_key not in
+      actual_schema_fields``; per-doc type conflicts do NOT merge to a
+      'mixed' marker — the first sampled doc's type stands);
+    * ``structured_entities``: each entity type → key
+      ``structured_entities.{type}`` labeled ``"{type} entity"``;
+    * per-document field provenance: ``{filename: [field_keys]}`` (the
+      reference's ``schema_by_document``), so callers can log which doc
+      contributed which fields.
+
+    Returns ``(merged_schema, schema_by_document)``.  Bounded
+    driver-side sample by design (the reference samples 5); the result
+    feeds spec generation, not execution."""
+    rows = (
+        df.select(json_col)
+        .filter(F.col(json_col).isNotNull())
+        .limit(sample_n)
+        .collect()
+    )
+    schema: dict[str, str] = {}
+    by_doc: dict[str, list[str]] = {}
+    for row in rows:
+        try:
+            doc = json.loads(row[json_col])
+        except (TypeError, ValueError):
+            continue
+        filename = doc.get("filename", "unknown")
+        key_info = (
+            doc.get("analysis", {})
+            .get("ai_analysis_output", {})
+            .get("key_information", {})
+        )
+        doc_fields: list[str] = []
+        dyn = key_info.get("dynamic_fields")
+        if isinstance(dyn, dict):
+            for name, value in dyn.items():
+                key = f"dynamic_fields.{name}"
+                if key not in schema:
+                    schema[key] = f"{name} ({type(value).__name__})"
+                doc_fields.append(key)
+        ents = key_info.get("structured_entities")
+        if isinstance(ents, dict):
+            for etype in ents.keys():
+                key = f"structured_entities.{etype}"
+                if key not in schema:
+                    schema[key] = f"{etype} entity"
+                doc_fields.append(key)
+        if doc_fields:
+            by_doc[filename] = doc_fields
+    return schema, by_doc
+
+
 def discover_dynamic_schema(
     df: DataFrame, json_col: str, sample_n: int = 5
 ) -> dict[str, str]:

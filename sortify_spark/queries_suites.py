@@ -370,12 +370,20 @@ _suite(
                 val="CAST(pass_all AS DOUBLE)",
             ),
         ),
+        # round 10: depth-4 document-schema discovery at reference
+        # parity (first-seen-wins merge + per-doc provenance) over
+        # crafted conflicting per-doc dynamic schemas.
+        (
+            "schema_discovery_nested",
+            dict(key1="kind || '|' || key", key2="val"),
+        ),
     ],
     note="Suite: n-gram language ID distribution, per-source token "
     "statistics, JSON props extraction rollup, BM25 keyword top-10 "
     "(the lexical retrieval leg, scored end-to-end), entity-enrichment "
-    "metadata derivation (JSON round-trip), and the Gopher quality-rule "
-    "battery (per-rule fail attribution).",
+    "metadata derivation (JSON round-trip), the Gopher quality-rule "
+    "battery (per-rule fail attribution), and depth-4 nested schema "
+    "discovery (reference-parity union merge + provenance).",
 )
 
 # --- §2.9 clustering + eval metrics: M5 centroid assignment (full

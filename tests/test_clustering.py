@@ -117,3 +117,97 @@ def test_modk_numeric_ids_still_pass(spark):
     )
     rows = clustering.modk_centroid_cluster(ok, k=3).collect()
     assert len(rows) == 12
+
+
+# --- round 10 (VERDICT r9 #7): injectable exact-DBSCAN density kernel ---
+
+
+def test_dbscan_kernel_contract(spark, vectors):
+    """The dbscan kernel satisfies the same M1 contract as the k-means
+    twin: deterministic, −1 noise present, probabilities in [0,1] with
+    0.0 on noise, and the M2 triage consumes it unchanged."""
+    out = clustering.cluster_per_owner(vectors, kernel="dbscan", eps=0.3)
+    a = out.orderBy("owner_id", "id").collect()
+    b = (
+        clustering.cluster_per_owner(vectors, kernel="dbscan", eps=0.3)
+        .orderBy("owner_id", "id")
+        .collect()
+    )
+    assert a == b
+    for r in a:
+        assert 0.0 <= r["probability"] <= 1.0
+        if r["cluster_label"] == -1:
+            assert r["probability"] == 0.0
+    # the embeddings fixture is near-random in cosine space (no dense
+    # regions), so density clustering correctly calls most of it noise;
+    # the triage must still consume the output cleanly ("main" tiers
+    # are exercised on the crafted arcs below)
+    tiers = {
+        r["tier"]
+        for r in clustering.organize_clusters(out).collect()
+    }
+    assert tiers <= {"main", "small", "excluded"} and tiers
+
+
+def test_dbscan_recovers_nonspherical_chain(spark):
+    """The density semantics k-means cannot express: a CHAIN of
+    pairwise-close unit vectors (an arc) is one density-connected
+    DBSCAN cluster; two well-separated arcs → exactly two clusters,
+    far-off singletons → noise."""
+    import math
+
+    rows = []
+    # arc A: 12 points spanning 110° in 10° steps — neighbors are ~10°
+    # apart (cos 10° ≈ 0.985) but the arc ENDS are 110° apart
+    # (cos ≈ −0.34): only density-chaining groups them
+    for i in range(12):
+        th = math.radians(i * 10)
+        rows.append(("u", f"a{i:02d}", [math.cos(th), math.sin(th), 0.0]))
+    # arc B: same shape, rotated far away (180°+)
+    for i in range(12):
+        th = math.radians(185 + i * 10)
+        rows.append(("u", f"b{i:02d}", [math.cos(th), math.sin(th), 0.0]))
+    # two isolated points (no eps-neighbors) → noise
+    rows.append(("u", "z1", [0.0, 0.0, 1.0]))
+    rows.append(("u", "z2", [0.0, 0.0, -1.0]))
+    df = spark.createDataFrame(rows, ["owner_id", "id", "embedding"])
+    # eps = 1 − cos(15°) ≈ 0.034: adjacent arc points connect, arcs
+    # and outliers don't
+    out = {
+        r["id"]: r["cluster_label"]
+        for r in clustering.cluster_per_owner(
+            df, kernel="dbscan", eps=0.034
+        ).collect()
+    }
+    a_labels = {out[f"a{i:02d}"] for i in range(12)}
+    b_labels = {out[f"b{i:02d}"] for i in range(12)}
+    assert len(a_labels) == 1 and len(b_labels) == 1, "each arc = 1 cluster"
+    assert a_labels != b_labels
+    assert out["z1"] == -1 and out["z2"] == -1
+    # both arcs triage as MAIN clusters (size 12 ≥ min_cluster_size)
+    assigned = clustering.cluster_per_owner(
+        df, kernel="dbscan", eps=0.034
+    )
+    tiers = {
+        r["cluster_label"]: r["tier"]
+        for r in clustering.organize_clusters(assigned).collect()
+    }
+    assert tiers[a_labels.pop()] == "main"
+    assert tiers[b_labels.pop()] == "main"
+    assert tiers[-1] == "excluded"
+
+
+def test_cluster_kernel_injection_validates(spark, vectors):
+    """A custom callable kernel injects cleanly; a bogus kernel name
+    fails loudly."""
+    import pytest as _pytest
+
+    def constant_kernel(ids, vecs):
+        return [0] * len(ids), [1.0] * len(ids)
+
+    out = clustering.cluster_per_owner(
+        vectors, kernel=constant_kernel
+    ).collect()
+    assert {r["cluster_label"] for r in out} == {0}
+    with _pytest.raises(ValueError, match="kernel"):
+        clustering.cluster_per_owner(vectors, kernel="hdbscan")
