@@ -91,7 +91,9 @@ class QAResult:
     variants: list[str] = field(default_factory=list)
 
 
-def answer_question(engine, question: str, top_k: int = 10) -> QAResult:
+def answer_question(
+    engine, question: str, top_k: int = 10, owner_id: str | None = None
+) -> QAResult:
     """§3.3 orchestration over the facade: classify → route → plan.
 
     ``document_search``: rewrite into ≤2 weighted variants (F18 weights),
@@ -99,6 +101,10 @@ def answer_question(engine, question: str, top_k: int = 10) -> QAResult:
     applied by the caller on the collected top rows (O6, bounded).
     ``document_detail_query``: route to the spec path (caller supplies or
     generates the spec).  Other intents return no data-plane results.
+
+    ``owner_id`` scopes every variant's search to one tenant (P9 — the
+    reference's QA flow carries the requesting user into every vector
+    scan, ``vector_db_service.py:199-221``).
     """
     cls = classify_question(question)
     auto = cls.confidence >= AUTO_APPROVE_CONFIDENCE
@@ -109,7 +115,9 @@ def answer_question(engine, question: str, top_k: int = 10) -> QAResult:
         variants = rewrite_query(question)
         scored = []
         for v in variants:
-            df = engine.semantic_search(v, search_type=cls.strategy)
+            df = engine.semantic_search(
+                v, search_type=cls.strategy, owner_id=owner_id
+            )
             score_col = "rrf_score" if "rrf_score" in df.columns else "score"
             scored.append(
                 df.select(

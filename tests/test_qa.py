@@ -82,3 +82,39 @@ def test_diversity_applied_on_results(spark):
     rows = [r.asDict() for r in hydrated.collect()]
     final = diversity_reselect(rows, "text", top_k=5)
     assert len(final) <= 5
+
+
+def test_answer_question_owner_scoped(spark):
+    """The QA orchestration threads owner_id into every variant's
+    search (P9): results ⊆ the owner's docs, two owners disjoint."""
+    from pyspark.sql import functions as F
+
+    from sortify_spark.facade import SortifyEngine
+    from sortify_spark.qa import answer_question
+    from tests.conftest import SF_DIR
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=120,
+        owner_col="source",
+    )
+    owners = [
+        r["source"]
+        for r in eng.documents.select("source").distinct()
+        .orderBy("source").limit(2).collect()
+    ]
+    per = {}
+    for o in owners:
+        res = answer_question(
+            eng, "find documents about data pipeline quality",
+            owner_id=o,
+        )
+        assert res.results is not None
+        ids = {r["id"] for r in res.results.collect()}
+        docs = {
+            str(r["doc_id"])
+            for r in eng.documents.filter(F.col("source") == o)
+            .select("doc_id").collect()
+        }
+        assert ids and ids <= docs, o
+        per[o] = ids
+    assert not (per[owners[0]] & per[owners[1]])
