@@ -630,6 +630,13 @@ _suite(
             dict(key1="id", val="score"),
         ),
         ("e2e_search_lsh", dict(key1="id", val="score")),
+        # round 10: the batched-LSH leg oracle-verified (one
+        # union-of-buckets probe for the whole batch, per-query rows
+        # bit-identical to the single-query LSH pipeline).
+        (
+            "e2e_search_lsh_batched",
+            dict(key1="query_id", key2="id", cnt="rnk", val="score"),
+        ),
         # round 9: the batched facade serving row — three queries'
         # two-stage hybrid in one plan per stage vs per-query replays.
         (
