@@ -589,6 +589,9 @@ def q_bm25_batched_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched_terms",
             F.round("bm25", 6).alias("bm25_r6"),
         )
+        # ≤ kk rows/query: materialize once so the boundary check and
+        # the final ranking don't each re-run the probe plan
+        over = over.localCheckpoint(eager=True)
         ranked = over.withColumn("rnk", F.row_number().over(w))
         boundary = (
             ranked.groupBy("query_id")
