@@ -2586,3 +2586,81 @@ def test_lsh_batched_probe_matches_single(spark, tmp_path):
             key=lambda t: (-t[1], t[0]),
         )
         assert got == single, qid
+
+
+def test_facade_maintain_indexes(spark, tmp_path):
+    """One maintenance entrypoint for the persisted artifacts: after a
+    few mutations, maintain_indexes() vacuums old version dirs while
+    every probe result stays identical (compact is a structural no-op
+    under the keyed-upsert discipline)."""
+    import glob
+
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=60,
+        index_root=str(tmp_path), owner_col="source",
+    )
+    cfg = SearchConfig(ann="ivf", ivf_nprobe=8)
+    owner = eng.documents.select("source").orderBy("source").first()[
+        "source"
+    ]
+    # build both artifacts, then mutate a few times to accrue versions
+    eng.semantic_search("data pipeline", "keyword", owner_id=owner)
+    eng.semantic_search("data pipeline", "summary_only", cfg)
+    for i in range(3):
+        eng.add_documents(
+            spark.createDataFrame(
+                [
+                    (
+                        920_000 + i,
+                        f"maintenance round ten document {i} about "
+                        "vacuum and compaction",
+                        "en",
+                        owner,
+                        50,
+                    )
+                ],
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long",
+            )
+        )
+    eng.delete_vectors(["920001"])
+
+    def probes():
+        kw = [
+            (r["id"], r["score"])
+            for r in eng.semantic_search(
+                "data pipeline", "keyword", owner_id=owner
+            ).collect()
+        ]
+        iv = [
+            (r["id"], r["score"])
+            for r in eng.semantic_search(
+                "data pipeline", "summary_only", cfg
+            ).collect()
+        ]
+        return kw, iv
+
+    def dirs():
+        lex = eng.lexical_index_path()
+        ivf = eng.ivf_index_path("summary")
+        return sum(
+            len(glob.glob(f"{p}/v=*"))
+            for p in (
+                f"{lex}/postings", f"{lex}/doclen", f"{lex}/terms",
+                f"{ivf}/assign", f"{ivf}/centroids",
+            )
+        )
+
+    before_probe = probes()
+    before_dirs = dirs()
+    out = eng.maintain_indexes(keep_last=1)
+    assert set(out) >= {"lex/postings", "lex/terms", "ivf_summary/assign"}
+    assert not any(v["compacted"] for v in out.values()), (
+        "keyed upserts keep partitions at one file — compact must be "
+        "a structural no-op"
+    )
+    assert sum(v["vacuumed"] for v in out.values()) > 0
+    assert dirs() < before_dirs
+    assert probes() == before_probe
