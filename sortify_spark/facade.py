@@ -557,6 +557,9 @@ class SortifyEngine:
                 out[vtype] = ("rebuild", self.rebuild_ivf_index(vtype))
             else:
                 out[vtype] = ("upsert", upsert_ivf_index(adds, path))
+        # the batch frame's cache served its consumers (the grown
+        # vectors table is independently materialized above)
+        new_vecs.unpersist()
         return out
 
     def _ivf_index(self, vtype: str) -> str:
