@@ -129,39 +129,53 @@ def dbscan_cluster_group(
 
     Scale shape: runs INSIDE one grouped-map task over one owner's
     ≤10k vectors (the reference's own per-user cap,
-    ``clustering_service.py:326``) — neighbor lists come from
-    block × n BLAS products (float64 blocks of 1024 rows, never an
-    n × n materialization), so the kernel stays exact at the cap
-    without quadratic memory."""
+    ``clustering_service.py:326``) — two passes of block × n BLAS
+    products (float64 blocks of 1024 rows): pass 1 derives the core
+    mask from neighbor COUNTS alone, pass 2 re-derives each expansion
+    batch's eps-row on demand, so NO per-row neighbor lists are ever
+    stored (a near-duplicate-saturated owner would make those lists
+    n² int64 — hundreds of MB inside one Arrow task at the cap).
+    Peak memory is O(block × n) booleans + O(n) labels; flops stay the
+    same order as the one-shot similarity pass, and every point enters
+    a frontier at most once.
+
+    Label equivalence to textbook list-based DBSCAN: all points
+    reached while growing cluster ``c`` get the SAME id, clusters grow
+    one at a time in first-unassigned-core row order, and a border
+    point reachable from two clusters always attaches to the
+    earlier-grown one — so batching the frontier cannot change any
+    label."""
     n = len(ids)
     if n < min_docs:
         return [NOISE] * n, [0.0] * n
     x = _l2_normalize_rows(vectors.astype(np.float64))
     sim_min = 1.0 - eps
-    # blockwise eps-neighborhoods: indices per row (self included)
-    neighbors: list[np.ndarray] = []
-    for start in range(0, n, 1024):
-        block = x[start : start + 1024] @ x.T  # (b, n) sims
-        for r in range(block.shape[0]):
-            neighbors.append(np.flatnonzero(block[r] >= sim_min))
-    core = np.array(
-        [len(nb) >= min_samples for nb in neighbors], dtype=bool
-    )
+    block_rows = 1024
+    # pass 1: core mask from blockwise neighbor counts (self included)
+    core = np.empty(n, dtype=bool)
+    for start in range(0, n, block_rows):
+        sims = x[start : start + block_rows] @ x.T  # (b, n)
+        core[start : start + block_rows] = (
+            (sims >= sim_min).sum(axis=1) >= min_samples
+        )
     labels = np.full(n, NOISE, dtype=int)
     cluster = 0
     for p in range(n):
         if not core[p] or labels[p] != NOISE:
             continue
-        # BFS over density-reachable points from this unassigned core
+        # grow the cluster from this unassigned core; region queries
+        # re-derive eps-rows for up to block_rows frontier cores at once
         labels[p] = cluster
         frontier = [p]
         while frontier:
-            q = frontier.pop()
-            for r in neighbors[q]:
-                if labels[r] == NOISE:
-                    labels[r] = cluster  # border or core
-                    if core[r]:
-                        frontier.append(int(r))
+            batch = np.asarray(frontier[:block_rows])
+            del frontier[:block_rows]
+            reach = np.flatnonzero(
+                ((x[batch] @ x.T) >= sim_min).any(axis=0)
+            )
+            newly = reach[labels[reach] == NOISE]
+            labels[newly] = cluster  # border or core
+            frontier.extend(int(r) for r in newly if core[r])
         cluster += 1
     probs = np.zeros(n)
     for c in range(cluster):

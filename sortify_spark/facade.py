@@ -354,6 +354,17 @@ class SortifyEngine:
             self._lsh_cache[key] = (center, keyed)
         return self._lsh_cache[key]
 
+    def _drop_lsh_cache(self) -> None:
+        """Release the persisted LSH frames BEFORE dropping the dict
+        references: Spark's CacheManager holds cached blocks until an
+        explicit unpersist (they are not GC-reclaimed), so a bare
+        ``clear()`` on every mutation would leak one corpus-sized cache
+        per add/delete cycle on a long-lived engine."""
+        for center, keyed in self._lsh_cache.values():
+            center.unpersist()
+            keyed.unpersist()
+        self._lsh_cache.clear()
+
     # -- persisted IVF index -----------------------------------------------
 
     def ivf_index_path(self, vtype: str) -> str:
@@ -510,8 +521,9 @@ class SortifyEngine:
         self.vectors.count()
         old_vectors.unpersist()
         # LSH caches key against a center derived from the OLD corpus;
-        # drop them so the next probe rebuilds over the grown corpus
-        self._lsh_cache.clear()
+        # release + drop them so the next probe rebuilds over the
+        # grown corpus without leaking the old cached blocks
+        self._drop_lsh_cache()
         out: dict = {}
         if not self._lex_built:
             self._lex_dirty = True  # adoption must not trust n_docs alone
@@ -1148,8 +1160,9 @@ class SortifyEngine:
             "doc_id",
             "left_anti",
         )
-        # LSH centers derive from the pre-delete corpus
-        self._lsh_cache.clear()
+        # LSH centers derive from the pre-delete corpus — release the
+        # persisted frames, not just the references
+        self._drop_lsh_cache()
         return self.vectors
 
     def maintain_indexes(self, keep_last: int = 2) -> dict:
@@ -1162,38 +1175,72 @@ class SortifyEngine:
         — a structural no-op under the keyed-upsert discipline (every
         upsert merge-rewrites touched partitions into one file;
         measured across 20-trigger streams, SCALE_STRESS_r10) but kept
-        here so artifacts written by OTHER writers heal too.  ``vacuum``
-        reclaims version dirs older than ``keep_last`` committed
-        versions; current snapshots (and the anchor-paired manifests
-        probes pin) are never touched, so probe results are hash-stable
-        across a maintenance pass (scale-stress-proven).  Run only when
-        no reader holds a snapshot older than the horizon — Delta's
-        VACUUM contract.  Returns per-table
-        ``{compacted: bool, vacuumed: n_versions}``."""
-        from sortify_spark.sources.versioned import compact, vacuum
+        here so artifacts written by OTHER writers heal too.
+        Compaction is layout-only (manifest extras carry forward), but
+        it BUMPS the compacted table's version — so before vacuuming,
+        any anchor that pins a paired table by version is re-pinned
+        onto the compacted (row-identical) version via a metadata-only
+        ``amend_manifest`` commit.  Only then does ``vacuum`` reclaim
+        version dirs older than ``keep_last`` committed versions:
+        current snapshots and the (re-pinned) anchor-paired manifests
+        survive, so probe results are hash-stable across a maintenance
+        pass even at ``keep_last=1``.  Run only when no reader holds a
+        snapshot older than the horizon — Delta's VACUUM contract.
+        Returns per-table ``{compacted: bool, vacuumed: n_versions}``."""
+        from sortify_spark.sources.versioned import (
+            amend_manifest,
+            compact,
+            vacuum,
+        )
 
         out: dict = {}
-        tables: list[tuple[str, str, str]] = []
+        groups: list[list[tuple[str, str, str]]] = []
         if self._lex_built:
             lex = self.lexical_index_path()
-            tables += [
-                (f"{lex}/postings", "pt", "lex/postings"),
-                (f"{lex}/doclen", "pd", "lex/doclen"),
-                (f"{lex}/terms", "part", "lex/terms"),
-            ]
+            groups.append(
+                [
+                    (f"{lex}/postings", "pt", "lex/postings"),
+                    (f"{lex}/doclen", "pd", "lex/doclen"),
+                    (f"{lex}/terms", "part", "lex/terms"),
+                ]
+            )
         for vtype in sorted(self._ivf_built):
             ivf = self.ivf_index_path(vtype)
-            tables += [
-                (f"{ivf}/assign", "bucket", f"ivf_{vtype}/assign"),
-                (f"{ivf}/centroids", "part", f"ivf_{vtype}/centroids"),
-            ]
-        for path, pcol, label in tables:
-            c = compact(self.spark, path, pcol)
-            removed = vacuum(path, keep_last=keep_last)
-            out[label] = {
-                "compacted": c is not None,
-                "vacuumed": len(removed),
+            groups.append(
+                [
+                    (f"{ivf}/assign", "bucket", f"ivf_{vtype}/assign"),
+                    (f"{ivf}/centroids", "part", f"ivf_{vtype}/centroids"),
+                ]
+            )
+        for tables in groups:
+            compacted = {
+                label: compact(self.spark, path, pcol)
+                for path, pcol, label in tables
             }
+            # re-pin anchors BEFORE any vacuum in this group: a real
+            # compaction of a paired table moved its current version
+            # past the anchor's pin, and vacuum would reclaim the
+            # pinned retained manifest at small keep_last
+            repin: dict = {}
+            anchor_path = None
+            for path, _, label in tables:
+                sub = label.split("/", 1)[1]
+                if sub == "postings" and compacted[label] is not None:
+                    repin["postings_version"] = compacted[label]
+                elif sub == "doclen" and compacted[label] is not None:
+                    repin["doclen_version"] = compacted[label]
+                elif sub == "centroids" and compacted[label] is not None:
+                    repin["centroid_version"] = compacted[label]
+                if sub == "terms" or sub == "assign":
+                    anchor_path = path
+            if repin and anchor_path is not None:
+                amend_manifest(anchor_path, repin)
+            for path, _, label in tables:
+                removed = vacuum(path, keep_last=keep_last)
+                out[label] = {
+                    "compacted": compacted[label] is not None,
+                    "vacuumed": len(removed),
+                }
         return out
 
     # -- analytics ---------------------------------------------------------

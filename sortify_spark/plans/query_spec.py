@@ -309,12 +309,21 @@ def discover_document_schema(
             doc = json.loads(row[json_col])
         except (TypeError, ValueError):
             continue
+        if not isinstance(doc, dict):
+            # a JSON array/scalar top level is tolerated the same way
+            # unparseable JSON is: skip the doc, not the whole sample
+            continue
         filename = doc.get("filename", "unknown")
-        key_info = (
-            doc.get("analysis", {})
-            .get("ai_analysis_output", {})
-            .get("key_information", {})
-        )
+        # real document JSON carries explicit nulls and occasional
+        # non-object values on these keys — anything that is not an
+        # object reads as absent rather than crashing the whole sample
+        key_info: object = doc
+        for step in ("analysis", "ai_analysis_output", "key_information"):
+            key_info = (
+                key_info.get(step) if isinstance(key_info, dict) else None
+            )
+        if not isinstance(key_info, dict):
+            key_info = {}
         doc_fields: list[str] = []
         dyn = key_info.get("dynamic_fields")
         if isinstance(dyn, dict):

@@ -580,6 +580,7 @@ def q_bm25_batched_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("bm25_r6"), F.asc("doc_id")
     )
     kk = _BATCH_K * 3
+    prev = None
     while True:
         over = probe_lexical_index_many(
             spark, path, _BATCH_QUERIES, k=kk
@@ -592,6 +593,11 @@ def q_bm25_batched_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ≤ kk rows/query: materialize once so the boundary check and
         # the final ranking don't each re-run the probe plan
         over = over.localCheckpoint(eager=True)
+        if prev is not None:
+            # a superseded iteration's checkpoint blocks stay cached
+            # for the session unless released explicitly
+            prev.unpersist()
+        prev = over
         ranked = over.withColumn("rnk", F.row_number().over(w))
         boundary = (
             ranked.groupBy("query_id")

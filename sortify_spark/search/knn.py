@@ -520,17 +520,54 @@ def lsh_portable_topk(
     key column (a persisted, write-once index — the shape repeated
     queries should use; the facade caches it per engine) and only the
     query side is keyed here."""
+    scored = _lsh_scored_candidates(
+        vectors,
+        query.select(F.col(vec_col).alias("__qvec")),
+        lead_cols=(),
+        id_col=id_col,
+        vec_col=vec_col,
+        nbits=nbits,
+        carry_cols=carry_cols,
+        center=center,
+        probe_hamming=probe_hamming,
+        pre_keyed=pre_keyed,
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _lsh_scored_candidates(
+    vectors: DataFrame,
+    qsel: DataFrame,
+    lead_cols: tuple,
+    id_col: str,
+    vec_col: str,
+    nbits: int,
+    carry_cols: tuple[str, ...],
+    center: DataFrame | None,
+    probe_hamming: int,
+    pre_keyed: bool,
+) -> DataFrame:
+    """Shared core of the single and batched portable-LSH probes: key
+    the index side (unless ``pre_keyed``), key the query side ``qsel``
+    (which must expose ``__qvec`` plus any pass-through id columns),
+    fan out one-bit-flip probes, bucket-equi-join, exact cosine score
+    at the probe's fold/rounding.  ``lead_cols`` are query-side columns
+    selected (aliased) ahead of ``id_col`` in the output — the batched
+    probe threads ``query_id`` through here, keeping the two public
+    probes bit-identical by construction instead of by copy."""
     if center is not None:
         c = F.broadcast(center)
-        if pre_keyed:
-            keyed = vectors
-        else:
-            keyed = vectors.crossJoin(c).withColumn(
+        keyed = (
+            vectors
+            if pre_keyed
+            else vectors.crossJoin(c)
+            .withColumn(
                 "__lsh", lsh_portable_key_centered(vec_col, "c", nbits)
-            ).drop("c")
+            )
+            .drop("c")
+        )
         q0 = (
-            query.select(F.col(vec_col).alias("__qvec"))
-            .crossJoin(c)
+            qsel.crossJoin(c)
             .withColumn(
                 "__lsh", lsh_portable_key_centered("__qvec", "c", nbits)
             )
@@ -544,8 +581,7 @@ def lsh_portable_topk(
             else vectors.withColumn("__lsh", lsh_portable_key(vec_col, nbits))
         )
         q0 = (
-            query.select(F.col(vec_col).alias("__qvec"))
-            .withColumn("__lsh", lsh_portable_key("__qvec", nbits))
+            qsel.withColumn("__lsh", lsh_portable_key("__qvec", nbits))
             .withColumn("__qn", l2_norm("__qvec"))
         )
     if probe_hamming >= 1:
@@ -555,7 +591,8 @@ def lsh_portable_topk(
         q0 = q0.withColumn("__lsh", F.explode(F.array(*flips)))
     q = F.broadcast(q0)
     cand = keyed.join(q, "__lsh").withColumn("__vn", l2_norm(vec_col))
-    scored = cand.select(
+    return cand.select(
+        *lead_cols,
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
         F.round(
@@ -565,7 +602,6 @@ def lsh_portable_topk(
             6,
         ).alias("score"),
     )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
 def lsh_portable_topk_many(
@@ -600,65 +636,24 @@ def lsh_portable_topk_many(
     (the facade's cached write-once index frame)."""
     from pyspark.sql.window import Window
 
-    if center is not None:
-        c = F.broadcast(center)
-        keyed = (
-            vectors
-            if pre_keyed
-            else vectors.crossJoin(c)
-            .withColumn(
-                "__lsh", lsh_portable_key_centered(vec_col, "c", nbits)
-            )
-            .drop("c")
-        )
-        q0 = (
-            queries.select(
-                F.col(query_id_col).alias("__qid"),
-                F.col(query_vec_col).alias("__qvec"),
-            )
-            .crossJoin(c)
-            .withColumn(
-                "__lsh", lsh_portable_key_centered("__qvec", "c", nbits)
-            )
-            .drop("c")
-            .withColumn("__qn", l2_norm("__qvec"))
-        )
-    else:
-        keyed = (
-            vectors
-            if pre_keyed
-            else vectors.withColumn(
-                "__lsh", lsh_portable_key(vec_col, nbits)
-            )
-        )
-        q0 = (
-            queries.select(
-                F.col(query_id_col).alias("__qid"),
-                F.col(query_vec_col).alias("__qvec"),
-            )
-            .withColumn("__lsh", lsh_portable_key("__qvec", nbits))
-            .withColumn("__qn", l2_norm("__qvec"))
-        )
-    if probe_hamming >= 1:
-        flips = [F.col("__lsh")] + [
-            F.col("__lsh").bitwiseXOR(F.lit(1 << b)) for b in range(nbits)
-        ]
-        q0 = q0.withColumn("__lsh", F.explode(F.array(*flips)))
-    q = F.broadcast(q0)
     # no (query, id) dedupe needed: a vector's key is fixed, and one
     # query's probe buckets (base + single-bit flips) are all distinct,
     # so each (query, candidate) pair joins at most once — same as the
     # single-query probe
-    cand = keyed.join(q, "__lsh").withColumn("__vn", l2_norm(vec_col))
-    scored = cand.select(
-        F.col("__qid").alias(query_id_col),
-        F.col(id_col),
-        F.round(
-            cosine_given_norms(
-                F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
-            ),
-            6,
-        ).alias("score"),
+    scored = _lsh_scored_candidates(
+        vectors,
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(query_vec_col).alias("__qvec"),
+        ),
+        lead_cols=(F.col("__qid").alias(query_id_col),),
+        id_col=id_col,
+        vec_col=vec_col,
+        nbits=nbits,
+        carry_cols=(),
+        center=center,
+        probe_hamming=probe_hamming,
+        pre_keyed=pre_keyed,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.asc(id_col)

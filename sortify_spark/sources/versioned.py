@@ -583,9 +583,17 @@ def compact(
         new_parts = dict(manifest["partitions"])
         for value, _ in todo:
             new_parts[value] = f"v={new_version}/{partition_col}={value}"
-        new_manifest = {"version": new_version, "partitions": new_parts}
-        if "partition_dtype" in manifest:
-            new_manifest["partition_dtype"] = manifest["partition_dtype"]
+        # layout-only commit: every manifest key beyond the partition
+        # map (anchor extras like n_docs / carry / paired versions)
+        # carries forward verbatim — compaction must never change what
+        # a reader of the manifest sees
+        new_manifest = {
+            k: v
+            for k, v in manifest.items()
+            if k not in ("version", "partitions")
+        }
+        new_manifest["version"] = new_version
+        new_manifest["partitions"] = new_parts
         _commit_manifest(path, new_manifest)
     return new_version
 
@@ -664,9 +672,15 @@ def fold_partitions(
             v: rel for v, rel in parts.items() if v not in fold_vals
         }
         new_parts[base_str] = f"v={new_version}/{partition_col}={base_str}"
-        new_manifest = {"version": new_version, "partitions": new_parts}
-        if dtype:
-            new_manifest["partition_dtype"] = dtype
+        # layout-only commit — carry every non-structural manifest key
+        # forward, same contract as compact()
+        new_manifest = {
+            k: v
+            for k, v in manifest.items()
+            if k not in ("version", "partitions")
+        }
+        new_manifest["version"] = new_version
+        new_manifest["partitions"] = new_parts
         _commit_manifest(path, new_manifest)
     return new_version
 
@@ -838,6 +852,27 @@ def rollback(path: str, version: int) -> int:
         new_manifest["partition_dtype"] = manifest["partition_dtype"]
     _commit_manifest(path, new_manifest)
     return new_manifest["version"]
+
+
+def amend_manifest(path: str, updates: dict) -> int:
+    """Metadata-only commit: a new version whose partition map is
+    IDENTICAL to the current snapshot (pointing at the same immutable
+    dirs — zero data written) with ``updates`` merged into the extra
+    keys.  This is how an anchor re-pins a paired table after a
+    layout-only operation bumped the paired version (e.g.
+    ``maintain_indexes`` compacts the postings table, then amends the
+    terms anchor's ``postings_version`` — the rows behind both versions
+    are identical, so probe results are unchanged).  Goes through the
+    same reserve → commit protocol as data writes, so it is atomic and
+    safe against concurrent writers."""
+    manifest = read_manifest(path)
+    new_version = manifest["version"] + 1
+    with _reserved(path, new_version):
+        new_manifest = dict(manifest)
+        new_manifest.update(updates)
+        new_manifest["version"] = new_version
+        _commit_manifest(path, new_manifest)
+    return new_version
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[int]:

@@ -190,3 +190,41 @@ def test_semdedup_null_embedding_never_dropped(spark):
     a = [tuple(r) for r in semdedup_stats(emb).collect()]
     b = [tuple(r) for r in semdedup_stats_np(emb).collect()]
     assert a == b == [(0, 3, 1, 2, 1 + 2)]
+
+
+def test_discover_document_schema_tolerates_nulls(spark):
+    """Real document JSON carries explicit nulls / non-object values on
+    any level of the analysis walk — and sometimes a non-object top
+    level.  Discovery must skip those docs' missing branches, not crash
+    the whole sample (the unparseable-JSON path already skips)."""
+    from sortify_spark.plans.query_spec import discover_document_schema
+
+    rows = [
+        # healthy doc — contributes fields
+        ('{"filename":"a.pdf","analysis":{"ai_analysis_output":'
+         '{"key_information":{"dynamic_fields":{"amount":12.5},'
+         '"structured_entities":{"person":["x"]}}}}}',),
+        ('{"filename":"b.pdf","analysis":null}',),
+        ('{"filename":"c.pdf","analysis":{"ai_analysis_output":null}}',),
+        ('{"filename":"d.pdf","analysis":{"ai_analysis_output":'
+         '{"key_information":[1,2]}}}',),
+        ('{"filename":"e.pdf","analysis":"pending"}',),
+        ('["not","an","object"]',),
+        ('not json at all',),
+        # second healthy doc — first-seen-wins must still apply
+        ('{"filename":"f.pdf","analysis":{"ai_analysis_output":'
+         '{"key_information":{"dynamic_fields":{"amount":"12.5 EUR"}}}}}',),
+    ]
+    df = spark.createDataFrame(rows, ["doc_json"])
+    schema, by_doc = discover_document_schema(df, "doc_json", sample_n=10)
+    assert schema == {
+        "dynamic_fields.amount": "amount (float)",
+        "structured_entities.person": "person entity",
+    }
+    assert by_doc == {
+        "a.pdf": [
+            "dynamic_fields.amount",
+            "structured_entities.person",
+        ],
+        "f.pdf": ["dynamic_fields.amount"],
+    }

@@ -2664,3 +2664,77 @@ def test_facade_maintain_indexes(spark, tmp_path):
     assert sum(v["vacuumed"] for v in out.values()) > 0
     assert dirs() < before_dirs
     assert probes() == before_probe
+
+
+def test_facade_maintain_indexes_real_compaction(spark, tmp_path):
+    """maintain_indexes with genuinely fragmented artifact partitions
+    (another writer splitting files via maxRecordsPerFile): compaction
+    must preserve the anchor's manifest extras (n_docs / pt_buckets /
+    carry survive the layout-only commit) and re-pin the terms anchor
+    onto the compacted postings/doclen versions BEFORE vacuum, so a
+    keep_last=1 pass never strands the pinned retained manifests —
+    keyword probes are hash-stable and alive across the pass."""
+    from sortify_spark.facade import SortifyEngine
+    from sortify_spark.sources.versioned import read_manifest
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=60,
+        index_root=str(tmp_path), owner_col="source",
+    )
+    owner = eng.documents.select("source").orderBy("source").first()[
+        "source"
+    ]
+    # build the lexical artifact with fragmentation forced: every
+    # partition's single write task splits into many small files —
+    # exactly the foreign-writer layout compact() exists to heal
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "5")
+    try:
+        eng.semantic_search("data pipeline", "keyword", owner_id=owner)
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    # one mutation so vacuum has an old version to reclaim
+    eng.add_documents(
+        spark.createDataFrame(
+            [(930_000, "compaction probe document about data pipeline",
+              "en", owner, 40)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+    )
+
+    def kw_probe():
+        return [
+            (r["id"], round(r["score"], 9))
+            for r in eng.semantic_search(
+                "data pipeline", "keyword", owner_id=owner
+            ).collect()
+        ]
+
+    lex = eng.lexical_index_path()
+    before = kw_probe()
+    anchor_before = read_manifest(f"{lex}/terms")
+    out = eng.maintain_indexes(keep_last=1)
+    assert any(
+        v["compacted"] for k, v in out.items() if k.startswith("lex/")
+    ), "fragmented partitions must trigger a real compaction"
+    anchor = read_manifest(f"{lex}/terms")
+    # extras survived the layout-only commits…
+    for key in ("n_docs", "sum_dl", "pt_buckets", "pd_buckets", "carry"):
+        assert anchor.get(key) == anchor_before.get(key), key
+    # …and the anchor re-pinned onto the CURRENT paired versions so
+    # the keep_last=1 vacuum could not strand them
+    assert (
+        anchor["postings_version"]
+        == read_manifest(f"{lex}/postings")["version"]
+    )
+    assert (
+        anchor["doclen_version"]
+        == read_manifest(f"{lex}/doclen")["version"]
+    )
+    # the probe still runs (no FileNotFoundError / KeyError) and is
+    # value-identical across the maintenance pass
+    assert kw_probe() == before
+    # a second pass is now a structural no-op
+    out2 = eng.maintain_indexes(keep_last=1)
+    assert not any(v["compacted"] for v in out2.values())
+    assert kw_probe() == before

@@ -1505,3 +1505,84 @@ def test_fold_partitions_respects_writer_protocol(spark):
         assert got == v + 1
         old = read_versioned(spark, path, "pb", version=v)
         assert old.filter(F.col("pb") == 0).count() == 1
+
+
+def test_compact_preserves_extras_and_amend_manifest(spark):
+    """compact() / fold_partitions() are layout-only COMMITS: every
+    manifest key beyond version/partitions (anchor extras like paired
+    versions, carry schemas, corpus stats) must carry forward verbatim.
+    amend_manifest() is the paired metadata-only commit an anchor uses
+    to re-pin after a layout operation."""
+    from sortify_spark.sources.versioned import (
+        amend_manifest,
+        compact,
+        fold_partitions,
+        read_manifest,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    def rows_of(df):
+        return {(r["doc_id"], r["source"], r["n"]) for r in df.collect()}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/anchorish"
+        base = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b", i * 10) for i in range(1, 9)],
+            "doc_id long, source string, n long",
+        )
+        extras = {
+            "n_docs": 8,
+            "carry": ["owner_id"],
+            "postings_version": 3,
+        }
+        upsert_versioned(base, path, ["doc_id"], "source", extra=extras)
+        snap = rows_of(read_versioned(spark, path, "source"))
+
+        # fragment, then compact — extras must survive the commit
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+        try:
+            upsert_versioned(
+                spark.createDataFrame(
+                    [(1, "a", 11)], "doc_id long, source string, n long"
+                ),
+                path,
+                ["doc_id"],
+                "source",
+                extra=extras,
+            )
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        snap = rows_of(read_versioned(spark, path, "source"))
+        v = compact(spark, path, "source")
+        assert v is not None, "fragmented partition must compact"
+        m = read_manifest(path)
+        for k, want in extras.items():
+            assert m.get(k) == want, k
+        assert m.get("partition_dtype") == "string"
+        assert rows_of(read_versioned(spark, path, "source")) == snap
+
+        # fold_partitions carries extras forward too
+        v2 = fold_partitions(spark, path, "source", "a")
+        assert v2 == v + 1
+        m2 = read_manifest(path)
+        for k, want in extras.items():
+            assert m2.get(k) == want, k
+
+        # amend_manifest: zero data written, same partition map, new
+        # version, updated extras
+        v3 = amend_manifest(path, {"postings_version": 9, "note": "x"})
+        assert v3 == v2 + 1
+        m3 = read_manifest(path)
+        assert m3["version"] == v3
+        assert m3["partitions"] == m2["partitions"]
+        assert m3["postings_version"] == 9
+        assert m3["note"] == "x"
+        assert m3["carry"] == ["owner_id"]
+        assert not os.path.isdir(os.path.join(path, f"v={v3}"))
+        # fold re-keyed everything to partition 'a'; the logical rows
+        # (key + payload) are untouched by fold AND by amend
+        assert {
+            (r["doc_id"], r["n"])
+            for r in read_versioned(spark, path, "source").collect()
+        } == {(d, n) for d, _, n in snap}
