@@ -211,3 +211,91 @@ def test_cluster_kernel_injection_validates(spark, vectors):
     assert {r["cluster_label"] for r in out} == {0}
     with _pytest.raises(ValueError, match="kernel"):
         clustering.cluster_per_owner(vectors, kernel="hdbscan")
+
+
+def test_dbscan_blockwise_matches_listbased_reference():
+    """Property check for the memory-bounded DBSCAN: the two-pass
+    blockwise kernel (core counts + on-demand batched region queries)
+    must label EXACTLY like textbook list-based DBSCAN — including
+    cluster numbering and border-point attachment — on randomized
+    inputs spanning chains, blobs, duplicates, and noise."""
+    import numpy as np
+
+    from sortify_spark.clustering import (
+        NOISE,
+        _l2_normalize_rows,
+        dbscan_cluster_group,
+    )
+
+    def reference_dbscan(vectors, eps, min_samples, min_docs):
+        n = len(vectors)
+        if n < min_docs:
+            return [NOISE] * n
+        x = _l2_normalize_rows(vectors.astype(np.float64))
+        sim_min = 1.0 - eps
+        sims = x @ x.T
+        neighbors = [np.flatnonzero(sims[r] >= sim_min) for r in range(n)]
+        core = np.array(
+            [len(nb) >= min_samples for nb in neighbors], dtype=bool
+        )
+        labels = np.full(n, NOISE, dtype=int)
+        cluster = 0
+        for p in range(n):
+            if not core[p] or labels[p] != NOISE:
+                continue
+            labels[p] = cluster
+            frontier = [p]
+            while frontier:
+                q = frontier.pop()
+                for r in neighbors[q]:
+                    if labels[r] == NOISE:
+                        labels[r] = cluster
+                        if core[r]:
+                            frontier.append(int(r))
+            cluster += 1
+        return labels.tolist()
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        n = int(rng.integers(3, 120))
+        dim = int(rng.integers(2, 8))
+        # mixture: a few tight blobs + uniform noise + exact duplicates
+        centers = rng.normal(size=(int(rng.integers(1, 5)), dim))
+        rows = []
+        for _ in range(n):
+            kind = rng.random()
+            if kind < 0.6:
+                c = centers[int(rng.integers(0, len(centers)))]
+                rows.append(c + rng.normal(scale=0.05, size=dim))
+            elif kind < 0.75 and rows:
+                rows.append(rows[int(rng.integers(0, len(rows)))])
+            else:
+                rows.append(rng.normal(size=dim))
+        vecs = np.array(rows)
+        eps = float(rng.uniform(0.01, 0.5))
+        min_samples = int(rng.integers(1, 6))
+        ids = [str(i) for i in range(n)]
+        got, _probs = dbscan_cluster_group(
+            ids, vecs.copy(), eps=eps, min_samples=min_samples, min_docs=3
+        )
+        want = reference_dbscan(vecs.copy(), eps, min_samples, min_docs=3)
+        assert got == want, (
+            f"trial {trial}: n={n} eps={eps} min_samples={min_samples}"
+        )
+
+    # one near-duplicate-saturated owner past the 1024-row block size —
+    # the exact shape whose neighbor lists would have been n² — so the
+    # frontier batching and pass-1 block seams are both crossed
+    n = 2500
+    blob = rng.normal(size=4) + rng.normal(scale=0.01, size=(n - 50, 4))
+    noise = rng.normal(size=(50, 4))
+    vecs = np.vstack([blob, noise])
+    perm = rng.permutation(n)
+    vecs = vecs[perm]
+    ids = [str(i) for i in range(n)]
+    got, _probs = dbscan_cluster_group(
+        ids, vecs.copy(), eps=0.05, min_samples=4, min_docs=3
+    )
+    want = reference_dbscan(vecs.copy(), 0.05, 4, min_docs=3)
+    assert got == want
+    assert max(got) >= 0  # the saturated blob did form a cluster
