@@ -10,6 +10,7 @@ defaults, keeping the data plane hermetic (SURVEY.md §2.12).
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1190,6 +1191,7 @@ class SortifyEngine:
         from sortify_spark.sources.versioned import (
             amend_manifest,
             compact,
+            read_manifest,
             vacuum,
         )
 
@@ -1212,7 +1214,28 @@ class SortifyEngine:
                     (f"{ivf}/centroids", "part", f"ivf_{vtype}/centroids"),
                 ]
             )
+        _PIN_KEYS = {
+            "postings": "postings_version",
+            "doclen": "doclen_version",
+            "centroids": "centroid_version",
+        }
         for tables in groups:
+            # Pre-compaction snapshot: the paired tables' CURRENT
+            # versions and the anchor's pins, read before any rewrite.
+            # The re-pin below is only valid when the anchor's pin
+            # equals the paired table's pre-compaction version — i.e.
+            # the pin points at exactly the rows compaction preserved.
+            pre_versions = {
+                label: read_manifest(path)["version"]
+                for path, _, label in tables
+            }
+            anchor_path = None
+            for path, _, label in tables:
+                if label.split("/", 1)[1] in ("terms", "assign"):
+                    anchor_path = path
+            anchor_manifest = (
+                read_manifest(anchor_path) if anchor_path else {}
+            )
             compacted = {
                 label: compact(self.spark, path, pcol)
                 for path, pcol, label in tables
@@ -1220,22 +1243,45 @@ class SortifyEngine:
             # re-pin anchors BEFORE any vacuum in this group: a real
             # compaction of a paired table moved its current version
             # past the anchor's pin, and vacuum would reclaim the
-            # pinned retained manifest at small keep_last
+            # pinned retained manifest at small keep_last.  If the pin
+            # is STALE (a crash landed between the paired commit and
+            # the anchor commit, so pin != pre-compaction current),
+            # re-pinning would silently move probes onto rows the
+            # anchor's n_docs/sum_dl no longer describe — skip both
+            # the re-pin and that table's vacuum and surface a
+            # warning; the loud FileNotFoundError on a reclaimed pin
+            # is strictly better than a silent stat mismatch.
             repin: dict = {}
-            anchor_path = None
+            skip_vacuum: set = set()
             for path, _, label in tables:
                 sub = label.split("/", 1)[1]
-                if sub == "postings" and compacted[label] is not None:
-                    repin["postings_version"] = compacted[label]
-                elif sub == "doclen" and compacted[label] is not None:
-                    repin["doclen_version"] = compacted[label]
-                elif sub == "centroids" and compacted[label] is not None:
-                    repin["centroid_version"] = compacted[label]
-                if sub == "terms" or sub == "assign":
-                    anchor_path = path
+                pin_key = _PIN_KEYS.get(sub)
+                if pin_key is None or compacted[label] is None:
+                    continue
+                pinned = anchor_manifest.get(pin_key)
+                if pinned == pre_versions[label]:
+                    repin[pin_key] = compacted[label]
+                else:
+                    warnings.warn(
+                        f"maintain_indexes: anchor pin {pin_key}="
+                        f"{pinned} != pre-compaction version "
+                        f"{pre_versions[label]} of {label}; skipping "
+                        "re-pin and vacuum of that table (stale pin — "
+                        "rebuild the index to reconcile)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    skip_vacuum.add(label)
             if repin and anchor_path is not None:
                 amend_manifest(anchor_path, repin)
             for path, _, label in tables:
+                if label in skip_vacuum:
+                    out[label] = {
+                        "compacted": True,
+                        "vacuumed": 0,
+                        "stale_pin": True,
+                    }
+                    continue
                 removed = vacuum(path, keep_last=keep_last)
                 out[label] = {
                     "compacted": compacted[label] is not None,

@@ -580,7 +580,6 @@ def q_bm25_batched_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("bm25_r6"), F.asc("doc_id")
     )
     kk = _BATCH_K * 3
-    prev = None
     while True:
         over = probe_lexical_index_many(
             spark, path, _BATCH_QUERIES, k=kk
@@ -591,13 +590,15 @@ def q_bm25_batched_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("bm25", 6).alias("bm25_r6"),
         )
         # ≤ kk rows/query: materialize once so the boundary check and
-        # the final ranking don't each re-run the probe plan
+        # the final ranking share one probe run.  A superseded
+        # iteration's checkpoint
+        # blocks live on the INTERNAL RDD, outside the SQL
+        # CacheManager, so Dataset.unpersist would be a no-op on them
+        # — reassigning ``over`` next iteration drops the only
+        # reference and the ContextCleaner reclaims the blocks
+        # (re-probes are rare: kk escalation only fires on a tie at
+        # the k boundary).
         over = over.localCheckpoint(eager=True)
-        if prev is not None:
-            # a superseded iteration's checkpoint blocks stay cached
-            # for the session unless released explicitly
-            prev.unpersist()
-        prev = over
         ranked = over.withColumn("rnk", F.row_number().over(w))
         boundary = (
             ranked.groupBy("query_id")

@@ -586,11 +586,15 @@ def compact(
         # layout-only commit: every manifest key beyond the partition
         # map (anchor extras like n_docs / carry / paired versions)
         # carries forward verbatim — compaction must never change what
-        # a reader of the manifest sees
+        # a reader of the manifest sees.  committed_at is structural,
+        # not carried: each commit stamps a fresh timestamp so
+        # resolve_version_at stays monotonic and an as-of read taken
+        # before the compaction never resolves to the post-compaction
+        # snapshot.
         new_manifest = {
             k: v
             for k, v in manifest.items()
-            if k not in ("version", "partitions")
+            if k not in ("version", "partitions", "committed_at")
         }
         new_manifest["version"] = new_version
         new_manifest["partitions"] = new_parts
@@ -673,11 +677,13 @@ def fold_partitions(
         }
         new_parts[base_str] = f"v={new_version}/{partition_col}={base_str}"
         # layout-only commit — carry every non-structural manifest key
-        # forward, same contract as compact()
+        # forward, same contract as compact() (committed_at excluded:
+        # the fold re-keys the partition column, so an as-of read taken
+        # before the fold MUST NOT resolve to the folded snapshot)
         new_manifest = {
             k: v
             for k, v in manifest.items()
-            if k not in ("version", "partitions")
+            if k not in ("version", "partitions", "committed_at")
         }
         new_manifest["version"] = new_version
         new_manifest["partitions"] = new_parts
@@ -871,6 +877,9 @@ def amend_manifest(path: str, updates: dict) -> int:
         new_manifest = dict(manifest)
         new_manifest.update(updates)
         new_manifest["version"] = new_version
+        # fresh timestamp per commit — never inherit the amended
+        # version's committed_at (time-travel monotonicity)
+        new_manifest.pop("committed_at", None)
         _commit_manifest(path, new_manifest)
     return new_version
 

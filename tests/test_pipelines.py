@@ -2738,3 +2738,58 @@ def test_facade_maintain_indexes_real_compaction(spark, tmp_path):
     out2 = eng.maintain_indexes(keep_last=1)
     assert not any(v["compacted"] for v in out2.values())
     assert kw_probe() == before
+
+
+def test_facade_maintain_indexes_stale_pin_skips_repin(spark, tmp_path):
+    """If the terms anchor's pin does NOT equal the paired table's
+    pre-compaction version (a crash landed between the postings commit
+    and the anchor commit), maintain_indexes must NOT silently re-pin
+    the anchor onto the compacted version — that would move probes
+    onto rows the anchor's n_docs/sum_dl no longer describe, and the
+    vacuum would reclaim the genuinely-pinned manifest.  It skips the
+    re-pin AND that table's vacuum and surfaces a RuntimeWarning
+    (ADVICE r10 low)."""
+    import warnings as _warnings
+
+    from sortify_spark.facade import SortifyEngine
+    from sortify_spark.sources.versioned import (
+        amend_manifest,
+        read_manifest,
+    )
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=60,
+        index_root=str(tmp_path), owner_col="source",
+    )
+    owner = eng.documents.select("source").orderBy("source").first()[
+        "source"
+    ]
+    # fragmented build so maintain_indexes performs a REAL compaction
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "5")
+    try:
+        eng.semantic_search("data pipeline", "keyword", owner_id=owner)
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    lex = eng.lexical_index_path()
+    # simulate the crash: anchor pin diverges from postings' current
+    stale = read_manifest(f"{lex}/terms")["postings_version"] + 100
+    amend_manifest(f"{lex}/terms", {"postings_version": stale})
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        out = eng.maintain_indexes(keep_last=1)
+    assert any(
+        "stale pin" in str(w.message)
+        and "postings_version" in str(w.message)
+        for w in caught
+    ), [str(w.message) for w in caught]
+    # postings: compacted but NOT vacuumed, flagged
+    assert out["lex/postings"]["compacted"] is True
+    assert out["lex/postings"]["stale_pin"] is True
+    assert out["lex/postings"]["vacuumed"] == 0
+    # the anchor's stale pin was NOT silently moved
+    assert read_manifest(f"{lex}/terms")["postings_version"] == stale
+    # the correctly-pinned paired table (doclen) re-pinned normally
+    assert (
+        read_manifest(f"{lex}/terms")["doclen_version"]
+        == read_manifest(f"{lex}/doclen")["version"]
+    )

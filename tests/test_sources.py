@@ -1586,3 +1586,53 @@ def test_compact_preserves_extras_and_amend_manifest(spark):
             (r["doc_id"], r["n"])
             for r in read_versioned(spark, path, "source").collect()
         } == {(d, n) for d, _, n in snap}
+
+
+def test_layout_commits_stamp_fresh_committed_at(spark):
+    """Layout-only commits (fold / compact / amend) must NOT inherit
+    the prior version's committed_at: each commit stamps its own
+    timestamp so resolve_version_at stays monotonic and an as-of read
+    taken BEFORE the operation resolves to the pre-operation snapshot
+    — critical for fold_partitions, which re-keys the partition column
+    (ADVICE r10 medium)."""
+    from sortify_spark.sources.versioned import (
+        amend_manifest,
+        fold_partitions,
+        read_manifest,
+        read_versioned,
+        resolve_version_at,
+        upsert_versioned,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/side"
+        for b in range(3):
+            upsert_versioned(
+                spark.createDataFrame(
+                    [(b * 10 + i, b) for i in range(3)],
+                    "id long, pb int",
+                ),
+                path, keys=["id"], partition_col="pb",
+            )
+        v_pre = read_manifest(path)["version"]
+        t_pre_op = time.time()
+        time.sleep(0.02)
+        v_fold = fold_partitions(spark, path, "pb", -1)
+        assert v_fold == v_pre + 1
+        m_pre, m_fold = read_manifest(path, v_pre), read_manifest(path)
+        # fresh stamp, strictly after the pre-fold commit
+        assert m_fold["committed_at"] > m_pre["committed_at"]
+        assert m_fold["committed_at"] > t_pre_op
+        # an as-of read taken before the fold sees the ORIGINAL
+        # partition keys, not the re-keyed snapshot
+        assert resolve_version_at(path, t_pre_op) == v_pre
+        old = read_versioned(spark, path, "pb", version=v_pre)
+        assert old.filter(F.col("pb") == 0).count() == 3
+        # amend_manifest: same contract
+        t_pre_amend = time.time()
+        time.sleep(0.02)
+        v_amend = amend_manifest(path, {"note": "x"})
+        m_amend = read_manifest(path)
+        assert m_amend["committed_at"] > m_fold["committed_at"]
+        assert resolve_version_at(path, t_pre_amend) == v_fold
+        assert resolve_version_at(path, time.time() + 1) == v_amend
