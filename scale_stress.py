@@ -826,6 +826,201 @@ def main() -> None:
 
             stage(f"ann_ivf_topk_nprobe{np_}", ann_ivf)
 
+        # -- selective-tenant filtered-ANN recall (VERDICT r10 #1) -----
+        # Shared corpus, one owner at ~1% selectivity, probed through
+        # the PERSISTED artifact: fixed-nprobe owner-scoped probes
+        # measured against the owner's exact scan at nprobe 1/4/16,
+        # then the two mitigations — adaptive escalation
+        # (min_candidates=k) and occupancy-aware bucket choice
+        # (filter_buckets) — on the same index.
+        def ivf_owner_setup():
+            from sortify_spark.search.index import build_ivf_index
+
+            owned = data.select(
+                "vec_id",
+                "embedding",
+                "label",
+                F.pmod(F.col("vec_id"), F.lit(100)).alias("owner"),
+            )
+            path = os.path.join(derived, "ivf_owner")
+            build_ivf_index(
+                owned.filter(F.col("vec_id") != 0),
+                path,
+                seed_col="label",
+                carry_cols=("owner",),
+            )
+            ann["owner_path"] = path
+            pred = F.col("owner") == 3
+            n_owner = (
+                owned.filter(F.col("vec_id") != 0).filter(pred).count()
+            )
+            exact = knn.brute_force_topk(
+                owned.filter(F.col("vec_id") != 0).filter(pred),
+                probe,
+                k=10,
+            ).collect()
+            ann["owner_exact_ids"] = [r["vec_id"] for r in exact]
+            return {
+                "owner_rows": n_owner,
+                "selectivity": round(
+                    n_owner / max(1, data.count() - 1), 4
+                ),
+            }
+
+        stage("ivf_owner_index_build", ivf_owner_setup)
+
+        def owner_recall(ids):
+            ex = set(ann["owner_exact_ids"])
+            return round(len(set(ids) & ex) / max(1, len(ex)), 3)
+
+        for np_ in (1, 4, 16):
+
+            def ivf_owner_fixed(np_=np_):
+                from sortify_spark.search.index import probe_ivf_index
+
+                top = probe_ivf_index(
+                    spark,
+                    ann["owner_path"],
+                    probe.select("embedding"),
+                    k=10,
+                    nprobe=np_,
+                    pre_filter=F.col("owner") == 3,
+                ).collect()
+                return {
+                    "rows": len(top),
+                    "recall_at_10": owner_recall(
+                        [r["vec_id"] for r in top]
+                    ),
+                    "probe_frac": round(np_ / ann["nlist"], 4),
+                }
+
+            stage(f"ivf_owner_fixed_nprobe{np_}", ivf_owner_fixed)
+
+        def ivf_owner_escalated():
+            from sortify_spark.search import index as ix
+
+            top = ix.probe_ivf_index(
+                spark,
+                ann["owner_path"],
+                probe.select("embedding"),
+                k=10,
+                nprobe=1,
+                pre_filter=F.col("owner") == 3,
+                min_candidates=10,
+            ).collect()
+            trace = ix.PROBE_ESCALATION or {}
+            return {
+                "rows": len(top),
+                "recall_at_10": owner_recall([r["vec_id"] for r in top]),
+                "nprobe_final": trace.get("nprobe_final", 1),
+                "levels": trace.get("levels"),
+            }
+
+        stage("ivf_owner_escalated_min10", ivf_owner_escalated)
+
+        def ivf_owner_occupancy():
+            from sortify_spark.search import index as ix
+
+            top = ix.probe_ivf_index(
+                spark,
+                ann["owner_path"],
+                probe.select("embedding"),
+                k=10,
+                nprobe=16,
+                pre_filter=F.col("owner") == 3,
+                filter_buckets=True,
+            ).collect()
+            return {
+                "rows": len(top),
+                "recall_at_10": owner_recall([r["vec_id"] for r in top]),
+                "nprobe": 16,
+            }
+
+        stage("ivf_owner_occupancy_nprobe16", ivf_owner_occupancy)
+
+        # -- owner-aware artifact LAYOUT A/B (VERDICT r10 #3) ----------
+        # Same corpus, same probe, two layouts: the carried-column
+        # artifact (owner rides each row, probe row-filters whole
+        # buckets) vs layout_col="owner" (each bucket's files range-
+        # split on owner; the probe's scan-level pre_filter prunes
+        # FILES via parquet footer stats).  Probe results must be
+        # identical; input bytes must drop.
+        def ivf_owner_layout_ab():
+            import urllib.request as _rq
+
+            from sortify_spark.search.index import (
+                build_ivf_index,
+                probe_ivf_index,
+            )
+
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+
+            def _stages_rest():
+                url = (
+                    f"{ui}/api/v1/applications/{app}"
+                    "/stages?status=complete"
+                )
+                with _rq.urlopen(url, timeout=10) as r:
+                    return json.load(r)
+
+            owned = data.select(
+                "vec_id",
+                "embedding",
+                "label",
+                F.pmod(F.col("vec_id"), F.lit(100)).alias("owner"),
+            ).filter(F.col("vec_id") != 0)
+            path_lay = os.path.join(derived, "ivf_owner_lay")
+            build_ivf_index(
+                owned,
+                path_lay,
+                seed_col="label",
+                carry_cols=("owner",),
+                layout_col="owner",
+                layout_files=8,
+            )
+            out: dict = {}
+            results = {}
+            for label, p in (
+                ("row_filtered", ann["owner_path"]),
+                ("layout_pruned", path_lay),
+            ):
+                seen = {s["stageId"] for s in _stages_rest()}
+                t0 = time.time()
+                rows = probe_ivf_index(
+                    spark,
+                    p,
+                    probe.select("embedding"),
+                    k=10,
+                    nprobe=16,
+                    pre_filter=F.col("owner") == 3,
+                ).collect()
+                sec = time.time() - t0
+                ib = sum(
+                    s.get("inputBytes", 0)
+                    for s in _stages_rest()
+                    if s["stageId"] not in seen
+                )
+                results[label] = [
+                    (r["vec_id"], round(r["score"], 9)) for r in rows
+                ]
+                out[label] = {
+                    "sec": round(sec, 2),
+                    "input_mb": round(ib / 1e6, 2),
+                }
+            assert results["row_filtered"] == results["layout_pruned"], (
+                "layout is layout-only: probe results must be identical"
+            )
+            out["probe_results_identical"] = True
+            out["bytes_ratio_layout_vs_row"] = round(
+                out["layout_pruned"]["input_mb"]
+                / max(0.01, out["row_filtered"]["input_mb"]),
+                3,
+            )
+            return out
+
+        stage("ivf_owner_layout_ab", ivf_owner_layout_ab)
+
         def ann_pq_train():
             # train on the rep-0 sample (vec_id < 1M), label-bounded
             # seeding — codebook size independent of corpus/nlist

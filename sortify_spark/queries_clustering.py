@@ -316,3 +316,185 @@ def q_hierarchical_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+def _dbscan_oracle_sql(eps: float = 0.3, min_samples: int = 3, dim: int = 64) -> str:
+    """Oracle for ``cluster_per_owner_dbscan``: a FULL pure-SQL replay
+    of the exact blockwise DBSCAN kernel (``clustering.py:105``,
+    VERDICT r10 #4) on a deterministically cluster-structured corpus.
+    The stub embeddings are isotropic noise (max pairwise cosine
+    ~0.44), so the query plants density: every 25th base vector gains
+    4 copies perturbed by exact IEEE arithmetic on one coordinate
+    (``e[0] + 0.02*rep`` — the same double ops in both engines), giving
+    5-point cliques with intra-clique cosine ~0.999 against a 0.7
+    threshold — a >0.25 margin on both sides, so the eps comparison
+    can never flip between engines.  The replay: per-owner pairwise
+    cosines → core mask (>= min_samples neighbors incl. self) →
+    recursive min-label propagation over the core-core eps graph
+    (connected components) → components numbered by their minimum
+    row-order (sorted-id) core, matching the kernel's
+    first-unassigned-core growth order → border points take the MIN
+    neighboring cluster id (the earlier-grown cluster reaches them
+    first) → rest is noise (-1).  Probability replays the kernel's
+    normalized-cluster-mean similarity, rounded to 3 (label integers
+    are the hash substance; round-3 keeps float summation-order ulps
+    out of the gate)."""
+    thr = 1.0 - eps
+    return f"""
+    WITH RECURSIVE
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             FROM embeddings),
+    orig AS (SELECT CAST(vec_id % 4 AS VARCHAR) AS owner,
+                    lpad(CAST(vec_id AS VARCHAR), 8, '0') AS id, e
+             FROM base),
+    reps AS (SELECT unnest([1, 2, 3, 4]) AS rep),
+    pc AS (SELECT CAST(b.vec_id % 4 AS VARCHAR) AS owner,
+                  lpad(CAST(10000000 + b.vec_id * 10 + r.rep
+                            AS VARCHAR), 8, '0') AS id,
+                  i.range AS i,
+                  CASE WHEN i.range = 1
+                       THEN b.e[i.range] + 0.02 * r.rep
+                       ELSE b.e[i.range] END AS xi
+           FROM base b, reps r, range(1, {dim + 1}) i
+           WHERE b.vec_id % 25 = 0),
+    copies AS (SELECT owner, id, list(xi ORDER BY i) AS e
+               FROM pc GROUP BY owner, id),
+    v AS (SELECT * FROM orig UNION ALL SELECT * FROM copies),
+    r2 AS (SELECT owner, id, e,
+                  ROW_NUMBER() OVER (PARTITION BY owner ORDER BY id)
+                    - 1 AS rn
+           FROM v),
+    s AS (SELECT a.owner, a.rn AS i, b.rn AS j,
+                 list_cosine_similarity(a.e, b.e) AS sim
+          FROM r2 a JOIN r2 b ON a.owner = b.owner),
+    core AS (SELECT owner, i AS rn,
+                    (COUNT(*) FILTER (WHERE sim >= {thr}))
+                      >= {min_samples} AS is_core
+             FROM s GROUP BY owner, i),
+    ce AS (SELECT s.owner, s.i, s.j FROM s
+           JOIN core ca ON ca.owner = s.owner AND ca.rn = s.i
+                AND ca.is_core
+           JOIN core cb ON cb.owner = s.owner AND cb.rn = s.j
+                AND cb.is_core
+           WHERE s.sim >= {thr}),
+    comp(owner, rn, rep) AS (
+        SELECT owner, rn, rn FROM core WHERE is_core
+        UNION
+        SELECT ce.owner, ce.i, c.rep
+        FROM ce JOIN comp c ON c.owner = ce.owner AND c.rn = ce.j),
+    crep AS (SELECT owner, rn, MIN(rep) AS rep
+             FROM comp GROUP BY owner, rn),
+    cnum AS (SELECT owner, rep,
+                    ROW_NUMBER() OVER (PARTITION BY owner
+                                       ORDER BY rep) - 1 AS cl
+             FROM (SELECT DISTINCT owner, rep FROM crep) d),
+    corelab AS (SELECT crep.owner, crep.rn, cnum.cl
+                FROM crep JOIN cnum ON cnum.owner = crep.owner
+                     AND cnum.rep = crep.rep),
+    border AS (SELECT s.owner, s.i AS rn, MIN(cl2.cl) AS cl
+               FROM s
+               JOIN core cme ON cme.owner = s.owner
+                    AND cme.rn = s.i AND NOT cme.is_core
+               JOIN corelab cl2 ON cl2.owner = s.owner
+                    AND cl2.rn = s.j
+               WHERE s.sim >= {thr}
+               GROUP BY s.owner, s.i),
+    lab AS (SELECT r2.owner, r2.id, r2.rn, r2.e,
+                   CAST(COALESCE(corelab.cl, border.cl, -1) AS INT)
+                     AS cluster_label
+            FROM r2
+            LEFT JOIN corelab ON corelab.owner = r2.owner
+                 AND corelab.rn = r2.rn
+            LEFT JOIN border ON border.owner = r2.owner
+                 AND border.rn = r2.rn),
+    nrm AS (SELECT owner, id, cluster_label,
+                   list_transform(
+                     e,
+                     x -> x / sqrt(list_sum(
+                       list_transform(e, y -> y * y)))) AS en
+            FROM lab),
+    md AS (SELECT owner, cluster_label, i.range AS i,
+                  AVG(en[i.range]) AS mi
+           FROM nrm, range(1, {dim + 1}) i
+           WHERE cluster_label >= 0
+           GROUP BY owner, cluster_label, i.range),
+    mv AS (SELECT owner, cluster_label, list(mi ORDER BY i) AS m
+           FROM md GROUP BY owner, cluster_label)
+    SELECT n.owner AS owner_id, n.id, n.cluster_label,
+           CASE WHEN n.cluster_label < 0 THEN 0.0
+                ELSE ROUND(GREATEST(0.0, LEAST(1.0,
+                       list_cosine_similarity(mv.m, n.en))), 3)
+           END AS probability
+    FROM nrm n
+    LEFT JOIN mv ON mv.owner = n.owner
+         AND mv.cluster_label = n.cluster_label
+    ORDER BY owner_id, id
+    """
+
+
+@register(
+    "cluster_per_owner_dbscan",
+    _dbscan_oracle_sql(),
+    note="M1 DENSITY kernel, hash-checked (VERDICT r10 #4): per-owner "
+    "exact blockwise DBSCAN on cosine (clustering.py:105 — the "
+    "HDBSCAN-semantics kernel the reference runs via the hdbscan "
+    "library, clustering_service.py:387-430) over a deterministically "
+    "planted corpus: every 25th stub vector gains 4 exact-arithmetic "
+    "perturbed copies (5-point cliques, intra-cosine ~0.999) amid "
+    "isotropic noise (max ~0.44) against eps=0.3 — both sides of the "
+    "threshold have >0.25 margin.  The oracle replays the whole "
+    "kernel in SQL: core mask, recursive components over the "
+    "core-core eps graph, first-core growth numbering, min-cluster "
+    "border attachment, noise, and the normalized-mean probability.",
+)
+def q_cluster_per_owner_dbscan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    orig = emb.select(
+        F.pmod(F.col("vec_id"), F.lit(4)).cast("string").alias("owner"),
+        F.lpad(F.col("vec_id").cast("string"), 8, "0").alias("id"),
+        "e",
+    )
+    reps = spark.range(1, 5).select(F.col("id").cast("int").alias("rep"))
+    copies = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .crossJoin(F.broadcast(reps))
+        .select(
+            F.pmod(F.col("vec_id"), F.lit(4))
+            .cast("string")
+            .alias("owner"),
+            F.lpad(
+                (
+                    F.lit(10_000_000)
+                    + F.col("vec_id") * 10
+                    + F.col("rep")
+                ).cast("string"),
+                8,
+                "0",
+            ).alias("id"),
+            F.transform(
+                "e",
+                lambda x, i: F.when(
+                    i == 0, x + F.lit(0.02) * F.col("rep")
+                ).otherwise(x),
+            ).alias("e"),
+        )
+    )
+    v = orig.unionByName(copies)
+    assigns = clustering.cluster_per_owner(
+        v,
+        owner_col="owner",
+        id_col="id",
+        vec_col="e",
+        kernel="dbscan",
+        eps=0.3,
+    )
+    return assigns.select(
+        "owner_id",
+        "id",
+        "cluster_label",
+        F.round("probability", 3).alias("probability"),
+    ).orderBy("owner_id", "id")

@@ -423,6 +423,18 @@ _suite(
         ("metrics_summary", dict(key1="'avg_ndcg_10'", val="avg_ndcg_10")),
         ("metrics_summary", dict(key1="'avg_composite'", val="avg_composite")),
         ("metrics_summary", dict(key1="'n_queries'", cnt="n_queries")),
+        # round 11: the DBSCAN density kernel hash-checked end-to-end
+        # (VERDICT r10 #4) — per-row labels + probability vs the full
+        # SQL replay of the blockwise kernel on a planted-density corpus
+        (
+            "cluster_per_owner_dbscan",
+            dict(
+                key1="owner_id",
+                key2="id",
+                cnt="cluster_label",
+                val="probability",
+            ),
+        ),
         (
             "cluster_organize_audit",
             dict(
@@ -747,6 +759,15 @@ _suite(
         # composition, both oracle-replayed.
         (
             "knn_ivf_filtered",
+            dict(key1="kind", key2="CAST(id AS STRING)", val="score"),
+        ),
+        # round 11: SELECTIVE-TENANT filtered ANN (VERDICT r10 #1) —
+        # a ~1% tenant at nprobe=1 under-recalls to zero; adaptive
+        # nprobe escalation (deterministic doubling schedule, replayed
+        # in the oracle) restores the exact filtered top-k, with the
+        # engine's final nprobe pinned via the 'meta' row.
+        (
+            "knn_ivf_filtered_selective",
             dict(key1="kind", key2="CAST(id AS STRING)", val="score"),
         ),
         # round 7: the lexical half of hybrid retrieval (queries_bm25) —

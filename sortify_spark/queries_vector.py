@@ -1179,3 +1179,163 @@ def q_knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return filt.unionByName(post).orderBy("kind", "id")
+
+
+def _ivf_selective_oracle_sql(
+    k: int = 10, nprobe0: int = 1, dim: int = 64
+) -> str:
+    """Oracle for ``knn_ivf_filtered_selective``: replay the build,
+    then the ADAPTIVE NPROBE ESCALATION a highly selective tenant
+    filter triggers (VERDICT r10 #1).  The tenant predicate
+    (vec_id % 97 = 3, ~1% of the corpus) matches fewer vectors than k,
+    so a fixed-nprobe probe under-recalls — the 'naive' leg at
+    nprobe=1 exhibits the failure the escalation exists to fix.  The
+    'escalated' leg replays the deterministic doubling schedule
+    (nprobe0·2^j capped at the bucket count; stop at the first level
+    whose probed buckets hold ≥ k matching candidates, else every
+    bucket): cumulative matching-candidate counts over the bucket
+    ranking pick the same final nprobe as the engine, and the 'meta'
+    row pins that choice.  The 'exact' leg is the full-scan filtered
+    top-k; escalated ≡ exact here BY CONSTRUCTION (the tenant is
+    smaller than k, so the schedule provably exhausts every bucket) —
+    that equality, hash-checked across both engines, IS the
+    selective-tenant recall contract."""
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    fc AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id <> 0),
+    fsd AS (SELECT label, r.range AS i, AVG(e[r.range]) AS m
+            FROM fc, range(1, {dim + 1}) r GROUP BY label, r.range),
+    fseed AS (SELECT label AS bucket, list(m ORDER BY i) AS cent
+              FROM fsd GROUP BY label),
+    fasg AS (SELECT vec_id, e, bucket FROM (
+        SELECT c.vec_id, c.e, s.bucket,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(c.e, s.cent), 6)
+                            DESC,
+                          s.bucket ASC) AS rn
+        FROM fc c CROSS JOIN fseed s) WHERE rn = 1),
+    fcd AS (SELECT bucket, r.range AS i, AVG(e[r.range]) AS m
+            FROM fasg, range(1, {dim + 1}) r GROUP BY bucket, r.range),
+    fcent AS (SELECT bucket, list(m ORDER BY i) AS cent
+              FROM fcd GROUP BY bucket),
+    rall AS (SELECT bucket,
+                    ROW_NUMBER() OVER (
+                      ORDER BY ROUND(list_cosine_similarity(cent, qe),
+                                     6) DESC,
+                               bucket ASC) AS rn
+             FROM fcent CROSS JOIN q),
+    nb AS (SELECT COUNT(*) AS n FROM rall),
+    pc AS (SELECT r.rn,
+                  (SELECT COUNT(*) FROM fasg a
+                   WHERE a.bucket = r.bucket AND a.vec_id % 97 = 3)
+                    AS c
+           FROM rall r),
+    cum AS (SELECT rn, SUM(c) OVER (ORDER BY rn) AS cumc FROM pc),
+    sched AS (SELECT DISTINCT
+                LEAST(CAST({nprobe0} * POW(2, j.range) AS BIGINT), nb.n)
+                  AS p
+              FROM range(0, 32) j, nb),
+    pfin AS (SELECT COALESCE(
+               (SELECT MIN(s.p) FROM sched s
+                JOIN cum ON cum.rn = s.p WHERE cum.cumc >= {k}),
+               (SELECT n FROM nb)) AS p),
+    naive AS (SELECT a.vec_id AS id,
+                     ROUND(list_cosine_similarity(a.e, qe), 6) AS score
+              FROM fasg a JOIN rall r ON a.bucket = r.bucket
+                   CROSS JOIN q
+              WHERE r.rn <= {nprobe0} AND a.vec_id % 97 = 3
+              ORDER BY score DESC, id ASC LIMIT {k}),
+    esc AS (SELECT a.vec_id AS id,
+                   ROUND(list_cosine_similarity(a.e, qe), 6) AS score
+            FROM fasg a JOIN rall r ON a.bucket = r.bucket
+                 CROSS JOIN q, pfin
+            WHERE r.rn <= pfin.p AND a.vec_id % 97 = 3
+            ORDER BY score DESC, id ASC LIMIT {k}),
+    exct AS (SELECT c.vec_id AS id,
+                    ROUND(list_cosine_similarity(c.e, qe), 6) AS score
+             FROM fc c CROSS JOIN q
+             WHERE c.vec_id % 97 = 3
+             ORDER BY score DESC, id ASC LIMIT {k})
+    SELECT * FROM (
+      SELECT 'escalated' AS kind, id, score FROM esc
+      UNION ALL SELECT 'exact', id, score FROM exct
+      UNION ALL SELECT 'meta', p AS id, CAST(p AS DOUBLE) AS score
+                FROM pfin
+      UNION ALL SELECT 'naive', id, score FROM naive
+    ) __u ORDER BY kind, id
+    """
+
+
+@register(
+    "knn_ivf_filtered_selective",
+    _ivf_selective_oracle_sql(),
+    note="SELECTIVE-TENANT FILTERED ANN (VERDICT r10 #1; reference "
+    "contract: Chroma's where-filtered HNSW never under-recalls a "
+    "selective tenant, vector_db_service.py:193-224): a ~1% tenant "
+    "predicate (vec_id % 97 = 3, fewer matches than k) probed at "
+    "nprobe=1 returns NOTHING (the 'naive' leg exhibits the standard "
+    "filtered-IVF bucket-choice failure); with min_candidates=k the "
+    "probe escalates nprobe through the deterministic doubling "
+    "schedule until >= k matching candidates sit inside the probed "
+    "buckets, exhausting every bucket here — the 'escalated' leg "
+    "hash-matches the full-scan 'exact' leg, and the 'meta' row pins "
+    "the engine's final nprobe against the oracle's schedule replay.",
+)
+def q_knn_ivf_filtered_selective(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from sortify_spark.search import index as ivf_index
+    from sortify_spark.search.index import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    pred = F.col("vec_id") % 97 == 3
+    path = tempfile.mkdtemp(prefix="sortify_ivfsel_") + "/ivf"
+    build_ivf_index(data, path, seed_col="label", exact_assign=True)
+    naive = probe_ivf_index(
+        spark, path, query, k=10, nprobe=1, pre_filter=pred
+    ).select(
+        F.lit("naive").alias("kind"),
+        F.col("vec_id").alias("id"),
+        F.round("score", 6).alias("score"),
+    )
+    esc = probe_ivf_index(
+        spark, path, query, k=10, nprobe=1, pre_filter=pred,
+        min_candidates=10,
+    ).select(
+        F.lit("escalated").alias("kind"),
+        F.col("vec_id").alias("id"),
+        F.round("score", 6).alias("score"),
+    )
+    trace = ivf_index.PROBE_ESCALATION
+    p_final = trace["nprobe_final"] if trace is not None else 1
+    meta = spark.createDataFrame(
+        [("meta", p_final, float(p_final))],
+        "kind string, id long, score double",
+    )
+    exact = knn.brute_force_topk(
+        data.filter(pred).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        ),
+        query,
+        k=10,
+    ).select(
+        F.lit("exact").alias("kind"),
+        F.col("vec_id").alias("id"),
+        F.round("score", 6).alias("score"),
+    )
+    return (
+        esc.unionByName(exact)
+        .unionByName(meta)
+        .unionByName(naive)
+        .orderBy("kind", "id")
+    )

@@ -135,6 +135,8 @@ def build_lexical_index(
     pt_buckets: int = DEFAULT_PT_BUCKETS,
     pd_buckets: int = DEFAULT_PD_BUCKETS,
     carry_cols: tuple[str, ...] = (),
+    layout_col: str | None = None,
+    layout_files: int = 4,
 ) -> int:
     """Full-snapshot build; returns the committed ANCHOR (terms-table)
     version.  Input ids must be unique (the upload pipeline's exact
@@ -144,7 +146,14 @@ def build_lexical_index(
 
     ``carry_cols`` (e.g. ``("owner_id",)``) ride each posting row and
     are recorded in the anchor, so incremental upserts keep carrying
-    them and probes can ``pre_filter`` on them (tenant isolation)."""
+    them and probes can ``pre_filter`` on them (tenant isolation).
+
+    ``layout_col`` (one of ``carry_cols``): secondary range-split
+    layout inside each postings term-bucket — ~``layout_files`` files
+    per bucket, each covering a tight range of the layout column, so
+    an owner-scoped probe prunes files via parquet stats instead of
+    row-filtering whole buckets (VERDICT r10 #3); recorded in the
+    postings manifest and re-applied by upserts/deletes/compaction."""
     from sortify_spark.sources.versioned import overwrite_versioned
 
     postings, doclen = _tokenized(
@@ -164,7 +173,22 @@ def build_lexical_index(
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .withColumn("part", F.lit(0))
     )
-    pv = overwrite_versioned(postings, f"{path}/postings", partition_col="pt")
+    if layout_col is not None and layout_col not in carry_cols:
+        raise ValueError(
+            f"layout_col {layout_col!r} must be carried in the "
+            "posting rows (add it to carry_cols)"
+        )
+    pv = overwrite_versioned(
+        postings,
+        f"{path}/postings",
+        partition_col="pt",
+        layout_col=layout_col,
+        layout_ranges=(
+            max(1, pt_buckets * max(1, layout_files))
+            if layout_col is not None
+            else None
+        ),
+    )
     dv = overwrite_versioned(doclen, f"{path}/doclen", partition_col="pd")
     return overwrite_versioned(
         terms,
@@ -495,17 +519,19 @@ def probe_lexical_index(
         return spark.createDataFrame(
             [], "doc_id long, matched_terms int, bm25 double"
         )
+    # filtered probe: the pre_filter rides the SCAN node (pushed to
+    # parquet footer stats — a layout_col postings table prunes files;
+    # filtering the returned frame would sit above the nondeterministic
+    # partition-restore projection and never push down), before the
+    # pivot — never touching the corpus
     probed = _read_partition_dirs(
         spark,
         f"{path}/postings",
         "pt",
         rels,
         dtype=pmanifest.get("partition_dtype"),
+        pre_filter=pre_filter,
     ).join(F.broadcast(tdf), "term", "left_semi")
-    if pre_filter is not None:
-        # filtered probe: evaluated inside the probed buckets, before
-        # the pivot — rides the partition-pruned scan, never the corpus
-        probed = probed.filter(pre_filter)
 
     # pivot per-term tf to the tf{i} columns of bm25_scored's frame,
     # then apply the IDENTICAL score expressions (same text, same
@@ -609,17 +635,17 @@ def probe_lexical_index_many(
             spark, f"{path}/terms", "part", version=anchor["version"]
         ).select("term", "df")
     )
+    # filtered batched probe (see probe_lexical_index): candidates
+    # restricted inside the pruned buckets via a scan-level filter
+    # (pushed to parquet stats), global-corpus scoring
     probed = _read_partition_dirs(
         spark,
         f"{path}/postings",
         "pt",
         rels,
         dtype=pmanifest.get("partition_dtype"),
+        pre_filter=pre_filter,
     )
-    if pre_filter is not None:
-        # filtered batched probe (see probe_lexical_index): candidates
-        # restricted inside the pruned buckets, global-corpus scoring
-        probed = probed.filter(pre_filter)
     avgdl = (
         f"ROUND(CAST(CAST({sum_dl} AS DECIMAL(38,12)) AS DOUBLE)"
         f" / {n_docs}, 12)"

@@ -184,6 +184,7 @@ def _read_partition_dirs(
     partition_col: str,
     rels: Sequence[str],
     dtype: str | None = None,
+    pre_filter=None,
 ) -> DataFrame:
     """ONE multi-path parquet scan over partition dirs, with the
     partition value restored from the directory name
@@ -204,10 +205,23 @@ def _read_partition_dirs(
     predate a column — the schema-on-read half of schema evolution
     (write-side alignment happens in ``upsert_versioned``).  Cost is
     one footer read per file at planning, standard for evolving
-    parquet tables."""
+    parquet tables.
+
+    ``pre_filter`` (a Column over DATA columns, not the partition
+    column): applied directly on the raw scan, BEFORE the
+    partition-restore projection.  This matters: the restore uses
+    ``input_file_name()``, a nondeterministic expression, and Catalyst
+    refuses to push ANY predicate through a nondeterministic project —
+    a filter applied by the caller on the returned frame therefore
+    never reaches the parquet scan (no PushedFilters, no row-group or
+    file pruning via footer stats).  Passing it here puts it on the
+    scan node, so a ``layout_col`` table prunes whole files for
+    tenant-scoped probes."""
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, rel) for rel in rels]
     )
+    if pre_filter is not None:
+        df = df.filter(pre_filter)
     value = F.url_decode(
         F.regexp_extract(
             F.input_file_name(), f"/{partition_col}=([^/]+)/", 1
@@ -369,7 +383,23 @@ def upsert_versioned(
         # parallelism (a deterministic key-hash salt — the
         # export_training_shards decoupling — splits each partition
         # across that many tasks/files).
-        if write_files_per_partition > 1:
+        lay_col = manifest.get("layout_col")
+        if lay_col is not None:
+            # a build-time secondary layout (overwrite_versioned
+            # ``layout_col``) survives every keyed upsert: the touched
+            # partitions rewrite range-split + sorted on the layout
+            # column, with the range count scaled to the affected
+            # fraction of the table so files-per-partition stays
+            # roughly constant across commits
+            lay_ranges = manifest.get("layout_ranges")
+            n = None
+            if lay_ranges:
+                n_total = max(1, len(manifest["partitions"]))
+                n = max(
+                    1, -(-int(lay_ranges) * len(affected) // n_total)
+                )
+            merged = _apply_layout(merged, partition_col, lay_col, n)
+        elif write_files_per_partition > 1:
             salt = F.pmod(
                 F.abs(F.hash(*[F.col(k) for k in keys])),
                 F.lit(write_files_per_partition),
@@ -397,10 +427,41 @@ def upsert_versioned(
             "partitions": new_parts,
             "partition_dtype": dtype,
         }
+        for lk in ("layout_col", "layout_ranges"):
+            if lk in manifest:
+                new_manifest[lk] = manifest[lk]
         if extra:
             new_manifest.update(extra)
         _commit_manifest(path, new_manifest)
     return new_version
+
+
+def _apply_layout(
+    df: DataFrame,
+    partition_col: str,
+    layout_col: str | None,
+    layout_ranges: int | None,
+) -> DataFrame:
+    """Pre-write shuffle shape.  Without ``layout_col``: one file per
+    partition (``repartition(partition_col)``).  With it: range-
+    partition on ``(partition_col, layout_col)`` and sort within tasks,
+    so each partition dir's files cover a TIGHT contiguous range of the
+    layout column — parquet footer min/max stats on that column then
+    prune whole files for equality/range probes (Delta's
+    ``OPTIMIZE ZORDER BY`` layout for the 2-column case, re-expressed
+    with stock ``repartitionByRange`` + ``sortWithinPartitions``; same
+    recipe as :mod:`operators.zorder`).  ``layout_ranges`` sizes the
+    split — pass ≈ partitions × files-per-partition (a tenant probe
+    then reads 1/files-per-partition of each probed bucket instead of
+    row-filtering all of it)."""
+    if layout_col is None:
+        return df.repartition(F.col(partition_col))
+    n = layout_ranges or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return df.repartitionByRange(
+        n, F.col(partition_col), F.col(layout_col)
+    ).sortWithinPartitions(partition_col, layout_col)
 
 
 def overwrite_versioned(
@@ -408,6 +469,8 @@ def overwrite_versioned(
     path: str,
     partition_col: str,
     extra: dict | None = None,
+    layout_col: str | None = None,
+    layout_ranges: int | None = None,
 ) -> int:
     """Full-snapshot REPLACE as an atomic new version (Delta's
     ``overwrite`` save mode on a versioned table): the new manifest
@@ -420,7 +483,13 @@ def overwrite_versioned(
 
     ``extra`` merges additional metadata keys into the manifest (e.g.
     the paired centroid-table version a probe must read — snapshot
-    cross-references belong in the commit they describe)."""
+    cross-references belong in the commit they describe).
+
+    ``layout_col`` (with ``layout_ranges``) applies the secondary
+    sub-partition layout of :func:`_apply_layout` and records both in
+    the manifest, so keyed upserts and ``compact`` re-apply the SAME
+    layout on every subsequent rewrite — tenant-probe file pruning
+    survives the artifact's whole lifecycle."""
     spark = df.sparkSession
     manifest = read_manifest(path)
     new_version = manifest["version"] + 1
@@ -428,7 +497,7 @@ def overwrite_versioned(
     with _reserved(path, new_version):  # before any data write
         vdir = os.path.join(path, f"v={new_version}")
         (
-            df.repartition(F.col(partition_col))
+            _apply_layout(df, partition_col, layout_col, layout_ranges)
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(vdir)
@@ -448,6 +517,10 @@ def overwrite_versioned(
             },
             "partition_dtype": dtype,
         }
+        if layout_col is not None:
+            new_manifest["layout_col"] = layout_col
+            if layout_ranges is not None:
+                new_manifest["layout_ranges"] = layout_ranges
         if extra:
             new_manifest.update(extra)
         _commit_manifest(path, new_manifest)
@@ -497,8 +570,25 @@ def delete_versioned(
                 "left_anti",
             )
             vdir = os.path.join(path, f"v={new_version}")
+            lay_n = None
+            if manifest.get("layout_col") and manifest.get(
+                "layout_ranges"
+            ):
+                lay_n = max(
+                    1,
+                    -(
+                        -int(manifest["layout_ranges"])
+                        * len(affected)
+                        // max(1, len(manifest["partitions"]))
+                    ),
+                )
             (
-                keep.repartition(F.col(partition_col))
+                _apply_layout(
+                    keep,
+                    partition_col,
+                    manifest.get("layout_col"),
+                    lay_n,
+                )
                 .write.mode("overwrite")
                 .partitionBy(partition_col)
                 .parquet(vdir)
@@ -525,6 +615,9 @@ def delete_versioned(
                 deletes.schema[partition_col].dataType.simpleString(),
             ),
         }
+        for lk in ("layout_col", "layout_ranges"):
+            if lk in manifest:
+                new_manifest[lk] = manifest[lk]
         if extra:
             new_manifest.update(extra)
         _commit_manifest(path, new_manifest)
@@ -557,13 +650,34 @@ def compact(
     version, or None when nothing needed compacting.
     """
     manifest = read_manifest(path)
+    # A table carrying a secondary layout (``layout_col``) INTENDS
+    # multiple range-split files per partition — compaction must
+    # neither flag that as fragmentation nor collapse it (which would
+    # destroy the tenant-probe file pruning).  The threshold scales to
+    # the intended files-per-partition, and the rewrite re-applies the
+    # layout.
+    lay_col = manifest.get("layout_col")
+    lay_ranges = manifest.get("layout_ranges")
+    intended = 1
+    if lay_col is not None and lay_ranges:
+        intended = max(
+            1,
+            -(-int(lay_ranges) // max(1, len(manifest["partitions"]))),
+        )
+    # 2x slack over the intended files-per-partition: range-partition
+    # boundaries are data-sampled, so a freshly laid-out partition can
+    # legitimately carry intended+1..2 files — compaction must not
+    # churn-rewrite that jitter forever, while real fragmentation
+    # (streaming upserts: one file per batch) blows far past 2x and
+    # still heals back to the intended shape.
+    threshold = max(max_files_per_partition, 2 * intended)
     todo = []
     for value, rel in sorted(manifest["partitions"].items()):
         pdir = os.path.join(path, rel)
         n_files = sum(
             1 for f in os.listdir(pdir) if f.endswith(".parquet")
         )
-        if n_files > max_files_per_partition:
+        if n_files > threshold:
             todo.append((value, rel))
     if not todo:
         return None
@@ -574,9 +688,17 @@ def compact(
             dtype=manifest.get("partition_dtype"),
         )
         vdir = os.path.join(path, f"v={new_version}")
+        if lay_col is not None:
+            lay_n = (
+                max(1, intended * len(todo)) if lay_ranges else None
+            )
+            shaped = _apply_layout(merged, partition_col, lay_col, lay_n)
+        else:
+            shaped = merged.repartition(
+                max(1, len(todo)), F.col(partition_col)
+            )
         (
-            merged.repartition(max(1, len(todo)), F.col(partition_col))
-            .write.mode("overwrite")
+            shaped.write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(vdir)
         )

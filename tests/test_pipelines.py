@@ -2793,3 +2793,76 @@ def test_facade_maintain_indexes_stale_pin_skips_repin(spark, tmp_path):
         read_manifest(f"{lex}/terms")["doclen_version"]
         == read_manifest(f"{lex}/doclen")["version"]
     )
+
+
+def test_facade_mutation_storage_clean(spark, tmp_path):
+    """Storage-leak gate over the facade mutation lifecycle (VERDICT
+    r10 #5): N add/search/delete cycles must reach a STEADY storage
+    state (no per-cycle accretion of persisted blocks — the r10 class
+    of leak), and ``release()`` must return executor storage to its
+    pre-engine block set once checkpoint references are GC'd."""
+    import gc
+    import time as _time
+
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+
+    def rdd_ids():
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    pre = rdd_ids()
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=60,
+        index_root=str(tmp_path), owner_col="source",
+    )
+    owner = eng.documents.select("source").orderBy("source").first()[
+        "source"
+    ]
+
+    def cycle(i):
+        eng.add_documents(
+            spark.createDataFrame(
+                [(940_000 + i,
+                  f"storage cycle probe document {i} data pipeline",
+                  "en", owner, 40)],
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long",
+            )
+        )
+        eng.semantic_search("data pipeline", "hybrid", owner_id=owner)
+        eng.semantic_search(
+            "data pipeline", "summary_only",
+            SearchConfig(ann="lsh", lsh_nbits=4), owner_id=owner,
+        )
+        eng.delete_vectors([str(940_000 + i)])
+        gc.collect()  # drop superseded checkpoint references promptly
+
+    counts = []
+    for i in range(4):
+        cycle(i)
+        # the context cleaner reclaims GC'd checkpoint blocks
+        # asynchronously — poll to a stable count
+        for _ in range(30):
+            n = len(rdd_ids() - pre)
+            _time.sleep(0.5)
+            if len(rdd_ids() - pre) == n:
+                break
+        counts.append(len(rdd_ids() - pre))
+    # steady state: later cycles must not accrete blocks beyond the
+    # engine's live caches (vectors + LSH index); tolerate one block of
+    # cleaner jitter, not monotonic growth
+    assert counts[-1] <= counts[1] + 1, counts
+
+    eng.release()
+    del eng
+    gc.collect()
+    deadline = _time.time() + 30
+    while _time.time() < deadline:
+        leaked = rdd_ids() - pre
+        if not leaked:
+            break
+        _time.sleep(0.5)
+        gc.collect()
+    assert not leaked, f"storage blocks leaked past release(): {leaked}"
