@@ -117,15 +117,13 @@ def build_ivf_index(
         cents, f"{path}/centroids", partition_col="part"
     )
     data = data.localCheckpoint(eager=True)
-    layout_ranges = None
-    if layout_col is not None:
-        if layout_col not in carry_cols and layout_col != "vec_id":
-            raise ValueError(
-                f"layout_col {layout_col!r} must be carried in the "
-                "assign rows (add it to carry_cols)"
-            )
-        nlist = cents.count()  # tiny table: nlist rows
-        layout_ranges = max(1, int(nlist) * max(1, layout_files))
+    if layout_col is not None and (
+        layout_col not in carry_cols and layout_col != "vec_id"
+    ):
+        raise ValueError(
+            f"layout_col {layout_col!r} must be carried in the "
+            "assign rows (add it to carry_cols)"
+        )
     return overwrite_versioned(
         data,
         f"{path}/assign",
@@ -141,7 +139,7 @@ def build_ivf_index(
             "carry": list(carry_cols),
         },
         layout_col=layout_col,
-        layout_ranges=layout_ranges,
+        layout_files=layout_files if layout_col is not None else None,
     )
 
 

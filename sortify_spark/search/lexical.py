@@ -183,11 +183,7 @@ def build_lexical_index(
         f"{path}/postings",
         partition_col="pt",
         layout_col=layout_col,
-        layout_ranges=(
-            max(1, pt_buckets * max(1, layout_files))
-            if layout_col is not None
-            else None
-        ),
+        layout_files=layout_files if layout_col is not None else None,
     )
     dv = overwrite_versioned(doclen, f"{path}/doclen", partition_col="pd")
     return overwrite_versioned(

@@ -387,18 +387,12 @@ def upsert_versioned(
         if lay_col is not None:
             # a build-time secondary layout (overwrite_versioned
             # ``layout_col``) survives every keyed upsert: the touched
-            # partitions rewrite range-split + sorted on the layout
-            # column, with the range count scaled to the affected
-            # fraction of the table so files-per-partition stays
-            # roughly constant across commits
-            lay_ranges = manifest.get("layout_ranges")
-            n = None
-            if lay_ranges:
-                n_total = max(1, len(manifest["partitions"]))
-                n = max(
-                    1, -(-int(lay_ranges) * len(affected) // n_total)
-                )
-            merged = _apply_layout(merged, partition_col, lay_col, n)
+            # partitions rewrite ntile-split + sorted on the layout
+            # column at the manifest-recorded files-per-partition
+            merged = _apply_layout(
+                merged, partition_col, lay_col,
+                manifest.get("layout_files"),
+            )
         elif write_files_per_partition > 1:
             salt = F.pmod(
                 F.abs(F.hash(*[F.col(k) for k in keys])),
@@ -427,7 +421,7 @@ def upsert_versioned(
             "partitions": new_parts,
             "partition_dtype": dtype,
         }
-        for lk in ("layout_col", "layout_ranges"):
+        for lk in ("layout_col", "layout_files"):
             if lk in manifest:
                 new_manifest[lk] = manifest[lk]
         if extra:
@@ -440,28 +434,51 @@ def _apply_layout(
     df: DataFrame,
     partition_col: str,
     layout_col: str | None,
-    layout_ranges: int | None,
+    layout_files: int | None,
 ) -> DataFrame:
     """Pre-write shuffle shape.  Without ``layout_col``: one file per
-    partition (``repartition(partition_col)``).  With it: range-
-    partition on ``(partition_col, layout_col)`` and sort within tasks,
-    so each partition dir's files cover a TIGHT contiguous range of the
-    layout column — parquet footer min/max stats on that column then
-    prune whole files for equality/range probes (Delta's
-    ``OPTIMIZE ZORDER BY`` layout for the 2-column case, re-expressed
-    with stock ``repartitionByRange`` + ``sortWithinPartitions``; same
-    recipe as :mod:`operators.zorder`).  ``layout_ranges`` sizes the
-    split — pass ≈ partitions × files-per-partition (a tenant probe
-    then reads 1/files-per-partition of each probed bucket instead of
-    row-filtering all of it)."""
+    partition (``repartition(partition_col)``).  With it: split each
+    partition into AT MOST ``layout_files`` files, each covering a
+    CONTIGUOUS range of the layout column — parquet footer min/max
+    stats on that column then prune whole files for equality/range
+    probes (Delta's ``OPTIMIZE ZORDER BY`` layout for the 2-column
+    case).
+
+    The split is ``ntile(layout_files)`` over the layout column within
+    each partition, NOT ``repartitionByRange``: range partitioning
+    balances ROWS globally, so a hot partition drinks many range
+    boundaries and its file count floats with the data distribution —
+    compaction then has no stable target and rewrites forever.  ntile
+    is deterministic and per-partition: exactly ≤ ``layout_files``
+    value-contiguous tiles every time, so a rewrite of the same rows
+    reproduces the same file count and OPTIMIZE converges in one pass.
+    A value spanning a tile boundary lands in two files (both with
+    tight stats) — harmless for pruning.
+
+    Scale note: the ntile window serializes each partition through one
+    task — the same per-partition write shape as the default
+    ``repartition(partition_col)`` path (and the reason
+    ``write_files_per_partition`` exists for giant unlayouted
+    partitions); layout tables are probe artifacts whose partitions
+    are bucket-sized by construction."""
     if layout_col is None:
         return df.repartition(F.col(partition_col))
-    n = layout_ranges or int(
+    from pyspark.sql.window import Window
+
+    n_files = max(1, int(layout_files or 4))
+    w = Window.partitionBy(partition_col).orderBy(layout_col)
+    # explicit numPartitions: AQE would otherwise coalesce the tiny
+    # shuffle into one task, collapsing every tile into a single file
+    # (same lesson as the write_files_per_partition salt)
+    n_shuffle = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    return df.repartitionByRange(
-        n, F.col(partition_col), F.col(layout_col)
-    ).sortWithinPartitions(partition_col, layout_col)
+    return (
+        df.withColumn("__lf", F.ntile(n_files).over(w))
+        .repartition(n_shuffle, F.col(partition_col), F.col("__lf"))
+        .sortWithinPartitions(partition_col, "__lf", layout_col)
+        .drop("__lf")
+    )
 
 
 def overwrite_versioned(
@@ -470,7 +487,7 @@ def overwrite_versioned(
     partition_col: str,
     extra: dict | None = None,
     layout_col: str | None = None,
-    layout_ranges: int | None = None,
+    layout_files: int | None = None,
 ) -> int:
     """Full-snapshot REPLACE as an atomic new version (Delta's
     ``overwrite`` save mode on a versioned table): the new manifest
@@ -485,7 +502,7 @@ def overwrite_versioned(
     the paired centroid-table version a probe must read — snapshot
     cross-references belong in the commit they describe).
 
-    ``layout_col`` (with ``layout_ranges``) applies the secondary
+    ``layout_col`` (with ``layout_files``) applies the secondary
     sub-partition layout of :func:`_apply_layout` and records both in
     the manifest, so keyed upserts and ``compact`` re-apply the SAME
     layout on every subsequent rewrite — tenant-probe file pruning
@@ -497,7 +514,7 @@ def overwrite_versioned(
     with _reserved(path, new_version):  # before any data write
         vdir = os.path.join(path, f"v={new_version}")
         (
-            _apply_layout(df, partition_col, layout_col, layout_ranges)
+            _apply_layout(df, partition_col, layout_col, layout_files)
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(vdir)
@@ -519,8 +536,8 @@ def overwrite_versioned(
         }
         if layout_col is not None:
             new_manifest["layout_col"] = layout_col
-            if layout_ranges is not None:
-                new_manifest["layout_ranges"] = layout_ranges
+            if layout_files is not None:
+                new_manifest["layout_files"] = int(layout_files)
         if extra:
             new_manifest.update(extra)
         _commit_manifest(path, new_manifest)
@@ -570,24 +587,12 @@ def delete_versioned(
                 "left_anti",
             )
             vdir = os.path.join(path, f"v={new_version}")
-            lay_n = None
-            if manifest.get("layout_col") and manifest.get(
-                "layout_ranges"
-            ):
-                lay_n = max(
-                    1,
-                    -(
-                        -int(manifest["layout_ranges"])
-                        * len(affected)
-                        // max(1, len(manifest["partitions"]))
-                    ),
-                )
             (
                 _apply_layout(
                     keep,
                     partition_col,
                     manifest.get("layout_col"),
-                    lay_n,
+                    manifest.get("layout_files"),
                 )
                 .write.mode("overwrite")
                 .partitionBy(partition_col)
@@ -615,7 +620,7 @@ def delete_versioned(
                 deletes.schema[partition_col].dataType.simpleString(),
             ),
         }
-        for lk in ("layout_col", "layout_ranges"):
+        for lk in ("layout_col", "layout_files"):
             if lk in manifest:
                 new_manifest[lk] = manifest[lk]
         if extra:
@@ -650,27 +655,22 @@ def compact(
     version, or None when nothing needed compacting.
     """
     manifest = read_manifest(path)
-    # A table carrying a secondary layout (``layout_col``) INTENDS
-    # multiple range-split files per partition — compaction must
-    # neither flag that as fragmentation nor collapse it (which would
-    # destroy the tenant-probe file pruning).  The threshold scales to
-    # the intended files-per-partition, and the rewrite re-applies the
-    # layout.
+    # A table carrying a secondary layout (``layout_col``) INTENDS up
+    # to ``layout_files`` files per partition — compaction must neither
+    # flag that as fragmentation nor collapse it (which would destroy
+    # the tenant-probe file pruning).  The ntile layout is
+    # deterministic (a rewrite of the same rows reproduces <= that
+    # count), so the threshold is exact and OPTIMIZE converges in one
+    # pass: anything above layout_files is genuine fragmentation
+    # (e.g. one file per streaming batch) and heals back to the
+    # intended shape.
     lay_col = manifest.get("layout_col")
-    lay_ranges = manifest.get("layout_ranges")
-    intended = 1
-    if lay_col is not None and lay_ranges:
-        intended = max(
-            1,
-            -(-int(lay_ranges) // max(1, len(manifest["partitions"]))),
-        )
-    # 2x slack over the intended files-per-partition: range-partition
-    # boundaries are data-sampled, so a freshly laid-out partition can
-    # legitimately carry intended+1..2 files — compaction must not
-    # churn-rewrite that jitter forever, while real fragmentation
-    # (streaming upserts: one file per batch) blows far past 2x and
-    # still heals back to the intended shape.
-    threshold = max(max_files_per_partition, 2 * intended)
+    intended = (
+        max(1, int(manifest.get("layout_files") or 4))
+        if lay_col is not None
+        else 1
+    )
+    threshold = max(max_files_per_partition, intended)
     todo = []
     for value, rel in sorted(manifest["partitions"].items()):
         pdir = os.path.join(path, rel)
@@ -689,10 +689,10 @@ def compact(
         )
         vdir = os.path.join(path, f"v={new_version}")
         if lay_col is not None:
-            lay_n = (
-                max(1, intended * len(todo)) if lay_ranges else None
+            shaped = _apply_layout(
+                merged, partition_col, lay_col,
+                manifest.get("layout_files"),
             )
-            shaped = _apply_layout(merged, partition_col, lay_col, lay_n)
         else:
             shaped = merged.repartition(
                 max(1, len(todo)), F.col(partition_col)

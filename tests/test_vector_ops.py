@@ -616,7 +616,7 @@ def test_ivf_owner_layout_lifecycle(spark, tmp_path):
     ix.upsert_ivf_index(extra_rows, lay, exact_assign=True)
     m2 = read_manifest(f"{lay}/assign")
     assert m2["layout_col"] == "owner"
-    assert m2["layout_ranges"] == m_lay["layout_ranges"]
+    assert m2["layout_files"] == m_lay["layout_files"]
     spans2 = owner_spans(lay)
     assert all(span < 19 for _, span in spans2.values()), spans2
     assert probe(lay) == before  # same keys re-upserted: no-op rows
@@ -629,3 +629,51 @@ def test_ivf_owner_layout_lifecycle(spark, tmp_path):
     spans3 = owner_spans(lay)
     assert all(span < 19 for _, span in spans3.values()), spans3
     assert probe(lay) == before
+
+
+def test_versioned_read_pre_filter_pushdown(spark, tmp_path):
+    """The partition-restore projection in _read_partition_dirs uses
+    input_file_name() (nondeterministic), so Catalyst refuses to push
+    caller-side filters through it — pre_filter must land ON the scan
+    node.  Assert both shapes: the caller-side filter does NOT reach
+    the scan (the regression this guards), and pre_filter DOES."""
+    from sortify_spark.search import index as ix
+    from sortify_spark.sources.versioned import (
+        _read_partition_dirs,
+        read_manifest,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", "embedding", "label",
+        F.pmod(F.col("vec_id"), F.lit(20)).alias("owner"),
+    )
+    path = str(tmp_path / "ivf")
+    ix.build_ivf_index(
+        data, path, seed_col="label", exact_assign=True,
+        carry_cols=("owner",),
+    )
+    m = read_manifest(f"{path}/assign")
+    rels = list(m["partitions"].values())
+    pred = F.col("owner") == 3
+
+    def scan_line(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return next(l for l in plan.splitlines() if "DataFilters" in l)
+
+    above = scan_line(
+        _read_partition_dirs(
+            spark, f"{path}/assign", "bucket", rels,
+            dtype=m.get("partition_dtype"),
+        ).filter(pred)
+    )
+    assert "DataFilters: []" in above, above
+    pushed = scan_line(
+        _read_partition_dirs(
+            spark, f"{path}/assign", "bucket", rels,
+            dtype=m.get("partition_dtype"), pre_filter=pred,
+        )
+    )
+    assert "owner" in pushed.split("DataFilters:", 1)[1].split(
+        "Format:", 1
+    )[0], pushed
