@@ -881,6 +881,10 @@ class SortifyEngine:
                 nprobe=cfg.ivf_nprobe,
                 version=cfg.ivf_version,
                 pre_filter=pred,
+                # batched owner-scoped probes escalate per query like
+                # the single-probe path — batched and single serving
+                # must not differ in tenant recall
+                min_candidates=k if pred is not None else None,
             ).select(
                 "query_id",
                 F.split(F.col("vec_id"), "#")[0].alias("id"),

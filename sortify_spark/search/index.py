@@ -471,6 +471,7 @@ def probe_ivf_index_many(
     nprobe: int = 3,
     version: int | None = None,
     pre_filter=None,
+    min_candidates: int | None = None,
 ) -> DataFrame:
     """BATCHED probe: top-k for N queries through the stored index in
     ONE plan — (query_id, vec_id, score, rnk) — the IVF twin of
@@ -488,7 +489,15 @@ def probe_ivf_index_many(
     never a global one.
 
     ``queries``: (query_id, embedding).  Cost: one |union-of-buckets|
-    scan for the WHOLE batch vs nprobe buckets × N single probes."""
+    scan for the WHOLE batch vs nprobe buckets × N single probes.
+
+    ``min_candidates`` (with ``pre_filter``): per-query ADAPTIVE NPROBE
+    ESCALATION, same contract and doubling schedule as
+    :func:`probe_ivf_index` — valid when the filter is shared across
+    the batch (the owner-scoped serving case): one column-pruned
+    filter-pushed occupancy scan feeds every query's cumulative
+    candidate count, and each query escalates independently inside the
+    same plan (no driver loops)."""
     from pyspark.sql.window import Window
 
     from sortify_spark.functions.vectors import cosine, l2_norm
@@ -510,7 +519,7 @@ def probe_ivf_index_many(
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("bscore"), F.asc("bucket")
     )
-    qb = (
+    qb_all = (
         cents.crossJoin(q)
         .select(
             "query_id",
@@ -522,9 +531,60 @@ def probe_ivf_index_many(
             ).alias("bscore"),
         )
         .withColumn("__r", F.row_number().over(wq))
-        .filter(F.col("__r") <= nprobe)
-        .select("query_id", "bucket", "__qvec", "__qn")
     )
+    if pre_filter is not None and min_candidates is not None:
+        # BATCHED adaptive escalation (the probe_ivf_index contract at
+        # batch throughput).  The filter is shared across the batch
+        # (the facade's owner-scoped case), so ONE column-pruned,
+        # filter-pushed scan yields per-bucket candidate counts; each
+        # query's cumulative count over its own bucket ranking then
+        # picks its escalation level from the same doubling schedule
+        # as the single probe — per-query nprobe, zero driver loops.
+        nb = cents.count()  # nlist rows — metadata scale
+        sched = _escalation_schedule(nprobe, int(nb))
+        occ = (
+            _read_partition_dirs(
+                spark,
+                f"{path}/assign",
+                "bucket",
+                list(manifest["partitions"].values()),
+                dtype=manifest.get("partition_dtype"),
+                pre_filter=pre_filter,
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        wcum = (
+            Window.partitionBy("query_id")
+            .orderBy("__r")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = (
+            qb_all.join(F.broadcast(occ), "bucket", "left")
+            .withColumn(
+                "__cum",
+                F.sum(F.coalesce(F.col("__c"), F.lit(0))).over(wcum),
+            )
+        )
+        p_df = (
+            cum.filter(
+                F.col("__r").isin(sched)
+                & (F.col("__cum") >= min_candidates)
+            )
+            .groupBy("query_id")
+            .agg(F.min("__r").alias("__p"))
+        )
+        qb = (
+            qb_all.join(F.broadcast(p_df), "query_id", "left")
+            .filter(
+                F.col("__r") <= F.coalesce(F.col("__p"), F.lit(int(nb)))
+            )
+            .select("query_id", "bucket", "__qvec", "__qn")
+        )
+    else:
+        qb = qb_all.filter(F.col("__r") <= nprobe).select(
+            "query_id", "bucket", "__qvec", "__qn"
+        )
     qb = qb.localCheckpoint(eager=True)  # read twice: bucket set + join
     buckets = sorted(
         {int(r["bucket"]) for r in qb.select("bucket").distinct().collect()}

@@ -677,3 +677,55 @@ def test_versioned_read_pre_filter_pushdown(spark, tmp_path):
     assert "owner" in pushed.split("DataFilters:", 1)[1].split(
         "Format:", 1
     )[0], pushed
+
+
+def test_ivf_batched_escalation_parity_with_single(spark, tmp_path):
+    """Batched owner-scoped probes must not under-recall vs the single
+    path: probe_ivf_index_many(min_candidates=k) escalates PER QUERY
+    inside one plan (shared filter → one occupancy scan + per-query
+    cumulative schedule pick) and each query's rows equal its single
+    escalated probe's rows exactly."""
+    from sortify_spark.search import index as ix
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    data = emb.filter(F.col("vec_id") >= 8).select(
+        "vec_id", "embedding", "label",
+        F.pmod(F.col("vec_id"), F.lit(97)).alias("owner"),
+    )
+    path = str(tmp_path / "ivf")
+    ix.build_ivf_index(
+        data, path, seed_col="label", exact_assign=True,
+        carry_cols=("owner",),
+    )
+    pred = F.col("owner") == 3
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("string").alias("query_id"), "embedding"
+    )
+    batched = ix.probe_ivf_index_many(
+        spark, path, queries, k=10, nprobe=1,
+        pre_filter=pred, min_candidates=10,
+    ).collect()
+    got = {}
+    for r in batched:
+        got.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["vec_id"], round(r["score"], 9))
+        )
+    for qrow in queries.collect():
+        single = ix.probe_ivf_index(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(qrow["embedding"],)], "embedding array<float>"
+            ),
+            k=10,
+            nprobe=1,
+            pre_filter=pred,
+            min_candidates=10,
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got.get(qrow["query_id"], [])) == want, qrow[
+            "query_id"
+        ]
