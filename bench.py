@@ -182,6 +182,9 @@ def main() -> None:
     timings: dict[str, object] = {}
     timings_best2: dict[str, object] = {}
     errors: dict[str, str] = {}
+    #: queries that reported a number from FEWER than N_REPS reps
+    #: (a later rep raised): {name: {"reps_ok": n, "error": msg}}
+    partial: dict[str, dict] = {}
 
     for name in HEADLINE:
         # Release the previous query's localCheckpoint blocks before
@@ -211,9 +214,16 @@ def main() -> None:
                 break
         if reps:
             # A flaky later repetition must not discard valid timings —
-            # report whatever measurements exist.
+            # report whatever measurements exist, but SAY SO: a median
+            # of 2 surviving reps must not masquerade as the full
+            # 5-rep protocol (the whole point of the protocol change).
             timings[name] = round(statistics.median(reps), 3)
             timings_best2[name] = min(reps[:2])
+            if name in errors:
+                partial[name] = {
+                    "reps_ok": len(reps),
+                    "error": errors[name],
+                }
     for name, msg in errors.items():
         if name not in timings:
             timings[name] = msg
@@ -234,6 +244,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_best2": timings_best2,
                 "value_best2": total_best2,
+                "partial_reps": partial,
                 "protocol": {
                     "primary": "median",
                     "reps": N_REPS,

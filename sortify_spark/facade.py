@@ -84,6 +84,11 @@ class SearchConfig:
 #: searches must not pay the ingest/vectorize build again.
 _ENGINE_CACHE: dict[tuple, "SortifyEngine"] = {}
 
+#: Hard cap on one delete batch, mirroring the reference's batch
+#: document-operation limit (``apis/v1/documents.py:948``).  Keeps the
+#: driver-local deletion relation bounded metadata.
+_DELETE_BATCH_CAP = 1000
+
 
 def get_engine(
     spark: SparkSession,
@@ -1158,15 +1163,30 @@ class SortifyEngine:
         # ContextCleaner can never reclaim it for the life of the
         # engine; a LocalRelation has no cached blocks and broadcasts
         # identically into the per-artifact anti-joins.
+        cap = _DELETE_BATCH_CAP
         if isinstance(doc_ids, DataFrame):
+            # limit(cap+1) bounds the driver transfer even when the
+            # caller hands over a huge frame; the cap itself is checked
+            # below so a too-large batch fails loudly instead of
+            # embedding a multi-million-row LocalRelation in four plans.
             vals = sorted(
                 r["document_id"]
                 for r in doc_ids.select(
                     F.col("document_id").cast("string")
-                ).distinct().collect()
+                )
+                .distinct()
+                .limit(cap + 1)
+                .collect()
             )
         else:
             vals = sorted({str(d) for d in doc_ids})
+        if len(vals) > cap:
+            raise ValueError(
+                f"delete_vectors: deletion batch exceeds {cap} ids "
+                "(the reference caps batch document ops at 1000, "
+                "apis/v1/documents.py:948) — split the delete into "
+                f"batches of at most {cap}"
+            )
         ids = self.spark.createDataFrame(
             [(v,) for v in vals], "document_id string"
         )
@@ -1301,12 +1321,23 @@ class SortifyEngine:
             for path, _, label in tables:
                 sub = label.split("/", 1)[1]
                 pin_key = _PIN_KEYS.get(sub)
-                if pin_key is None or compacted[label] is None:
+                if pin_key is None:
                     continue
                 pinned = anchor_manifest.get(pin_key)
+                if pinned is None:
+                    # No pin recorded: nothing references an old
+                    # version, so vacuum cannot strand a reader.
+                    continue
                 if pinned == pre_versions[label]:
-                    repin[pin_key] = compacted[label]
+                    if compacted[label] is not None:
+                        repin[pin_key] = compacted[label]
                 else:
+                    # Stale pin (crash between the paired commit and
+                    # the anchor commit).  Checked even when nothing
+                    # compacted: vacuum reclaims ANY manifest at or
+                    # below the horizon, pinned or not, so a stale pin
+                    # must suppress vacuum of its table regardless of
+                    # whether this pass rewrote files.
                     warnings.warn(
                         f"maintain_indexes: anchor pin {pin_key}="
                         f"{pinned} != pre-compaction version "
@@ -1322,7 +1353,7 @@ class SortifyEngine:
             for path, _, label in tables:
                 if label in skip_vacuum:
                     out[label] = {
-                        "compacted": True,
+                        "compacted": compacted[label] is not None,
                         "vacuumed": 0,
                         "stale_pin": True,
                     }

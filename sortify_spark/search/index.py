@@ -24,6 +24,8 @@ which is exactly how it is written here.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,6 +83,16 @@ def build_ivf_index(
     """
     from sortify_spark.sources.versioned import overwrite_versioned
 
+    # Validate BEFORE any write or materialization: a bad layout_col
+    # must not leave an advanced, unreferenced centroids version
+    # behind (build_lexical_index has the same ordering).
+    if layout_col is not None and (
+        layout_col not in carry_cols and layout_col != "vec_id"
+    ):
+        raise ValueError(
+            f"layout_col {layout_col!r} must be carried in the "
+            "assign rows (add it to carry_cols)"
+        )
     base = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
@@ -117,13 +129,6 @@ def build_ivf_index(
         cents, f"{path}/centroids", partition_col="part"
     )
     data = data.localCheckpoint(eager=True)
-    if layout_col is not None and (
-        layout_col not in carry_cols and layout_col != "vec_id"
-    ):
-        raise ValueError(
-            f"layout_col {layout_col!r} must be carried in the "
-            "assign rows (add it to carry_cols)"
-        )
     return overwrite_versioned(
         data,
         f"{path}/assign",
@@ -303,11 +308,27 @@ def delete_from_ivf_index(
     )
 
 
-#: Last probe's escalation trace (diagnostics / tests, the
-#: ``queries_dedup.PPJOIN_AUTO_CHOICE`` pattern): ``None`` when the
-#: last probe did not escalate, else ``{"levels": [(nprobe, n_cand),
-#: ...], "nprobe_final": p, "exhaustive": bool}``.
-PROBE_ESCALATION: dict | None = None
+# Last probe's escalation trace (diagnostics / tests, the
+# ``queries_dedup.PPJOIN_AUTO_CHOICE`` pattern), read as the module
+# attribute ``PROBE_ESCALATION``: ``None`` when this thread's last
+# probe did not escalate, else ``{"levels": [(nprobe, n_cand), ...],
+# "nprobe_final": p, "exhaustive": bool}``.  Stored per-thread (PEP
+# 562 ``__getattr__`` below) so concurrent probes in a long-lived
+# serving engine cannot clobber each other's trace between the probe
+# and the caller's readback.
+_probe_trace = threading.local()
+
+
+def _set_probe_escalation(value: dict | None) -> None:
+    _probe_trace.value = value
+
+
+def __getattr__(name: str):
+    if name == "PROBE_ESCALATION":
+        return getattr(_probe_trace, "value", None)
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )
 
 
 def _escalation_schedule(nprobe: int, total: int) -> list[int]:
@@ -384,8 +405,7 @@ def probe_ivf_index(
         read_manifest,
     )
 
-    global PROBE_ESCALATION
-    PROBE_ESCALATION = None
+    _set_probe_escalation(None)
     manifest = read_manifest(f"{path}/assign", version)
 
     def _read_rels(bucket_list, filtered=False):
@@ -438,20 +458,30 @@ def probe_ivf_index(
     chosen = min(nprobe, len(ranked)) if ranked else 0
     if escalate and ranked:
         levels: list[tuple[int, int]] = []
+        n_cand = 0
+        prev = 0
         for p in _escalation_schedule(nprobe, len(ranked)):
             chosen = p
             # count over the filter columns only — the parquet scan
-            # prunes the embedding column at every escalation level
-            n_cand = _read_rels(ranked[:p], filtered=True).count()
+            # prunes the embedding column at every escalation level.
+            # Buckets are disjoint partitions, so each level counts
+            # only the DELTA buckets ranked[prev:p] and accumulates:
+            # escalation I/O is O(P) bucket reads, not O(P log P).
+            n_cand += _read_rels(
+                ranked[prev:p], filtered=True
+            ).count()
+            prev = p
             levels.append((p, n_cand))
             if n_cand >= min_candidates:
                 break
         if len(levels) > 1 or levels[-1][1] < min_candidates:
-            PROBE_ESCALATION = {
-                "levels": levels,
-                "nprobe_final": chosen,
-                "exhaustive": chosen >= len(ranked),
-            }
+            _set_probe_escalation(
+                {
+                    "levels": levels,
+                    "nprobe_final": chosen,
+                    "exhaustive": chosen >= len(ranked),
+                }
+            )
     if ranked:
         probed = _read_rels(ranked[:chosen], filtered=True)
     else:

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pyspark.sql.functions as F
@@ -2793,6 +2794,97 @@ def test_facade_maintain_indexes_stale_pin_skips_repin(spark, tmp_path):
         read_manifest(f"{lex}/terms")["doclen_version"]
         == read_manifest(f"{lex}/doclen")["version"]
     )
+
+
+def test_facade_maintain_indexes_stale_pin_no_compaction(spark, tmp_path):
+    """The stale-pin guard must engage even when NOTHING compacts
+    (r11 review finding): vacuum reclaims ANY manifest at or below the
+    horizon regardless of pins, so a stale anchor pin on an
+    un-fragmented table (the common keyed-upsert steady state, where
+    compact() is a structural no-op) would still lose its pinned
+    manifest to vacuum.  maintain_indexes must skip that table's
+    vacuum and warn — compaction or not."""
+    import glob
+    import warnings as _warnings
+
+    from sortify_spark.facade import SortifyEngine
+    from sortify_spark.sources.versioned import (
+        amend_manifest,
+        read_manifest,
+    )
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=60,
+        index_root=str(tmp_path), owner_col="source",
+    )
+    owner = eng.documents.select("source").orderBy("source").first()[
+        "source"
+    ]
+    # plain build + a mutation to accrue versions; no fragmentation,
+    # so compact() will be a structural no-op on every table
+    eng.semantic_search("data pipeline", "keyword", owner_id=owner)
+    eng.add_documents(
+        spark.createDataFrame(
+            [(950_000, "stale pin uncompacted probe data pipeline",
+              "en", owner, 40)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+    )
+    lex = eng.lexical_index_path()
+    # pin the anchor one version BACK (a crash between the postings
+    # commit and the anchor commit leaves exactly this state) — the
+    # stale pinned manifest must survive maintenance
+    cur = read_manifest(f"{lex}/postings")["version"]
+    stale = cur - 1
+    assert stale >= 1
+    amend_manifest(f"{lex}/terms", {"postings_version": stale})
+    pinned_manifest = f"{lex}/postings/_MANIFEST.v{stale}"
+    assert os.path.exists(pinned_manifest)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        out = eng.maintain_indexes(keep_last=0)
+    assert any(
+        "stale pin" in str(w.message)
+        and "postings_version" in str(w.message)
+        for w in caught
+    ), [str(w.message) for w in caught]
+    assert out["lex/postings"]["stale_pin"] is True
+    assert out["lex/postings"]["compacted"] is False
+    assert out["lex/postings"]["vacuumed"] == 0
+    # the pinned manifest is still there — a keyword probe resolving
+    # the anchor's pin keeps working instead of FileNotFoundError
+    assert os.path.exists(pinned_manifest)
+    # un-pinned tables vacuumed normally at keep_last=0
+    assert sum(v["vacuumed"] for v in out.values()) > 0
+    assert glob.glob(f"{lex}/doclen/v=*")
+
+
+def test_facade_delete_vectors_batch_cap(spark, tmp_path):
+    """delete_vectors mirrors the reference's 1000-id batch cap
+    (apis/v1/documents.py:948): an oversized deletion list must fail
+    loudly instead of collecting millions of ids into a driver-local
+    relation embedded in four plans; the DataFrame form must bound the
+    driver transfer via limit(cap+1) before the check."""
+    import pytest as _pytest
+
+    from sortify_spark.facade import _DELETE_BATCH_CAP, SortifyEngine
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=30,
+        index_root=str(tmp_path),
+    )
+    big = [str(i) for i in range(_DELETE_BATCH_CAP + 1)]
+    with _pytest.raises(ValueError, match="deletion batch exceeds"):
+        eng.delete_vectors(big)
+    big_df = spark.range(_DELETE_BATCH_CAP + 50).select(
+        F.col("id").cast("string").alias("document_id")
+    )
+    with _pytest.raises(ValueError, match="deletion batch exceeds"):
+        eng.delete_vectors(big_df)
+    # at the cap it goes through (ids need not exist — delete of
+    # absent ids is a no-op on every artifact)
+    eng.delete_vectors([str(i) for i in range(5)])
 
 
 def test_facade_mutation_storage_clean(spark, tmp_path):

@@ -5,11 +5,11 @@ rows-only entries the import guard cannot cover."""
 
 from __future__ import annotations
 
-import glob
 import os
 
 from sortify_spark.all_queries import PRIORITY, REGISTRY
 from sortify_spark.queries_suites import SUITE_MEMBERS
+from tests.conftest import SF_DIR
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -59,8 +59,7 @@ def test_rows_only_queries_execute(spark):
     assert rows_only, "registry unexpectedly has no rows-only entries"
     uncovered = [n for n in rows_only if n not in bench.HEADLINE]
     assert uncovered, "expected some rows-only queries outside HEADLINE"
-    sf_dir = "/root/testdata/sf0.001"
     for name in uncovered:
-        df = REGISTRY[name].fn(spark, sf_dir)
+        df = REGISTRY[name].fn(spark, SF_DIR)
         assert df.columns, name
         assert len(df.collect()) >= 0, name
