@@ -490,6 +490,53 @@ def test_ivf_filtered_probe_adaptive_escalation(spark, tmp_path):
     assert len(naive) < len(esc)
 
 
+def test_ivf_probe_escalation_trace_is_per_thread(spark, tmp_path):
+    """The escalation trace survives an interleaved probe on ANOTHER
+    thread (r11 review finding): a long-lived serving engine handles
+    concurrent searches, and with a plain module global the second
+    probe's reset-to-None would clobber the first thread's readback.
+    Sequence forced with events: thread A escalates, then thread B
+    runs a plain probe (which resets ITS thread's trace), then A reads
+    — A must still see its own trace and B must see None."""
+    import threading
+
+    from sortify_spark.search import index as ix
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    pred = F.col("vec_id") % 97 == 3
+    path = str(tmp_path / "ivf")
+    ix.build_ivf_index(data, path, seed_col="label", exact_assign=True)
+
+    a_probed = threading.Event()
+    b_probed = threading.Event()
+    out: dict = {}
+
+    def thread_a():
+        ix.probe_ivf_index(
+            spark, path, query, k=10, nprobe=1, pre_filter=pred,
+            min_candidates=10,
+        ).collect()
+        a_probed.set()
+        assert b_probed.wait(120)
+        out["a_trace"] = ix.PROBE_ESCALATION
+
+    def thread_b():
+        assert a_probed.wait(120)
+        ix.probe_ivf_index(spark, path, query, k=10, nprobe=1).collect()
+        out["b_trace"] = ix.PROBE_ESCALATION
+        b_probed.set()
+
+    ta = threading.Thread(target=thread_a)
+    tb = threading.Thread(target=thread_b)
+    ta.start(); tb.start()
+    ta.join(240); tb.join(240)
+    assert not ta.is_alive() and not tb.is_alive()
+    assert out["b_trace"] is None
+    assert out["a_trace"] is not None and out["a_trace"]["exhaustive"]
+
+
 def test_ivf_filtered_probe_occupancy_aware_buckets(spark, tmp_path):
     """filter_buckets=True ranks only buckets CONTAINING matching rows,
     so nprobe counts the tenant's own buckets: with nprobe >= the
