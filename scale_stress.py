@@ -996,25 +996,35 @@ def main() -> None:
                     pre_filter=F.col("owner") == 3,
                 ).collect()
                 sec = time.time() - t0
-                ib = sum(
-                    s.get("inputBytes", 0)
+                new = [
+                    s
                     for s in _stages_rest()
                     if s["stageId"] not in seen
-                )
+                ]
+                ib = sum(s.get("inputBytes", 0) for s in new)
+                ir = sum(s.get("inputRecords", 0) for s in new)
                 results[label] = [
                     (r["vec_id"], round(r["score"], 9)) for r in rows
                 ]
                 out[label] = {
                     "sec": round(sec, 2),
                     "input_mb": round(ib / 1e6, 2),
+                    # the honest pruning metric: rows DECODED by the
+                    # scan (post row-group skip).  inputBytes is blind
+                    # to parquet data-page IO on this Hadoop build
+                    # (vectored reads bypass the FS statistics the
+                    # task metric sums — measured r11: bytes ratio
+                    # ~1.0 while decoded records dropped ~7x), so the
+                    # ratio below is on records.
+                    "input_records": ir,
                 }
             assert results["row_filtered"] == results["layout_pruned"], (
                 "layout is layout-only: probe results must be identical"
             )
             out["probe_results_identical"] = True
-            out["bytes_ratio_layout_vs_row"] = round(
-                out["layout_pruned"]["input_mb"]
-                / max(0.01, out["row_filtered"]["input_mb"]),
+            out["records_ratio_layout_vs_row"] = round(
+                out["layout_pruned"]["input_records"]
+                / max(1, out["row_filtered"]["input_records"]),
                 3,
             )
             return out

@@ -384,12 +384,13 @@ def upsert_versioned(
         # export_training_shards decoupling — splits each partition
         # across that many tasks/files).
         lay_col = manifest.get("layout_col")
+        roll = None
         if lay_col is not None:
             # a build-time secondary layout (overwrite_versioned
             # ``layout_col``) survives every keyed upsert: the touched
-            # partitions rewrite ntile-split + sorted on the layout
+            # partitions rewrite sorted + count-rolled on the layout
             # column at the manifest-recorded files-per-partition
-            merged = _apply_layout(
+            merged, roll = _apply_layout(
                 merged, partition_col, lay_col,
                 manifest.get("layout_files"),
             )
@@ -408,11 +409,7 @@ def upsert_versioned(
             )
         else:
             merged = merged.repartition(F.col(partition_col))
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(vdir)
-        )
+        _write_partition_dirs(merged, roll, vdir, partition_col)
         new_parts = dict(manifest["partitions"])
         for value in affected:
             new_parts[value] = f"v={new_version}/{partition_col}={value}"
@@ -435,50 +432,91 @@ def _apply_layout(
     partition_col: str,
     layout_col: str | None,
     layout_files: int | None,
-) -> DataFrame:
-    """Pre-write shuffle shape.  Without ``layout_col``: one file per
-    partition (``repartition(partition_col)``).  With it: split each
-    partition into AT MOST ``layout_files`` files, each covering a
-    CONTIGUOUS range of the layout column — parquet footer min/max
-    stats on that column then prune whole files for equality/range
-    probes (Delta's ``OPTIMIZE ZORDER BY`` layout for the 2-column
-    case).
+) -> tuple[DataFrame, int | None]:
+    """Pre-write shuffle shape; returns ``(shaped_df, roll)`` where
+    ``roll`` is the per-file record cap the writer must set
+    (``maxRecordsPerFile``), or None for the plain one-file-per-
+    partition path.  Without ``layout_col``:
+    ``repartition(partition_col)``.  With it: each partition's rows
+    are SORTED by the layout column inside one write task and the
+    file writer rolls to a new file every ``roll`` records — at most
+    ``layout_files`` files per partition, each covering a tight
+    NON-OVERLAPPING contiguous range of the layout column, so parquet
+    footer min/max stats prune whole files for equality/range probes
+    (Delta's ``OPTIMIZE ZORDER BY`` layout for the 2-column case).
 
-    The split is ``ntile(layout_files)`` over the layout column within
-    each partition, NOT ``repartitionByRange``: range partitioning
-    balances ROWS globally, so a hot partition drinks many range
-    boundaries and its file count floats with the data distribution —
-    compaction then has no stable target and rewrites forever.  ntile
-    is deterministic and per-partition: exactly ≤ ``layout_files``
-    value-contiguous tiles every time, so a rewrite of the same rows
-    reproduces the same file count and OPTIMIZE converges in one pass.
-    A value spanning a tile boundary lands in two files (both with
-    tight stats) — harmless for pruning.
+    Why count-based rolling, not value partitioning: an earlier
+    revision computed ``ntile(layout_files)`` tiles and routed them
+    with ``repartition(n, partition_col, tile)`` — but that routing is
+    a HASH: distinct (partition, tile) groups collide into one write
+    task, and the per-directory writer then merges non-adjacent tiles
+    into ONE file whose stats span the gap between them (measured at
+    10×: overlapping owner ranges per bucket, bytes-read ratio 1.006 —
+    i.e. the layout pruned nothing).  Rolling the sorted stream by
+    record count inside the task needs no exact task routing at all:
+    collisions are harmless (the writer splits per directory), every
+    file is a contiguous run of the sorted layout column, and a value
+    spanning a roll boundary lands in two files (both with tight
+    stats) — harmless for pruning.
 
-    Scale note: the ntile window serializes each partition through one
-    task — the same per-partition write shape as the default
+    ``roll`` = ceil(max partition rows / layout_files), so the largest
+    partition splits into exactly ``layout_files`` files and smaller
+    ones into proportionally fewer.  Deterministic: the same rows
+    reproduce the same max, the same roll, and the same per-partition
+    file counts, so ``compact``'s threshold is exact and OPTIMIZE
+    converges in one pass.  The extra ``groupBy(partition).count()``
+    pass is column-pruned metadata work, paid only on layout writes.
+
+    Scale note: the sort serializes each partition through one task —
+    the same per-partition write shape as the default
     ``repartition(partition_col)`` path (and the reason
     ``write_files_per_partition`` exists for giant unlayouted
     partitions); layout tables are probe artifacts whose partitions
     are bucket-sized by construction."""
     if layout_col is None:
-        return df.repartition(F.col(partition_col))
-    from pyspark.sql.window import Window
-
+        return df.repartition(F.col(partition_col)), None
     n_files = max(1, int(layout_files or 4))
-    w = Window.partitionBy(partition_col).orderBy(layout_col)
-    # explicit numPartitions: AQE would otherwise coalesce the tiny
-    # shuffle into one task, collapsing every tile into a single file
-    # (same lesson as the write_files_per_partition salt)
-    n_shuffle = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    mx = (
+        df.groupBy(partition_col)
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()["mx"]
     )
-    return (
-        df.withColumn("__lf", F.ntile(n_files).over(w))
-        .repartition(n_shuffle, F.col(partition_col), F.col("__lf"))
-        .sortWithinPartitions(partition_col, "__lf", layout_col)
-        .drop("__lf")
+    roll = -(-int(mx or 1) // n_files)
+    # The writer-level option overrides the session conf — but
+    # ``spark.sql.files.maxRecordsPerFile`` is the documented way to
+    # re-split giant partitions (compact's 100 TB note), so a session
+    # cap must stay the LOWER bound: never write files bigger than
+    # the operator asked for, only smaller ones than the layout would.
+    sess = int(
+        df.sparkSession.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+        or 0
     )
+    if sess > 0:
+        roll = min(roll, sess)
+    shaped = df.repartition(F.col(partition_col)).sortWithinPartitions(
+        partition_col, layout_col
+    )
+    return shaped, roll
+
+
+def _write_partition_dirs(
+    shaped: DataFrame,
+    roll: int | None,
+    vdir: str,
+    partition_col: str,
+) -> None:
+    """The one writer every versioned commit uses: partitionBy dirs,
+    with the layout's per-file record cap when present.  The writer's
+    required ordering for a partitionBy write is the partition column
+    alone, which the layout's (partition, layout_col) sort already
+    satisfies as a prefix — no extra sort is inserted, so the rolled
+    files keep the layout order (plan-asserted in
+    ``test_versioned_layout_files_sorted_non_overlapping``)."""
+    w = shaped.write.mode("overwrite")
+    if roll is not None:
+        w = w.option("maxRecordsPerFile", str(int(roll)))
+    w.partitionBy(partition_col).parquet(vdir)
 
 
 def overwrite_versioned(
@@ -513,12 +551,10 @@ def overwrite_versioned(
     dtype = df.schema[partition_col].dataType.simpleString()
     with _reserved(path, new_version):  # before any data write
         vdir = os.path.join(path, f"v={new_version}")
-        (
-            _apply_layout(df, partition_col, layout_col, layout_files)
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(vdir)
+        shaped, roll = _apply_layout(
+            df, partition_col, layout_col, layout_files
         )
+        _write_partition_dirs(shaped, roll, vdir, partition_col)
         from urllib.parse import unquote
 
         written = {
@@ -587,17 +623,13 @@ def delete_versioned(
                 "left_anti",
             )
             vdir = os.path.join(path, f"v={new_version}")
-            (
-                _apply_layout(
-                    keep,
-                    partition_col,
-                    manifest.get("layout_col"),
-                    manifest.get("layout_files"),
-                )
-                .write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(vdir)
+            shaped, roll = _apply_layout(
+                keep,
+                partition_col,
+                manifest.get("layout_col"),
+                manifest.get("layout_files"),
             )
+            _write_partition_dirs(shaped, roll, vdir, partition_col)
             from urllib.parse import unquote
 
             written = {
@@ -658,12 +690,12 @@ def compact(
     # A table carrying a secondary layout (``layout_col``) INTENDS up
     # to ``layout_files`` files per partition — compaction must neither
     # flag that as fragmentation nor collapse it (which would destroy
-    # the tenant-probe file pruning).  The ntile layout is
-    # deterministic (a rewrite of the same rows reproduces <= that
-    # count), so the threshold is exact and OPTIMIZE converges in one
-    # pass: anything above layout_files is genuine fragmentation
-    # (e.g. one file per streaming batch) and heals back to the
-    # intended shape.
+    # the tenant-probe file pruning).  The count-rolled layout is
+    # deterministic (a rewrite of the same rows reproduces the same
+    # roll and <= layout_files files), so the threshold is exact and
+    # OPTIMIZE converges in one pass: anything above layout_files is
+    # genuine fragmentation (e.g. one file per streaming batch) and
+    # heals back to the intended shape.
     lay_col = manifest.get("layout_col")
     intended = (
         max(1, int(manifest.get("layout_files") or 4))
@@ -688,8 +720,9 @@ def compact(
             dtype=manifest.get("partition_dtype"),
         )
         vdir = os.path.join(path, f"v={new_version}")
+        roll = None
         if lay_col is not None:
-            shaped = _apply_layout(
+            shaped, roll = _apply_layout(
                 merged, partition_col, lay_col,
                 manifest.get("layout_files"),
             )
@@ -697,11 +730,7 @@ def compact(
             shaped = merged.repartition(
                 max(1, len(todo)), F.col(partition_col)
             )
-        (
-            shaped.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(vdir)
-        )
+        _write_partition_dirs(shaped, roll, vdir, partition_col)
         new_parts = dict(manifest["partitions"])
         for value, _ in todo:
             new_parts[value] = f"v={new_version}/{partition_col}={value}"

@@ -1636,3 +1636,79 @@ def test_layout_commits_stamp_fresh_committed_at(spark):
         assert m_amend["committed_at"] > m_fold["committed_at"]
         assert resolve_version_at(path, t_pre_amend) == v_fold
         assert resolve_version_at(path, time.time() + 1) == v_amend
+
+
+def test_versioned_layout_files_sorted_non_overlapping(spark):
+    """The layout contract that actually makes tenant probes prune
+    files (r11 review + measurement): every file in a layouted
+    partition must cover a tight CONTIGUOUS range of the layout
+    column, with at most a one-value overlap at a roll boundary.  An
+    earlier ntile+hash-repartition revision silently violated this —
+    distinct (partition, tile) groups hash-collided into one write
+    task whose per-directory file then spanned the gap between
+    non-adjacent tiles (measured: zero pruning).  Also asserts the
+    count-based roll: <= layout_files files per partition, the
+    largest partition at exactly layout_files, and a same-rows
+    rewrite reproducing identical per-partition file counts."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sortify_spark.sources.versioned import (
+        overwrite_versioned,
+        read_manifest,
+        upsert_versioned,
+    )
+
+    # 3 partitions, skewed sizes, owner values interleaved so an
+    # unsorted write would produce wide overlapping spans
+    rows = []
+    for pb, n in ((0, 97), (1, 41), (2, 160)):
+        for i in range(n):
+            rows.append((pb * 1000 + i, pb, (i * 37) % 50))
+    df = spark.createDataFrame(rows, "id long, pb int, owner int")
+
+    def spans_per_partition(path):
+        man = read_manifest(path)
+        out = {}
+        for value, rel in man["partitions"].items():
+            spans = []
+            for f in sorted(
+                glob.glob(os.path.join(path, rel, "*.parquet"))
+            ):
+                md = pq.read_metadata(f)
+                mn = mx = None
+                for rg in range(md.num_row_groups):
+                    for c in range(md.num_columns):
+                        col = md.row_group(rg).column(c)
+                        if col.path_in_schema == "owner":
+                            s = col.statistics
+                            mn = s.min if mn is None else min(mn, s.min)
+                            mx = s.max if mx is None else max(mx, s.max)
+                spans.append((mn, mx))
+            out[value] = sorted(spans)
+        return out
+
+    with tempfile.TemporaryDirectory() as root:
+        path = os.path.join(root, "t")
+        overwrite_versioned(
+            df, path, partition_col="pb",
+            layout_col="owner", layout_files=4,
+        )
+        spans = spans_per_partition(path)
+        counts = {v: len(s) for v, s in spans.items()}
+        # roll = ceil(160/4) = 40 -> 97 rows: 3 files, 41: 2, 160: 4
+        assert counts == {"0": 3, "1": 2, "2": 4}, counts
+        for value, ss in spans.items():
+            for (lo1, hi1), (lo2, hi2) in zip(ss, ss[1:]):
+                # contiguous ascending; a shared boundary VALUE is the
+                # only permitted overlap (a value spanning a roll)
+                assert hi1 <= lo2, (value, ss)
+        # same rows re-written (keyed upsert of every row, unchanged)
+        # reproduce the same counts — compact's exact threshold
+        upsert_versioned(df, path, keys=["id"], partition_col="pb")
+        spans2 = spans_per_partition(path)
+        assert {v: len(s) for v, s in spans2.items()} == counts
+        for value, ss in spans2.items():
+            for (lo1, hi1), (lo2, hi2) in zip(ss, ss[1:]):
+                assert hi1 <= lo2, (value, ss)

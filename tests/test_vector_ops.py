@@ -616,7 +616,7 @@ def test_ivf_owner_layout_lifecycle(spark, tmp_path):
     )
 
     def owner_spans(path):
-        """(n_files, max span of the owner stats) per bucket."""
+        """sorted (min, max) owner-stat pairs per bucket."""
         m = read_manifest(f"{path}/assign")
         out = {}
         for b, rel in m["partitions"].items():
@@ -633,17 +633,26 @@ def test_ivf_owner_layout_lifecycle(spark, tmp_path):
                             s = col.statistics
                             mn = s.min if mn is None else min(mn, s.min)
                             mx = s.max if mx is None else max(mx, s.max)
-                spans.append(mx - mn)
-            out[b] = (len(spans), max(spans))
+                spans.append((mn, mx))
+            out[b] = sorted(spans)
         return out
+
+    def assert_tight(spans):
+        # multiple files per bucket, each covering a strict subset of
+        # the 20-owner domain, and — the property pruning actually
+        # needs (r11: the ntile+hash revision passed the weaker
+        # span-width check while files overlapped) — files are
+        # NON-OVERLAPPING except a shared roll-boundary value
+        assert all(len(ss) > 1 for ss in spans.values()), spans
+        for b, ss in spans.items():
+            for mn, mx in ss:
+                assert mx - mn < 19, (b, ss)
+            for (_, hi1), (lo2, _) in zip(ss, ss[1:]):
+                assert hi1 <= lo2, (b, ss)
 
     m_lay = read_manifest(f"{lay}/assign")
     assert m_lay["layout_col"] == "owner"
-    spans = owner_spans(lay)
-    # multiple range-split files per bucket, each covering a strict
-    # subset of the 20-owner domain (tight stats => file pruning)
-    assert all(n > 1 for n, _ in spans.values()), spans
-    assert all(span < 19 for _, span in spans.values()), spans
+    assert_tight(owner_spans(lay))
 
     def probe(path):
         return [
@@ -664,17 +673,15 @@ def test_ivf_owner_layout_lifecycle(spark, tmp_path):
     m2 = read_manifest(f"{lay}/assign")
     assert m2["layout_col"] == "owner"
     assert m2["layout_files"] == m_lay["layout_files"]
-    spans2 = owner_spans(lay)
-    assert all(span < 19 for _, span in spans2.values()), spans2
+    assert_tight(owner_spans(lay))
     assert probe(lay) == before  # same keys re-upserted: no-op rows
 
     # compact: the intended multi-file layout is NOT fragmentation —
-    # at most one converging pass (range-boundary jitter), then stable,
-    # with the layout's tight spans and the probe intact throughout
+    # at most one converging pass, then stable, with the layout's
+    # tight spans and the probe intact throughout
     first = compact(spark, f"{lay}/assign", "bucket")
     assert compact(spark, f"{lay}/assign", "bucket") is None, first
-    spans3 = owner_spans(lay)
-    assert all(span < 19 for _, span in spans3.values()), spans3
+    assert_tight(owner_spans(lay))
     assert probe(lay) == before
 
 
