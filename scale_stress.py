@@ -1014,8 +1014,9 @@ def main() -> None:
                     # to parquet data-page IO on this Hadoop build
                     # (vectored reads bypass the FS statistics the
                     # task metric sums — measured r11: bytes ratio
-                    # ~1.0 while decoded records dropped ~7x), so the
-                    # ratio below is on records.
+                    # ~1.0 while decoded records dropped 4.5x in this
+                    # stage, 6.9x in the isolated full-scan experiment
+                    # in SCALE.md), so the ratio below is on records.
                     "input_records": ir,
                 }
             assert results["row_filtered"] == results["layout_pruned"], (

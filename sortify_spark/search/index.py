@@ -418,6 +418,29 @@ def probe_ivf_index(
             for b in bucket_list
             if str(b) in manifest["partitions"]
         ]
+        if not rels:
+            # Every requested bucket is absent from the manifest — a
+            # delete can empty a bucket the centroids table still
+            # ranks, and the delta-sliced escalation reads can then
+            # land entirely on such buckets (the r11 cumulative reads
+            # masked this).  A zero-path parquet read raises; return
+            # a zero-row frame with the index's own schema instead.
+            if not manifest["partitions"]:
+                raise FileNotFoundError(
+                    f"IVF index at {path} has no assign partitions "
+                    "(every row deleted) — rebuild before probing"
+                )
+            first_rel = [
+                manifest["partitions"][v]
+                for v in sorted(manifest["partitions"])[:1]
+            ]
+            return _read_partition_dirs(
+                spark,
+                f"{path}/assign",
+                "bucket",
+                first_rel,
+                dtype=manifest.get("partition_dtype"),
+            ).filter(F.lit(False))
         return _read_partition_dirs(
             spark,
             f"{path}/assign",

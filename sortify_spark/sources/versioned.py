@@ -388,11 +388,13 @@ def upsert_versioned(
         if lay_col is not None:
             # a build-time secondary layout (overwrite_versioned
             # ``layout_col``) survives every keyed upsert: the touched
-            # partitions rewrite sorted + count-rolled on the layout
-            # column at the manifest-recorded files-per-partition
-            merged, roll = _apply_layout(
+            # partitions rewrite sorted + count-rolled at the
+            # manifest-PINNED roll (no recount — stable shape, single
+            # execution of the merged plan)
+            merged, roll, _ = _apply_layout(
                 merged, partition_col, lay_col,
                 manifest.get("layout_files"),
+                roll=manifest.get("layout_roll"),
             )
         elif write_files_per_partition > 1:
             salt = F.pmod(
@@ -418,7 +420,7 @@ def upsert_versioned(
             "partitions": new_parts,
             "partition_dtype": dtype,
         }
-        for lk in ("layout_col", "layout_files"):
+        for lk in ("layout_col", "layout_files", "layout_roll"):
             if lk in manifest:
                 new_manifest[lk] = manifest[lk]
         if extra:
@@ -432,11 +434,21 @@ def _apply_layout(
     partition_col: str,
     layout_col: str | None,
     layout_files: int | None,
-) -> tuple[DataFrame, int | None]:
-    """Pre-write shuffle shape; returns ``(shaped_df, roll)`` where
-    ``roll`` is the per-file record cap the writer must set
-    (``maxRecordsPerFile``), or None for the plain one-file-per-
-    partition path.  Without ``layout_col``:
+    roll: int | None = None,
+) -> tuple[DataFrame, int | None, int | None]:
+    """Pre-write shuffle shape; returns ``(shaped_df, write_roll,
+    intent_roll)``: ``write_roll`` is the per-file record cap the
+    writer must set (``maxRecordsPerFile``) — the intent roll capped
+    by the session ``spark.sql.files.maxRecordsPerFile`` — and
+    ``intent_roll`` is the UNCAPPED layout intent the caller records
+    in the manifest so every later rewrite (upsert/delete/compact)
+    reuses the SAME roll instead of recomputing it from whatever the
+    data looks like then; both None for the plain one-file-per-
+    partition path.  Pinning the roll at build time is what keeps the
+    lifecycle stable: a recomputed roll drifts as the corpus grows,
+    so compact would re-flag old files as "fragmentation" on every
+    maintenance pass and rewrite the table forever (r11 review).
+    Without ``layout_col``:
     ``repartition(partition_col)``.  With it: each partition's rows
     are SORTED by the layout column inside one write task and the
     file writer rolls to a new file every ``roll`` records — at most
@@ -474,30 +486,40 @@ def _apply_layout(
     partitions); layout tables are probe artifacts whose partitions
     are bucket-sized by construction."""
     if layout_col is None:
-        return df.repartition(F.col(partition_col)), None
-    n_files = max(1, int(layout_files or 4))
-    mx = (
-        df.groupBy(partition_col)
-        .count()
-        .agg(F.max("count").alias("mx"))
-        .first()["mx"]
-    )
-    roll = -(-int(mx or 1) // n_files)
-    # The writer-level option overrides the session conf — but
-    # ``spark.sql.files.maxRecordsPerFile`` is the documented way to
-    # re-split giant partitions (compact's 100 TB note), so a session
-    # cap must stay the LOWER bound: never write files bigger than
-    # the operator asked for, only smaller ones than the layout would.
-    sess = int(
-        df.sparkSession.conf.get("spark.sql.files.maxRecordsPerFile", "0")
-        or 0
-    )
-    if sess > 0:
-        roll = min(roll, sess)
+        return df.repartition(F.col(partition_col)), None, None
+    if roll is None:
+        n_files = max(1, int(layout_files or 4))
+        # Materialize ONCE before the roll-sizing count: df may be an
+        # expensive upstream plan — without this the count action and
+        # the subsequent write each execute it from source (r11
+        # review finding).  Only the roll-COMPUTING path (full
+        # rebuilds / legacy tables without a recorded roll) pays
+        # this; upsert/delete/compact pass the manifest-pinned roll.
+        df = df.localCheckpoint(eager=True)
+        mx = (
+            df.groupBy(partition_col)
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .first()["mx"]
+        )
+        roll = -(-int(mx or 1) // n_files)
     shaped = df.repartition(F.col(partition_col)).sortWithinPartitions(
         partition_col, layout_col
     )
-    return shaped, roll
+    return shaped, _cap_roll(df.sparkSession, roll), roll
+
+
+def _cap_roll(spark: SparkSession, roll: int) -> int:
+    """The writer-level maxRecordsPerFile option overrides the session
+    conf — but ``spark.sql.files.maxRecordsPerFile`` is the documented
+    way to re-split giant partitions (compact's 100 TB note), so a
+    session cap must stay the LOWER bound: never write files bigger
+    than the operator asked for, only smaller ones than the layout
+    would."""
+    sess = int(
+        spark.conf.get("spark.sql.files.maxRecordsPerFile", "0") or 0
+    )
+    return min(roll, sess) if sess > 0 else roll
 
 
 def _write_partition_dirs(
@@ -551,10 +573,10 @@ def overwrite_versioned(
     dtype = df.schema[partition_col].dataType.simpleString()
     with _reserved(path, new_version):  # before any data write
         vdir = os.path.join(path, f"v={new_version}")
-        shaped, roll = _apply_layout(
+        shaped, write_roll, intent_roll = _apply_layout(
             df, partition_col, layout_col, layout_files
         )
-        _write_partition_dirs(shaped, roll, vdir, partition_col)
+        _write_partition_dirs(shaped, write_roll, vdir, partition_col)
         from urllib.parse import unquote
 
         written = {
@@ -574,6 +596,9 @@ def overwrite_versioned(
             new_manifest["layout_col"] = layout_col
             if layout_files is not None:
                 new_manifest["layout_files"] = int(layout_files)
+            # the build-time intent roll: every later rewrite reuses
+            # it so the intended file shape stays stable as data grows
+            new_manifest["layout_roll"] = int(intent_roll)
         if extra:
             new_manifest.update(extra)
         _commit_manifest(path, new_manifest)
@@ -623,11 +648,12 @@ def delete_versioned(
                 "left_anti",
             )
             vdir = os.path.join(path, f"v={new_version}")
-            shaped, roll = _apply_layout(
+            shaped, roll, _ = _apply_layout(
                 keep,
                 partition_col,
                 manifest.get("layout_col"),
                 manifest.get("layout_files"),
+                roll=manifest.get("layout_roll"),
             )
             _write_partition_dirs(shaped, roll, vdir, partition_col)
             from urllib.parse import unquote
@@ -652,7 +678,7 @@ def delete_versioned(
                 deletes.schema[partition_col].dataType.simpleString(),
             ),
         }
-        for lk in ("layout_col", "layout_files"):
+        for lk in ("layout_col", "layout_files", "layout_roll"):
             if lk in manifest:
                 new_manifest[lk] = manifest[lk]
         if extra:
@@ -687,29 +713,53 @@ def compact(
     version, or None when nothing needed compacting.
     """
     manifest = read_manifest(path)
-    # A table carrying a secondary layout (``layout_col``) INTENDS up
-    # to ``layout_files`` files per partition — compaction must neither
-    # flag that as fragmentation nor collapse it (which would destroy
-    # the tenant-probe file pruning).  The count-rolled layout is
-    # deterministic (a rewrite of the same rows reproduces the same
-    # roll and <= layout_files files), so the threshold is exact and
-    # OPTIMIZE converges in one pass: anything above layout_files is
-    # genuine fragmentation (e.g. one file per streaming batch) and
-    # heals back to the intended shape.
+    # A table carrying a secondary layout (``layout_col``) INTENDS a
+    # multi-file shape — compaction must neither flag that as
+    # fragmentation nor collapse it (which would destroy the
+    # tenant-probe file pruning).  The flagging must mirror EXACTLY
+    # what this pass's own rewrite would produce, or OPTIMIZE rewrites
+    # forever: per-partition intended files = ceil(rows / roll) with
+    # the roll computed the same way the writer computes it (layout
+    # target capped by the session maxRecordsPerFile — an operator
+    # re-splitting giant partitions raises the intended count, it does
+    # not create perpetual "fragmentation"; r11 review finding).  Row
+    # counts come from the parquet footers — local metadata reads, no
+    # Spark job — and the rewrite below is pinned to the SAME roll, so
+    # one pass converges and the next returns None.
     lay_col = manifest.get("layout_col")
-    intended = (
-        max(1, int(manifest.get("layout_files") or 4))
-        if lay_col is not None
-        else 1
-    )
-    threshold = max(max_files_per_partition, intended)
+    roll_all = None
+    rows_per: dict[str, int] = {}
+    if lay_col is not None:
+        import pyarrow.parquet as _pq
+
+        n_lay = max(1, int(manifest.get("layout_files") or 4))
+        for value, rel in manifest["partitions"].items():
+            pdir = os.path.join(path, rel)
+            rows_per[value] = sum(
+                _pq.read_metadata(os.path.join(pdir, f)).num_rows
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+        # the manifest-PINNED intent roll keeps flagging stable as the
+        # corpus grows; footer-derived fallback only for legacy tables
+        # written before the roll was recorded
+        intent = manifest.get("layout_roll")
+        if intent is None:
+            mx = max(rows_per.values(), default=1) or 1
+            intent = -(-int(mx) // n_lay)
+        roll_all = _cap_roll(spark, int(intent))
     todo = []
     for value, rel in sorted(manifest["partitions"].items()):
         pdir = os.path.join(path, rel)
         n_files = sum(
             1 for f in os.listdir(pdir) if f.endswith(".parquet")
         )
-        if n_files > threshold:
+        intended = (
+            -(-(rows_per[value] or 1) // roll_all)
+            if lay_col is not None
+            else 1
+        )
+        if n_files > max(max_files_per_partition, intended):
             todo.append((value, rel))
     if not todo:
         return None
@@ -722,9 +772,11 @@ def compact(
         vdir = os.path.join(path, f"v={new_version}")
         roll = None
         if lay_col is not None:
-            shaped, roll = _apply_layout(
+            # pinned to the SAME roll the flagging used — the rewrite
+            # reproduces exactly the intended per-partition counts
+            shaped, roll, _ = _apply_layout(
                 merged, partition_col, lay_col,
-                manifest.get("layout_files"),
+                manifest.get("layout_files"), roll=roll_all,
             )
         else:
             shaped = merged.repartition(

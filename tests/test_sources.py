@@ -1712,3 +1712,64 @@ def test_versioned_layout_files_sorted_non_overlapping(spark):
         for value, ss in spans2.items():
             for (lo1, hi1), (lo2, hi2) in zip(ss, ss[1:]):
                 assert hi1 <= lo2, (value, ss)
+
+
+def test_compact_converges_under_session_maxrecords_cap(spark):
+    """compact on a layouted table must converge even when the session
+    spark.sql.files.maxRecordsPerFile caps the roll below the layout
+    target (r11 review finding): the flagging threshold mirrors the
+    rewrite's own roll (per-partition ceil(rows/roll) from footer
+    counts), so the healed shape — MORE than layout_files files, each
+    at the operator's cap — is recognized as intended, not re-flagged
+    forever."""
+    from sortify_spark.sources.versioned import (
+        compact,
+        overwrite_versioned,
+        read_manifest,
+    )
+
+    rows = [(i, i % 2, (i * 13) % 40) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, pb int, owner int")
+    with tempfile.TemporaryDirectory() as root:
+        path = os.path.join(root, "t")
+        # fragment the initial write hard: 100 rows/partition at
+        # 5 rows/file = 20 files, far above any intended shape
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "5")
+        try:
+            overwrite_versioned(
+                df, path, partition_col="pb",
+                layout_col="owner", layout_files=4,
+            )
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+        def files_per_partition():
+            man = read_manifest(path)
+            return {
+                v: sum(
+                    1
+                    for f in os.listdir(os.path.join(path, rel))
+                    if f.endswith(".parquet")
+                )
+                for v, rel in man["partitions"].items()
+            }
+
+        assert all(n > 4 for n in files_per_partition().values())
+        # operator caps files at 10 rows during maintenance: intended
+        # = ceil(100/10) = 10 files per partition (> layout_files=4)
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "10")
+        try:
+            first = compact(spark, path, "pb")
+            assert first is not None
+            assert files_per_partition() == {"0": 10, "1": 10}
+            # the healed shape is INTENDED under the same cap: a
+            # second pass must be a no-op, not a perpetual rewrite
+            assert compact(spark, path, "pb") is None
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        # cap lifted: 10 files > layout target 4 -> one more heal to
+        # the layout shape, then stable again
+        assert compact(spark, path, "pb") is not None
+        counts = files_per_partition()
+        assert all(n <= 4 for n in counts.values()), counts
+        assert compact(spark, path, "pb") is None

@@ -783,3 +783,62 @@ def test_ivf_batched_escalation_parity_with_single(spark, tmp_path):
         assert sorted(got.get(qrow["query_id"], [])) == want, qrow[
             "query_id"
         ]
+
+
+def test_ivf_escalated_probe_survives_emptied_bucket(spark, tmp_path):
+    """A delete can empty a bucket the centroids table still ranks;
+    the delta-sliced escalation reads (r11) can then land a level
+    ENTIRELY on such a bucket — a zero-path parquet read would raise.
+    Empty the top-ranked bucket for a query, then escalate through it:
+    the probe must return the exact filtered top-k from the surviving
+    buckets."""
+    from sortify_spark.search import index as ix
+    from sortify_spark.search.knn import brute_force_topk
+    from sortify_spark.sources.versioned import read_versioned
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivf")
+    ix.build_ivf_index(data, path, seed_col="label", exact_assign=True)
+
+    # query = a stored vector; its own bucket ranks first
+    probe_row = data.orderBy("vec_id").first()
+    query = spark.createDataFrame(
+        [(probe_row["embedding"],)],
+        "embedding array<float>",
+    )
+    assign = read_versioned(spark, f"{path}/assign", "bucket")
+    b = assign.filter(
+        F.col("vec_id") == probe_row["vec_id"]
+    ).first()["bucket"]
+    victims = assign.filter(F.col("bucket") == b).select("vec_id")
+    n_gone = victims.count()
+    assert n_gone > 0
+    ix.delete_from_ivf_index(victims, path)
+
+    # selective filter (< k matches) so the schedule EXHAUSTS: the
+    # escalated probe must then equal the exact filtered scan over
+    # the surviving rows — while the first delta slice (the emptied
+    # top-ranked bucket) contributes zero candidates without raising
+    pred = F.col("vec_id") % 97 == 3
+    survivors = read_versioned(spark, f"{path}/assign", "bucket")
+    n_match = survivors.filter(pred).count()
+    assert 0 < n_match < 10
+    got = ix.probe_ivf_index(
+        spark, path, query, k=10, nprobe=1,
+        pre_filter=pred, min_candidates=10,
+    ).collect()
+    trace = ix.PROBE_ESCALATION
+    assert trace is not None and trace["exhaustive"]
+    assert trace["levels"][-1][1] == n_match
+    exact = brute_force_topk(
+        survivors.filter(pred).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        ),
+        query,
+        k=10,
+    ).collect()
+    assert [(r["vec_id"], round(r["score"], 9)) for r in got] == [
+        (r["vec_id"], round(r["score"], 9)) for r in exact
+    ]
