@@ -938,6 +938,41 @@ def main() -> None:
 
         stage("ivf_owner_occupancy_nprobe16", ivf_owner_occupancy)
 
+        # -- COMPOSED default (VERDICT r11 #1): occupancy-aware bucket
+        # choice + escalation within the occupied universe — the
+        # owner-scoped facade default on both serving paths.  Report
+        # recall AND the probed-bucket count (the I/O unit): combined
+        # must be >= each mitigation alone at equal-or-less buckets
+        # read (escalation-only walks the FULL ranking, so its
+        # nprobe_final counts mostly-unoccupied buckets; occupancy
+        # fixed-16 reads 16 occupied buckets unconditionally; the
+        # composition stops at the first occupied prefix holding k
+        # candidates and can never read more than the tenant's
+        # occupied buckets).
+        def ivf_owner_composed():
+            from sortify_spark.search import index as ix
+
+            top = ix.probe_ivf_index(
+                spark,
+                ann["owner_path"],
+                probe.select("embedding"),
+                k=10,
+                nprobe=1,
+                pre_filter=F.col("owner") == 3,
+                min_candidates=10,
+                filter_buckets=True,
+            ).collect()
+            trace = ix.PROBE_ESCALATION or {}
+            return {
+                "rows": len(top),
+                "recall_at_10": owner_recall([r["vec_id"] for r in top]),
+                "buckets_read": trace.get("nprobe_final", 1),
+                "levels": trace.get("levels"),
+                "exhausted_occupied": trace.get("exhaustive"),
+            }
+
+        stage("ivf_owner_composed_occ_esc", ivf_owner_composed)
+
         # -- owner-aware artifact LAYOUT A/B (VERDICT r10 #3) ----------
         # Same corpus, same probe, two layouts: the carried-column
         # artifact (owner rides each row, probe row-filters whole

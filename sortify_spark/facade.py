@@ -278,12 +278,17 @@ class SortifyEngine:
         ``owner_id`` scopes every path to one tenant BEFORE ranking:
         exact via the scan pre-filter, LSH by filtering the keyed index
         frame inside the probed bucket, IVF via the assign table's
-        carried ``owner_id`` (``probe pre_filter``).  Bucket CHOICE
-        ignores the filter (standard filtered-IVF), so owner-scoped IVF
-        probes ADAPTIVELY ESCALATE nprobe until ≥ k of the tenant's
-        vectors are inside the probed buckets (``min_candidates=k`` —
-        degrades to the exact filtered scan for tenants smaller than
-        k, so recall never silently collapses for a 1% owner)."""
+        carried ``owner_id`` (``probe pre_filter``).  Owner-scoped IVF
+        probes compose BOTH filtered-IVF mitigations by default
+        (VERDICT r11 #1): OCCUPANCY-AWARE BUCKET CHOICE
+        (``filter_buckets=True`` — rank only the tenant's occupied
+        buckets, so nprobe counts the tenant's own sub-corpus and the
+        probe is provably exact once it covers them) plus ADAPTIVE
+        NPROBE ESCALATION within that universe until ≥ k of the
+        tenant's vectors are inside the probed buckets
+        (``min_candidates=k`` — degrades to the exact filtered scan
+        for tenants smaller than k, so recall never silently collapses
+        for a 1% owner)."""
         from sortify_spark.search.knn import lsh_portable_topk
 
         pred = self._owner_pred(owner_id)
@@ -300,12 +305,17 @@ class SortifyEngine:
                 nprobe=cfg.ivf_nprobe,
                 version=cfg.ivf_version,
                 pre_filter=pred,
-                # owner-scoped probes escalate nprobe until at least k
-                # of the tenant's vectors sit inside the probed buckets
-                # (Chroma's where-filtered search never under-recalls a
-                # selective tenant, vector_db_service.py:193-224); the
-                # unscoped path keeps the caller's fixed nprobe
+                # owner-scoped probes compose BOTH filtered-IVF
+                # mitigations (Chroma's where-filtered search never
+                # under-recalls a selective tenant,
+                # vector_db_service.py:193-224): occupancy-aware bucket
+                # choice ranks only the tenant's occupied buckets —
+                # provably exact once nprobe covers them — and nprobe
+                # escalation widens within that universe until ≥ k of
+                # the tenant's vectors sit inside the probed buckets.
+                # The unscoped path keeps the caller's fixed nprobe.
                 min_candidates=k if pred is not None else None,
+                filter_buckets=pred is not None,
             ).select(
                 # vec_id is the vector_id "doc#vtype#chunk"; recover the
                 # document for the per-doc dedupe below
@@ -886,10 +896,12 @@ class SortifyEngine:
                 nprobe=cfg.ivf_nprobe,
                 version=cfg.ivf_version,
                 pre_filter=pred,
-                # batched owner-scoped probes escalate per query like
-                # the single-probe path — batched and single serving
-                # must not differ in tenant recall
+                # batched owner-scoped probes use the same composed
+                # default as the single path (occupancy-aware bucket
+                # choice + per-query escalation) — batched and single
+                # serving must not differ in tenant recall
                 min_candidates=k if pred is not None else None,
+                filter_buckets=pred is not None,
             ).select(
                 "query_id",
                 F.split(F.col("vec_id"), "#")[0].alias("id"),

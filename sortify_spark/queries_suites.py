@@ -761,11 +761,13 @@ _suite(
             "knn_ivf_filtered",
             dict(key1="kind", key2="CAST(id AS STRING)", val="score"),
         ),
-        # round 11: SELECTIVE-TENANT filtered ANN (VERDICT r10 #1) —
-        # a ~1% tenant at nprobe=1 under-recalls to zero; adaptive
-        # nprobe escalation (deterministic doubling schedule, replayed
+        # round 11/12: SELECTIVE-TENANT filtered ANN (VERDICT r10 #1,
+        # r11 #1) — a ~1% tenant at nprobe=1 under-recalls to zero;
+        # the composed facade default (occupancy-aware bucket choice +
+        # nprobe escalation over the occupied universe, both replayed
         # in the oracle) restores the exact filtered top-k, with the
-        # engine's final nprobe pinned via the 'meta' row.
+        # engine's final nprobe pinned via the 'meta' row and an
+        # occupancy-only 'occ1' leg isolating the bucket-choice gain.
         (
             "knn_ivf_filtered_selective",
             dict(key1="kind", key2="CAST(id AS STRING)", val="score"),

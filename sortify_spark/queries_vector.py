@@ -1185,21 +1185,31 @@ def _ivf_selective_oracle_sql(
     k: int = 10, nprobe0: int = 1, dim: int = 64
 ) -> str:
     """Oracle for ``knn_ivf_filtered_selective``: replay the build,
-    then the ADAPTIVE NPROBE ESCALATION a highly selective tenant
-    filter triggers (VERDICT r10 #1).  The tenant predicate
-    (vec_id % 97 = 3, ~1% of the corpus) matches fewer vectors than k,
-    so a fixed-nprobe probe under-recalls — the 'naive' leg at
-    nprobe=1 exhibits the failure the escalation exists to fix.  The
-    'escalated' leg replays the deterministic doubling schedule
-    (nprobe0·2^j capped at the bucket count; stop at the first level
-    whose probed buckets hold ≥ k matching candidates, else every
-    bucket): cumulative matching-candidate counts over the bucket
-    ranking pick the same final nprobe as the engine, and the 'meta'
-    row pins that choice.  The 'exact' leg is the full-scan filtered
-    top-k; escalated ≡ exact here BY CONSTRUCTION (the tenant is
-    smaller than k, so the schedule provably exhausts every bucket) —
-    that equality, hash-checked across both engines, IS the
-    selective-tenant recall contract."""
+    then the COMPOSED filtered-IVF defense the facade defaults to for
+    owner-scoped legs (VERDICT r10 #1 escalation + r11 #1 occupancy
+    composition).  The tenant predicate (vec_id % 97 = 3, ~1% of the
+    corpus) matches fewer vectors than k, so a fixed-nprobe probe
+    under-recalls — the 'naive' leg at nprobe=1 exhibits the failure.
+    Three mitigated legs replay the engine exactly:
+
+    * 'occ1' — OCCUPANCY-AWARE BUCKET CHOICE alone (rank only buckets
+      containing tenant rows) at fixed nprobe=1: the top OCCUPIED
+      bucket, so it always returns tenant rows where naive can return
+      nothing.
+    * 'escalated' — the composed default: the deterministic doubling
+      schedule (nprobe0·2^j capped at the OCCUPIED bucket count; stop
+      at the first level whose probed buckets hold ≥ k matching
+      candidates, else every occupied bucket), cumulative
+      matching-candidate counts over the occupancy-restricted bucket
+      ranking picking the same final nprobe as the engine.
+    * 'meta' — pins that final nprobe against the oracle's pure-SQL
+      occupancy-schedule replay.
+
+    The 'exact' leg is the full-scan filtered top-k; escalated ≡ exact
+    here BY CONSTRUCTION (the tenant is smaller than k, so the
+    schedule provably exhausts the tenant's occupied buckets — which
+    hold the tenant's ENTIRE sub-corpus) — that equality, hash-checked
+    across both engines, IS the selective-tenant recall contract."""
     return f"""
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
                FROM embeddings WHERE vec_id = 0),
@@ -1226,30 +1236,46 @@ def _ivf_selective_oracle_sql(
                                      6) DESC,
                                bucket ASC) AS rn
              FROM fcent CROSS JOIN q),
-    nb AS (SELECT COUNT(*) AS n FROM rall),
+    occb AS (SELECT DISTINCT bucket FROM fasg
+             WHERE vec_id % 97 = 3),
+    rocc AS (SELECT c.bucket,
+                    ROW_NUMBER() OVER (
+                      ORDER BY ROUND(list_cosine_similarity(c.cent,
+                                                            qe), 6)
+                                 DESC,
+                               c.bucket ASC) AS rn
+             FROM fcent c JOIN occb o ON c.bucket = o.bucket
+                  CROSS JOIN q),
+    nbo AS (SELECT COUNT(*) AS n FROM rocc),
     pc AS (SELECT r.rn,
                   (SELECT COUNT(*) FROM fasg a
                    WHERE a.bucket = r.bucket AND a.vec_id % 97 = 3)
                     AS c
-           FROM rall r),
+           FROM rocc r),
     cum AS (SELECT rn, SUM(c) OVER (ORDER BY rn) AS cumc FROM pc),
     sched AS (SELECT DISTINCT
-                LEAST(CAST({nprobe0} * POW(2, j.range) AS BIGINT), nb.n)
-                  AS p
-              FROM range(0, 32) j, nb),
+                LEAST(CAST({nprobe0} * POW(2, j.range) AS BIGINT),
+                      nbo.n) AS p
+              FROM range(0, 32) j, nbo),
     pfin AS (SELECT COALESCE(
                (SELECT MIN(s.p) FROM sched s
                 JOIN cum ON cum.rn = s.p WHERE cum.cumc >= {k}),
-               (SELECT n FROM nb)) AS p),
+               (SELECT n FROM nbo)) AS p),
     naive AS (SELECT a.vec_id AS id,
                      ROUND(list_cosine_similarity(a.e, qe), 6) AS score
               FROM fasg a JOIN rall r ON a.bucket = r.bucket
                    CROSS JOIN q
               WHERE r.rn <= {nprobe0} AND a.vec_id % 97 = 3
               ORDER BY score DESC, id ASC LIMIT {k}),
+    occ1 AS (SELECT a.vec_id AS id,
+                    ROUND(list_cosine_similarity(a.e, qe), 6) AS score
+             FROM fasg a JOIN rocc r ON a.bucket = r.bucket
+                  CROSS JOIN q
+             WHERE r.rn <= {nprobe0} AND a.vec_id % 97 = 3
+             ORDER BY score DESC, id ASC LIMIT {k}),
     esc AS (SELECT a.vec_id AS id,
                    ROUND(list_cosine_similarity(a.e, qe), 6) AS score
-            FROM fasg a JOIN rall r ON a.bucket = r.bucket
+            FROM fasg a JOIN rocc r ON a.bucket = r.bucket
                  CROSS JOIN q, pfin
             WHERE r.rn <= pfin.p AND a.vec_id % 97 = 3
             ORDER BY score DESC, id ASC LIMIT {k}),
@@ -1264,6 +1290,7 @@ def _ivf_selective_oracle_sql(
       UNION ALL SELECT 'meta', p AS id, CAST(p AS DOUBLE) AS score
                 FROM pfin
       UNION ALL SELECT 'naive', id, score FROM naive
+      UNION ALL SELECT 'occ1', id, score FROM occ1
     ) __u ORDER BY kind, id
     """
 
@@ -1271,17 +1298,20 @@ def _ivf_selective_oracle_sql(
 @register(
     "knn_ivf_filtered_selective",
     _ivf_selective_oracle_sql(),
-    note="SELECTIVE-TENANT FILTERED ANN (VERDICT r10 #1; reference "
-    "contract: Chroma's where-filtered HNSW never under-recalls a "
-    "selective tenant, vector_db_service.py:193-224): a ~1% tenant "
-    "predicate (vec_id % 97 = 3, fewer matches than k) probed at "
-    "nprobe=1 returns NOTHING (the 'naive' leg exhibits the standard "
-    "filtered-IVF bucket-choice failure); with min_candidates=k the "
-    "probe escalates nprobe through the deterministic doubling "
-    "schedule until >= k matching candidates sit inside the probed "
-    "buckets, exhausting every bucket here — the 'escalated' leg "
-    "hash-matches the full-scan 'exact' leg, and the 'meta' row pins "
-    "the engine's final nprobe against the oracle's schedule replay.",
+    note="SELECTIVE-TENANT FILTERED ANN (VERDICT r10 #1 + r11 #1; "
+    "reference contract: Chroma's where-filtered HNSW never "
+    "under-recalls a selective tenant, vector_db_service.py:193-224): "
+    "a ~1% tenant predicate (vec_id % 97 = 3, fewer matches than k) "
+    "probed at nprobe=1 returns NOTHING (the 'naive' leg exhibits the "
+    "standard filtered-IVF bucket-choice failure); 'occ1' shows "
+    "occupancy-aware bucket choice alone (filter_buckets=True — the "
+    "top OCCUPIED bucket always holds tenant rows); 'escalated' is "
+    "the facade's composed owner-scoped default (occupancy choice + "
+    "min_candidates=k escalation through the doubling schedule over "
+    "the occupied universe), exhausting the tenant's buckets here — "
+    "it hash-matches the full-scan 'exact' leg, and the 'meta' row "
+    "pins the engine's final nprobe against the oracle's "
+    "occupancy-schedule replay.",
 )
 def q_knn_ivf_filtered_selective(
     spark: SparkSession, sf_dir: str
@@ -1307,9 +1337,20 @@ def q_knn_ivf_filtered_selective(
         F.col("vec_id").alias("id"),
         F.round("score", 6).alias("score"),
     )
+    occ1 = probe_ivf_index(
+        spark, path, query, k=10, nprobe=1, pre_filter=pred,
+        filter_buckets=True,
+    ).select(
+        F.lit("occ1").alias("kind"),
+        F.col("vec_id").alias("id"),
+        F.round("score", 6).alias("score"),
+    )
+    # the composed owner-scoped facade default: occupancy-aware bucket
+    # choice + escalation within the occupied universe (probe last so
+    # the trace readback below is THIS probe's)
     esc = probe_ivf_index(
         spark, path, query, k=10, nprobe=1, pre_filter=pred,
-        min_candidates=10,
+        min_candidates=10, filter_buckets=True,
     ).select(
         F.lit("escalated").alias("kind"),
         F.col("vec_id").alias("id"),
@@ -1337,5 +1378,6 @@ def q_knn_ivf_filtered_selective(
         esc.unionByName(exact)
         .unionByName(meta)
         .unionByName(naive)
+        .unionByName(occ1)
         .orderBy("kind", "id")
     )

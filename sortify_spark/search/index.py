@@ -525,6 +525,7 @@ def probe_ivf_index_many(
     version: int | None = None,
     pre_filter=None,
     min_candidates: int | None = None,
+    filter_buckets: bool = False,
 ) -> DataFrame:
     """BATCHED probe: top-k for N queries through the stored index in
     ONE plan — (query_id, vec_id, score, rnk) — the IVF twin of
@@ -550,7 +551,18 @@ def probe_ivf_index_many(
     the batch (the owner-scoped serving case): one column-pruned
     filter-pushed occupancy scan feeds every query's cumulative
     candidate count, and each query escalates independently inside the
-    same plan (no driver loops)."""
+    same plan (no driver loops).
+
+    ``filter_buckets`` (with ``pre_filter``): OCCUPANCY-AWARE BUCKET
+    CHOICE, same contract as :func:`probe_ivf_index` — every query's
+    centroid ranking is restricted to buckets that actually CONTAIN
+    filter-matching rows (one bounded ≤ nlist driver-side occupancy
+    set from the same column-pruned scan the escalation uses), so
+    ``nprobe`` counts the tenant's OWN buckets batch-wide.  Composes
+    with ``min_candidates``: the doubling schedule then widens within
+    the occupied universe only — the facade's owner-scoped default on
+    BOTH serving paths (single and batched must not differ in tenant
+    recall)."""
     from pyspark.sql.window import Window
 
     from sortify_spark.functions.vectors import cosine, l2_norm
@@ -564,6 +576,36 @@ def probe_ivf_index_many(
         spark, f"{path}/centroids", "part",
         manifest.get("centroid_version"),
     ).select("bucket", "centroid")
+
+    def _occupancy_scan():
+        # column-pruned, filter-pushed: reads bucket + the filter's
+        # carry columns only, never embeddings; output ≤ nlist rows
+        return (
+            _read_partition_dirs(
+                spark,
+                f"{path}/assign",
+                "bucket",
+                list(manifest["partitions"].values()),
+                dtype=manifest.get("partition_dtype"),
+                pre_filter=pre_filter,
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+
+    if filter_buckets and pre_filter is not None:
+        # occupancy-aware bucket choice: rank ONLY the tenant's
+        # occupied buckets (bounded driver-side set, ≤ nlist —
+        # metadata scale, same bound as the single probe's)
+        occupied = [
+            int(r["bucket"])
+            for r in _occupancy_scan().select("bucket").collect()
+        ]
+        cents = (
+            cents.filter(F.col("bucket").isin(occupied))
+            if occupied
+            else cents.filter(F.lit(False))
+        )
     q = F.broadcast(
         queries.select(
             F.col("query_id"), F.col("embedding").alias("__qvec")
@@ -593,20 +635,12 @@ def probe_ivf_index_many(
         # query's cumulative count over its own bucket ranking then
         # picks its escalation level from the same doubling schedule
         # as the single probe — per-query nprobe, zero driver loops.
-        nb = cents.count()  # nlist rows — metadata scale
+        # Under filter_buckets the ranked universe (and therefore the
+        # schedule cap) is the OCCUPIED bucket count, so exhausting
+        # the schedule IS the exact filtered scan of the tenant.
+        nb = cents.count()  # ≤ nlist rows — metadata scale
         sched = _escalation_schedule(nprobe, int(nb))
-        occ = (
-            _read_partition_dirs(
-                spark,
-                f"{path}/assign",
-                "bucket",
-                list(manifest["partitions"].values()),
-                dtype=manifest.get("partition_dtype"),
-                pre_filter=pre_filter,
-            )
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("__c"))
-        )
+        occ = _occupancy_scan()
         wcum = (
             Window.partitionBy("query_id")
             .orderBy("__r")

@@ -2958,3 +2958,77 @@ def test_facade_mutation_storage_clean(spark, tmp_path):
         _time.sleep(0.5)
         gc.collect()
     assert not leaked, f"storage blocks leaked past release(): {leaked}"
+
+
+def test_owner_scoped_ivf_batched_matches_single_composed(
+    spark, tmp_path
+):
+    """cfg.ann='ivf' owner-scoped serving uses the COMPOSED
+    filtered-IVF default on BOTH paths (occupancy-aware bucket choice
+    + per-query nprobe escalation, VERDICT r11 #1): the batched IVF
+    leg's per-query rows equal the single-query loop even at nprobe=1
+    on a selective tenant — where an unmitigated probe would return
+    nothing — and stay inside the tenant's corpus."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+    from sortify_spark.search.knn import brute_force_topk
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=120,
+        index_root=str(tmp_path), owner_col="source",
+    )
+    owner = eng.documents.select("source").orderBy("source").first()[
+        "source"
+    ]
+    owner_docs = {
+        str(r["doc_id"])
+        for r in eng.documents.filter(F.col("source") == owner)
+        .select("doc_id").collect()
+    }
+    cfg = SearchConfig(ann="ivf", ivf_nprobe=1)
+    queries = {
+        "q1": "data pipeline quality and join performance",
+        "q2": "vector index build and search serving",
+    }
+    many = (
+        eng.semantic_search_many(
+            queries, "summary_only", cfg, owner_id=owner
+        )
+        .orderBy("query_id", "rnk")
+        .collect()
+    )
+    assert {r["id"] for r in many} <= owner_docs
+    for qid, text in queries.items():
+        single = eng.semantic_search(
+            text, "summary_only", cfg, owner_id=owner
+        ).orderBy(F.desc("score"), F.asc("id")).collect()
+        got = sorted(
+            (r["id"], round(r["score"], 6))
+            for r in many
+            if r["query_id"] == qid
+        )
+        exp = sorted((r["id"], round(r["score"], 6)) for r in single)
+        assert got == exp, qid
+        # the recall CONTRACT: escalation guarantees ≥ k of the
+        # tenant's vectors inside the probed buckets (or exhausts the
+        # tenant's occupied universe), so the result never silently
+        # collapses below min(k, tenant size) — the failure mode a
+        # fixed nprobe=1 probe exhibits on a selective tenant
+        n_owner = eng.vectors.filter(
+            (F.col("vtype") == "summary") & (F.col("owner_id") == owner)
+        ).count()
+        assert len(got) == min(10, n_owner), qid
+        # and when the tenant is smaller than k the composed probe IS
+        # the exact filtered scan
+        if n_owner <= 10:
+            qdf = eng._query_df(text)
+            base = eng.vectors.filter(
+                (F.col("vtype") == "summary")
+                & (F.col("owner_id") == owner)
+            )
+            exact = sorted(
+                (r["document_id"], round(r["score"], 6))
+                for r in brute_force_topk(
+                    base, qdf, id_col="document_id", k=10
+                ).collect()
+            )
+            assert got == exact, qid

@@ -842,3 +842,74 @@ def test_ivf_escalated_probe_survives_emptied_bucket(spark, tmp_path):
     assert [(r["vec_id"], round(r["score"], 9)) for r in got] == [
         (r["vec_id"], round(r["score"], 9)) for r in exact
     ]
+
+
+def test_ivf_batched_composed_occupancy_parity_with_single(
+    spark, tmp_path
+):
+    """The COMPOSED owner-scoped default (VERDICT r11 #1):
+    filter_buckets=True + min_candidates=k on the batched probe ranks
+    only the tenant's occupied buckets and escalates per query within
+    that universe — each query's rows equal its single composed
+    probe's rows exactly; a zero-match tenant yields an empty
+    (schema-correct) batch; and the batched path never touches this
+    thread's PROBE_ESCALATION trace (escalation is in-plan)."""
+    from sortify_spark.search import index as ix
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    data = emb.filter(F.col("vec_id") >= 8).select(
+        "vec_id", "embedding", "label",
+        F.pmod(F.col("vec_id"), F.lit(97)).alias("owner"),
+    )
+    path = str(tmp_path / "ivf")
+    ix.build_ivf_index(
+        data, path, seed_col="label", exact_assign=True,
+        carry_cols=("owner",),
+    )
+    pred = F.col("owner") == 3
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("string").alias("query_id"), "embedding"
+    )
+    sentinel = {"levels": [(1, 99)], "nprobe_final": 1,
+                "exhaustive": False}
+    ix._set_probe_escalation(sentinel)
+    batched = ix.probe_ivf_index_many(
+        spark, path, queries, k=10, nprobe=1,
+        pre_filter=pred, min_candidates=10, filter_buckets=True,
+    ).collect()
+    # batched escalation runs inside the plan — no trace clobber
+    assert ix.PROBE_ESCALATION is sentinel
+    ix._set_probe_escalation(None)
+    got = {}
+    for r in batched:
+        got.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["vec_id"], round(r["score"], 9))
+        )
+    for qrow in queries.collect():
+        single = ix.probe_ivf_index(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(qrow["embedding"],)], "embedding array<float>"
+            ),
+            k=10,
+            nprobe=1,
+            pre_filter=pred,
+            min_candidates=10,
+            filter_buckets=True,
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got.get(qrow["query_id"], [])) == want, qrow[
+            "query_id"
+        ]
+    # zero-match tenant: empty result, correct columns, no error
+    empty = ix.probe_ivf_index_many(
+        spark, path, queries, k=10, nprobe=1,
+        pre_filter=F.col("owner") < 0, min_candidates=10,
+        filter_buckets=True,
+    )
+    assert empty.count() == 0
+    assert set(empty.columns) == {"query_id", "vec_id", "score", "rnk"}
