@@ -5,7 +5,8 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].
 Prints ONE JSON line:
 ``{"metric": "headline_total", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "queries_best2": {...},
-   "value_best2": N, "protocol": {...}, "sf": 0.1}``
+   "value_best2": N, "queries_norm": {...}, "value_norm": N,
+   "anchor": {...}, "protocol": {...}, "sf": 0.1}``
 
 ``queries``/``value`` are median-of-5 consecutive warm reps per query
 (robust to the 2x host-noise band this box shows on identical plans);
@@ -13,6 +14,20 @@ Prints ONE JSON line:
 protocol for cross-round continuity.  Each query is forced with a
 noop-format write (full plan execution, no driver-side result
 materialization cost skewing the numbers).
+
+``queries_norm``/``value_norm`` are SAME-SESSION ANCHOR-NORMALIZED
+seconds (VERDICT r11 #2): median-of-5 cannot fix HOURS-scale host
+drift (round 11's end-of-round recording was a uniform ~1.3x median
+inflation across all 62 common queries, movers to 3.9x, on
+byte-equivalent plans — all phantom, adjudicated by judge-pinned
+reps).  A small fixed anchor set of stable relational plans is timed
+by the same run; ``host_factor`` = geometric mean of (this session's
+anchor median / the anchor's pinned reference median from
+``BASELINE_MEDIAN.json``, the judged same-code mid-round-11
+recording); every query's normalized second is raw / host_factor.
+Cross-round comparison reads the normalized column — a real
+regression moves a query AGAINST the anchors, host drift moves
+everything WITH them.
 """
 
 from __future__ import annotations
@@ -137,6 +152,20 @@ HEADLINE = (
     "bm25_batched_probe",
 )
 
+#: Same-session drift anchors (VERDICT r11 #2): stable, pure-relational
+#: plans untouched since early rounds, spanning scan-agg, window,
+#: event-ordered shuffle, and star-join shapes so no single shape's
+#: noise dominates the geomean.  Reference medians are pinned from
+#: BASELINE_MEDIAN.json (sf0.1, judged same-code mid-round-11
+#: recording, the protocol's fixed point) — update them ONLY if the
+#: anchor queries' plans change, never to chase drift.
+ANCHOR_REF = {
+    "pricing_summary": 1.141,
+    "user_sessions": 0.235,
+    "funnel_conversion": 0.414,
+    "regional_revenue": 1.620,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -235,6 +264,46 @@ def main() -> None:
     total_best2 = round(
         sum(v for v in timings_best2.values() if isinstance(v, float)), 3
     )
+
+    # -- same-session anchor normalization (VERDICT r11 #2) -----------
+    # host_factor = geomean(anchor_now / anchor_ref) over the anchors
+    # that produced a number this session; 1.0 means this session ran
+    # at the reference recording's effective throughput.  Normalized
+    # seconds divide the drift out so cross-round deltas isolate PLAN
+    # changes: a uniform host slowdown moves raw numbers and anchors
+    # together and cancels; a real regression moves one query against
+    # the anchors and survives.
+    import math
+
+    anchor_now = {
+        a: timings[a]
+        for a in ANCHOR_REF
+        if isinstance(timings.get(a), float)
+    }
+    if abs(sf - 0.1) > 1e-9:
+        # the pinned refs are sf0.1 medians — at any other SF the
+        # ratio would conflate data scale with host drift; report raw
+        anchor_now = {}
+    if anchor_now:
+        host_factor = round(
+            math.exp(
+                sum(
+                    math.log(anchor_now[a] / ANCHOR_REF[a])
+                    for a in anchor_now
+                )
+                / len(anchor_now)
+            ),
+            4,
+        )
+    else:  # every anchor failed — report raw-equal, flag loudly
+        host_factor = 1.0
+    timings_norm = {
+        name: round(v / host_factor, 3) if isinstance(v, float) else v
+        for name, v in timings.items()
+    }
+    total_norm = round(
+        sum(v for v in timings_norm.values() if isinstance(v, float)), 3
+    )
     print(
         json.dumps(
             {
@@ -244,12 +313,27 @@ def main() -> None:
                 "queries": timings,
                 "queries_best2": timings_best2,
                 "value_best2": total_best2,
+                "queries_norm": timings_norm,
+                "value_norm": total_norm,
+                "anchor": {
+                    "host_factor": host_factor,
+                    "anchors_sec": anchor_now,
+                    "ref_sec": ANCHOR_REF,
+                    "ref_source": "BASELINE_MEDIAN.json (same-code "
+                    "mid-round-11 recording)",
+                    "ref_sf": 0.1,
+                    "anchors_failed": sorted(
+                        set(ANCHOR_REF) - set(anchor_now)
+                    ),
+                },
                 "partial_reps": partial,
                 "protocol": {
                     "primary": "median",
                     "reps": N_REPS,
                     "warmup": "one discarded cold pass per query",
                     "best2": "min of first 2 reps (rounds 1-10 protocol)",
+                    "norm": "sec / host_factor; host_factor = geomean("
+                    "anchor median this session / pinned ref median)",
                 },
                 "sf": sf,
             }
