@@ -43,6 +43,7 @@ def build_ivf_index(
     carry_cols: tuple[str, ...] = (),
     layout_col: str | None = None,
     layout_files: int = 4,
+    layout_min_file_rows: int | None = None,
 ) -> int:
     """Build/refresh the IVF index at ``path``; returns the committed
     version of the assignment table.
@@ -70,6 +71,15 @@ def build_ivf_index(
     ``vector_db_service.py:193-224``): a probe's ``pre_filter``
     evaluates on these inside the probed buckets, so the filter rides
     the partition-pruned scan instead of a corpus join.
+
+    ``layout_min_file_rows``: the bucket-size crossover guard
+    (VERDICT r11 #3, ``versioned._apply_layout``) — don't intend
+    layout files smaller than this many rows; buckets too small to
+    fill ``layout_files`` useful files write proportionally fewer.
+    Below ~a parquet row group per file, file-level stat pruning adds
+    nothing over the row-group pruning the layout sort already gives
+    inside one file, while every extra file costs a footer read per
+    probe (measured crossover: SCALE.md round 12).
 
     ``layout_col`` (one of ``carry_cols``, typically ``owner_id``):
     secondary sub-partition layout inside each bucket — every bucket
@@ -145,6 +155,7 @@ def build_ivf_index(
         },
         layout_col=layout_col,
         layout_files=layout_files if layout_col is not None else None,
+        layout_min_file_rows=layout_min_file_rows,
     )
 
 

@@ -65,6 +65,14 @@ from pyspark.sql import functions as F
 
 _MANIFEST = "_MANIFEST"
 
+#: compact re-pins a layout table's roll when the largest partition's
+#: intended file count (ceil(rows / pinned_roll)) exceeds layout_files
+#: by more than this factor — the heal for rolls pinned on a corpus
+#: that has since grown (r11 advice: a tiny build pins a tiny roll,
+#: and every later rewrite of a grown partition would otherwise write
+#: up to one file per row forever).
+LAYOUT_GROWTH_CAP = 8
+
 
 class ConcurrentWriteError(RuntimeError):
     """A second writer tried to reserve a version that already exists.
@@ -385,13 +393,14 @@ def upsert_versioned(
         # across that many tasks/files).
         lay_col = manifest.get("layout_col")
         roll = None
+        intent_roll = None
         if lay_col is not None:
             # a build-time secondary layout (overwrite_versioned
             # ``layout_col``) survives every keyed upsert: the touched
             # partitions rewrite sorted + count-rolled at the
             # manifest-PINNED roll (no recount — stable shape, single
             # execution of the merged plan)
-            merged, roll, _ = _apply_layout(
+            merged, roll, intent_roll = _apply_layout(
                 merged, partition_col, lay_col,
                 manifest.get("layout_files"),
                 roll=manifest.get("layout_roll"),
@@ -423,6 +432,14 @@ def upsert_versioned(
         for lk in ("layout_col", "layout_files", "layout_roll"):
             if lk in manifest:
                 new_manifest[lk] = manifest[lk]
+        if lay_col is not None and "layout_roll" not in manifest:
+            # legacy layout table (written before the roll was
+            # recorded): persist THIS rewrite's computed roll so every
+            # later upsert/delete/compact shares one pinned intent —
+            # without it, upsert (affected-partitions max) and compact
+            # (all-partitions footer max) derive different rolls and a
+            # maintain cycle can oscillate forever (r11 advice)
+            new_manifest["layout_roll"] = int(intent_roll)
         if extra:
             new_manifest.update(extra)
         _commit_manifest(path, new_manifest)
@@ -435,6 +452,7 @@ def _apply_layout(
     layout_col: str | None,
     layout_files: int | None,
     roll: int | None = None,
+    min_file_rows: int | None = None,
 ) -> tuple[DataFrame, int | None, int | None]:
     """Pre-write shuffle shape; returns ``(shaped_df, write_roll,
     intent_roll)``: ``write_roll`` is the per-file record cap the
@@ -479,6 +497,27 @@ def _apply_layout(
     converges in one pass.  The extra ``groupBy(partition).count()``
     pass is column-pruned metadata work, paid only on layout writes.
 
+    ``min_file_rows`` — the BUCKET-SIZE CROSSOVER GUARD (VERDICT r11
+    #3): below a parquet row group (``parquet.block.size`` worth of
+    rows) file-level stat pruning adds ~nothing over the row-group /
+    page pruning the sort already enables INSIDE one file (measured:
+    the decoded-records win narrows from 4.5x to 1.12x as per-file
+    rows shrink toward row-group size, SCALE_STRESS_r11), while every
+    extra file still costs a footer read + task on EVERY probe.  The
+    computed roll is floored at ``min_file_rows``, so partitions too
+    small to fill ``layout_files`` useful files write proportionally
+    fewer (down to one) — the SORT is always kept (it is what makes
+    row-group pruning work).  Applies to the roll-computing path only;
+    a pinned roll already encodes the build's decision.  Default None
+    preserves the exact historical shape; the measured crossover for
+    the IVF artifact's row width is recorded in SCALE.md round 12.
+
+    A grown partition under a PINNED roll can fragment (a tiny build
+    pins a tiny roll; every later rewrite then writes ceil(rows/roll)
+    files) — that is deliberate here and HEALED at maintenance time:
+    :func:`compact` re-pins the roll when the intended file count
+    exceeds ``layout_files`` by more than ``LAYOUT_GROWTH_CAP``.
+
     Scale note: the sort serializes each partition through one task —
     the same per-partition write shape as the default
     ``repartition(partition_col)`` path (and the reason
@@ -503,6 +542,10 @@ def _apply_layout(
             .first()["mx"]
         )
         roll = -(-int(mx or 1) // n_files)
+        if min_file_rows is not None:
+            # crossover guard: never intend files smaller than a
+            # useful pruning unit (see docstring)
+            roll = max(roll, int(min_file_rows))
     shaped = df.repartition(F.col(partition_col)).sortWithinPartitions(
         partition_col, layout_col
     )
@@ -548,6 +591,7 @@ def overwrite_versioned(
     extra: dict | None = None,
     layout_col: str | None = None,
     layout_files: int | None = None,
+    layout_min_file_rows: int | None = None,
 ) -> int:
     """Full-snapshot REPLACE as an atomic new version (Delta's
     ``overwrite`` save mode on a versioned table): the new manifest
@@ -566,7 +610,9 @@ def overwrite_versioned(
     sub-partition layout of :func:`_apply_layout` and records both in
     the manifest, so keyed upserts and ``compact`` re-apply the SAME
     layout on every subsequent rewrite — tenant-probe file pruning
-    survives the artifact's whole lifecycle."""
+    survives the artifact's whole lifecycle.  ``layout_min_file_rows``
+    floors the pinned roll (the bucket-size crossover guard — see
+    :func:`_apply_layout`)."""
     spark = df.sparkSession
     manifest = read_manifest(path)
     new_version = manifest["version"] + 1
@@ -574,7 +620,8 @@ def overwrite_versioned(
     with _reserved(path, new_version):  # before any data write
         vdir = os.path.join(path, f"v={new_version}")
         shaped, write_roll, intent_roll = _apply_layout(
-            df, partition_col, layout_col, layout_files
+            df, partition_col, layout_col, layout_files,
+            min_file_rows=layout_min_file_rows,
         )
         _write_partition_dirs(shaped, write_roll, vdir, partition_col)
         from urllib.parse import unquote
@@ -648,7 +695,7 @@ def delete_versioned(
                 "left_anti",
             )
             vdir = os.path.join(path, f"v={new_version}")
-            shaped, roll, _ = _apply_layout(
+            shaped, roll, intent_roll = _apply_layout(
                 keep,
                 partition_col,
                 manifest.get("layout_col"),
@@ -681,10 +728,63 @@ def delete_versioned(
         for lk in ("layout_col", "layout_files", "layout_roll"):
             if lk in manifest:
                 new_manifest[lk] = manifest[lk]
+        if (
+            affected
+            and manifest.get("layout_col") is not None
+            and "layout_roll" not in manifest
+        ):
+            # legacy layout table: pin this rewrite's computed roll
+            # (same reasoning as upsert_versioned)
+            new_manifest["layout_roll"] = int(intent_roll)
         if extra:
             new_manifest.update(extra)
         _commit_manifest(path, new_manifest)
     return new_version
+
+
+def _partition_row_counts(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    manifest: dict,
+) -> dict[str, int]:
+    """Per-partition row counts for the current snapshot — from the
+    parquet footers when pyarrow is importable (local metadata reads,
+    no Spark job: the maintenance-path default), else ONE column-pruned
+    Spark count over the snapshot (a pyspark-only deployment must not
+    fail at maintenance time just because pyarrow is absent — r11
+    advice; pyarrow ships with every supported pyspark distribution,
+    so the fallback exists for stripped-down runtimes)."""
+    try:
+        import pyarrow.parquet as _pq
+    except ImportError:
+        _pq = None
+    if _pq is not None:
+        out: dict[str, int] = {}
+        for value, rel in manifest["partitions"].items():
+            pdir = os.path.join(path, rel)
+            out[value] = sum(
+                _pq.read_metadata(os.path.join(pdir, f)).num_rows
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+        return out
+    counted = {
+        str(r[0]): int(r[1])
+        for r in _read_partition_dirs(
+            spark,
+            path,
+            partition_col,
+            list(manifest["partitions"].values()),
+            dtype=manifest.get("partition_dtype"),
+        )
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)))
+        .collect()
+    }
+    return {
+        value: counted.get(value, 0) for value in manifest["partitions"]
+    }
 
 
 def compact(
@@ -728,25 +828,42 @@ def compact(
     # one pass converges and the next returns None.
     lay_col = manifest.get("layout_col")
     roll_all = None
+    intent = None
     rows_per: dict[str, int] = {}
     if lay_col is not None:
-        import pyarrow.parquet as _pq
-
         n_lay = max(1, int(manifest.get("layout_files") or 4))
-        for value, rel in manifest["partitions"].items():
-            pdir = os.path.join(path, rel)
-            rows_per[value] = sum(
-                _pq.read_metadata(os.path.join(pdir, f)).num_rows
-                for f in os.listdir(pdir)
-                if f.endswith(".parquet")
-            )
+        rows_per = _partition_row_counts(
+            spark, path, partition_col, manifest
+        )
+        mx = max(rows_per.values(), default=1) or 1
         # the manifest-PINNED intent roll keeps flagging stable as the
         # corpus grows; footer-derived fallback only for legacy tables
         # written before the roll was recorded
         intent = manifest.get("layout_roll")
         if intent is None:
-            mx = max(rows_per.values(), default=1) or 1
             intent = -(-int(mx) // n_lay)
+        elif -(-int(mx) // int(intent)) > LAYOUT_GROWTH_CAP * n_lay:
+            # GROWTH RE-PIN (r11 advice): a roll pinned on a small
+            # build makes a grown partition's intended shape
+            # ceil(rows/roll) files — worst case one file per row —
+            # and a flagging that honors the stale pin would treat the
+            # explosion as intentional forever.  When the largest
+            # partition's intended count exceeds layout_files by more
+            # than LAYOUT_GROWTH_CAP x, re-derive the roll from
+            # today's data (exactly the build-time formula) and
+            # persist it below, so one OPTIMIZE pass heals the shape
+            # and later rewrites stay at the healed pin.
+            import warnings
+
+            new_intent = -(-int(mx) // n_lay)
+            warnings.warn(
+                f"layout roll at {path} re-pinned {intent} -> "
+                f"{new_intent}: largest partition ({mx} rows) "
+                f"outgrew the pinned layout "
+                f"(> {LAYOUT_GROWTH_CAP}x{n_lay} intended files)",
+                stacklevel=2,
+            )
+            intent = new_intent
         roll_all = _cap_roll(spark, int(intent))
     todo = []
     for value, rel in sorted(manifest["partitions"].items()):
@@ -801,6 +918,12 @@ def compact(
         }
         new_manifest["version"] = new_version
         new_manifest["partitions"] = new_parts
+        if lay_col is not None:
+            # persist the roll this pass flagged AND rewrote with:
+            # pins legacy tables on their first compaction and records
+            # a growth re-pin, so upsert/delete/compact share one
+            # intent from here on (r11 advice)
+            new_manifest["layout_roll"] = int(intent)
         _commit_manifest(path, new_manifest)
     return new_version
 

@@ -1773,3 +1773,216 @@ def test_compact_converges_under_session_maxrecords_cap(spark):
         counts = files_per_partition()
         assert all(n <= 4 for n in counts.values()), counts
         assert compact(spark, path, "pb") is None
+
+
+def _layout_files_per_partition(path):
+    from sortify_spark.sources.versioned import read_manifest
+
+    man = read_manifest(path)
+    return {
+        v: sum(
+            1
+            for f in os.listdir(os.path.join(path, rel))
+            if f.endswith(".parquet")
+        )
+        for v, rel in man["partitions"].items()
+    }
+
+
+def test_layout_growth_repin_heals_file_explosion(spark):
+    """A roll pinned on a tiny build makes a grown partition's rewrite
+    fragment into ceil(rows/roll) files (r12 advice): compact must
+    detect intended-files >> layout_files, WARN, re-pin the roll from
+    today's data, heal the shape in one pass, persist the new pin, and
+    converge (second compact returns None; rows untouched)."""
+    import json as _json
+    import warnings as _warnings
+
+    from sortify_spark.sources.versioned import (
+        compact,
+        overwrite_versioned,
+        read_manifest,
+        read_versioned,
+        upsert_versioned,
+    )
+
+    tiny = spark.createDataFrame(
+        [(i, i % 2, i % 3) for i in range(8)],
+        "id long, pb int, owner int",
+    )
+    with tempfile.TemporaryDirectory() as root:
+        path = os.path.join(root, "t")
+        overwrite_versioned(
+            tiny, path, partition_col="pb",
+            layout_col="owner", layout_files=4,
+        )
+        pinned = read_manifest(path)["layout_roll"]
+        assert pinned == 1  # ceil(4/4): the degenerate tiny-build pin
+        # the corpus grows 100x: the pinned roll now writes ~one file
+        # per row in the touched partitions
+        grown = spark.createDataFrame(
+            [(1000 + i, i % 2, (i * 7) % 50) for i in range(800)],
+            "id long, pb int, owner int",
+        )
+        upsert_versioned(grown, path, keys=["id"], partition_col="pb")
+        exploded = _layout_files_per_partition(path)
+        assert max(exploded.values()) > 8 * 4, exploded
+        before = {
+            (r["id"], r["pb"], r["owner"])
+            for r in read_versioned(spark, path, "pb").collect()
+        }
+        with _warnings.catch_warnings(record=True) as seen:
+            _warnings.simplefilter("always")
+            assert compact(spark, path, partition_col="pb") is not None
+        assert any("re-pinned" in str(w.message) for w in seen)
+        healed = _layout_files_per_partition(path)
+        assert max(healed.values()) <= 4, healed
+        man = read_manifest(path)
+        assert man["layout_roll"] > pinned
+        # ... and the healed pin is what later rewrites use: converged
+        assert compact(spark, path, partition_col="pb") is None
+        after = {
+            (r["id"], r["pb"], r["owner"])
+            for r in read_versioned(spark, path, "pb").collect()
+        }
+        assert after == before
+        # sanity: manifest file agrees with the API view
+        with open(os.path.join(path, "_MANIFEST")) as fh:
+            assert _json.load(fh)["layout_roll"] == man["layout_roll"]
+
+
+def test_layout_legacy_manifest_roll_persists_on_first_rewrite(spark):
+    """Legacy layout manifests (written before layout_roll existed)
+    must converge: the FIRST rewrite (upsert here) computes a roll and
+    persists it, so a subsequent compact flags with the SAME pin and
+    returns None instead of oscillating (r12 advice)."""
+    import json as _json
+
+    from sortify_spark.sources.versioned import (
+        compact,
+        overwrite_versioned,
+        read_manifest,
+        upsert_versioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 2, (i * 13) % 40) for i in range(200)],
+        "id long, pb int, owner int",
+    )
+    with tempfile.TemporaryDirectory() as root:
+        path = os.path.join(root, "t")
+        overwrite_versioned(
+            df, path, partition_col="pb",
+            layout_col="owner", layout_files=4,
+        )
+        # simulate the legacy manifest: strip the recorded roll
+        mpath = os.path.join(path, "_MANIFEST")
+        with open(mpath) as fh:
+            man = _json.load(fh)
+        del man["layout_roll"]
+        with open(mpath, "w") as fh:
+            _json.dump(man, fh)
+        assert "layout_roll" not in read_manifest(path)
+        # first rewrite after the strip: an upsert touching ONE
+        # partition — its computed roll must land in the manifest
+        up = spark.createDataFrame(
+            [(9001, 0, 7), (9002, 0, 33)], "id long, pb int, owner int"
+        )
+        upsert_versioned(up, path, keys=["id"], partition_col="pb")
+        man2 = read_manifest(path)
+        assert "layout_roll" in man2
+        # ... and maintenance agrees with that pin: no rewrite loop
+        assert compact(spark, path, partition_col="pb") is None
+        assert read_manifest(path)["layout_roll"] == man2["layout_roll"]
+
+
+def test_compact_rowcounts_fall_back_without_pyarrow(spark):
+    """compact's footer row counts require pyarrow; a pyspark-only
+    deployment must fall back to one column-pruned Spark count rather
+    than fail at maintenance time (r12 advice).  Simulated by poisoning
+    sys.modules so `import pyarrow.parquet` raises ImportError inside
+    the helper; counts and compact's decision must be identical."""
+    import sys
+
+    from sortify_spark.sources.versioned import (
+        _partition_row_counts,
+        compact,
+        overwrite_versioned,
+        read_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, (i * 11) % 30) for i in range(120)],
+        "id long, pb int, owner int",
+    )
+    with tempfile.TemporaryDirectory() as root:
+        path = os.path.join(root, "t")
+        overwrite_versioned(
+            df, path, partition_col="pb",
+            layout_col="owner", layout_files=4,
+        )
+        man = read_manifest(path)
+        with_pa = _partition_row_counts(spark, path, "pb", man)
+        saved = {
+            k: sys.modules.pop(k)
+            for k in list(sys.modules)
+            if k == "pyarrow.parquet"
+        }
+        sys.modules["pyarrow.parquet"] = None  # import -> ImportError
+        try:
+            without_pa = _partition_row_counts(spark, path, "pb", man)
+            # the maintenance op itself must run pyarrow-less too
+            decision = compact(spark, path, partition_col="pb")
+        finally:
+            del sys.modules["pyarrow.parquet"]
+            sys.modules.update(saved)
+        assert without_pa == with_pa
+        assert sum(with_pa.values()) == 120
+        assert decision is None  # fresh layout build: nothing to heal
+
+
+def test_layout_min_file_rows_crossover_guard(spark):
+    """layout_min_file_rows floors the intended roll (VERDICT r11 #3):
+    partitions too small to fill layout_files USEFUL files write fewer
+    (here: one file per partition), the floor is what gets pinned, the
+    sort inside the single file still holds (tight ascending layout
+    ranges for row-group pruning), rows are identical to the
+    unfloored build, and compact sees the shape as intended."""
+    import pyarrow.parquet as pq
+
+    from sortify_spark.sources.versioned import (
+        compact,
+        overwrite_versioned,
+        read_manifest,
+        read_versioned,
+    )
+
+    rows = [(i, i % 2, (i * 37) % 50) for i in range(160)]
+    df = spark.createDataFrame(rows, "id long, pb int, owner int")
+    with tempfile.TemporaryDirectory() as root:
+        path = os.path.join(root, "t")
+        overwrite_versioned(
+            df, path, partition_col="pb",
+            layout_col="owner", layout_files=4,
+            layout_min_file_rows=10_000,
+        )
+        man = read_manifest(path)
+        assert man["layout_roll"] == 10_000
+        files = _layout_files_per_partition(path)
+        assert set(files.values()) == {1}, files
+        # the sort survives: within the single file the layout column
+        # is non-decreasing (what makes row-group/page pruning work)
+        for rel in man["partitions"].values():
+            pdir = os.path.join(path, rel)
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    owners = pq.read_table(
+                        os.path.join(pdir, f), columns=["owner"]
+                    )["owner"].to_pylist()
+                    assert owners == sorted(owners)
+        got = {
+            (r["id"], r["pb"], r["owner"])
+            for r in read_versioned(spark, path, "pb").collect()
+        }
+        assert got == set(rows)
+        assert compact(spark, path, partition_col="pb") is None
