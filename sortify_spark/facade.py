@@ -1165,14 +1165,23 @@ class SortifyEngine:
         :func:`search.index.delete_from_ivf_index` (keyed bucket
         delete), so ``keyword``/``hybrid_lexical``/``ivf`` searches
         stop returning the doc WITHOUT a rebuild.  Returns the
-        surviving vectors frame (also the new ``self.vectors``)."""
-        # The deletion list is bounded metadata (the reference caps
-        # batch ops at 1000 ids, apis/v1/documents.py:948) — collect it
-        # ONCE into a driver-local relation.  A localCheckpoint here
-        # leaked one storage block per delete (r11 finding): the
-        # checkpointed RDD enters the lineage of the retained
-        # ``self.vectors``/``self.documents`` frames, so the
-        # ContextCleaner can never reclaim it for the life of the
+        surviving vectors frame (also the new ``self.vectors``).
+
+        One call accepts at most ``_DELETE_BATCH_CAP`` ids.  This is
+        the ENGINE's bound, not the reference's: the reference's
+        batch-delete endpoint (``BatchDeleteRequest``,
+        ``apis/v1/documents.py:619``) accepts an unbounded id list and
+        loops it row-at-a-time server-side.  Here each deletion batch
+        becomes a driver-local relation embedded in four artifact
+        plans, so it must stay metadata-sized — callers with a larger
+        deletion set use :meth:`delete_vectors_batched`, which loops
+        bounded batches internally and matches the reference's
+        unbounded-list contract."""
+        # Collect the deletion list ONCE into a driver-local relation.
+        # A localCheckpoint here leaked one storage block per delete
+        # (r11 finding): the checkpointed RDD enters the lineage of
+        # the retained ``self.vectors``/``self.documents`` frames, so
+        # the ContextCleaner can never reclaim it for the life of the
         # engine; a LocalRelation has no cached blocks and broadcasts
         # identically into the per-artifact anti-joins.
         cap = _DELETE_BATCH_CAP
@@ -1194,10 +1203,13 @@ class SortifyEngine:
             vals = sorted({str(d) for d in doc_ids})
         if len(vals) > cap:
             raise ValueError(
-                f"delete_vectors: deletion batch exceeds {cap} ids "
-                "(the reference caps batch document ops at 1000, "
-                "apis/v1/documents.py:948) — split the delete into "
-                f"batches of at most {cap}"
+                f"delete_vectors: deletion batch exceeds {cap} ids — "
+                "each batch embeds a driver-local relation in four "
+                "artifact plans, so it must stay metadata-sized; use "
+                "delete_vectors_batched for larger deletion sets "
+                "(the reference's batch-delete accepts unbounded id "
+                "lists, apis/v1/documents.py:619 — the batched helper "
+                "is the parity surface)"
             )
         ids = self.spark.createDataFrame(
             [(v,) for v in vals], "document_id string"
@@ -1241,6 +1253,47 @@ class SortifyEngine:
         # LSH centers derive from the pre-delete corpus — release the
         # persisted frames, not just the references
         self._drop_lsh_cache()
+        return self.vectors
+
+    def delete_vectors_batched(
+        self,
+        doc_ids: DataFrame | list,
+        batch_size: int | None = None,
+    ) -> DataFrame:
+        """Unbounded-list delete (the reference's batch-delete
+        contract, ``apis/v1/documents.py:619``): loops
+        :meth:`delete_vectors` over bounded id batches so no single
+        plan embeds more than ``batch_size`` (default
+        ``_DELETE_BATCH_CAP``) driver-local rows.  Every per-batch
+        invariant is :meth:`delete_vectors`'s own — artifacts
+        maintained in place (probe file counts stay flat under the
+        keyed-delete discipline), deleted docs unfindable immediately
+        after their batch, swap-then-release on the served frames,
+        adoption dirty-flags idempotent across batches (set-union per
+        batch ≡ one union at the end) — so the loop needs no epilogue
+        reconciliation.  The full id list is one driver-side string
+        collect (ids are metadata scale even when the deletion SET
+        exceeds a plan's budget); each batch then broadcasts its own
+        ≤ ``batch_size`` relation.  Returns the surviving vectors
+        frame."""
+        cap = int(batch_size or _DELETE_BATCH_CAP)
+        if cap < 1 or cap > _DELETE_BATCH_CAP:
+            raise ValueError(
+                f"batch_size must be in [1, {_DELETE_BATCH_CAP}]"
+            )
+        if isinstance(doc_ids, DataFrame):
+            vals = sorted(
+                r["document_id"]
+                for r in doc_ids.select(
+                    F.col("document_id").cast("string")
+                )
+                .distinct()
+                .collect()
+            )
+        else:
+            vals = sorted({str(d) for d in doc_ids})
+        for i in range(0, len(vals), cap):
+            self.delete_vectors(vals[i : i + cap])
         return self.vectors
 
     def maintain_indexes(self, keep_last: int = 2) -> dict:
