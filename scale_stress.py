@@ -1067,6 +1067,113 @@ def main() -> None:
 
         stage("ivf_owner_layout_ab", ivf_owner_layout_ab)
 
+        # -- layout bucket-size CROSSOVER A/B (VERDICT r11 #3) --------
+        # Same corpus/probe, three intended shapes per bucket: 8 files
+        # (unfloored), ~2 files, 1 file (layout_min_file_rows floor).
+        # Records decoded rows (the honest pruning unit), snapshot file
+        # count (the per-probe footer/task overhead unit), and per-file
+        # rows (the crossover axis vs parquet row-group rows).  The
+        # guard's contract: identical probe results, and below the
+        # crossover fewer files should cost ~no extra decoded rows.
+        def ivf_layout_crossover_ab():
+            import urllib.request as _rq
+
+            from sortify_spark.search.index import (
+                build_ivf_index,
+                probe_ivf_index,
+            )
+            from sortify_spark.sources.versioned import (
+                _partition_row_counts,
+                read_manifest,
+                snapshot_files,
+            )
+
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+
+            def _stages_rest():
+                url = (
+                    f"{ui}/api/v1/applications/{app}"
+                    "/stages?status=complete"
+                )
+                with _rq.urlopen(url, timeout=10) as r:
+                    return json.load(r)
+
+            owned = data.select(
+                "vec_id",
+                "embedding",
+                "label",
+                F.pmod(F.col("vec_id"), F.lit(100)).alias("owner"),
+            ).filter(F.col("vec_id") != 0)
+            base_path = os.path.join(derived, "ivf_owner_lay")
+            man = read_manifest(f"{base_path}/assign")
+            rows_per = _partition_row_counts(
+                spark, f"{base_path}/assign", "bucket", man
+            )
+            mx = max(rows_per.values(), default=1) or 1
+            variants: dict[str, tuple[str, int | None]] = {
+                "files8_unfloored": (base_path, None),
+            }
+            for name, floor in (
+                ("files2_floored", -(-mx // 2)),
+                ("files1_floored", int(mx)),
+            ):
+                p = os.path.join(derived, f"ivf_lay_{name}")
+                build_ivf_index(
+                    owned,
+                    p,
+                    seed_col="label",
+                    carry_cols=("owner",),
+                    layout_col="owner",
+                    layout_files=8,
+                    layout_min_file_rows=floor,
+                )
+                variants[name] = (p, floor)
+            out: dict = {"max_bucket_rows": int(mx)}
+            results = {}
+            for name, (p, floor) in variants.items():
+                files = len(snapshot_files(f"{p}/assign"))
+                seen = {s["stageId"] for s in _stages_rest()}
+                t0 = time.time()
+                rows = probe_ivf_index(
+                    spark,
+                    p,
+                    probe.select("embedding"),
+                    k=10,
+                    nprobe=16,
+                    pre_filter=F.col("owner") == 3,
+                ).collect()
+                sec = time.time() - t0
+                new = [
+                    s
+                    for s in _stages_rest()
+                    if s["stageId"] not in seen
+                ]
+                results[name] = [
+                    (r["vec_id"], round(r["score"], 9)) for r in rows
+                ]
+                out[name] = {
+                    "sec": round(sec, 2),
+                    "snapshot_files": files,
+                    "input_records": sum(
+                        s.get("inputRecords", 0) for s in new
+                    ),
+                    "floor_rows": floor,
+                    "per_file_rows": int(
+                        -(-mx // 8) if floor is None
+                        else min(mx, floor)
+                    ),
+                }
+            vals = list(results.values())
+            assert all(v == vals[0] for v in vals), (
+                "layout_min_file_rows is layout-only: probe results "
+                "must be identical across shapes"
+            )
+            out["probe_results_identical"] = True
+            return out
+
+        stage("ivf_layout_crossover_ab", ivf_layout_crossover_ab)
+
         def ann_pq_train():
             # train on the rep-0 sample (vec_id < 1M), label-bounded
             # seeding — codebook size independent of corpus/nlist
