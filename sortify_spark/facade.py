@@ -195,6 +195,16 @@ class SortifyEngine:
         #: count check but leaves the deleted doc findable and the
         #: added doc unsearchable — review r9).
         self._lex_dirty = False
+        #: Per-tenant IVF occupancy cache (r12): (vtype, owner) →
+        #: (assign_version, tuple_of_buckets).  The occupancy set is
+        #: metadata (≤ nlist ints) computed by ONE column-pruned scan
+        #: per (tenant, snapshot) — caching it is what makes the
+        #: composed owner-scoped default pay the scan once per commit,
+        #: not once per query.  Keyed by the assign VERSION: an upsert
+        #: that grows a tenant into a new bucket bumps the version, so
+        #: a stale set (which would silently under-recall) can never
+        #: be served.  Plain driver-side data — nothing to unpersist.
+        self._occ_cache: dict[tuple, tuple[int, tuple]] = {}
 
     # -- documents ---------------------------------------------------------
 
@@ -313,9 +323,18 @@ class SortifyEngine:
                 # provably exact once nprobe covers them — and nprobe
                 # escalation widens within that universe until ≥ k of
                 # the tenant's vectors sit inside the probed buckets.
-                # The unscoped path keeps the caller's fixed nprobe.
+                # The occupancy set is computed once per (tenant,
+                # snapshot) and cached (version-keyed).  The unscoped
+                # path keeps the caller's fixed nprobe.
                 min_candidates=k if pred is not None else None,
                 filter_buckets=pred is not None,
+                occupied_buckets=(
+                    self._ivf_occupied(
+                        path, vtype, owner_id, cfg.ivf_version
+                    )
+                    if pred is not None
+                    else None
+                ),
             ).select(
                 # vec_id is the vector_id "doc#vtype#chunk"; recover the
                 # document for the per-doc dedupe below
@@ -658,6 +677,40 @@ class SortifyEngine:
                 self._ivf_built.add(vtype)
         return self.ivf_index_path(vtype)
 
+    def _ivf_occupied(
+        self, path: str, vtype: str, owner_id: str,
+        version: int | None,
+    ) -> tuple:
+        """The tenant's occupied-bucket set for the assign snapshot a
+        probe will read — computed once per (tenant, snapshot) via
+        :func:`search.index.ivf_tenant_occupancy` and cached (r12).
+        The cache key resolves ``version=None`` to the CURRENT manifest
+        version (one local JSON read), so every mutation commit
+        invalidates naturally and a pinned time-travel probe gets its
+        own entry."""
+        from sortify_spark.search.index import ivf_tenant_occupancy
+        from sortify_spark.sources.versioned import read_manifest
+
+        ver = (
+            int(version)
+            if version is not None
+            else int(read_manifest(f"{path}/assign")["version"])
+        )
+        key = (vtype, str(owner_id))
+        hit = self._occ_cache.get(key)
+        if hit is not None and hit[0] == ver:
+            return hit[1]
+        occ = tuple(
+            ivf_tenant_occupancy(
+                self.spark,
+                path,
+                F.col("owner_id") == F.lit(str(owner_id)),
+                version=ver,
+            )
+        )
+        self._occ_cache[key] = (ver, occ)
+        return occ
+
     def semantic_search(
         self,
         query_text: str,
@@ -888,9 +941,10 @@ class SortifyEngine:
         if cfg is not None and cfg.ann == "ivf":
             from sortify_spark.search.index import probe_ivf_index_many
 
+            path = self._ivf_index(vtype)
             topk = probe_ivf_index_many(
                 self.spark,
-                self._ivf_index(vtype),
+                path,
                 self._query_df_many(queries),
                 k=k,
                 nprobe=cfg.ivf_nprobe,
@@ -898,10 +952,18 @@ class SortifyEngine:
                 pre_filter=pred,
                 # batched owner-scoped probes use the same composed
                 # default as the single path (occupancy-aware bucket
-                # choice + per-query escalation) — batched and single
-                # serving must not differ in tenant recall
+                # choice + per-query escalation), with the same cached
+                # per-(tenant, snapshot) occupancy set — batched and
+                # single serving must not differ in tenant recall
                 min_candidates=k if pred is not None else None,
                 filter_buckets=pred is not None,
+                occupied_buckets=(
+                    self._ivf_occupied(
+                        path, vtype, owner_id, cfg.ivf_version
+                    )
+                    if pred is not None
+                    else None
+                ),
             ).select(
                 "query_id",
                 F.split(F.col("vec_id"), "#")[0].alias("id"),

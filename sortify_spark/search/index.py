@@ -355,6 +355,46 @@ def _escalation_schedule(nprobe: int, total: int) -> list[int]:
         p *= 2
 
 
+def ivf_tenant_occupancy(
+    spark: SparkSession,
+    path: str,
+    pre_filter,
+    version: int | None = None,
+) -> list[int]:
+    """The sorted bucket ids CONTAINING filter-matching rows in the
+    given assign snapshot — ONE column-pruned, filter-pushed scan
+    (bucket + the filter's carry columns only, never embeddings),
+    output ≤ nlist ints.  This is the tenant→buckets map the
+    occupancy-aware probes consume via ``occupied_buckets``; a serving
+    layer computes it once per (tenant, snapshot) and caches the
+    broadcast-size result instead of paying the scan per query (the
+    facade does exactly this, keyed by the assign version so an
+    upsert that grows a tenant into a new bucket can never be missed
+    through a stale cache)."""
+    from sortify_spark.sources.versioned import (
+        _read_partition_dirs,
+        read_manifest,
+    )
+
+    manifest = read_manifest(f"{path}/assign", version)
+    if not manifest["partitions"]:
+        return []
+    return sorted(
+        int(r["bucket"])
+        for r in _read_partition_dirs(
+            spark,
+            f"{path}/assign",
+            "bucket",
+            list(manifest["partitions"].values()),
+            dtype=manifest.get("partition_dtype"),
+            pre_filter=pre_filter,
+        )
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+
+
 def probe_ivf_index(
     spark: SparkSession,
     path: str,
@@ -365,6 +405,7 @@ def probe_ivf_index(
     pre_filter=None,
     min_candidates: int | None = None,
     filter_buckets: bool = False,
+    occupied_buckets=None,
 ) -> DataFrame:
     """Top-k through the stored index: rank the stored centroids,
     read ONLY the probed buckets (partition-pruned via the manifest),
@@ -410,7 +451,16 @@ def probe_ivf_index(
 
     Both composable: occupancy-aware ranking narrows the schedule's
     universe, escalation widens within it until ``min_candidates`` is
-    met."""
+    met.
+
+    ``occupied_buckets`` (with ``filter_buckets``): a precomputed
+    occupancy set (from :func:`ivf_tenant_occupancy`) — skips the
+    per-probe occupancy scan, the serving shape at 100 TB where the
+    tenant→buckets map is computed once per snapshot and cached
+    (broadcast-size, ≤ nlist ints).  MUST come from the same assign
+    snapshot this probe reads: a stale set from an older version can
+    MISS buckets the tenant has since grown into (the facade keys its
+    cache by (vtype, owner, version) for exactly this reason)."""
     from sortify_spark.sources.versioned import (
         _read_partition_dirs,
         read_manifest,
@@ -464,17 +514,23 @@ def probe_ivf_index(
     escalate = pre_filter is not None and min_candidates is not None
     occupied = None
     if filter_buckets and pre_filter is not None:
-        # column-pruned occupancy scan: reads bucket + the filter's
-        # carry columns only, never embeddings; output ≤ nlist rows
-        occupied = {
-            r["bucket"]
-            for r in _read_rels(
-                [b for b in manifest["partitions"]], filtered=True
-            )
-            .select("bucket")
-            .distinct()
-            .collect()
-        }
+        if occupied_buckets is not None:
+            # precomputed per-tenant occupancy (snapshot-keyed by the
+            # caller) — no scan
+            occupied = {int(b) for b in occupied_buckets}
+        else:
+            # column-pruned occupancy scan: reads bucket + the
+            # filter's carry columns only, never embeddings; output
+            # ≤ nlist rows
+            occupied = {
+                r["bucket"]
+                for r in _read_rels(
+                    [b for b in manifest["partitions"]], filtered=True
+                )
+                .select("bucket")
+                .distinct()
+                .collect()
+            }
     ranked = [
         r["bucket"]
         for r in rank_index_buckets(
@@ -537,6 +593,7 @@ def probe_ivf_index_many(
     pre_filter=None,
     min_candidates: int | None = None,
     filter_buckets: bool = False,
+    occupied_buckets=None,
 ) -> DataFrame:
     """BATCHED probe: top-k for N queries through the stored index in
     ONE plan — (query_id, vec_id, score, rnk) — the IVF twin of
@@ -607,11 +664,17 @@ def probe_ivf_index_many(
     if filter_buckets and pre_filter is not None:
         # occupancy-aware bucket choice: rank ONLY the tenant's
         # occupied buckets (bounded driver-side set, ≤ nlist —
-        # metadata scale, same bound as the single probe's)
-        occupied = [
-            int(r["bucket"])
-            for r in _occupancy_scan().select("bucket").collect()
-        ]
+        # metadata scale, same bound as the single probe's).
+        # ``occupied_buckets`` (precomputed, snapshot-keyed by the
+        # caller — see probe_ivf_index) skips the scan.
+        occupied = (
+            [int(b) for b in occupied_buckets]
+            if occupied_buckets is not None
+            else [
+                int(r["bucket"])
+                for r in _occupancy_scan().select("bucket").collect()
+            ]
+        )
         cents = (
             cents.filter(F.col("bucket").isin(occupied))
             if occupied

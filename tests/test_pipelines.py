@@ -3129,3 +3129,71 @@ def test_delete_vectors_batched_2500_ids(spark, tmp_path):
     assert "summary" in eng._ivf_built
     assert "summary" not in eng._ivf_dirty
     eng.release()
+
+
+def test_ivf_occupancy_cache_once_per_snapshot(spark, tmp_path, monkeypatch):
+    """The per-tenant occupancy set behind the composed owner-scoped
+    IVF default is computed ONCE per (tenant, snapshot) and cached
+    (r12): repeated single and batched searches reuse it (no
+    per-query scan), every mutation commit (add/delete bumps the
+    assign version) invalidates it, and the recomputed set keeps the
+    recall contract — a doc added into a bucket the tenant never
+    occupied is findable immediately (a stale set would silently miss
+    it)."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+    from sortify_spark.search import index as ix
+
+    calls = {"n": 0}
+    orig = ix.ivf_tenant_occupancy
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ix, "ivf_tenant_occupancy", counting)
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=80,
+        index_root=str(tmp_path), owner_col="source",
+    )
+    owner = eng.documents.select("source").orderBy("source").first()[
+        "source"
+    ]
+    cfg = SearchConfig(ann="ivf", ivf_nprobe=1)
+    q = "data pipeline quality and join performance"
+    eng.semantic_search(q, "summary_only", cfg, owner_id=owner).collect()
+    assert calls["n"] == 1
+    eng.semantic_search(q, "summary_only", cfg, owner_id=owner).collect()
+    eng.semantic_search_many(
+        {"a": q, "b": "vector index build"}, "summary_only", cfg,
+        owner_id=owner,
+    ).collect()
+    assert calls["n"] == 1  # cache hit across single AND batched
+    # mutation bumps the snapshot: the next probe recomputes and the
+    # new doc (distinctive text => its own shingle mass) is findable
+    new_text = "zq quorble fenwick zq quorble fenwick zq quorble"
+    eng.add_documents(
+        spark.createDataFrame(
+            [(950_001, new_text, "en", owner, len(new_text))],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+    )
+    hits = {
+        r["id"]
+        for r in eng.semantic_search(
+            new_text, "summary_only", cfg, owner_id=owner
+        ).collect()
+    }
+    assert "950001" in hits
+    assert calls["n"] == 2
+    # delete: version bump again; unfindable, exactly one more scan
+    eng.delete_vectors(["950001"])
+    hits = {
+        r["id"]
+        for r in eng.semantic_search(
+            new_text, "summary_only", cfg, owner_id=owner
+        ).collect()
+    }
+    assert "950001" not in hits
+    assert calls["n"] == 3
+    eng.release()
