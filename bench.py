@@ -278,7 +278,9 @@ def main() -> None:
     anchor_now = {
         a: timings[a]
         for a in ANCHOR_REF
-        if isinstance(timings.get(a), float)
+        # a 0.0 median (degenerate timing) would blow up the geomean's
+        # log — treat it like a failed anchor
+        if isinstance(timings.get(a), float) and timings[a] > 0
     }
     if abs(sf - 0.1) > 1e-9:
         # the pinned refs are sf0.1 medians — at any other SF the

@@ -195,16 +195,19 @@ class SortifyEngine:
         #: count check but leaves the deleted doc findable and the
         #: added doc unsearchable — review r9).
         self._lex_dirty = False
-        #: Per-tenant IVF occupancy cache (r12): (vtype, owner) →
-        #: (assign_version, tuple_of_buckets).  The occupancy set is
+        #: Per-tenant IVF occupancy cache (r12): (vtype, owner,
+        #: assign_version) → tuple_of_buckets.  The occupancy set is
         #: metadata (≤ nlist ints) computed by ONE column-pruned scan
         #: per (tenant, snapshot) — caching it is what makes the
         #: composed owner-scoped default pay the scan once per commit,
         #: not once per query.  Keyed by the assign VERSION: an upsert
         #: that grows a tenant into a new bucket bumps the version, so
         #: a stale set (which would silently under-recall) can never
-        #: be served.  Plain driver-side data — nothing to unpersist.
-        self._occ_cache: dict[tuple, tuple[int, tuple]] = {}
+        #: be served, and pinned time-travel probes coexist with
+        #: current-version serving without thrashing one slot.
+        #: Bounded (512, insertion-order eviction); plain driver-side
+        #: data — nothing to unpersist.
+        self._occ_cache: dict[tuple, tuple] = {}
 
     # -- documents ---------------------------------------------------------
 
@@ -307,13 +310,21 @@ class SortifyEngine:
             from sortify_spark.search.index import probe_ivf_index
 
             path = self._ivf_index(vtype)
+            # resolve the snapshot ONCE for occupancy + probe: a
+            # commit landing between the two manifest reads must not
+            # pair a newer snapshot with an older occupancy set
+            occ_ver, occ = (
+                self._ivf_occupied(path, vtype, owner_id, cfg.ivf_version)
+                if pred is not None
+                else (cfg.ivf_version, None)
+            )
             topk = probe_ivf_index(
                 self.spark,
                 path,
                 q,
                 k=k,
                 nprobe=cfg.ivf_nprobe,
-                version=cfg.ivf_version,
+                version=occ_ver,
                 pre_filter=pred,
                 # owner-scoped probes compose BOTH filtered-IVF
                 # mitigations (Chroma's where-filtered search never
@@ -328,13 +339,7 @@ class SortifyEngine:
                 # path keeps the caller's fixed nprobe.
                 min_candidates=k if pred is not None else None,
                 filter_buckets=pred is not None,
-                occupied_buckets=(
-                    self._ivf_occupied(
-                        path, vtype, owner_id, cfg.ivf_version
-                    )
-                    if pred is not None
-                    else None
-                ),
+                occupied_buckets=occ,
             ).select(
                 # vec_id is the vector_id "doc#vtype#chunk"; recover the
                 # document for the per-doc dedupe below
@@ -680,14 +685,20 @@ class SortifyEngine:
     def _ivf_occupied(
         self, path: str, vtype: str, owner_id: str,
         version: int | None,
-    ) -> tuple:
-        """The tenant's occupied-bucket set for the assign snapshot a
+    ) -> tuple[int, tuple]:
+        """``(version, occupied_buckets)`` for the assign snapshot a
         probe will read — computed once per (tenant, snapshot) via
         :func:`search.index.ivf_tenant_occupancy` and cached (r12).
-        The cache key resolves ``version=None`` to the CURRENT manifest
-        version (one local JSON read), so every mutation commit
-        invalidates naturally and a pinned time-travel probe gets its
-        own entry."""
+        ``version=None`` resolves to the CURRENT manifest version (one
+        local JSON read), so every mutation commit invalidates
+        naturally; a pinned time-travel probe gets its own entry.
+        Returning the resolved version lets the caller pin the PROBE
+        to the same snapshot the occupancy came from — without it a
+        commit landing between this read and the probe's own manifest
+        read would rank a newer snapshot with an older occupancy set
+        (the stale-set under-recall the version key exists to
+        prevent).  The predicate is :meth:`_owner_pred` itself, so the
+        cached set can never drift from the probe's ``pre_filter``."""
         from sortify_spark.search.index import ivf_tenant_occupancy
         from sortify_spark.sources.versioned import read_manifest
 
@@ -696,20 +707,24 @@ class SortifyEngine:
             if version is not None
             else int(read_manifest(f"{path}/assign")["version"])
         )
-        key = (vtype, str(owner_id))
+        key = (vtype, str(owner_id), ver)
         hit = self._occ_cache.get(key)
-        if hit is not None and hit[0] == ver:
-            return hit[1]
+        if hit is not None:
+            return ver, hit
         occ = tuple(
             ivf_tenant_occupancy(
                 self.spark,
                 path,
-                F.col("owner_id") == F.lit(str(owner_id)),
+                self._owner_pred(owner_id),
                 version=ver,
             )
         )
-        self._occ_cache[key] = (ver, occ)
-        return occ
+        if len(self._occ_cache) >= 512:
+            # bounded: a long-lived engine accumulates one tiny tuple
+            # per (tenant, commit) — evict insertion-oldest
+            self._occ_cache.pop(next(iter(self._occ_cache)))
+        self._occ_cache[key] = occ
+        return ver, occ
 
     def semantic_search(
         self,
@@ -942,13 +957,19 @@ class SortifyEngine:
             from sortify_spark.search.index import probe_ivf_index_many
 
             path = self._ivf_index(vtype)
+            # same snapshot for occupancy + probe (see _scored)
+            occ_ver, occ = (
+                self._ivf_occupied(path, vtype, owner_id, cfg.ivf_version)
+                if pred is not None
+                else (cfg.ivf_version, None)
+            )
             topk = probe_ivf_index_many(
                 self.spark,
                 path,
                 self._query_df_many(queries),
                 k=k,
                 nprobe=cfg.ivf_nprobe,
-                version=cfg.ivf_version,
+                version=occ_ver,
                 pre_filter=pred,
                 # batched owner-scoped probes use the same composed
                 # default as the single path (occupancy-aware bucket
@@ -957,13 +978,7 @@ class SortifyEngine:
                 # single serving must not differ in tenant recall
                 min_candidates=k if pred is not None else None,
                 filter_buckets=pred is not None,
-                occupied_buckets=(
-                    self._ivf_occupied(
-                        path, vtype, owner_id, cfg.ivf_version
-                    )
-                    if pred is not None
-                    else None
-                ),
+                occupied_buckets=occ,
             ).select(
                 "query_id",
                 F.split(F.col("vec_id"), "#")[0].alias("id"),
@@ -1338,7 +1353,9 @@ class SortifyEngine:
         exceeds a plan's budget); each batch then broadcasts its own
         ≤ ``batch_size`` relation.  Returns the surviving vectors
         frame."""
-        cap = int(batch_size or _DELETE_BATCH_CAP)
+        cap = int(
+            batch_size if batch_size is not None else _DELETE_BATCH_CAP
+        )
         if cap < 1 or cap > _DELETE_BATCH_CAP:
             raise ValueError(
                 f"batch_size must be in [1, {_DELETE_BATCH_CAP}]"

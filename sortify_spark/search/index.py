@@ -645,15 +645,29 @@ def probe_ivf_index_many(
         manifest.get("centroid_version"),
     ).select("bucket", "centroid")
 
-    def _occupancy_scan():
+    def _occupancy_scan(bucket_subset=None):
         # column-pruned, filter-pushed: reads bucket + the filter's
-        # carry columns only, never embeddings; output ≤ nlist rows
+        # carry columns only, never embeddings; output ≤ nlist rows.
+        # ``bucket_subset`` restricts the scan to those buckets'
+        # partition dirs (the occupied set, when known) — counts for
+        # buckets the ranking already excluded are never needed.
+        rels = (
+            list(manifest["partitions"].values())
+            if bucket_subset is None
+            else [
+                manifest["partitions"][str(b)]
+                for b in bucket_subset
+                if str(b) in manifest["partitions"]
+            ]
+        )
+        if not rels:
+            return spark.createDataFrame([], "bucket long, __c long")
         return (
             _read_partition_dirs(
                 spark,
                 f"{path}/assign",
                 "bucket",
-                list(manifest["partitions"].values()),
+                rels,
                 dtype=manifest.get("partition_dtype"),
                 pre_filter=pre_filter,
             )
@@ -661,6 +675,7 @@ def probe_ivf_index_many(
             .agg(F.count(F.lit(1)).alias("__c"))
         )
 
+    occupied = None
     if filter_buckets and pre_filter is not None:
         # occupancy-aware bucket choice: rank ONLY the tenant's
         # occupied buckets (bounded driver-side set, ≤ nlist —
@@ -711,10 +726,12 @@ def probe_ivf_index_many(
         # as the single probe — per-query nprobe, zero driver loops.
         # Under filter_buckets the ranked universe (and therefore the
         # schedule cap) is the OCCUPIED bucket count, so exhausting
-        # the schedule IS the exact filtered scan of the tenant.
+        # the schedule IS the exact filtered scan of the tenant — and
+        # the count scan below reads ONLY those buckets' partitions
+        # (counts for buckets the ranking excluded are never joined).
         nb = cents.count()  # ≤ nlist rows — metadata scale
         sched = _escalation_schedule(nprobe, int(nb))
-        occ = _occupancy_scan()
+        occ = _occupancy_scan(bucket_subset=occupied)
         wcum = (
             Window.partitionBy("query_id")
             .orderBy("__r")

@@ -879,6 +879,18 @@ def compact(
         if n_files > max(max_files_per_partition, intended):
             todo.append((value, rel))
     if not todo:
+        # A re-derived roll (growth re-pin, or a legacy table's first
+        # maintenance) must persist even when no partition needs a
+        # rewrite: leaving the stale/absent pin would re-derive — and
+        # re-warn — every pass, and the next upsert would still write
+        # at the degenerate roll (the r12 review's non-converging
+        # case: a legacy upsert pins an affected-partitions-only roll
+        # that the growth guard then flags forever without healing).
+        # Metadata-only commit; the partition map is untouched.
+        if lay_col is not None and manifest.get("layout_roll") != int(
+            intent
+        ):
+            amend_manifest(path, {"layout_roll": int(intent)})
         return None
     new_version = manifest["version"] + 1
     with _reserved(path, new_version):  # before any data write

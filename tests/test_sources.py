@@ -1986,3 +1986,47 @@ def test_layout_min_file_rows_crossover_guard(spark):
         }
         assert got == set(rows)
         assert compact(spark, path, partition_col="pb") is None
+
+
+def test_compact_persists_pin_without_rewrite(spark):
+    """compact must persist a re-derived roll even when NO partition
+    needs rewriting (r12 review): a legacy manifest (or a stale pin
+    whose growth flag fires on already-consolidated files) otherwise
+    re-derives — and re-warns — every pass while upserts keep writing
+    at the degenerate roll.  The pin lands as a metadata-only commit;
+    a second compact is a true no-op (no further version bump)."""
+    import json as _json
+
+    from sortify_spark.sources.versioned import (
+        compact,
+        overwrite_versioned,
+        read_manifest,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 2, (i * 13) % 40) for i in range(200)],
+        "id long, pb int, owner int",
+    )
+    with tempfile.TemporaryDirectory() as root:
+        path = os.path.join(root, "t")
+        overwrite_versioned(
+            df, path, partition_col="pb",
+            layout_col="owner", layout_files=4,
+        )
+        mpath = os.path.join(path, "_MANIFEST")
+        with open(mpath) as fh:
+            man = _json.load(fh)
+        del man["layout_roll"]
+        with open(mpath, "w") as fh:
+            _json.dump(man, fh)
+        v0 = read_manifest(path)["version"]
+        # fresh build shape: nothing fragmented, so no rewrite — but
+        # the computed roll must still persist (metadata-only commit)
+        assert compact(spark, path, partition_col="pb") is None
+        man1 = read_manifest(path)
+        assert man1["layout_roll"] == 25  # ceil(100/4)
+        assert man1["version"] == v0 + 1
+        assert man1["partitions"] == man["partitions"]  # map untouched
+        # converged: the next pass neither rewrites nor amends
+        assert compact(spark, path, partition_col="pb") is None
+        assert read_manifest(path)["version"] == man1["version"]
