@@ -134,6 +134,12 @@ class SortifyEngine:
     two-engine replay affordable at driver SF.
     """
 
+    #: Occupancy-cache capacity — one tiny tuple per (vtype, tenant,
+    #: assign version); LRU (see ``_ivf_occupied``).  Class attr so
+    #: lifecycle tests can shrink it and exercise eviction without
+    #: hundreds of real commits.
+    _OCC_CACHE_MAX = 512
+
     def __init__(
         self,
         spark: SparkSession,
@@ -205,8 +211,11 @@ class SortifyEngine:
         #: a stale set (which would silently under-recall) can never
         #: be served, and pinned time-travel probes coexist with
         #: current-version serving without thrashing one slot.
-        #: Bounded (512, insertion-order eviction); plain driver-side
-        #: data — nothing to unpersist.
+        #: Bounded (``_OCC_CACHE_MAX``, LRU eviction: a cache hit
+        #: re-inserts the entry, so a hot tenant's current-version set
+        #: outlives hundreds of dead old-version entries under
+        #: mutation churn — ADVICE r12); plain driver-side data —
+        #: nothing to unpersist.
         self._occ_cache: dict[tuple, tuple] = {}
 
     # -- documents ---------------------------------------------------------
@@ -710,6 +719,14 @@ class SortifyEngine:
         key = (vtype, str(owner_id), ver)
         hit = self._occ_cache.get(key)
         if hit is not None:
+            # LRU refresh (ADVICE r12): dict order is insertion order,
+            # so re-inserting on hit keeps a hot tenant's live entry
+            # behind the eviction cursor while dead old-version
+            # entries age out first.  Correctness never depends on
+            # this — the version key makes a stale serve impossible —
+            # it only bounds re-paid occupancy scans for hot tenants.
+            del self._occ_cache[key]
+            self._occ_cache[key] = hit
             return ver, hit
         occ = tuple(
             ivf_tenant_occupancy(
@@ -719,9 +736,9 @@ class SortifyEngine:
                 version=ver,
             )
         )
-        if len(self._occ_cache) >= 512:
+        if len(self._occ_cache) >= self._OCC_CACHE_MAX:
             # bounded: a long-lived engine accumulates one tiny tuple
-            # per (tenant, commit) — evict insertion-oldest
+            # per (tenant, commit) — evict least-recently-used
             self._occ_cache.pop(next(iter(self._occ_cache)))
         self._occ_cache[key] = occ
         return ver, occ
@@ -1352,7 +1369,19 @@ class SortifyEngine:
         collect (ids are metadata scale even when the deletion SET
         exceeds a plan's budget); each batch then broadcasts its own
         ≤ ``batch_size`` relation.  Returns the surviving vectors
-        frame."""
+        frame.
+
+        PARTIAL-FAILURE CONTRACT (ADVICE r12): the list is applied
+        per-batch atomically, NOT list-atomically — a failure in a
+        middle batch leaves every earlier batch committed (those docs
+        are gone from the served frames and artifacts) and every later
+        id still live.  The reference's per-doc loop has the same
+        semantics but reports per-id success
+        (``apis/v1/documents.py:619``); here the raised error names
+        the failing id range and how many batches committed, so a
+        caller can resume with exactly the unapplied suffix (deletes
+        are idempotent — re-sending an already-deleted id is a
+        no-op)."""
         cap = int(
             batch_size if batch_size is not None else _DELETE_BATCH_CAP
         )
@@ -1371,8 +1400,19 @@ class SortifyEngine:
             )
         else:
             vals = sorted({str(d) for d in doc_ids})
-        for i in range(0, len(vals), cap):
-            self.delete_vectors(vals[i : i + cap])
+        for done, i in enumerate(range(0, len(vals), cap)):
+            try:
+                self.delete_vectors(vals[i : i + cap])
+            except Exception as exc:
+                raise RuntimeError(
+                    f"delete_vectors_batched: batch {done} "
+                    f"(ids[{i}:{min(i + cap, len(vals))}] of "
+                    f"{len(vals)}) failed after {done} committed "
+                    "batches; earlier batches remain applied "
+                    "(per-batch atomic, not list-atomic) — resume "
+                    f"with the remaining ids[{i}:] (deletes are "
+                    "idempotent)"
+                ) from exc
         return self.vectors
 
     def maintain_indexes(self, keep_last: int = 2) -> dict:

@@ -79,7 +79,15 @@ def build_ivf_index(
     Below ~a parquet row group per file, file-level stat pruning adds
     nothing over the row-group pruning the layout sort already gives
     inside one file, while every extra file costs a footer read per
-    probe (measured crossover: SCALE.md round 12).
+    probe (measured crossover: SCALE.md round 12).  ``"auto"``
+    (VERDICT r12 #2 — the facade's default) derives the floor from
+    the assign rows' OWN width at build time
+    (``versioned.derive_layout_floor``: parquet block bytes //
+    sampled row bytes ≈ one row group's rows), so small builds land
+    on the fast side of the crossover and the multi-file split
+    resumes once buckets outgrow a row group.  The floor is recorded
+    in the manifest (``layout_floor``) so later legacy re-derivations
+    and compact's growth re-pin stay floored too.
 
     ``layout_col`` (one of ``carry_cols``, typically ``owner_id``):
     secondary sub-partition layout inside each bucket — every bucket

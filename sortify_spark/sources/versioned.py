@@ -404,6 +404,10 @@ def upsert_versioned(
                 merged, partition_col, lay_col,
                 manifest.get("layout_files"),
                 roll=manifest.get("layout_roll"),
+                # legacy tables (no pinned roll) re-derive here — the
+                # recorded crossover floor keeps that derivation from
+                # pinning sub-row-group files (ADVICE r12)
+                min_file_rows=manifest.get("layout_floor"),
             )
         elif write_files_per_partition > 1:
             salt = F.pmod(
@@ -429,7 +433,8 @@ def upsert_versioned(
             "partitions": new_parts,
             "partition_dtype": dtype,
         }
-        for lk in ("layout_col", "layout_files", "layout_roll"):
+        for lk in ("layout_col", "layout_files", "layout_roll",
+                   "layout_floor"):
             if lk in manifest:
                 new_manifest[lk] = manifest[lk]
         if lay_col is not None and "layout_roll" not in manifest:
@@ -565,6 +570,66 @@ def _cap_roll(spark: SparkSession, roll: int) -> int:
     return min(roll, sess) if sess > 0 else roll
 
 
+def _est_value_bytes(v) -> int:
+    """Rough ENCODED size of one value — sized against parquet's
+    in-memory row-group buffer (plain-encoded width + per-value
+    overhead), which is what ``parquet.block.size`` compares against.
+    Order-of-magnitude is all the crossover floor needs."""
+    if v is None or isinstance(v, bool):
+        return 1
+    if isinstance(v, (int, float)):
+        return 8
+    if isinstance(v, str):
+        return len(v.encode("utf-8", "ignore")) + 4
+    if isinstance(v, (bytes, bytearray)):
+        return len(v) + 4
+    if isinstance(v, (list, tuple)):
+        return 8 + sum(_est_value_bytes(x) for x in v)
+    if isinstance(v, dict):
+        return 8 + sum(
+            _est_value_bytes(a) + _est_value_bytes(b)
+            for a, b in v.items()
+        )
+    if hasattr(v, "asDict"):  # nested Row
+        return _est_value_bytes(v.asDict())
+    return 16  # timestamp/date/decimal/uuid-ish scalars
+
+
+def derive_layout_floor(spark: SparkSession, sample_row) -> int | None:
+    """The bucket-size CROSSOVER FLOOR for a layout table, derived
+    from the artifact's own row width (VERDICT r12 #2): ≈ one parquet
+    row group's worth of rows = ``parquet.block.size`` //
+    estimated-row-bytes of ``sample_row``.  Below one row group per
+    file, file-level stat pruning adds ~nothing over the row-group /
+    page pruning the layout sort already enables INSIDE a file, while
+    every extra file costs a footer read + task on every probe
+    (measured: SCALE_STRESS_r12 ``ivf_layout_crossover_ab`` — the
+    8-file shape decodes 4.5x fewer rows yet walls 2.74 s vs 0.82 s
+    single-file at 10x; the multi-file win only materializes once
+    per-file rows reach row-group scale).  Pass the result as
+    ``layout_min_file_rows``: tiny builds then write one file per
+    partition (the fast side of the crossover) and the multi-file
+    split resumes automatically once partitions outgrow a row group.
+    Returns None for a None sample (empty frame — nothing to size)."""
+    if sample_row is None:
+        return None
+    row_bytes = max(1, _est_value_bytes(getattr(
+        sample_row, "asDict", lambda: sample_row
+    )()))
+    block = 128 * 1024 * 1024  # parquet.block.size default
+    try:
+        configured = (
+            spark.sparkContext._jsc.hadoopConfiguration().get(
+                "parquet.block.size"
+            )
+        )
+        if configured:
+            block = int(configured)
+    except Exception:
+        pass  # py4j surface unavailable (mocked session) — keep default
+    return max(1, block // row_bytes)
+
+
 def _write_partition_dirs(
     shaped: DataFrame,
     roll: int | None,
@@ -646,6 +711,12 @@ def overwrite_versioned(
             # the build-time intent roll: every later rewrite reuses
             # it so the intended file shape stays stable as data grows
             new_manifest["layout_roll"] = int(intent_roll)
+            if layout_min_file_rows is not None:
+                # the crossover floor is a BUILD decision too: record
+                # it so legacy re-derivations and compact's growth
+                # re-pin can never pin a sub-row-group roll later in
+                # the artifact's life (ADVICE r12)
+                new_manifest["layout_floor"] = int(layout_min_file_rows)
         if extra:
             new_manifest.update(extra)
         _commit_manifest(path, new_manifest)
@@ -725,7 +796,8 @@ def delete_versioned(
                 deletes.schema[partition_col].dataType.simpleString(),
             ),
         }
-        for lk in ("layout_col", "layout_files", "layout_roll"):
+        for lk in ("layout_col", "layout_files", "layout_roll",
+                   "layout_floor"):
             if lk in manifest:
                 new_manifest[lk] = manifest[lk]
         if (
@@ -810,7 +882,11 @@ def compact(
     task → one file (Delta's OPTIMIZE default; at 100 TB set
     ``spark.sql.files.maxRecordsPerFile`` to re-split giant partitions
     — same decoupling as ``export_training_shards``).  Returns the new
-    version, or None when nothing needed compacting.
+    version when anything committed — a data rewrite, OR a
+    metadata-only roll re-pin (growth heal / legacy table's first
+    maintenance, which commits a new manifest version with the
+    partition map untouched; ADVICE r12: callers tracking versions
+    must see that bump) — and None only when NOTHING was committed.
     """
     manifest = read_manifest(path)
     # A table carrying a secondary layout (``layout_col``) INTENDS a
@@ -835,13 +911,33 @@ def compact(
         rows_per = _partition_row_counts(
             spark, path, partition_col, manifest
         )
-        mx = max(rows_per.values(), default=1) or 1
+        mx_real = max(rows_per.values(), default=0)
+        mx = mx_real or 1
+        # Derived rolls are floored at the recorded crossover floor
+        # (``layout_floor``, written by builds that passed
+        # layout_min_file_rows): a compact running while the table is
+        # TINY must not pin a sub-row-group roll that fragments every
+        # later rewrite of grown data (ADVICE r12 — between the pin
+        # and the next growth re-pin, probes would pay the
+        # footer-read explosion the crossover guard exists to
+        # prevent).  Tables without a recorded floor keep the exact
+        # historical behavior (floor 1).
+        floor = max(1, int(manifest.get("layout_floor") or 1))
         # the manifest-PINNED intent roll keeps flagging stable as the
         # corpus grows; footer-derived fallback only for legacy tables
         # written before the roll was recorded
         intent = manifest.get("layout_roll")
         if intent is None:
-            intent = -(-int(mx) // n_lay)
+            if mx_real == 0:
+                # DEGENERATE-PIN GUARD (ADVICE r12): a legacy table
+                # whose current snapshot holds zero rows gives the
+                # derivation nothing to size from — deriving here
+                # would pin roll=1 and explode the file count of the
+                # next real upsert.  Leave the roll unpinned; the
+                # first maintenance pass over real data pins it.
+                intent = None
+            else:
+                intent = max(-(-int(mx) // n_lay), floor)
         elif -(-int(mx) // int(intent)) > LAYOUT_GROWTH_CAP * n_lay:
             # GROWTH RE-PIN (r11 advice): a roll pinned on a small
             # build makes a grown partition's intended shape
@@ -855,7 +951,7 @@ def compact(
             # and later rewrites stay at the healed pin.
             import warnings
 
-            new_intent = -(-int(mx) // n_lay)
+            new_intent = max(-(-int(mx) // n_lay), floor)
             warnings.warn(
                 f"layout roll at {path} re-pinned {intent} -> "
                 f"{new_intent}: largest partition ({mx} rows) "
@@ -864,7 +960,7 @@ def compact(
                 stacklevel=2,
             )
             intent = new_intent
-        roll_all = _cap_roll(spark, int(intent))
+        roll_all = _cap_roll(spark, int(intent)) if intent else None
     todo = []
     for value, rel in sorted(manifest["partitions"].items()):
         pdir = os.path.join(path, rel)
@@ -873,7 +969,7 @@ def compact(
         )
         intended = (
             -(-(rows_per[value] or 1) // roll_all)
-            if lay_col is not None
+            if lay_col is not None and roll_all
             else 1
         )
         if n_files > max(max_files_per_partition, intended):
@@ -886,11 +982,16 @@ def compact(
         # at the degenerate roll (the r12 review's non-converging
         # case: a legacy upsert pins an affected-partitions-only roll
         # that the growth guard then flags forever without healing).
-        # Metadata-only commit; the partition map is untouched.
-        if lay_col is not None and manifest.get("layout_roll") != int(
-            intent
+        # Metadata-only commit (the partition map is untouched) — but
+        # a commit nonetheless: return its version so callers tracking
+        # version bumps (retention accounting, paired-anchor amends,
+        # version-keyed caches) see it (ADVICE r12).
+        if (
+            lay_col is not None
+            and intent is not None
+            and manifest.get("layout_roll") != int(intent)
         ):
-            amend_manifest(path, {"layout_roll": int(intent)})
+            return amend_manifest(path, {"layout_roll": int(intent)})
         return None
     new_version = manifest["version"] + 1
     with _reserved(path, new_version):  # before any data write
@@ -930,11 +1031,13 @@ def compact(
         }
         new_manifest["version"] = new_version
         new_manifest["partitions"] = new_parts
-        if lay_col is not None:
+        if lay_col is not None and intent is not None:
             # persist the roll this pass flagged AND rewrote with:
             # pins legacy tables on their first compaction and records
             # a growth re-pin, so upsert/delete/compact share one
-            # intent from here on (r11 advice)
+            # intent from here on (r11 advice).  intent None = the
+            # degenerate-pin guard fired (empty snapshot): the rewrite
+            # consolidates files but pins nothing.
             new_manifest["layout_roll"] = int(intent)
         _commit_manifest(path, new_manifest)
     return new_version

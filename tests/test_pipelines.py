@@ -3197,3 +3197,127 @@ def test_ivf_occupancy_cache_once_per_snapshot(spark, tmp_path, monkeypatch):
     assert "950001" not in hits
     assert calls["n"] == 3
     eng.release()
+
+
+def test_ivf_occupancy_cache_lru_under_churn(spark, tmp_path, monkeypatch):
+    """Occupancy-cache lifecycle under mutation churn (VERDICT r12 #5
+    + ADVICE r12 LRU): interleave lookups across far more (tenant,
+    version) keys than the cache holds and assert (a) results stay
+    exact for EVERY key — the version key makes staleness impossible
+    by construction; this pins that construction — and (b) eviction is
+    LRU: a hot tenant's entry refreshed by hits outlives colder
+    entries inserted after it (pure FIFO would evict the hot entry
+    first and re-pay its occupancy scan per query).  Driver-only: the
+    occupancy function is stubbed with a version-deterministic fake
+    and versions are passed explicitly, so no artifact builds run."""
+    from sortify_spark.facade import SortifyEngine
+    from sortify_spark.search import index as ix
+
+    calls: list[tuple] = []
+
+    def fake_occupancy(_spark, _path, _pred, version=None):
+        calls.append(version)
+        # version-deterministic: the correct set for a snapshot is a
+        # pure function of its version, so any stale serve would show
+        # up as a wrong tuple below
+        return [int(version) % 7, 40 + int(version) % 3]
+
+    monkeypatch.setattr(ix, "ivf_tenant_occupancy", fake_occupancy)
+    monkeypatch.setattr(SortifyEngine, "_OCC_CACHE_MAX", 4)
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=10,
+        index_root=str(tmp_path), owner_col="source",
+    )
+
+    def occ(owner, ver):
+        got_ver, got = eng._ivf_occupied("p", "summary", owner, ver)
+        assert got_ver == ver
+        assert got == (ver % 7, 40 + ver % 3), (owner, ver)
+        return got
+
+    # LRU, not FIFO: fill to capacity with hot first, refresh hot by
+    # hitting it, then overflow — the insertion-oldest entry is hot,
+    # but the hit moved it behind the cold ones.
+    occ("hot", 1)
+    occ("c1", 1)
+    occ("c2", 1)
+    occ("c3", 1)
+    assert len(calls) == 4
+    occ("hot", 1)              # hit — refreshes recency, no new call
+    assert len(calls) == 4
+    occ("c4", 1)               # overflow: evicts c1 (oldest unrefreshed)
+    assert len(calls) == 5
+    occ("hot", 1)              # still cached
+    assert len(calls) == 5
+    occ("c1", 1)               # was evicted — one recompute
+    assert len(calls) == 6
+
+    # churn: >>cache-max distinct (tenant, version) keys from
+    # interleaved "commits" (version bumps) across 3 tenants; the
+    # cache stays bounded and every lookup — hit or recompute —
+    # returns the version-exact set (asserted inside occ()).
+    for ver in range(2, 300):
+        for tenant in ("t0", "t1", "t2"):
+            occ(tenant, ver)
+    assert len(eng._occ_cache) <= 4
+    # the 3 newest keys of the last version are cache-resident: one
+    # more probe each must not recompute
+    n = len(calls)
+    for tenant in ("t0", "t1", "t2"):
+        occ(tenant, 299)
+    assert len(calls) == n
+    eng.release()
+
+
+def test_delete_vectors_batched_partial_failure_reports_progress(
+    spark, tmp_path,
+):
+    """delete_vectors_batched's partial-failure contract (ADVICE r12):
+    the list applies per-batch atomically, not list-atomically — on a
+    mid-list failure the raised error names the failing id range and
+    the committed-batch count so a caller can resume, earlier batches
+    stay applied, and later ids stay live."""
+    from sortify_spark.facade import SortifyEngine
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=30,
+        index_root=str(tmp_path),
+    )
+    doomed = [
+        str(r["doc_id"])
+        for r in eng.documents.select("doc_id").orderBy("doc_id")
+        .limit(9).collect()
+    ]
+    orig = eng.delete_vectors
+    calls = {"n": 0}
+
+    def flaky(batch):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise ValueError("boom")
+        return orig(batch)
+
+    eng.delete_vectors = flaky
+    try:
+        with pytest.raises(RuntimeError) as ei:
+            eng.delete_vectors_batched(doomed, batch_size=3)
+    finally:
+        eng.delete_vectors = orig
+    msg = str(ei.value)
+    # resumable: the error names the unapplied suffix and the progress
+    assert "ids[3:6]" in msg and "1 committed" in msg
+    assert "ids[3:]" in msg
+    # first batch applied (sorted order: doomed[:3] gone) …
+    assert eng.documents.filter(
+        F.col("doc_id").isin([int(d) for d in sorted(doomed)[:3]])
+    ).count() == 0
+    # … later batches untouched
+    assert eng.documents.filter(
+        F.col("doc_id").isin([int(d) for d in sorted(doomed)[3:]])
+    ).count() == 6
+    # idempotent resume with the remaining ids completes the delete
+    eng.delete_vectors_batched(sorted(doomed)[3:], batch_size=3)
+    assert eng.documents.filter(
+        F.col("doc_id").isin([int(d) for d in doomed])
+    ).count() == 0
+    eng.release()

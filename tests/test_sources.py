@@ -2021,8 +2021,11 @@ def test_compact_persists_pin_without_rewrite(spark):
             _json.dump(man, fh)
         v0 = read_manifest(path)["version"]
         # fresh build shape: nothing fragmented, so no rewrite — but
-        # the computed roll must still persist (metadata-only commit)
-        assert compact(spark, path, partition_col="pb") is None
+        # the computed roll must still persist (metadata-only commit),
+        # and that commit's VERSION is returned (ADVICE r12: None
+        # would hide a version bump from retention accounting and
+        # version-keyed caches)
+        assert compact(spark, path, partition_col="pb") == v0 + 1
         man1 = read_manifest(path)
         assert man1["layout_roll"] == 25  # ceil(100/4)
         assert man1["version"] == v0 + 1
@@ -2030,3 +2033,81 @@ def test_compact_persists_pin_without_rewrite(spark):
         # converged: the next pass neither rewrites nor amends
         assert compact(spark, path, partition_col="pb") is None
         assert read_manifest(path)["version"] == man1["version"]
+
+
+def test_compact_degenerate_pin_guard_and_floor(spark):
+    """ADVICE r12: compact must not pin a degenerate layout roll.
+    (a) EMPTY snapshot: a legacy layout table whose rows were all
+    deleted gives the derivation nothing to size from — compact pins
+    nothing (the old behavior pinned roll=1, so every later upsert of
+    grown data wrote up to one file per row until the growth re-pin).
+    (b) TINY snapshot with a recorded crossover floor
+    (``layout_floor``, from a build's layout_min_file_rows): legacy
+    re-derivation and the growth re-pin both floor the roll, so a
+    premature maintenance pass can never pin sub-row-group files."""
+    import json as _json
+
+    from sortify_spark.sources.versioned import (
+        compact,
+        delete_versioned,
+        overwrite_versioned,
+        read_manifest,
+    )
+
+    # (a) empty snapshot: no pin, no amend commit
+    df = spark.createDataFrame(
+        [(i, i % 2, i % 5) for i in range(20)],
+        "id long, pb int, owner int",
+    )
+    with tempfile.TemporaryDirectory() as root:
+        path = os.path.join(root, "t")
+        overwrite_versioned(
+            df, path, partition_col="pb",
+            layout_col="owner", layout_files=4,
+        )
+        delete_versioned(
+            df.select("id", "pb"), path, keys=("id",),
+            partition_col="pb",
+        )
+        assert read_manifest(path)["partitions"] == {}
+        mpath = os.path.join(path, "_MANIFEST")
+        with open(mpath) as fh:
+            man = _json.load(fh)
+        del man["layout_roll"]  # simulate a legacy table
+        with open(mpath, "w") as fh:
+            _json.dump(man, fh)
+        v0 = read_manifest(path)["version"]
+        assert compact(spark, path, partition_col="pb") is None
+        man1 = read_manifest(path)
+        assert "layout_roll" not in man1  # nothing pinned
+        assert man1["version"] == v0  # and nothing committed
+
+    # (b) tiny snapshot + recorded floor: the legacy re-derivation
+    # pins max(ceil(mx/files), floor) = floor, committed as a
+    # metadata-only version whose number compact returns (ADVICE r12)
+    tiny = spark.createDataFrame(
+        [(i, i % 2, i % 3) for i in range(8)],  # 4 rows per partition
+        "id long, pb int, owner int",
+    )
+    with tempfile.TemporaryDirectory() as root:
+        path = os.path.join(root, "t2")
+        overwrite_versioned(
+            tiny, path, partition_col="pb",
+            layout_col="owner", layout_files=4,
+            layout_min_file_rows=50,
+        )
+        man = read_manifest(path)
+        assert man["layout_floor"] == 50
+        assert man["layout_roll"] == 50  # floored at build already
+        mpath = os.path.join(path, "_MANIFEST")
+        with open(mpath) as fh:
+            raw = _json.load(fh)
+        del raw["layout_roll"]  # legacy: roll lost, floor kept
+        with open(mpath, "w") as fh:
+            _json.dump(raw, fh)
+        v0 = read_manifest(path)["version"]
+        got = compact(spark, path, partition_col="pb")
+        assert got == v0 + 1  # the amend's version, not None
+        man1 = read_manifest(path)
+        assert man1["layout_roll"] == 50  # ceil(4/4)=1 floored to 50
+        assert man1["partitions"] == raw["partitions"]
