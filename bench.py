@@ -306,41 +306,65 @@ def main() -> None:
     total_norm = round(
         sum(v for v in timings_norm.values() if isinstance(v, float)), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_best2": timings_best2,
-                "value_best2": total_best2,
-                "queries_norm": timings_norm,
-                "value_norm": total_norm,
-                "anchor": {
-                    "host_factor": host_factor,
-                    "anchors_sec": anchor_now,
-                    "ref_sec": ANCHOR_REF,
-                    "ref_source": "BASELINE_MEDIAN.json (same-code "
-                    "mid-round-11 recording)",
-                    "ref_sf": 0.1,
-                    "anchors_failed": sorted(
-                        set(ANCHOR_REF) - set(anchor_now)
-                    ),
-                },
-                "partial_reps": partial,
-                "protocol": {
-                    "primary": "median",
-                    "reps": N_REPS,
-                    "warmup": "one discarded cold pass per query",
-                    "best2": "min of first 2 reps (rounds 1-10 protocol)",
-                    "norm": "sec / host_factor; host_factor = geomean("
-                    "anchor median this session / pinned ref median)",
-                },
-                "sf": sf,
-            }
-        )
-    )
+    # Key ORDER and ENCODING matter downstream (VERDICT r12 #3): the
+    # driver's recorder keeps only the last 2,000 chars of this line,
+    # which truncated the per-query normalized map to ~47 of 70
+    # entries in BENCH_r12.  ``queries_norm`` — the map cross-round
+    # comparison actually reads — is therefore emitted LAST, and the
+    # line uses compact separators (the 70-entry map is ~2,010 chars
+    # with default separators, ~1,870 compact — the difference is
+    # exactly whether the tail window carries it whole); the raw/best2
+    # maps (reconstructable as norm × host_factor) sit earliest in the
+    # truncation shadow.
+    payload = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "value_best2": total_best2,
+        "value_norm": total_norm,
+        "partial_reps": partial,
+        "protocol": {
+            "primary": "median",
+            "reps": N_REPS,
+            "warmup": "one discarded cold pass per query",
+            "best2": "min of first 2 reps (rounds 1-10 protocol)",
+            "norm": "sec / host_factor; host_factor = geomean("
+            "anchor median this session / pinned ref median)",
+        },
+        "sf": sf,
+        "queries": timings,
+        "queries_best2": timings_best2,
+        "anchor": {
+            "host_factor": host_factor,
+            "anchors_sec": anchor_now,
+            "ref_sec": ANCHOR_REF,
+            "ref_source": "BASELINE_MEDIAN.json (same-code "
+            "mid-round-11 recording)",
+            "ref_sf": 0.1,
+            "anchors_failed": sorted(set(ANCHOR_REF) - set(anchor_now)),
+        },
+        "queries_norm": timings_norm,
+        # duplicated scalar AFTER the map: the tail window must carry
+        # the factor that reconstructs raw seconds (raw = norm × hf)
+        # even when the full anchor block above is truncated away
+        "hf": host_factor,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    # Belt and braces for the same verdict item: persist the COMPLETE
+    # record next to this script so a judge can always read the full
+    # 70-query maps even if the driver's stdout window shrinks.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_FULL_latest.json",
+            ),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only deployment: stdout line is still complete
+    print(line)
 
 
 if __name__ == "__main__":

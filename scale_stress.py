@@ -973,6 +973,72 @@ def main() -> None:
 
         stage("ivf_owner_composed_occ_esc", ivf_owner_composed)
 
+        # -- composed default at the facade's OWN knobs (VERDICT r12
+        # #1): the r12 grid measured composed only at nprobe0=1 — the
+        # one configuration users get (ivf_nprobe=3, and from r13 the
+        # ivf_min_recall_buckets=16 floor) was the one not in the
+        # grid.  Sweep base nprobe {3, 8, 16} over the occupied
+        # universe, then the floored default: recall must reach
+        # occupancy-only@16's at buckets_read ≤ max(16, escalation
+        # need) — by construction the floored probe reads a SUPERSET
+        # of occupancy-only@16's buckets, clamped at the tenant's own
+        # occupancy.
+        for np0 in (3, 8, 16):
+
+            def ivf_owner_composed_np(np0=np0):
+                from sortify_spark.search import index as ix
+
+                top = ix.probe_ivf_index(
+                    spark,
+                    ann["owner_path"],
+                    probe.select("embedding"),
+                    k=10,
+                    nprobe=np0,
+                    pre_filter=F.col("owner") == 3,
+                    min_candidates=10,
+                    filter_buckets=True,
+                ).collect()
+                trace = ix.PROBE_ESCALATION or {}
+                return {
+                    "rows": len(top),
+                    "recall_at_10": owner_recall(
+                        [r["vec_id"] for r in top]
+                    ),
+                    "buckets_read": trace.get("nprobe_final", np0),
+                    "levels": trace.get("levels"),
+                }
+
+            stage(f"ivf_owner_composed_np{np0}", ivf_owner_composed_np)
+
+        def ivf_owner_composed_floor16():
+            # the r13 facade default: nprobe0=3 + min_probe_buckets=16
+            from sortify_spark.search import index as ix
+
+            top = ix.probe_ivf_index(
+                spark,
+                ann["owner_path"],
+                probe.select("embedding"),
+                k=10,
+                nprobe=3,
+                pre_filter=F.col("owner") == 3,
+                min_candidates=10,
+                filter_buckets=True,
+                min_probe_buckets=16,
+            ).collect()
+            trace = ix.PROBE_ESCALATION or {}
+            return {
+                "rows": len(top),
+                "recall_at_10": owner_recall([r["vec_id"] for r in top]),
+                "buckets_read": trace.get("nprobe_final", 3),
+                "levels": trace.get("levels"),
+                "exhausted_occupied": trace.get("exhaustive"),
+            }
+
+        stage(
+            "ivf_owner_composed_floor16_default",
+            ivf_owner_composed_floor16,
+        )
+
         # -- owner-aware artifact LAYOUT A/B (VERDICT r10 #3) ----------
         # Same corpus, same probe, two layouts: the carried-column
         # artifact (owner rides each row, probe row-filters whole
@@ -1117,6 +1183,13 @@ def main() -> None:
             for name, floor in (
                 ("files2_floored", -(-mx // 2)),
                 ("files1_floored", int(mx)),
+                # the facade's default (VERDICT r12 #2): floor derived
+                # from the assign rows' own width ≈ one parquet row
+                # group — at these scales every bucket is far below
+                # it, so the default must land on the measured fast
+                # (single-file) side of the crossover, converging to
+                # files1_floored's shape and wall
+                ("auto_derived", "auto"),
             ):
                 p = os.path.join(derived, f"ivf_lay_{name}")
                 build_ivf_index(
@@ -1128,6 +1201,10 @@ def main() -> None:
                     layout_files=8,
                     layout_min_file_rows=floor,
                 )
+                if floor == "auto":
+                    floor = int(
+                        read_manifest(f"{p}/assign")["layout_floor"]
+                    )
                 variants[name] = (p, floor)
             out: dict = {"max_bucket_rows": int(mx)}
             results = {}

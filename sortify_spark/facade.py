@@ -60,6 +60,22 @@ class SearchConfig:
     #: commits (readers never observe a half-built index).
     ivf_nprobe: int = 3
     ivf_version: int | None = None
+    #: Recall floor for OWNER-SCOPED IVF probes (VERDICT r12 #1): the
+    #: composed default (occupancy-aware bucket choice + nprobe
+    #: escalation) guarantees ≥ k CANDIDATES, but a dense tenant can
+    #: fill k from its top few buckets while its true top-k lives in
+    #: the next dozen — measured at 1000x: composed stopped at 8
+    #: buckets / recall 0.7 where occupancy-only@16 reached 0.9
+    #: (SCALE_STRESS_r12).  Owner-scoped probes therefore read at
+    #: least ``min(ivf_min_recall_buckets, tenant's occupied bucket
+    #: count)`` occupied buckets — a superset of occupancy-only@16's
+    #: reads, so recall ≥ that mitigation's by construction, clamped
+    #: at the tenant's own occupancy so it never exceeds the exact
+    #: filtered scan.  The reference contract is Chroma's
+    #: where-filtered HNSW returning the true filtered top-k
+    #: (``vector_db_service.py:193-224``); this floor is the bounded
+    #: I/O approximation of it.  Unscoped probes are untouched.
+    ivf_min_recall_buckets: int = 16
     #: Keyword/hybrid_lexical term budget: BM25 cost is one tf column
     #: per DISTINCT query term, so the query is truncated to its first
     #: ``max_terms`` unique whitespace terms.  Truncation logs a
@@ -310,7 +326,10 @@ class SortifyEngine:
         tenant's vectors are inside the probed buckets
         (``min_candidates=k`` — degrades to the exact filtered scan
         for tenants smaller than k, so recall never silently collapses
-        for a 1% owner)."""
+        for a 1% owner) plus a RECALL FLOOR of
+        ``min(cfg.ivf_min_recall_buckets, |occupied|)`` buckets
+        (VERDICT r12 #1 — candidate-count escalation alone can stop
+        before the tenant's true top-k is covered)."""
         from sortify_spark.search.knn import lsh_portable_topk
 
         pred = self._owner_pred(owner_id)
@@ -349,6 +368,15 @@ class SortifyEngine:
                 min_candidates=k if pred is not None else None,
                 filter_buckets=pred is not None,
                 occupied_buckets=occ,
+                # recall floor (VERDICT r12 #1): candidates ≥ k alone
+                # can stop at a width whose top-k misses better
+                # neighbors in the next occupied buckets — read at
+                # least min(floor, |occupied|) of them
+                min_probe_buckets=(
+                    cfg.ivf_min_recall_buckets
+                    if pred is not None
+                    else None
+                ),
             ).select(
                 # vec_id is the vector_id "doc#vtype#chunk"; recover the
                 # document for the per-doc dedupe below
@@ -485,8 +513,12 @@ class SortifyEngine:
             carry_cols=("owner_id",) if self.owner_col else (),
             # tenant-scoped engines range-split each term bucket's
             # files on owner_id so owner probes prune files, not rows
-            # (VERDICT r10 #3)
+            # (VERDICT r10 #3) — floored at ~one parquet row group per
+            # file, derived from the posting rows' own width, so small
+            # buckets stay on the fast side of the file-count
+            # crossover (VERDICT r12 #2)
             layout_col="owner_id" if self.owner_col else None,
+            layout_min_file_rows="auto",
         )
         self._lex_built = True
         return version
@@ -553,8 +585,17 @@ class SortifyEngine:
             seed_col="seed",
             carry_cols=("owner_id",),
             # owner-range file split inside each bucket partition —
-            # tenant probes prune files via parquet stats (r10 #3)
+            # tenant probes prune files via parquet stats (r10 #3),
+            # floored at ~one parquet row group per file derived from
+            # the assign rows' own width (VERDICT r12 #2): below the
+            # crossover the footer-read/task overhead of extra files
+            # costs 2-3x more wall than their stat pruning saves
+            # (SCALE_STRESS_r12 layout A/B), so small buckets write
+            # one file and the split resumes as buckets outgrow a row
+            # group.  The floor is pinned in the manifest for the
+            # artifact's whole lifecycle (upserts, compact re-pins).
             layout_col="owner_id" if self.owner_col else None,
+            layout_min_file_rows="auto",
         )
         self._ivf_built.add(vtype)
         return version
@@ -990,12 +1031,18 @@ class SortifyEngine:
                 pre_filter=pred,
                 # batched owner-scoped probes use the same composed
                 # default as the single path (occupancy-aware bucket
-                # choice + per-query escalation), with the same cached
-                # per-(tenant, snapshot) occupancy set — batched and
-                # single serving must not differ in tenant recall
+                # choice + per-query escalation + recall floor), with
+                # the same cached per-(tenant, snapshot) occupancy set
+                # — batched and single serving must not differ in
+                # tenant recall
                 min_candidates=k if pred is not None else None,
                 filter_buckets=pred is not None,
                 occupied_buckets=occ,
+                min_probe_buckets=(
+                    cfg.ivf_min_recall_buckets
+                    if pred is not None
+                    else None
+                ),
             ).select(
                 "query_id",
                 F.split(F.col("vec_id"), "#")[0].alias("id"),

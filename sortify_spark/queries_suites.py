@@ -772,6 +772,17 @@ _suite(
             "knn_ivf_filtered_selective",
             dict(key1="kind", key2="CAST(id AS STRING)", val="score"),
         ),
+        # round 13: the RECALL FLOOR on the composed default (VERDICT
+        # r12 #1) — a DENSE tenant stops the candidate-count
+        # escalation after ~2 buckets with ≥ k candidates but not the
+        # true top-k; min_probe_buckets=16 (the facade's
+        # ivf_min_recall_buckets) starts the schedule at
+        # min(16, occupied), and both probe widths are pinned against
+        # pure-SQL schedule replays ('meta_*' rows).
+        (
+            "knn_ivf_floored",
+            dict(key1="kind", key2="CAST(id AS STRING)", val="score"),
+        ),
         # round 7: the lexical half of hybrid retrieval (queries_bm25) —
         # rational-idf BM25 top-k and the lexical x dense RRF fusion.
         (

@@ -1381,3 +1381,185 @@ def q_knn_ivf_filtered_selective(
         .unionByName(occ1)
         .orderBy("kind", "id")
     )
+
+
+def _ivf_floored_oracle_sql(k: int = 10, floor: int = 16, dim: int = 64) -> str:
+    """Oracle for ``knn_ivf_floored``: replay the 40-seed build, then
+    the RECALL FLOOR the facade's owner-scoped default adds on top of
+    the composed mitigations (VERDICT r12 #1).  The tenant here is
+    DENSE (vec_id % 2 = 1, ~50%, ≈6 matches per bucket), so the
+    candidate-count escalation at nprobe0=1 stops after ~2 occupied
+    buckets — ≥ k candidates, but the true top-k can live in buckets
+    it never read.  Four legs:
+
+    * 'stop' — the pre-floor composed default (occupancy choice +
+      min_candidates=k at nprobe0=1): the doubling schedule's stop.
+    * 'floored' — the same probe with ``min_probe_buckets=16``: the
+      schedule STARTS at LEAST(16, occupied), reading a superset of
+      occupancy-only@16's buckets.
+    * 'meta' — pins BOTH engine probe widths (stop and floored)
+      against the oracle's pure-SQL schedule replays.
+    * 'exact' — the full-scan filtered top-k, the recall ceiling.
+
+    The floored leg's probe width (16 of ~40 occupied) is where the
+    grid showed composed-without-floor losing recall to
+    occupancy-only@16 (SCALE_STRESS_r12); hash-matching both legs
+    against the replay pins the floor's exact semantics."""
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    fc AS (SELECT vec_id, vec_id % 40 AS seed,
+                  CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id <> 0),
+    fsd AS (SELECT seed, r.range AS i, AVG(e[r.range]) AS m
+            FROM fc, range(1, {dim + 1}) r GROUP BY seed, r.range),
+    fseed AS (SELECT seed AS bucket, list(m ORDER BY i) AS cent
+              FROM fsd GROUP BY seed),
+    fasg AS (SELECT vec_id, e, bucket FROM (
+        SELECT c.vec_id, c.e, s.bucket,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(c.e, s.cent), 6)
+                            DESC,
+                          s.bucket ASC) AS rn
+        FROM fc c CROSS JOIN fseed s) WHERE rn = 1),
+    fcd AS (SELECT bucket, r.range AS i, AVG(e[r.range]) AS m
+            FROM fasg, range(1, {dim + 1}) r GROUP BY bucket, r.range),
+    fcent AS (SELECT bucket, list(m ORDER BY i) AS cent
+              FROM fcd GROUP BY bucket),
+    occb AS (SELECT DISTINCT bucket FROM fasg WHERE vec_id % 2 = 1),
+    rocc AS (SELECT c.bucket,
+                    ROW_NUMBER() OVER (
+                      ORDER BY ROUND(list_cosine_similarity(c.cent,
+                                                            qe), 6)
+                                 DESC,
+                               c.bucket ASC) AS rn
+             FROM fcent c JOIN occb o ON c.bucket = o.bucket
+                  CROSS JOIN q),
+    nbo AS (SELECT COUNT(*) AS n FROM rocc),
+    pc AS (SELECT r.rn,
+                  (SELECT COUNT(*) FROM fasg a
+                   WHERE a.bucket = r.bucket AND a.vec_id % 2 = 1)
+                    AS c
+           FROM rocc r),
+    cum AS (SELECT rn, SUM(c) OVER (ORDER BY rn) AS cumc FROM pc),
+    sched1 AS (SELECT DISTINCT
+                 LEAST(CAST(POW(2, j.range) AS BIGINT), nbo.n) AS p
+               FROM range(0, 32) j, nbo),
+    pstop AS (SELECT COALESCE(
+               (SELECT MIN(s.p) FROM sched1 s
+                JOIN cum ON cum.rn = s.p WHERE cum.cumc >= {k}),
+               (SELECT n FROM nbo)) AS p),
+    b16 AS (SELECT LEAST({floor}, n) AS b FROM nbo),
+    sched16 AS (SELECT DISTINCT
+                  LEAST(CAST(b16.b * POW(2, j.range) AS BIGINT),
+                        nbo.n) AS p
+                FROM range(0, 32) j, nbo, b16),
+    pfloor AS (SELECT COALESCE(
+               (SELECT MIN(s.p) FROM sched16 s
+                JOIN cum ON cum.rn = s.p WHERE cum.cumc >= {k}),
+               (SELECT n FROM nbo)) AS p),
+    stp AS (SELECT a.vec_id AS id,
+                   ROUND(list_cosine_similarity(a.e, qe), 6) AS score
+            FROM fasg a JOIN rocc r ON a.bucket = r.bucket
+                 CROSS JOIN q, pstop
+            WHERE r.rn <= pstop.p AND a.vec_id % 2 = 1
+            ORDER BY score DESC, id ASC LIMIT {k}),
+    flo AS (SELECT a.vec_id AS id,
+                   ROUND(list_cosine_similarity(a.e, qe), 6) AS score
+            FROM fasg a JOIN rocc r ON a.bucket = r.bucket
+                 CROSS JOIN q, pfloor
+            WHERE r.rn <= pfloor.p AND a.vec_id % 2 = 1
+            ORDER BY score DESC, id ASC LIMIT {k}),
+    exct AS (SELECT c.vec_id AS id,
+                    ROUND(list_cosine_similarity(c.e, qe), 6) AS score
+             FROM fc c CROSS JOIN q
+             WHERE c.vec_id % 2 = 1
+             ORDER BY score DESC, id ASC LIMIT {k})
+    SELECT * FROM (
+      SELECT 'exact' AS kind, id, score FROM exct
+      UNION ALL SELECT 'floored', id, score FROM flo
+      UNION ALL SELECT 'meta_floor', p AS id, CAST(p AS DOUBLE) AS score
+                FROM pfloor
+      UNION ALL SELECT 'meta_stop', p AS id, CAST(p AS DOUBLE) AS score
+                FROM pstop
+      UNION ALL SELECT 'stop', id, score FROM stp
+    ) __u ORDER BY kind, id
+    """
+
+
+@register(
+    "knn_ivf_floored",
+    _ivf_floored_oracle_sql(),
+    note="RECALL FLOOR for owner-scoped IVF serving (VERDICT r12 #1; "
+    "reference contract: Chroma's where-filtered HNSW returns the TRUE "
+    "filtered top-k, vector_db_service.py:193-224): a DENSE tenant "
+    "(vec_id % 2 = 1, ~6 matches per bucket over a 40-bucket index) "
+    "fills min_candidates=k after ~2 occupied buckets, so the composed "
+    "candidate-count escalation stops with ≥ k candidates but NOT the "
+    "true top-k ('stop' leg).  min_probe_buckets=16 — the facade's "
+    "ivf_min_recall_buckets default — starts the schedule at "
+    "min(16, occupied) buckets ('floored' leg), the width where the "
+    "stress grid showed occupancy-only@16 beating the unfloored "
+    "composition's recall; both probe widths are pinned against the "
+    "oracle's pure-SQL schedule replays via the 'meta_*' rows, and "
+    "'exact' is the recall ceiling.",
+)
+def q_knn_ivf_floored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sortify_spark.search import index as ivf_index
+    from sortify_spark.search.index import (
+        build_ivf_index,
+        probe_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0).withColumn(
+        "seed", F.col("vec_id") % 40
+    )
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    pred = F.col("vec_id") % 2 == 1
+    path = tempfile.mkdtemp(prefix="sortify_ivfflr_") + "/ivf"
+    build_ivf_index(data, path, seed_col="seed", exact_assign=True)
+
+    def leg(kind: str, **kw) -> tuple[DataFrame, int]:
+        top = probe_ivf_index(
+            spark, path, query, k=10, nprobe=1, pre_filter=pred,
+            min_candidates=10, filter_buckets=True, **kw,
+        ).select(
+            F.lit(kind).alias("kind"),
+            F.col("vec_id").alias("id"),
+            F.round("score", 6).alias("score"),
+        )
+        rows = top.collect()  # trace is set by execution of the probe
+        trace = ivf_index.PROBE_ESCALATION
+        p = trace["nprobe_final"] if trace is not None else 1
+        return spark.createDataFrame(rows, top.schema), int(p)
+
+    stop, p_stop = leg("stop")
+    floored, p_floor = leg("floored", min_probe_buckets=16)
+    meta = spark.createDataFrame(
+        [
+            ("meta_floor", p_floor, float(p_floor)),
+            ("meta_stop", p_stop, float(p_stop)),
+        ],
+        "kind string, id long, score double",
+    )
+    exact = knn.brute_force_topk(
+        data.filter(pred).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        ),
+        query,
+        k=10,
+    ).select(
+        F.lit("exact").alias("kind"),
+        F.col("vec_id").alias("id"),
+        F.round("score", 6).alias("score"),
+    )
+    return (
+        exact.unionByName(floored)
+        .unionByName(meta)
+        .unionByName(stop)
+        .orderBy("kind", "id")
+    )

@@ -43,7 +43,7 @@ def build_ivf_index(
     carry_cols: tuple[str, ...] = (),
     layout_col: str | None = None,
     layout_files: int = 4,
-    layout_min_file_rows: int | None = None,
+    layout_min_file_rows=None,
 ) -> int:
     """Build/refresh the IVF index at ``path``; returns the committed
     version of the assignment table.
@@ -147,6 +147,17 @@ def build_ivf_index(
         cents, f"{path}/centroids", partition_col="part"
     )
     data = data.localCheckpoint(eager=True)
+    if layout_min_file_rows == "auto":
+        from sortify_spark.sources.versioned import derive_layout_floor
+
+        # derive from the checkpointed assign rows themselves (one
+        # cheap first() — no extra scan of the upstream plan); only
+        # meaningful when a layout will actually split files
+        layout_min_file_rows = (
+            derive_layout_floor(data.sparkSession, data.first())
+            if layout_col is not None
+            else None
+        )
     return overwrite_versioned(
         data,
         f"{path}/assign",
@@ -414,6 +425,7 @@ def probe_ivf_index(
     min_candidates: int | None = None,
     filter_buckets: bool = False,
     occupied_buckets=None,
+    min_probe_buckets: int | None = None,
 ) -> DataFrame:
     """Top-k through the stored index: rank the stored centroids,
     read ONLY the probed buckets (partition-pruned via the manifest),
@@ -468,7 +480,22 @@ def probe_ivf_index(
     (broadcast-size, ≤ nlist ints).  MUST come from the same assign
     snapshot this probe reads: a stale set from an older version can
     MISS buckets the tenant has since grown into (the facade keys its
-    cache by (vtype, owner, version) for exactly this reason)."""
+    cache by (vtype, owner, version) for exactly this reason).
+
+    ``min_probe_buckets`` — the RECALL FLOOR (VERDICT r12 #1): read
+    at least ``min(min_probe_buckets, ranked-universe size)`` buckets
+    regardless of how early the candidate-count escalation would
+    stop.  ``min_candidates`` guarantees CANDIDATES (never silence),
+    not top-k QUALITY: a dense tenant can fill k from its single top
+    bucket while its true top-k lives in the next fifteen
+    (SCALE_STRESS_r12: composed-at-nprobe0=1 stopped at 8 buckets /
+    recall 0.7 where occupancy-only@16 reached 0.9).  With
+    ``filter_buckets`` the floor counts OCCUPIED buckets, so a probe
+    floored at F reads a superset of occupancy-only@F's buckets —
+    recall ≥ that mitigation's by construction — and is clamped at
+    the tenant's own occupied count, so it can never read more than
+    the exact filtered scan.  The escalation schedule starts at the
+    floored width and still widens past it while candidates < k."""
     from sortify_spark.sources.versioned import (
         _read_partition_dirs,
         read_manifest,
@@ -539,26 +566,36 @@ def probe_ivf_index(
                 .distinct()
                 .collect()
             }
+    need_full_ranking = (
+        escalate or occupied is not None or min_probe_buckets is not None
+    )
     ranked = [
         r["bucket"]
         for r in rank_index_buckets(
             spark,
             path,
             query,
-            # escalation / occupancy need the FULL ranking (≤ nlist
-            # rows — metadata scale); plain probes keep the limit
-            nprobe=None if (escalate or occupied is not None) else nprobe,
+            # escalation / occupancy / a recall floor need the FULL
+            # ranking (≤ nlist rows — metadata scale); plain probes
+            # keep the limit
+            nprobe=None if need_full_ranking else nprobe,
             version=version,
         ).collect()
     ]
     if occupied is not None:
         ranked = [b for b in ranked if b in occupied]
-    chosen = min(nprobe, len(ranked)) if ranked else 0
+    # recall floor (see docstring): widen the base width to
+    # min(min_probe_buckets, universe) — the escalation schedule then
+    # STARTS there and can only widen further
+    base = nprobe
+    if min_probe_buckets is not None and ranked:
+        base = max(nprobe, min(int(min_probe_buckets), len(ranked)))
+    chosen = min(base, len(ranked)) if ranked else 0
     if escalate and ranked:
         levels: list[tuple[int, int]] = []
         n_cand = 0
         prev = 0
-        for p in _escalation_schedule(nprobe, len(ranked)):
+        for p in _escalation_schedule(base, len(ranked)):
             chosen = p
             # count over the filter columns only — the parquet scan
             # prunes the embedding column at every escalation level.
@@ -572,7 +609,13 @@ def probe_ivf_index(
             levels.append((p, n_cand))
             if n_cand >= min_candidates:
                 break
-        if len(levels) > 1 or levels[-1][1] < min_candidates:
+        if (
+            len(levels) > 1
+            or levels[-1][1] < min_candidates
+            # a floor that raised the base is observable too: callers
+            # reading buckets_read must see the floored width
+            or base > nprobe
+        ):
             _set_probe_escalation(
                 {
                     "levels": levels,
@@ -602,6 +645,7 @@ def probe_ivf_index_many(
     min_candidates: int | None = None,
     filter_buckets: bool = False,
     occupied_buckets=None,
+    min_probe_buckets: int | None = None,
 ) -> DataFrame:
     """BATCHED probe: top-k for N queries through the stored index in
     ONE plan — (query_id, vec_id, score, rnk) — the IVF twin of
@@ -638,7 +682,14 @@ def probe_ivf_index_many(
     with ``min_candidates``: the doubling schedule then widens within
     the occupied universe only — the facade's owner-scoped default on
     BOTH serving paths (single and batched must not differ in tenant
-    recall)."""
+    recall).
+
+    ``min_probe_buckets``: the RECALL FLOOR, same contract as
+    :func:`probe_ivf_index` — every query's probe width starts at
+    ``min(min_probe_buckets, ranked-universe size)`` and escalation
+    widens from there; with ``filter_buckets`` the floor counts
+    occupied buckets and is clamped at the tenant's occupied count
+    (never wider than the exact filtered scan)."""
     from pyspark.sql.window import Window
 
     from sortify_spark.functions.vectors import cosine, l2_norm
@@ -724,6 +775,13 @@ def probe_ivf_index_many(
         )
         .withColumn("__r", F.row_number().over(wq))
     )
+    def _floored_base(universe: int) -> int:
+        # recall floor (probe_ivf_index contract): base width =
+        # max(nprobe, min(min_probe_buckets, universe))
+        if min_probe_buckets is None:
+            return nprobe
+        return max(nprobe, min(int(min_probe_buckets), int(universe)))
+
     if pre_filter is not None and min_candidates is not None:
         # BATCHED adaptive escalation (the probe_ivf_index contract at
         # batch throughput).  The filter is shared across the batch
@@ -738,7 +796,7 @@ def probe_ivf_index_many(
         # the count scan below reads ONLY those buckets' partitions
         # (counts for buckets the ranking excluded are never joined).
         nb = cents.count()  # ≤ nlist rows — metadata scale
-        sched = _escalation_schedule(nprobe, int(nb))
+        sched = _escalation_schedule(_floored_base(nb), int(nb))
         occ = _occupancy_scan(bucket_subset=occupied)
         wcum = (
             Window.partitionBy("query_id")
@@ -768,7 +826,12 @@ def probe_ivf_index_many(
             .select("query_id", "bucket", "__qvec", "__qn")
         )
     else:
-        qb = qb_all.filter(F.col("__r") <= nprobe).select(
+        eff = (
+            nprobe
+            if min_probe_buckets is None
+            else _floored_base(cents.count())
+        )
+        qb = qb_all.filter(F.col("__r") <= eff).select(
             "query_id", "bucket", "__qvec", "__qn"
         )
     qb = qb.localCheckpoint(eager=True)  # read twice: bucket set + join

@@ -137,6 +137,7 @@ def build_lexical_index(
     carry_cols: tuple[str, ...] = (),
     layout_col: str | None = None,
     layout_files: int = 4,
+    layout_min_file_rows=None,
 ) -> int:
     """Full-snapshot build; returns the committed ANCHOR (terms-table)
     version.  Input ids must be unique (the upload pipeline's exact
@@ -153,7 +154,14 @@ def build_lexical_index(
     per bucket, each covering a tight range of the layout column, so
     an owner-scoped probe prunes files via parquet stats instead of
     row-filtering whole buckets (VERDICT r10 #3); recorded in the
-    postings manifest and re-applied by upserts/deletes/compaction."""
+    postings manifest and re-applied by upserts/deletes/compaction.
+
+    ``layout_min_file_rows``: the bucket-size crossover guard for the
+    postings layout — same contract as ``build_ivf_index``'s
+    (VERDICT r11 #3 / r12 #2): an int floors the intended per-file
+    rows; ``"auto"`` derives the floor from the posting rows' own
+    width (≈ one parquet row group) so tiny term buckets write one
+    file instead of ``layout_files`` footer-read-dominated shards."""
     from sortify_spark.sources.versioned import overwrite_versioned
 
     postings, doclen = _tokenized(
@@ -178,12 +186,22 @@ def build_lexical_index(
             f"layout_col {layout_col!r} must be carried in the "
             "posting rows (add it to carry_cols)"
         )
+    if layout_min_file_rows == "auto":
+        from sortify_spark.sources.versioned import derive_layout_floor
+
+        # postings are already checkpointed — one cheap first()
+        layout_min_file_rows = (
+            derive_layout_floor(postings.sparkSession, postings.first())
+            if layout_col is not None
+            else None
+        )
     pv = overwrite_versioned(
         postings,
         f"{path}/postings",
         partition_col="pt",
         layout_col=layout_col,
         layout_files=layout_files if layout_col is not None else None,
+        layout_min_file_rows=layout_min_file_rows,
     )
     dv = overwrite_versioned(doclen, f"{path}/doclen", partition_col="pd")
     return overwrite_versioned(

@@ -772,6 +772,9 @@ def delete_versioned(
                 manifest.get("layout_col"),
                 manifest.get("layout_files"),
                 roll=manifest.get("layout_roll"),
+                # legacy tables re-derive here (no pinned roll): keep
+                # the derivation floored, same as upsert_versioned
+                min_file_rows=manifest.get("layout_floor"),
             )
             _write_partition_dirs(shaped, roll, vdir, partition_col)
             from urllib.parse import unquote

@@ -3321,3 +3321,76 @@ def test_delete_vectors_batched_partial_failure_reports_progress(
         F.col("doc_id").isin([int(d) for d in doomed])
     ).count() == 0
     eng.release()
+
+
+def test_facade_builds_pass_derived_layout_floor(spark, tmp_path):
+    """The facade's persisted-artifact builds pass the derived
+    crossover floor (VERDICT r12 #2): both owner-scoped artifacts
+    record ``layout_floor`` ≈ one parquet row group's rows for their
+    OWN row width, and at test scale (buckets far below a row group)
+    every bucket writes ONE file — the measured fast side of the
+    file-count crossover — while owner-scoped probe results are
+    unchanged layout-only semantics (already asserted by the
+    composed-default battery; re-checked here against the exact
+    scan)."""
+    import os as _os
+    from collections import Counter
+
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+    from sortify_spark.search.knn import brute_force_topk
+    from sortify_spark.sources.versioned import (
+        read_manifest,
+        snapshot_files,
+    )
+
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=80,
+        index_root=str(tmp_path), owner_col="source",
+    )
+    owner = eng.documents.select("source").orderBy("source").first()[
+        "source"
+    ]
+    cfg = SearchConfig(ann="ivf", ivf_nprobe=2)
+    text = "data pipeline quality and join performance"
+    got = sorted(
+        (r["id"], round(r["score"], 6))
+        for r in eng.semantic_search(
+            text, "summary_only", cfg, owner_id=owner
+        ).collect()
+    )
+    # the assign manifest records a row-width-derived floor: a
+    # dim-16 double embedding row is a few hundred bytes, so the
+    # floor must be row-group scale (≳ 10k rows), never a degenerate
+    # handful
+    man = read_manifest(eng.ivf_index_path("summary") + "/assign")
+    assert man["layout_col"] == "owner_id"
+    assert man.get("layout_floor", 0) > 10_000
+    assert man["layout_roll"] >= man["layout_floor"]
+    # at test scale every bucket is far below one row group → exactly
+    # one file per bucket partition (the unfloored shape wrote up to
+    # layout_files=4 per bucket)
+    per_bucket = Counter(
+        _os.path.dirname(f)
+        for f in snapshot_files(eng.ivf_index_path("summary") + "/assign")
+    )
+    assert per_bucket and max(per_bucket.values()) == 1
+    # lexical artifact: same floor contract on the postings table
+    eng.semantic_search("data pipeline quality", "keyword",
+                        owner_id=owner)
+    pman = read_manifest(eng.lexical_index_path() + "/postings")
+    assert pman["layout_col"] == "owner_id"
+    assert pman.get("layout_floor", 0) > 10_000
+    # layout-only: the owner-scoped IVF result equals the tenant's
+    # exact scan (the composed default exhausts a small tenant)
+    qdf = eng._query_df(text)
+    base = eng.vectors.filter(
+        (F.col("vtype") == "summary") & (F.col("owner_id") == owner)
+    )
+    exact = sorted(
+        (r["document_id"], round(r["score"], 6))
+        for r in brute_force_topk(
+            base, qdf, id_col="document_id", k=10
+        ).collect()
+    )
+    assert got == exact
+    eng.release()

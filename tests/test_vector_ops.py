@@ -913,3 +913,137 @@ def test_ivf_batched_composed_occupancy_parity_with_single(
     )
     assert empty.count() == 0
     assert set(empty.columns) == {"query_id", "vec_id", "score", "rnk"}
+
+
+def test_ivf_probe_recall_floor(spark, tmp_path):
+    """min_probe_buckets — the RECALL FLOOR (VERDICT r12 #1): for a
+    DENSE tenant the candidate-count escalation stops with ≥ k
+    candidates after a few buckets, but the true top-k can live in
+    buckets it never read.  The floor (a) starts the schedule at
+    min(floor, occupied) so the probe reads a SUPERSET of the
+    unfloored probe's buckets — its top-k is never worse, (b) still
+    escalates past the floor when candidates < k, (c) clamps at the
+    tenant's occupied count — a huge floor IS the exact filtered
+    scan."""
+    from sortify_spark.search import index as ix
+    from sortify_spark.search.knn import brute_force_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0).withColumn(
+        "seed", F.col("vec_id") % 40
+    )
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    pred = F.col("vec_id") % 2 == 1
+    path = str(tmp_path / "ivf")
+    ix.build_ivf_index(data, path, seed_col="seed", exact_assign=True)
+
+    def probe(**kw):
+        rows = ix.probe_ivf_index(
+            spark, path, query, k=10, nprobe=1, pre_filter=pred,
+            min_candidates=10, filter_buckets=True, **kw,
+        ).collect()
+        trace = ix.PROBE_ESCALATION
+        return rows, (trace or {}).get("nprobe_final", 1)
+
+    unfloored, p_stop = probe()
+    floored, p_floor = probe(min_probe_buckets=16)
+    assert p_stop < 16  # dense tenant: escalation stopped early …
+    assert p_floor == 16  # … and the floor raised the width
+    exact = brute_force_topk(
+        data.filter(pred).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        ),
+        query,
+        k=10,
+    ).collect()
+    exact_ids = {r["vec_id"] for r in exact}
+
+    def recall(rows):
+        return len({r["vec_id"] for r in rows} & exact_ids)
+
+    # superset of buckets read → never-worse top-k (strict here)
+    assert recall(floored) > recall(unfloored)
+    # floor ≥ occupied count = the exact filtered scan
+    huge, p_all = probe(min_probe_buckets=10_000)
+    occupied = ix.ivf_tenant_occupancy(spark, path, pred)
+    assert p_all == len(occupied)
+    assert sorted(
+        (r["vec_id"], round(r["score"], 6)) for r in huge
+    ) == sorted((r["vec_id"], round(r["score"], 6)) for r in exact)
+    # floor still escalates when candidates < k: a tenant smaller
+    # than k exhausts every occupied bucket despite a small floor
+    tiny_pred = F.col("vec_id") % 97 == 3
+    rows = ix.probe_ivf_index(
+        spark, path, query, k=10, nprobe=1, pre_filter=tiny_pred,
+        min_candidates=10, filter_buckets=True, min_probe_buckets=2,
+    ).collect()
+    trace = ix.PROBE_ESCALATION
+    assert trace is not None and trace["exhaustive"]
+    tiny_exact = brute_force_topk(
+        data.filter(tiny_pred).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        ),
+        query,
+        k=10,
+    ).collect()
+    assert sorted(
+        (r["vec_id"], round(r["score"], 6)) for r in rows
+    ) == sorted(
+        (r["vec_id"], round(r["score"], 6)) for r in tiny_exact
+    )
+
+
+def test_ivf_batched_recall_floor_parity_with_single(spark, tmp_path):
+    """The batched probe's min_probe_buckets matches the single path
+    per query exactly (the facade serves the SAME composed-plus-floor
+    default on both paths — they must not differ in tenant recall)."""
+    from sortify_spark.search import index as ix
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    data = emb.filter(F.col("vec_id") >= 8).select(
+        "vec_id", "embedding",
+        (F.col("vec_id") % 40).alias("seed"),
+        F.pmod(F.col("vec_id"), F.lit(2)).alias("owner"),
+    )
+    path = str(tmp_path / "ivf")
+    ix.build_ivf_index(
+        data, path, seed_col="seed", exact_assign=True,
+        carry_cols=("owner",),
+    )
+    pred = F.col("owner") == 1
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("string").alias("query_id"), "embedding"
+    )
+    batched = ix.probe_ivf_index_many(
+        spark, path, queries, k=10, nprobe=3,
+        pre_filter=pred, min_candidates=10, filter_buckets=True,
+        min_probe_buckets=16,
+    ).collect()
+    got = {}
+    for r in batched:
+        got.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["vec_id"], round(r["score"], 9))
+        )
+    for qrow in queries.collect():
+        single = ix.probe_ivf_index(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(qrow["embedding"],)], "embedding array<float>"
+            ),
+            k=10,
+            nprobe=3,
+            pre_filter=pred,
+            min_candidates=10,
+            filter_buckets=True,
+            min_probe_buckets=16,
+        ).collect()
+        want = [
+            (i + 1, r["vec_id"], round(r["score"], 9))
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got.get(qrow["query_id"], [])) == want, qrow[
+            "query_id"
+        ]
