@@ -983,6 +983,15 @@ def main() -> None:
         # need) — by construction the floored probe reads a SUPERSET
         # of occupancy-only@16's buckets, clamped at the tenant's own
         # occupancy.
+        def owner_occupied_count():
+            from sortify_spark.search import index as ix
+
+            return len(
+                ix.ivf_tenant_occupancy(
+                    spark, ann["owner_path"], F.col("owner") == 3
+                )
+            )
+
         for np0 in (3, 8, 16):
 
             def ivf_owner_composed_np(np0=np0):
@@ -999,12 +1008,21 @@ def main() -> None:
                     filter_buckets=True,
                 ).collect()
                 trace = ix.PROBE_ESCALATION or {}
+                # no trace = the first level held ≥ k candidates with
+                # no width adjustment — the TRUE width is the base
+                # clamped to the occupied universe, NOT np0 (review
+                # r13: reporting np0 fabricates the grid's x-axis
+                # whenever np0 ≥ the tenant's occupied count)
+                n_occ = owner_occupied_count()
                 return {
                     "rows": len(top),
                     "recall_at_10": owner_recall(
                         [r["vec_id"] for r in top]
                     ),
-                    "buckets_read": trace.get("nprobe_final", np0),
+                    "buckets_read": trace.get(
+                        "nprobe_final", min(np0, n_occ)
+                    ),
+                    "occupied": n_occ,
                     "levels": trace.get("levels"),
                 }
 
@@ -1026,10 +1044,17 @@ def main() -> None:
                 min_probe_buckets=16,
             ).collect()
             trace = ix.PROBE_ESCALATION or {}
+            n_occ = owner_occupied_count()
             return {
                 "rows": len(top),
                 "recall_at_10": owner_recall([r["vec_id"] for r in top]),
-                "buckets_read": trace.get("nprobe_final", 3),
+                # the floor records a trace whenever it raises the
+                # base; a missing trace means base == nprobe == the
+                # clamped width (tiny occupied universe)
+                "buckets_read": trace.get(
+                    "nprobe_final", min(3, n_occ)
+                ),
+                "occupied": n_occ,
                 "levels": trace.get("levels"),
                 "exhausted_occupied": trace.get("exhaustive"),
             }

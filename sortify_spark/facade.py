@@ -766,7 +766,11 @@ class SortifyEngine:
             # entries age out first.  Correctness never depends on
             # this — the version key makes a stale serve impossible —
             # it only bounds re-paid occupancy scans for hot tenants.
-            del self._occ_cache[key]
+            # pop(default), not del: two concurrent probes of the same
+            # hot key may both hit — the second del would KeyError
+            # (the pre-LRU hit path was read-only; the refresh must
+            # not make it able to fail).
+            self._occ_cache.pop(key, None)
             self._occ_cache[key] = hit
             return ver, hit
         occ = tuple(
@@ -1425,10 +1429,12 @@ class SortifyEngine:
         id still live.  The reference's per-doc loop has the same
         semantics but reports per-id success
         (``apis/v1/documents.py:619``); here the raised error names
-        the failing id range and how many batches committed, so a
-        caller can resume with exactly the unapplied suffix (deletes
-        are idempotent — re-sending an already-deleted id is a
-        no-op)."""
+        the failing range and how many batches committed.  Batching
+        order is the SORTED DEDUPLICATED id list (not the caller's
+        input order), and the error's ``ids[i:j]`` indices refer to
+        that order — since deletes are idempotent, the simplest
+        correct resume is re-sending the FULL original list; slicing
+        only works on ``sorted(set(ids))``."""
         cap = int(
             batch_size if batch_size is not None else _DELETE_BATCH_CAP
         )
@@ -1454,11 +1460,13 @@ class SortifyEngine:
                 raise RuntimeError(
                     f"delete_vectors_batched: batch {done} "
                     f"(ids[{i}:{min(i + cap, len(vals))}] of "
-                    f"{len(vals)}) failed after {done} committed "
+                    f"{len(vals)}, indices into the SORTED "
+                    "DEDUPLICATED id list, starting at id "
+                    f"{vals[i]!r}) failed after {done} committed "
                     "batches; earlier batches remain applied "
-                    "(per-batch atomic, not list-atomic) — resume "
-                    f"with the remaining ids[{i}:] (deletes are "
-                    "idempotent)"
+                    "(per-batch atomic, not list-atomic) — deletes "
+                    "are idempotent, so re-send the full list, or "
+                    f"sorted(set(ids))[{i}:] to resume exactly"
                 ) from exc
         return self.vectors
 

@@ -826,10 +826,14 @@ def probe_ivf_index_many(
             .select("query_id", "bucket", "__qvec", "__qn")
         )
     else:
+        # the count() job is only worth paying when the floor can
+        # actually widen the probe (floor > nprobe); otherwise
+        # _floored_base is nprobe for every possible universe size
         eff = (
-            nprobe
-            if min_probe_buckets is None
-            else _floored_base(cents.count())
+            _floored_base(cents.count())
+            if min_probe_buckets is not None
+            and int(min_probe_buckets) > nprobe
+            else nprobe
         )
         qb = qb_all.filter(F.col("__r") <= eff).select(
             "query_id", "bucket", "__qvec", "__qn"

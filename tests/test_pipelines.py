@@ -3304,9 +3304,12 @@ def test_delete_vectors_batched_partial_failure_reports_progress(
     finally:
         eng.delete_vectors = orig
     msg = str(ei.value)
-    # resumable: the error names the unapplied suffix and the progress
+    # resumable: the error names the unapplied range, the progress,
+    # and — since batching order is sorted-dedup, not input order —
+    # says so and anchors the failing batch's first id
     assert "ids[3:6]" in msg and "1 committed" in msg
-    assert "ids[3:]" in msg
+    assert "SORTED" in msg and "sorted(set(ids))[3:]" in msg
+    assert repr(sorted(doomed)[3]) in msg
     # first batch applied (sorted order: doomed[:3] gone) …
     assert eng.documents.filter(
         F.col("doc_id").isin([int(d) for d in sorted(doomed)[:3]])
