@@ -783,8 +783,16 @@ class SortifyEngine:
         )
         if len(self._occ_cache) >= self._OCC_CACHE_MAX:
             # bounded: a long-lived engine accumulates one tiny tuple
-            # per (tenant, commit) — evict least-recently-used
-            self._occ_cache.pop(next(iter(self._occ_cache)))
+            # per (tenant, commit) — evict least-recently-used.
+            # pop(default): two concurrent misses can race to evict
+            # the same oldest key (same model as the hit path's
+            # refresh; eviction must never be able to crash a probe)
+            try:
+                self._occ_cache.pop(
+                    next(iter(self._occ_cache)), None
+                )
+            except StopIteration:  # emptied by a concurrent evictor
+                pass
         self._occ_cache[key] = occ
         return ver, occ
 
@@ -1457,6 +1465,12 @@ class SortifyEngine:
             try:
                 self.delete_vectors(vals[i : i + cap])
             except Exception as exc:
+                if done == 0 and len(vals) <= cap:
+                    # single-batch list, nothing committed: no partial
+                    # state to report — surface the original error
+                    # unwrapped so callers keep catching the types
+                    # delete_vectors itself raises (r13 review)
+                    raise
                 raise RuntimeError(
                     f"delete_vectors_batched: batch {done} "
                     f"(ids[{i}:{min(i + cap, len(vals))}] of "
@@ -1529,9 +1543,11 @@ class SortifyEngine:
             # The re-pin below is only valid when the anchor's pin
             # equals the paired table's pre-compaction version — i.e.
             # the pin points at exactly the rows compaction preserved.
+            pre_manifests = {
+                label: read_manifest(path) for path, _, label in tables
+            }
             pre_versions = {
-                label: read_manifest(path)["version"]
-                for path, _, label in tables
+                label: m["version"] for label, m in pre_manifests.items()
             }
             anchor_path = None
             for path, _, label in tables:
@@ -1589,17 +1605,32 @@ class SortifyEngine:
                     skip_vacuum.add(label)
             if repin and anchor_path is not None:
                 amend_manifest(anchor_path, repin)
+            def _compact_kind(path, label):
+                # compact() returns a version for BOTH a file rewrite
+                # and a metadata-only roll re-pin (r13) — distinguish
+                # them for the report: an amend leaves the partition
+                # map byte-identical, a rewrite repoints it (r13
+                # review: "compacted": True for a pin would read as a
+                # phantom file rewrite to maintenance monitoring)
+                if compacted[label] is None:
+                    return {"compacted": False, "repinned": False}
+                rewrote = (
+                    read_manifest(path)["partitions"]
+                    != pre_manifests[label]["partitions"]
+                )
+                return {"compacted": rewrote, "repinned": not rewrote}
+
             for path, _, label in tables:
                 if label in skip_vacuum:
                     out[label] = {
-                        "compacted": compacted[label] is not None,
+                        **_compact_kind(path, label),
                         "vacuumed": 0,
                         "stale_pin": True,
                     }
                     continue
                 removed = vacuum(path, keep_last=keep_last)
                 out[label] = {
-                    "compacted": compacted[label] is not None,
+                    **_compact_kind(path, label),
                     "vacuumed": len(removed),
                 }
         return out

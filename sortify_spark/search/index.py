@@ -591,6 +591,17 @@ def probe_ivf_index(
     if min_probe_buckets is not None and ranked:
         base = max(nprobe, min(int(min_probe_buckets), len(ranked)))
     chosen = min(base, len(ranked)) if ranked else 0
+    if base > nprobe and not escalate:
+        # the floored width must be observable on EVERY path that
+        # widens the probe, not only under escalation — callers read
+        # buckets_read from this trace (r13 review)
+        _set_probe_escalation(
+            {
+                "levels": [],
+                "nprobe_final": chosen,
+                "exhaustive": chosen >= len(ranked),
+            }
+        )
     if escalate and ranked:
         levels: list[tuple[int, int]] = []
         n_cand = 0

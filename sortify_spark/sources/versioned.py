@@ -583,6 +583,11 @@ def _est_value_bytes(v) -> int:
         return len(v.encode("utf-8", "ignore")) + 4
     if isinstance(v, (bytes, bytearray)):
         return len(v) + 4
+    if hasattr(v, "asDict"):
+        # nested Row BEFORE the tuple branch — pyspark Row subclasses
+        # tuple, so the tuple check would otherwise shadow this and
+        # drop the per-field-name bytes (r13 review)
+        return _est_value_bytes(v.asDict())
     if isinstance(v, (list, tuple)):
         return 8 + sum(_est_value_bytes(x) for x in v)
     if isinstance(v, dict):
@@ -590,8 +595,6 @@ def _est_value_bytes(v) -> int:
             _est_value_bytes(a) + _est_value_bytes(b)
             for a, b in v.items()
         )
-    if hasattr(v, "asDict"):  # nested Row
-        return _est_value_bytes(v.asDict())
     return 16  # timestamp/date/decimal/uuid-ish scalars
 
 

@@ -1047,3 +1047,34 @@ def test_ivf_batched_recall_floor_parity_with_single(spark, tmp_path):
         assert sorted(got.get(qrow["query_id"], [])) == want, qrow[
             "query_id"
         ]
+
+
+def test_ivf_probe_floor_trace_without_escalation(spark, tmp_path):
+    """A floor-widened probe must be OBSERVABLE even when no
+    min_candidates escalation was requested (r13 review): callers read
+    buckets_read from PROBE_ESCALATION, so a floor that silently
+    widened the probe would fabricate their I/O accounting."""
+    from sortify_spark.search import index as ix
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    data = emb.filter(F.col("vec_id") != 0).withColumn(
+        "seed", F.col("vec_id") % 40
+    )
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    pred = F.col("vec_id") % 2 == 1
+    path = str(tmp_path / "ivf")
+    ix.build_ivf_index(data, path, seed_col="seed", exact_assign=True)
+    rows = ix.probe_ivf_index(
+        spark, path, query, k=10, nprobe=3, pre_filter=pred,
+        filter_buckets=True, min_probe_buckets=16,
+    ).collect()
+    trace = ix.PROBE_ESCALATION
+    assert trace is not None and trace["nprobe_final"] == 16
+    assert trace["levels"] == []  # widened by the floor, not escalated
+    assert len(rows) == 10
+    # un-widened probe still records nothing
+    ix.probe_ivf_index(
+        spark, path, query, k=10, nprobe=3, pre_filter=pred,
+        filter_buckets=True, min_probe_buckets=2,
+    ).collect()
+    assert ix.PROBE_ESCALATION is None
