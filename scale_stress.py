@@ -1064,6 +1064,63 @@ def main() -> None:
             ivf_owner_composed_floor16,
         )
 
+        def ivf_owner_batched_floor16():
+            # BATCHED floored serving (r13): the floored bucket union
+            # is read ONCE for the whole batch, so the recall floor's
+            # per-query cost amortizes with batch size — record
+            # batched vs single q/s at the facade's serving knobs.
+            from sortify_spark.search import index as ix
+
+            queries = (
+                data.filter(
+                    (F.col("vec_id") >= 1) & (F.col("vec_id") <= 64)
+                )
+                .select(
+                    F.col("vec_id").cast("string").alias("query_id"),
+                    "embedding",
+                )
+                .localCheckpoint(eager=True)
+            )
+            t0 = time.time()
+            rows = ix.probe_ivf_index_many(
+                spark,
+                ann["owner_path"],
+                queries,
+                k=10,
+                nprobe=3,
+                pre_filter=F.col("owner") == 3,
+                min_candidates=10,
+                filter_buckets=True,
+                min_probe_buckets=16,
+            ).collect()
+            bt = time.time() - t0
+            t0 = time.time()
+            n_single = 4
+            for q in queries.limit(n_single).collect():
+                ix.probe_ivf_index(
+                    spark,
+                    ann["owner_path"],
+                    spark.createDataFrame(
+                        [(q["embedding"],)], "embedding array<double>"
+                    ),
+                    k=10,
+                    nprobe=3,
+                    pre_filter=F.col("owner") == 3,
+                    min_candidates=10,
+                    filter_buckets=True,
+                    min_probe_buckets=16,
+                ).collect()
+            st = (time.time() - t0) / n_single
+            return {
+                "rows": len(rows),
+                "batched_queries": 64,
+                "batched_qps": round(64 / bt, 1),
+                "single_qps": round(1 / st, 2),
+                "speedup": round((64 / bt) * st, 1),
+            }
+
+        stage("ivf_owner_batched_floor16", ivf_owner_batched_floor16)
+
         # -- owner-aware artifact LAYOUT A/B (VERDICT r10 #3) ----------
         # Same corpus, same probe, two layouts: the carried-column
         # artifact (owner rides each row, probe row-filters whole
