@@ -796,6 +796,41 @@ class SortifyEngine:
         self._occ_cache[key] = occ
         return ver, occ
 
+    def warm_ivf_occupancy(self, vtype: str = "summary") -> int:
+        """Bulk-warm the occupancy cache for EVERY tenant of one IVF
+        artifact in ONE scan (the many-tenant serving shape at 100 TB:
+        the lazy per-tenant path pays one column-pruned scan per
+        (tenant, snapshot) — correct, but T tenants after a commit
+        means T scans; a maintenance job calls this once per commit
+        instead, one ``(owner, bucket)`` distinct aggregation for the
+        whole map).  Entries land in the same version-keyed cache the
+        serving paths read, so the first post-commit probe of every
+        tenant is a cache hit.  Returns the number of tenants warmed
+        (capped at the cache capacity — with more tenants than
+        capacity, warming the tail would only evict the head)."""
+        if self.owner_col is None:
+            raise ValueError(
+                "occupancy warming requires an engine built with "
+                "owner_col"
+            )
+        from sortify_spark.search.index import ivf_occupancy_all
+        from sortify_spark.sources.versioned import read_manifest
+
+        path = self._ivf_index(vtype)
+        ver = int(read_manifest(f"{path}/assign")["version"])
+        occ_map = ivf_occupancy_all(
+            self.spark, path, "owner_id", version=ver
+        )
+        warmed = 0
+        for owner, occ in occ_map.items():
+            if len(self._occ_cache) >= self._OCC_CACHE_MAX and (
+                (vtype, owner, ver) not in self._occ_cache
+            ):
+                break
+            self._occ_cache[(vtype, owner, ver)] = occ
+            warmed += 1
+        return warmed
+
     def semantic_search(
         self,
         query_text: str,

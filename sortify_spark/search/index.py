@@ -414,6 +414,49 @@ def ivf_tenant_occupancy(
     )
 
 
+def ivf_occupancy_all(
+    spark: SparkSession,
+    path: str,
+    owner_col: str,
+    version: int | None = None,
+) -> dict[str, tuple]:
+    """EVERY tenant's occupancy in ONE scan: ``{owner → sorted tuple
+    of occupied bucket ids}`` for the given assign snapshot.  The
+    per-tenant :func:`ivf_tenant_occupancy` is the lazy serving shape
+    (first probe per (tenant, snapshot) pays one column-pruned scan);
+    at many-tenant scale a maintenance job warms the WHOLE map after
+    each commit instead — T tenants cost one ``(owner, bucket)``
+    distinct aggregation over the column-pruned scan, not T scans.
+    Output is metadata-scale (≤ tenants × nlist ints — the same rows
+    a per-tenant loop would collect in total); the facade's
+    ``warm_ivf_occupancy`` feeds it straight into the version-keyed
+    cache."""
+    from sortify_spark.sources.versioned import (
+        _read_partition_dirs,
+        read_manifest,
+    )
+
+    manifest = read_manifest(f"{path}/assign", version)
+    if not manifest["partitions"]:
+        return {}
+    rows = (
+        _read_partition_dirs(
+            spark,
+            f"{path}/assign",
+            "bucket",
+            list(manifest["partitions"].values()),
+            dtype=manifest.get("partition_dtype"),
+        )
+        .select(F.col(owner_col).cast("string").alias("__o"), "bucket")
+        .distinct()
+        .collect()
+    )
+    out: dict[str, list] = {}
+    for r in rows:
+        out.setdefault(r["__o"], []).append(int(r["bucket"]))
+    return {o: tuple(sorted(bs)) for o, bs in out.items()}
+
+
 def probe_ivf_index(
     spark: SparkSession,
     path: str,

@@ -3397,3 +3397,63 @@ def test_facade_builds_pass_derived_layout_floor(spark, tmp_path):
     )
     assert got == exact
     eng.release()
+
+
+def test_warm_ivf_occupancy_one_scan_for_all_tenants(
+    spark, tmp_path, monkeypatch,
+):
+    """warm_ivf_occupancy (r13): ONE (owner, bucket) distinct scan
+    fills the version-keyed cache for EVERY tenant — the many-tenant
+    post-commit shape (T tenants after a commit would otherwise pay T
+    lazy per-tenant scans).  Warmed entries must be byte-identical to
+    what the lazy path computes, and every subsequent owner-scoped
+    probe must hit the cache."""
+    from sortify_spark.facade import SearchConfig, SortifyEngine
+    from sortify_spark.search import index as ix
+    from sortify_spark.sources.versioned import read_manifest
+
+    calls = {"n": 0}
+    orig = ix.ivf_tenant_occupancy
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ix, "ivf_tenant_occupancy", counting)
+    eng = SortifyEngine(
+        spark, SF_DIR, dim=16, embed="expr", doc_limit=80,
+        index_root=str(tmp_path), owner_col="source",
+    )
+    owners = sorted(
+        r["source"]
+        for r in eng.documents.select("source").distinct().collect()
+    )
+    assert len(owners) >= 2
+    warmed = eng.warm_ivf_occupancy("summary")
+    assert warmed == len(owners)
+    path = eng.ivf_index_path("summary")
+    ver = int(read_manifest(f"{path}/assign")["version"])
+    # warmed sets ≡ the lazy per-tenant computation, for every tenant
+    for o in owners:
+        lazy = tuple(orig(spark, path, eng._owner_pred(o), version=ver))
+        assert eng._occ_cache[("summary", o, ver)] == lazy
+        assert lazy  # every source owns documents at this doc_limit
+    # serving hits the warmed cache: zero per-tenant scans
+    before = calls["n"]
+    cfg = SearchConfig(ann="ivf", ivf_nprobe=2)
+    for o in owners[:2]:
+        got = {
+            r["id"]
+            for r in eng.semantic_search(
+                "data pipeline quality", "summary_only", cfg,
+                owner_id=o,
+            ).collect()
+        }
+        own_docs = {
+            str(r["doc_id"])
+            for r in eng.documents.filter(F.col("source") == o)
+            .select("doc_id").collect()
+        }
+        assert got and got <= own_docs
+    assert calls["n"] == before  # all hits — the warm scan covered them
+    eng.release()
