@@ -645,12 +645,19 @@ def jaccard_prefix_join(
             f"order must be 'hash', 'freq', or 'auto', got {order!r}"
         )
     par = docs.sparkSession.sparkContext.defaultParallelism
+    # Emptiness filtered on the words column BELOW the shingle
+    # projection: ``size(sh) > 0`` ⟺ ``size(w) >= PPJ_K`` (the oracle's
+    # own ``WHERE len(w) >= k``), and a ``size(sh) > 0`` filter ABOVE
+    # the projection is pushed below both exchanges onto the raw scan
+    # with ``words(text)`` inlined into every ``element_at`` of the
+    # shingle lambda — the O(shingles × words) re-split again, through
+    # the predicate (measured 5.3 s → 0.55 s on this kernel at sf0.1).
     base = (
         fan_out(docs)
         .select("doc_id", words(F.col("text")).alias("w"))
+        .filter(F.size("w") >= PPJ_K)
         .repartition(par, "doc_id")
         .select("doc_id", shingles(F.col("w"), PPJ_K).alias("sh"))
-        .filter(F.size("sh") > 0)
     )
     if order != "hash":
         # Materialize the shingle kernel ONCE: the freq path's df
