@@ -871,8 +871,14 @@ def winnowing_pairs(docs: DataFrame, top: int = 20) -> DataFrame:
             lambda j: F.array_min(F.slice(F.col("__h"), j, WIN_W)),
         )
     )
+    # per-gram md5 + window-min selection are interpreted higher-order
+    # expressions evaluated in the scan stage — fan the tiny single-file
+    # scan out to every core first (cluster no-op; §4-equivalent cost)
+    from sortify_spark.operators.partitioning import fan_out
+
     fps = (
-        docs.select("doc_id", w.alias("__w"))
+        fan_out(docs)
+        .select("doc_id", w.alias("__w"))
         .filter(F.size("__w") >= WIN_K + WIN_W - 1)
         .select("doc_id", h.alias("__h"))
         .select("doc_id", F.explode(sel).alias("fp"))
@@ -950,12 +956,20 @@ def ngram_novelty_stats(docs: DataFrame) -> DataFrame:
     This is the cross-doc OVERLAPPING-gram coverage signal —
     complementary to ``common_span_removal`` (exact non-overlapping
     chunks) and ``repetition_signals`` (within-doc).  Shuffle shape:
-    gram doc-frequency is a map-side-combined hash-agg; the flag joins
-    back on the gram key; per-doc and per-source aggregates both
-    combine before their exchanges."""
+    ONE tokenize+explode pass (the r13 rewrite: the old
+    gram-doc-frequency branch + gram-key join-back evaluated the
+    interpreted gram kernel twice) feeds a map-side-combined
+    per-(gram, doc) count; gram doc-frequency is then a count over the
+    gram window of that compacted frame (one row per (gram, doc), so
+    ``count(*)`` IS ``count(distinct doc)``), and per-doc totals are
+    weighted sums of the per-(gram, doc) counts — exact bigint
+    arithmetic, identical values."""
+    from sortify_spark.operators.partitioning import fan_out
+
     w = _words()
     grams = (
-        docs.select("doc_id", "source", w.alias("__w"))
+        fan_out(docs)
+        .select("doc_id", "source", w.alias("__w"))
         .filter(F.size("__w") >= NOV_K)
         .select(
             "doc_id",
@@ -972,16 +986,17 @@ def ngram_novelty_stats(docs: DataFrame) -> DataFrame:
             ).alias("gram"),
         )
     )
-    gdf = grams.groupBy("gram").agg(
-        F.countDistinct("doc_id").alias("gdocs")
+    gcounts = grams.groupBy("gram", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("c")
     )
+    gdocs = F.count(F.lit(1)).over(Window.partitionBy("gram"))
     per_doc = (
-        grams.join(gdf, "gram")
+        gcounts.withColumn("gdocs", gdocs)
         .groupBy("doc_id", "source")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("c").alias("n_grams"),
             F.sum(
-                F.when(F.col("gdocs") >= 2, 1).otherwise(0)
+                F.when(F.col("gdocs") >= 2, F.col("c")).otherwise(0)
             ).alias("dup_grams"),
         )
     )

@@ -96,10 +96,17 @@ def countmin_word_counts(docs: DataFrame) -> DataFrame:
     """Build a ``CMS_DEPTH x CMS_WIDTH`` count-min sketch over the word
     stream and audit it: exact vs estimated counts for the true
     top-``CMS_TOPK`` words (overestimate ≥ 0 by construction)."""
+    # wc feeds BOTH the sketch build and the exact top-k — one
+    # materialization instead of two tokenize+aggregate passes (blocks
+    # freed by the context cleaner).  A scan fan-out was measured here
+    # and REJECTED: the per-partition partial aggregate dedups the
+    # vocabulary far better from one partition (0.65 s → 0.87 s
+    # alternating A/B).
     wc = (
         docs.select(F.explode(_words()).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     depths = F.explode(
         F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
@@ -216,7 +223,15 @@ def bloom_prefilter_join(
     # one broadcast join per hash — the order stream is never shuffled
     # (the only exchange carries the 5 per-priority groups, map-side
     # combined).
-    pr = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
+    from sortify_spark.operators.partitioning import fan_out
+
+    # the per-row md5 probes (BLOOM_K per order) run in the scan stage —
+    # fan the small single-file order scan out first (cluster no-op);
+    # all downstream aggregates are exact integers, so the partitioning
+    # change cannot move a bit
+    pr = fan_out(orders).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
     hit_cols = []
     for j in range(BLOOM_K):
         pr = pr.withColumn(f"h{j}", _h("o_custkey", j))
@@ -336,36 +351,42 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_TARGET_LANG = "en"  #: target-distribution slice (formal-text proxy)
 
 
-def dsir_importance_weights(docs: DataFrame) -> DataFrame:
-    """Per source: docs scored, mean importance weight, docs/tokens at
-    or above the corpus-mean weight (the deterministic resample
-    proxy)."""
-    toks = docs.select(
+def _dsir_per_doc(docs: DataFrame) -> DataFrame:
+    """The scoring subtree: per-doc importance weight + token count
+    (pre-checkpoint, so the plan-shape test can assert the broadcast
+    discipline).  See :func:`dsir_importance_weights` for the r13
+    pass-shape rationale."""
+    from sortify_spark.operators.partitioning import fan_out
+
+    toks = fan_out(docs).select(
         "doc_id",
         "source",
         "lang",
         F.explode(_words()).alias("w"),
     ).withColumn("b", _md5_long(F.col("w")) % DSIR_BUCKETS)
-    ct = (
-        toks.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+    dbc = (
+        toks.groupBy("doc_id", "source", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    cr = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
-    tot = toks.agg(
+    bstats = dbc.groupBy("b").agg(
         F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("tot_t"),
-        F.count(F.lit(1)).alias("tot_r"),
+            F.when(
+                F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")
+            ).otherwise(0)
+        ).alias("c_t"),
+        F.sum("cnt").alias("c_r"),
+    )
+    tot = bstats.agg(
+        F.sum("c_t").alias("tot_t"), F.sum("c_r").alias("tot_r")
     )
     ratio = (
-        cr.join(ct, ["b"], "left")
-        .crossJoin(F.broadcast(tot))
+        bstats.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.round(
                 F.round(
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+                    (F.col("c_t") + 1).cast("double")
                     / (F.col("tot_t") + DSIR_BUCKETS).cast("double"),
                     12,
                 )
@@ -378,18 +399,40 @@ def dsir_importance_weights(docs: DataFrame) -> DataFrame:
             ).alias("r"),
         )
     )
-    per_doc = (
-        toks.join(F.broadcast(ratio), ["b"])
+    return (
+        dbc.join(F.broadcast(ratio), ["b"])
         .groupBy("doc_id", "source")
         .agg(
             F.round(
-                F.sum(F.col("r").cast(_DEC)).cast("double")
-                / F.count(F.lit(1)),
+                F.sum(
+                    F.col("r").cast("decimal(24,12)")
+                    * F.col("cnt").cast("decimal(10,0)")
+                ).cast("double")
+                / F.sum("cnt"),
                 9,
             ).alias("wgt"),
-            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("cnt").alias("n_toks"),
         )
     )
+
+
+def dsir_importance_weights(docs: DataFrame) -> DataFrame:
+    """Per source: docs scored, mean importance weight, docs/tokens at
+    or above the corpus-mean weight (the deterministic resample
+    proxy).
+
+    Shuffle/pass shape (r13 rewrite): the old plan evaluated the
+    interpreted tokenize+md5 kernel FOUR times (the c_t, c_r, tot
+    branches and the per-doc probe) and the per-doc frame twice (gmean
+    + final).  Now ONE token pass builds a compact per-(doc, bucket)
+    count frame (materialized; blocks freed by the context cleaner);
+    bucket stats, totals, AND the per-doc weights all derive from it.
+    Values are bit-identical: c_t/c_r/tot are the same exact integers,
+    and the per-doc DECIMAL token sum ``Σ r`` becomes ``Σ cnt·r`` with
+    r in DECIMAL(24,12) × cnt in DECIMAL(10,0) → DECIMAL(35,12), an
+    EXACT product (no precision-loss rescale), so the decimal
+    accumulator holds the identical value."""
+    per_doc = _dsir_per_doc(docs).localCheckpoint(eager=False)
     gmean = per_doc.agg(
         F.round(
             F.sum(F.col("wgt").cast(_DEC)).cast("double")

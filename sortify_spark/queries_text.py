@@ -310,7 +310,12 @@ def q_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" call +1 (555) 123-4567 today"),
         ).otherwise(F.lit("")),
     )
-    audited = docs.select(
+    from sortify_spark.operators.partitioning import fan_out
+
+    # the chained regex extract/replace is codegen but ALL of it runs in
+    # the scan stage — fan the tiny single-file scan out to every core
+    # first (cluster no-op); integer sums only downstream
+    audited = fan_out(docs).select(
         "source",
         pii_counts(text_p).alias("counts"),
         F.length(redact_pii(text_p)).alias("red_len"),

@@ -73,13 +73,26 @@ def test_bloom_plan_probe_side_never_shuffles(spark):
 
 
 def test_dsir_plan_token_stream_broadcast_joined(spark):
-    """The ratio table is broadcast: the exploded token stream never
-    sort-merge-joins; per-doc aggregation map-side combines."""
+    """The ratio table is broadcast: the per-(doc, bucket) count frame
+    never sort-merge-joins; per-doc aggregation map-side combines.
+    r13: the full query checkpoints the per-doc frame (one evaluation
+    feeds both the corpus-mean and the final aggregate), so the
+    broadcast discipline is asserted on the scoring subtree
+    (_dsir_per_doc) and the full query is checked above the
+    checkpoint."""
+    from sortify_spark.queries import _t
+    from sortify_spark.queries_sketch import _dsir_per_doc
+
+    kernel = _dsir_per_doc(_t(spark, SF_DIR, "documents"))
+    kplan = kernel._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in kplan
+    assert "SortMergeJoin" not in kplan
+    assert "EvalPython" not in kplan
+    assert "partial_" in kplan
+
     plan = _plan(spark, "dsir_importance_weights")
-    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
-    assert "partial_" in plan
 
 
 def test_bloom_filter_actually_sheds_rows(spark):
