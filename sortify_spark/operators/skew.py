@@ -34,7 +34,18 @@ def salted_equi_join(
     ``salt_from`` must be a deterministic expression over the big side
     (e.g. a line number) so repeated runs shuffle identically; using
     ``rand()`` here would make retries non-reproducible.
+
+    The big side gets the gated tiny-scan fan-out first: when the
+    planner broadcasts the small side (AQE does at test scale), the
+    join probe + partial aggregate otherwise run entirely inside the
+    big side's scan stage — one task for a single-file table.  At
+    cluster scale the scan already has many splits and the fan-out is
+    an exact no-op (r13 alternating A/B: 2.79 s → 1.77 s median on
+    salted_join_revenue at sf0.1).
     """
+    from sortify_spark.operators.partitioning import fan_out
+
+    big = fan_out(big)
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(salt_from), F.lit(salt_n)).cast("int")
     )
