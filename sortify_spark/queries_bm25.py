@@ -101,12 +101,23 @@ def bm25_scored(
     from sortify_spark.operators.partitioning import fan_out
 
     docs = fan_out(docs)
+    # The compact (doc_id, source, dl, tf*) frame feeds BOTH the stats
+    # aggregate and the scored projection; without a materialization
+    # barrier each consumer re-runs the interpreted tokenize pass, and
+    # Catalyst additionally pushes the matched_terms > 0 filter below
+    # the fan-out exchange onto the raw scan with the FULL tokenize
+    # chain inlined per term — O(terms) re-splits per row serialized on
+    # the scan's 1-3 input partitions (the §4.4-shaped duplication the
+    # round-13 shingle-kernel fix removed elsewhere).  One checkpoint
+    # of ~5 small columns per doc removes both; BM25 stats are
+    # corpus-global by contract, so no caller-side predicate ever needs
+    # to push below this barrier.
     base = docs.select(
         "doc_id",
         "source",
         F.size(w).alias("dl"),
         *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
-    )
+    ).localCheckpoint(eager=False)
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.round(

@@ -1168,7 +1168,16 @@ def paragraph_dedup_stats(docs: DataFrame) -> DataFrame:
     one groupBy(doc) rebuild and one per-source rollup.  No n², no
     driver-side anything.
     """
-    p = paragraphs_of(docs)
+    # One materialization of the paragraph stream: winners and the
+    # join-back otherwise EACH re-run the interpreted chunk kernel
+    # (transform + slice + array_join per paragraph) — the same
+    # redundant-pass pathology the round-13 ngram/dsir fixes removed;
+    # the sibling substring_dedup_stats checkpoints its token frame for
+    # the same reason.  The winner MIN stays a map-side-combined
+    # aggregate + join (NOT a window): on a duplicate-heavy crawl the
+    # combiner collapses hot paragraphs before the shuffle and AQE can
+    # skew-split the join, neither of which a window over ptext gets.
+    p = paragraphs_of(docs).localCheckpoint(eager=False)
     winners = p.groupBy("ptext").agg(F.min("pos_key").alias("w0"))
     kept = (
         p.join(winners, "ptext")
@@ -1179,9 +1188,19 @@ def paragraph_dedup_stats(docs: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("paras_kept"),
         )
     )
-    totals = p.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("paras_total")
-    )
+    # paras_total is pure arithmetic on the word count — ceil(n / w)
+    # for n > 0 exactly reproduces the explode's row count (docs with
+    # no paragraphs produce no rows, same as the oracle's unnest) — so
+    # the totals branch needs ONE tokenize pass and NO explode/shuffle.
+    totals = docs.select(
+        "doc_id",
+        "source",
+        F.size(_words()).alias("__n"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(f"(__n + {PARA_W - 1}) DIV {PARA_W}").alias("paras_total"),
+    ).filter(F.col("paras_total") > 0)
     d = totals.join(kept, "doc_id", "left").select(
         "source",
         "paras_total",

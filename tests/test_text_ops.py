@@ -366,6 +366,39 @@ def test_paragraph_dedup_keep_first_contract(spark):
     assert row.rebuilt_hash_sum == hb(f"{p1} {p2} {tail}") + 2 * hb("")
 
 
+def test_paragraph_dedup_arithmetic_totals_edges(spark):
+    """paras_total is now ceil(n_words / PARA_W) arithmetic instead of
+    counting exploded rows — pin the edge cases where the two could
+    diverge: empty text, whitespace-only text, and NULL text produce
+    NO totals row (matching the explode/unnest, which emits zero
+    paragraphs for them), and exact-multiple / remainder-1 word counts
+    round like the explode's sequence bound."""
+    from sortify_spark.queries_curation2 import (
+        PARA_W,
+        paragraph_dedup_stats,
+    )
+
+    exact = " ".join(f"x{i}" for i in range(2 * PARA_W))  # 2 paragraphs
+    plus1 = " ".join(f"y{i}" for i in range(PARA_W + 1))  # 1 + tail
+    docs = spark.createDataFrame(
+        [
+            (1, exact, "s"),
+            (2, plus1, "s"),
+            (3, "", "s"),  # zero words -> no paragraphs -> no row
+            (4, "   ", "s"),  # whitespace-only -> same
+            (5, None, "s"),  # NULL text -> same
+            (6, "solo", "s"),  # 1 word -> 1 (tail-only) paragraph
+        ],
+        "doc_id long, text string, source string",
+    )
+    [row] = paragraph_dedup_stats(docs).collect()
+    # docs 3/4/5 contribute no paragraphs, hence no per-doc row at all
+    assert row.docs == 3
+    assert row.paras_total == 2 + 2 + 1
+    assert row.paras_dropped == 0
+    assert row.docs_emptied == 0
+
+
 def test_substring_dedup_keep_first_contract(spark):
     """Lee-style exact substring dedup semantics on a crafted corpus:
     a token survives iff covered by at least one KEPT (first-occurrence)
