@@ -407,22 +407,43 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semdedup_stats(emb: DataFrame, tau: float = SEM_TAU) -> DataFrame:
     """Kernel over any (vec_id, label, embedding) frame."""
-    from sortify_spark.dedup import banded_self_join_pairs
+    from sortify_spark.dedup import (
+        DEFAULT_HOT_BUCKET_CAP,
+        banded_self_join_pairs,
+    )
+    from sortify_spark.operators.partitioning import fan_out
 
-    b = emb.select(
+    # Small-corpus parallelism gate (the fan_out idiom applied to the
+    # PAIR stage): a plain equi-self-join on `label` spreads the
+    # interpreted O(block²·dim) cosine folds over at most |labels|
+    # tasks — at test scale 10 IVF buckets on 32 cores, 3× idle.  When
+    # the input is a sub-parallelism scan (local single-file corpus),
+    # lower the guard cap so every block sub-splits into id-hash
+    # groups and the pair work spreads to g(g+1)/2 partitions per
+    # block; candidate set identical (the guard's property-tested
+    # contract).  On a cluster-scale scan (#blocks = k ∝ N ≫ cores,
+    # SemDeDup's own sizing) the gate leaves the default cap, so the
+    # over-cap key broadcast stays flood-only and empty in the common
+    # case.
+    sc = emb.sparkSession.sparkContext
+    small = emb.rdd.getNumPartitions() < sc.defaultParallelism
+    hot_cap = 64 if small else DEFAULT_HOT_BUCKET_CAP
+    # the fan-out frame feeds ONLY the pair guard (where the norm folds
+    # run, below the guard's checkpoint); the final membership join
+    # reads a separate unfanned (vec_id, label) projection so its
+    # branch keeps the plain scan → single hash exchange shape
+    b = fan_out(emb).select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("e"),
     ).withColumn("nrm", l2_norm("e"))
-    # guarded block self-join: an over-cap semantic block (a templated
-    # corpus collapsing into one cluster) splits into id-hash groups
-    # instead of serializing one quadratic task; pair set unchanged
-    dropped = (
-        banded_self_join_pairs(
-            b, key_cols=("label",), id_col="vec_id",
-            carry_cols=("e", "nrm"),
-        )
-        .filter(
+    ids = emb.select("vec_id", "label")
+
+    def _cos_ge_tau():
+        # symmetric under a/b swap (the pair_filter contract): the dot
+        # fold multiplies term-by-term in index order, so the swapped
+        # pair runs the identical IEEE op sequence
+        return (
             F.round(
                 cosine_given_norms(
                     F.col("e_a"), F.col("e_b"), F.col("nrm_a"), F.col("nrm_b")
@@ -431,11 +452,25 @@ def semdedup_stats(emb: DataFrame, tau: float = SEM_TAU) -> DataFrame:
             )
             >= tau
         )
+
+    # guarded block self-join: an over-cap semantic block (a templated
+    # corpus collapsing into one cluster) splits into id-hash groups
+    # instead of serializing one quadratic task; pair set unchanged.
+    # The cosine predicate rides pair_filter so on the hot path it
+    # prunes BEFORE the canonicalization projection's swap-CASEs over
+    # the two 64-double carry arrays (dedup.py's documented contract).
+    dropped = (
+        banded_self_join_pairs(
+            b, key_cols=("label",), id_col="vec_id",
+            carry_cols=("e", "nrm"),
+            hot_cap=hot_cap,
+            pair_filter=_cos_ge_tau,
+        )
         .select(F.col("label").alias("dlabel"), F.col("id_b").alias("j"))
         .distinct()
     )
     return (
-        b.join(
+        ids.join(
             dropped,
             (F.col("label") == F.col("dlabel"))
             & (F.col("vec_id") == F.col("j")),
