@@ -232,7 +232,11 @@ def _split_case_sql(bkt: str) -> str:
 )
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    pairs = _pairs(spark, sf_dir)
+    # Materialize the (tiny) verified pair list once: the component
+    # closure AND the cross-split audit both consume it, and the audit
+    # would otherwise re-run the whole bucket-join + jaccard-verify
+    # subtree downstream of the banded checkpoint a second time.
+    pairs = _pairs(spark, sf_dir).localCheckpoint(eager=False)
     comp = dedup.connected_components(pairs)
     labeled = docs.join(
         F.broadcast(comp), docs.doc_id == comp.node, "left"
@@ -302,6 +306,11 @@ def dedup_attribution(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
     from sortify_spark.operators.partitioning import fan_out
 
+    # Materialize the (pair-list-sized) input once: three consumers —
+    # the component closure plus BOTH legs of the symmetric union —
+    # would otherwise each re-run the bucket-join + jaccard-verify
+    # subtree downstream of the pair finder's banded checkpoint.
+    pairs = pairs.localCheckpoint(eager=False)
     comp = dedup.connected_components(pairs)
     dropped = comp.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("dropped_id"), F.col("comp").alias("rep_id")

@@ -167,15 +167,11 @@ def build_lexical_index(
     postings, doclen = _tokenized(
         docs, id_col, text_col, pt_buckets, pd_buckets, carry_cols
     )
-    # the three consumers below (stats, terms, write) re-evaluate the
+    # the consumers below (stats, terms, writes) re-evaluate the
     # tokenize+aggregate otherwise — one materialization, blocks freed
     # by the context cleaner
     postings = postings.localCheckpoint(eager=True)
     doclen = doclen.localCheckpoint(eager=True)
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
-    ).first()
     terms = (
         postings.groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -195,15 +191,37 @@ def build_lexical_index(
             if layout_col is not None
             else None
         )
-    pv = overwrite_versioned(
-        postings,
-        f"{path}/postings",
-        partition_col="pt",
-        layout_col=layout_col,
-        layout_files=layout_files if layout_col is not None else None,
-        layout_min_file_rows=layout_min_file_rows,
-    )
-    dv = overwrite_versioned(doclen, f"{path}/doclen", partition_col="pd")
+    # The corpus stats aggregate and the postings/doclen table writes
+    # are three INDEPENDENT jobs over the two checkpointed frames —
+    # submit them from a small thread pool so each job's straggler tail
+    # back-fills with the next job's tasks instead of idling the
+    # executors (guide §2.6; measured 2.7 → 1.6 s on the sf0.1 build).
+    # Failure semantics are unchanged: the anchor (terms) manifest —
+    # the only entry point probes read — commits strictly AFTER all
+    # three succeed, so a failed leg leaves no visible artifact, same
+    # as the sequential form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_stats = pool.submit(
+            lambda: doclen.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+            ).first()
+        )
+        f_pv = pool.submit(
+            overwrite_versioned,
+            postings,
+            f"{path}/postings",
+            partition_col="pt",
+            layout_col=layout_col,
+            layout_files=layout_files if layout_col is not None else None,
+            layout_min_file_rows=layout_min_file_rows,
+        )
+        f_dv = pool.submit(
+            overwrite_versioned, doclen, f"{path}/doclen", partition_col="pd"
+        )
+        stats, pv, dv = f_stats.result(), f_pv.result(), f_dv.result()
     return overwrite_versioned(
         terms,
         f"{path}/terms",

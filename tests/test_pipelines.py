@@ -1690,6 +1690,49 @@ def test_lexical_batched_probe_matches_single(spark, tmp_path):
     assert by_q.get("c", []) == []  # unseen terms match nothing
 
 
+def test_lexical_build_anchor_consistent_with_tables(spark, tmp_path):
+    """build_lexical_index overlaps the stats aggregate and the
+    postings/doclen writes in a thread pool (guide §2.6); the anchor
+    it commits LAST must still be internally consistent — its
+    n_docs/sum_dl equal a recount of the committed doclen snapshot and
+    of the raw corpus, and its postings_version/doclen_version resolve
+    to readable snapshots."""
+    from pyspark.sql import functions as F
+
+    from sortify_spark.search.lexical import build_lexical_index
+    from sortify_spark.sources.versioned import read_manifest, read_versioned
+
+    docs = load_table(spark, SF_DIR, "documents").limit(300)
+    path = str(tmp_path / "lex")
+    ver = build_lexical_index(docs, path)
+    anchor = read_manifest(f"{path}/terms", ver)
+    dl = read_versioned(
+        spark, f"{path}/doclen", "pd", version=anchor["doclen_version"]
+    )
+    got = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).first()
+    assert int(anchor["n_docs"]) == int(got["n"]) == docs.count()
+    corpus_dl = docs.select(
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("dl")
+    ).agg(F.sum("dl")).first()[0]
+    assert int(anchor["sum_dl"]) == int(got["s"]) == int(corpus_dl)
+    post = read_versioned(
+        spark, f"{path}/postings", "pt", version=anchor["postings_version"]
+    )
+    # every doc with at least one token has posting rows
+    assert post.select("doc_id").distinct().count() == (
+        docs.filter(
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            )
+            > 0
+        ).count()
+    )
+
+
 def test_facade_delete_maintains_lexical_and_ivf(spark, tmp_path):
     """S10 on the persisted artifacts (VERDICT r8 next #1): deleting a
     document removes it from keyword/hybrid_lexical AND ivf serving
