@@ -982,7 +982,15 @@ class SortifyEngine:
             ).select(F.col("document_id").alias("id"), "score")
 
         return fusion.two_stage_hybrid(
-            summary, chunk_scored_fn, stage1_k=STAGE1_K, top_k=STAGE2_K
+            summary,
+            chunk_scored_fn,
+            stage1_k=STAGE1_K,
+            top_k=STAGE2_K,
+            # the facade's stage-1 scorer is the interpreted cosine fold
+            # over the persisted vectors table — expensive enough that
+            # evaluating it once (vs once per consumer) wins (measured;
+            # see fusion.two_stage_hybrid's docstring)
+            materialize_stage1=True,
         )
 
     def _split_terms(self, query_text: str, cfg: SearchConfig) -> tuple:

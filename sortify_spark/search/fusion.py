@@ -202,6 +202,7 @@ def two_stage_hybrid(
     id_col: str = "id",
     stage1_k: int = 10,
     top_k: int = 5,
+    materialize_stage1: bool = False,
 ) -> DataFrame:
     """V3: coarse→fine two-stage search with dedup + backfill.
 
@@ -214,10 +215,23 @@ def two_stage_hybrid(
 
     Determinism contract (§7.3 hard-part 2): stage-2 rows rank before
     backfill rows; within a tier, (score desc, id asc).
+
+    ``materialize_stage1``: lazily checkpoint the (≤ stage1_k rows)
+    stage-1 frame so its scoring + global-rank subtree evaluates ONCE —
+    it otherwise runs twice (candidate semi-join + backfill union leg).
+    Worth it when the summary scorer is expensive (the facade's
+    interpreted cosine fold over the persisted vectors table: measured
+    2.10 → 1.95 s med-of-meds, winning every alternating block); a
+    measured LOSS for cheap scorers (the registry query's small
+    embeddings scan: 0.86 → 0.92 s — the materialization barrier costs
+    more than the saved re-evaluation), hence opt-in, default off.
+    Values are unchanged either way (same expressions, same rows).
     """
     stage1 = add_rank(summary_scored, id_col).filter(
         F.col("rank") <= stage1_k
     )
+    if materialize_stage1:
+        stage1 = stage1.localCheckpoint(eager=False)
     candidates = stage1.select(id_col)
     stage2 = chunk_scored_fn(candidates)
 

@@ -1078,3 +1078,35 @@ def test_ivf_probe_floor_trace_without_escalation(spark, tmp_path):
         filter_buckets=True, min_probe_buckets=2,
     ).collect()
     assert ix.PROBE_ESCALATION is None
+
+
+def test_two_stage_materialize_stage1_identical_rows(spark):
+    """The opt-in stage-1 checkpoint of fusion.two_stage_hybrid is a
+    scheduling change only: rows (values AND order) must match the
+    default plan, including when stage 2 returns nothing and every
+    result row is backfill."""
+    from sortify_spark.search import fusion
+
+    summary = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("score")
+    )
+    chunks = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 3 + 10).cast("double").alias("score")
+    )
+
+    def fn(c):
+        return chunks.join(F.broadcast(c), "id", "left_semi").filter(
+            F.col("score") > 11
+        )
+
+    def fn_empty(c):
+        return chunks.join(F.broadcast(c), "id", "left_semi").filter(
+            F.col("score") > 1e9
+        )
+
+    for f in (fn, fn_empty):
+        base = fusion.two_stage_hybrid(summary, f, stage1_k=10, top_k=5)
+        ckpt = fusion.two_stage_hybrid(
+            summary, f, stage1_k=10, top_k=5, materialize_stage1=True
+        )
+        assert base.collect() == ckpt.collect()
