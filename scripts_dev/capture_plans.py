@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Capture .explain('formatted') output for named queries into
-plans/r13/<name>_<tag>.txt (the optimization round's evidence files).
+plans/<PLANS_DIR>/<name>_<tag>.txt (the optimization round's evidence
+files; PLANS_DIR from $SORTIFY_PLANS_DIR, default r14).
 
 Usage: python scripts_dev/capture_plans.py <tag> <query> [<query> ...]
 """
@@ -15,7 +16,11 @@ from sortify_spark.all_queries import REGISTRY  # noqa: E402
 from sortify_spark.session import get_spark  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SORTIFY_PLANS_DIR", "r14"),
+)
 
 
 def main() -> None:

@@ -630,17 +630,21 @@ def connected_components(
         driver_max_edges = int(
             os.environ.get("SORTIFY_CC_DRIVER_MAX_EDGES", "1000000")
         )
-    edges = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .dropDuplicates(["src", "dst"])
-        .persist()
-    )
-    n_edges = edges.count()
-    if n_edges <= driver_max_edges:
-        rows = edges.collect()
+    raw = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Union-find is direction- and duplicate-tolerant, so the driver
+    # path collects the RAW pair list and symmetrizes in Python — the
+    # symmetrize union + dropDuplicates exchange the r13 plans paid
+    # before the bounded collect existed only to serve the distributed
+    # fallback, which still builds it below (guide §2.4 remove shuffles
+    # outright; VERDICT r13 next #6).  ``raw`` is persisted because the
+    # size probe and the collect (or the fallback's symmetrize) are two
+    # actions over the same pair-finder subtree.
+    raw = raw.persist()
+    n_pairs = raw.count()
+    # same effective bound as before: the symmetrized edge list the old
+    # code counted is ≤ 2 × the raw pair count
+    if 2 * n_pairs <= driver_max_edges:
+        rows = raw.collect()
         parent: dict = {}
 
         def find(x):
@@ -656,14 +660,21 @@ def connected_components(
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        nodes = {r.src for r in rows}
+        nodes = {r.src for r in rows} | {r.dst for r in rows}
         out = [(n, find(n)) for n in sorted(nodes)]
-        edges.unpersist()
+        raw.unpersist()
         return pairs.sparkSession.createDataFrame(
             out, schema=pairs.select(F.col(src).alias("node")).schema.add(
                 "comp", pairs.schema[dst].dataType
             )
         )
+    edges = (
+        raw.union(
+            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
     lab = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -712,6 +723,7 @@ def connected_components(
             break
         prev_sum = cur_sum
     edges.unpersist()
+    raw.unpersist()
     return lab.select("node", "comp")
 
 

@@ -399,8 +399,12 @@ class SortifyEngine:
             )
         else:
             base = self.vectors.filter(F.col("vtype") == vtype)
+            # dim=self.dim: every vectors-table row is produced by this
+            # engine's encoder at self.dim, so the unrolled codegen
+            # folds apply (bit-identical; guide §4.1)
             topk = brute_force_topk(
-                base, q, id_col="document_id", k=k, pre_filter=pred
+                base, q, id_col="document_id", k=k, pre_filter=pred,
+                dim=self.dim,
             )
         return (
             topk.select(F.col("document_id").alias("id"), "score")
@@ -978,7 +982,8 @@ class SortifyEngine:
                 "left_semi",
             )
             return brute_force_topk(
-                restricted, q, id_col="document_id", k=2 * STAGE2_K
+                restricted, q, id_col="document_id", k=2 * STAGE2_K,
+                dim=self.dim,
             ).select(F.col("document_id").alias("id"), "score")
 
         return fusion.two_stage_hybrid(
@@ -1113,6 +1118,7 @@ class SortifyEngine:
                 id_col="document_id",
                 k=k,
                 pre_filter=pred,
+                dim=self.dim,
             ).select(
                 "query_id", F.col("document_id").alias("id"), "score"
             )
@@ -1245,8 +1251,8 @@ class SortifyEngine:
             # the whole batch, each chunk row scored against ITS
             # query's embedding with the single path's exact folds
             from sortify_spark.functions.vectors import (
-                cosine_given_norms,
-                l2_norm,
+                cosine_given_norms_fixed,
+                l2_norm_fixed,
             )
 
             summary = self._scored_many(
@@ -1259,7 +1265,7 @@ class SortifyEngine:
                     .select(
                         "query_id", F.col("embedding").alias("__qvec")
                     )
-                    .withColumn("__qn", l2_norm("__qvec"))
+                    .withColumn("__qn", l2_norm_fixed("__qvec", self.dim))
                 )
                 chunk_base = self.vectors.filter(F.col("vtype") == "chunk")
                 if pred is not None:
@@ -1274,18 +1280,21 @@ class SortifyEngine:
                         ),
                         "document_id",
                     )
-                    .withColumn("__vn", l2_norm("embedding"))
+                    .withColumn(
+                        "__vn", l2_norm_fixed("embedding", self.dim)
+                    )
                     .join(q, "query_id")
                 )
                 scored = restricted.select(
                     "query_id",
                     F.col("document_id").alias("id"),
                     F.round(
-                        cosine_given_norms(
+                        cosine_given_norms_fixed(
                             F.col("embedding"),
                             F.col("__qvec"),
                             F.col("__vn"),
                             F.col("__qn"),
+                            self.dim,
                         ),
                         6,
                     ).alias("score"),
@@ -1299,11 +1308,24 @@ class SortifyEngine:
                     .drop("__r")
                 )
 
+            import os as _os
+
             return fusion.two_stage_hybrid_many(
                 summary,
                 chunk_scored_fn,
                 stage1_k=STAGE1_K,
                 top_k=STAGE2_K,
+                # Same rationale as the single-query path's knob (the
+                # stage-1 scorer is the interpreted cosine fold over the
+                # persisted vectors table, consumed by two legs) — r14
+                # same-session A/B on e2e_search_batched measured the
+                # checkpoint a win here too, so the batched path defaults
+                # ON; the env knob preserves the measured-per-deployment
+                # contract.
+                materialize_stage1=_os.environ.get(
+                    "SORTIFY_FACADE_MANY_MAT_S1", "1"
+                )
+                == "1",
             ).select("query_id", "id", "score", "tier", "rnk")
         raise ValueError(
             f"semantic_search_many does not support {search_type!r}"

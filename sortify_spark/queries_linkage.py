@@ -238,16 +238,50 @@ def pagerank_suppliers(
         # join key and checkpoint the rank vector every ~10 iterations.
         .localCheckpoint(eager=False)
     )
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=False)
+    # The two loop-invariant frames are PRE-HASHED and PRE-SORTED on
+    # their join keys (guide §2.2/§2.4 partitioning reuse; VERDICT r13
+    # next #4): every iteration's contrib join then sees the EDGE-sized
+    # ``edeg`` already hash-partitioned/sorted by ``src`` (the default
+    # plan re-shuffled and re-sorted it once per iteration — 5 edge
+    # exchanges → 1), and the rank-update left join sees ``nodes``
+    # partitioned by ``id``; since the rank vector itself derives from
+    # ``nodes``/that join, it STAYS hash-partitioned and sorted by id
+    # across iterations, so the only per-iteration exchange left is the
+    # map-side-combined groupBy(dst).  Two implementation constraints:
+    # the checkpoints must be EAGER and taken with AQE OFF — a lazy (or
+    # AQE-planned) checkpoint goes through AdaptiveSparkPlan, whose
+    # outputPartitioning is UnknownPartitioning until the final plan
+    # exists, and the LogicalRDD then loses the layout (verified on
+    # this Spark build).  Exact bigint arithmetic keeps the result
+    # independent of partitioning either way.
+    spark = orders.sparkSession
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .repartition("id")
+            .sortWithinPartitions("id")
+            .localCheckpoint(eager=True)
+        )
+        outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        edeg = (
+            edges.join(outdeg, "src")
+            .repartition("src")
+            .sortWithinPartitions("src")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    # One-row node count, materialized ONCE: it broadcasts into the pr
+    # seed and every iteration's rank update, and without the barrier
+    # each of those re-runs a full node-table count aggregate (6 extra
+    # scans + SinglePartition exchanges in the 5-iteration plan).
+    nn = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
     )
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Edge list + out-degree, built once and reused each iteration.
-    edeg = edges.join(outdeg, "src").localCheckpoint(eager=False)
     # OPT-IN rank-vector broadcast (r13 A/B, guide §3.1): with
     # SORTIFY_PR_BROADCAST_MAX_NODES=N > 0 and ≤ N nodes, every
     # iteration's contrib join broadcasts the (two-bigints-per-node)

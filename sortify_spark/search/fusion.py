@@ -262,6 +262,7 @@ def two_stage_hybrid_many(
     id_col: str = "id",
     stage1_k: int = 10,
     top_k: int = 5,
+    materialize_stage1: bool = False,
 ) -> DataFrame:
     """BATCHED :func:`two_stage_hybrid`: N queries' coarse→fine search
     in ONE plan per stage.  ``chunk_scored_fn`` receives the whole
@@ -270,10 +271,18 @@ def two_stage_hybrid_many(
     restricted to those pairs — the batched semi-join pushdown.
     Dedup-prefer-stage-2, then per-group (tier asc, score desc, id
     asc) rank ≤ top_k — per group identical to the single-query
-    operator's rows, with ``rnk`` added."""
+    operator's rows, with ``rnk`` added.
+
+    ``materialize_stage1``: lazily checkpoint the (≤ N·stage1_k rows)
+    stage-1 frame so its scoring + per-group-rank subtree evaluates
+    ONCE instead of twice (candidate semi-join + backfill union leg) —
+    the batched twin of :func:`two_stage_hybrid`'s knob, same
+    opt-in-per-measured-scorer contract, values unchanged either way."""
     stage1 = add_rank_grouped(summary_scored, group_col, id_col).filter(
         F.col("rank") <= stage1_k
     )
+    if materialize_stage1:
+        stage1 = stage1.localCheckpoint(eager=False)
     candidates = stage1.select(group_col, id_col)
     stage2 = chunk_scored_fn(candidates)
     s2 = stage2.select(

@@ -82,6 +82,7 @@ def _tokenized(
     pt_buckets: int,
     pd_buckets: int = DEFAULT_PD_BUCKETS,
     carry_cols: tuple[str, ...] = (),
+    materialize_base: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(postings, doclen) frames for one batch — the SAME whitespace
     tokenizer as ``queries_bm25.bm25_scored`` (split on single spaces,
@@ -92,7 +93,13 @@ def _tokenized(
     predicate the reference pushes into every Chroma scan,
     ``vector_db_service.py:199-221``, applied to the BM25 artifact);
     functionally dependent on ``doc_id``, so they join the posting
-    group-by keys for free."""
+    group-by keys for free.
+
+    ``materialize_base``: eagerly checkpoint the tokenized (doc_id,
+    dl, w) frame so the postings aggregate and the doclen fingerprint
+    run ONE corpus tokenize pass instead of one each (guide §6
+    one-scan; the full build opts in — an upsert batch is small enough
+    that the extra materialization is pure overhead)."""
     w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -100,6 +107,8 @@ def _tokenized(
         F.size(w).alias("dl"),
         w.alias("w"),
     )
+    if materialize_base:
+        base = base.localCheckpoint(eager=True)
     postings = (
         base.select(
             "doc_id", *carry_cols, "dl", F.explode("w").alias("term")
@@ -165,13 +174,21 @@ def build_lexical_index(
     from sortify_spark.sources.versioned import overwrite_versioned
 
     postings, doclen = _tokenized(
-        docs, id_col, text_col, pt_buckets, pd_buckets, carry_cols
+        docs, id_col, text_col, pt_buckets, pd_buckets, carry_cols,
+        materialize_base=True,
     )
     # the consumers below (stats, terms, writes) re-evaluate the
-    # tokenize+aggregate otherwise — one materialization, blocks freed
-    # by the context cleaner
-    postings = postings.localCheckpoint(eager=True)
-    doclen = doclen.localCheckpoint(eager=True)
+    # tokenize+aggregate otherwise — one materialization each, blocks
+    # freed by the context cleaner.  Both frames derive from the SAME
+    # checkpointed tokenize pass (materialize_base) and are independent
+    # of each other, so their materializations overlap from a 2-thread
+    # pool (guide §2.6) instead of running back-to-back.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ckpool:
+        f_post = ckpool.submit(postings.localCheckpoint, True)
+        f_dlen = ckpool.submit(doclen.localCheckpoint, True)
+        postings, doclen = f_post.result(), f_dlen.result()
     terms = (
         postings.groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))

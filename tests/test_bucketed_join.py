@@ -4,6 +4,8 @@ ZERO shuffle exchanges — the layout that amortizes the join shuffle at
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from sortify_spark.sources.sinks import write_bucketed
@@ -11,6 +13,7 @@ from sortify_spark.tables import load_table
 from tests.conftest import SF_DIR
 
 
+@pytest.mark.slow
 def test_bucketed_join_has_no_shuffle(spark):
     docs = load_table(spark, SF_DIR, "documents").select(
         "doc_id", "lang", "n_chars"
@@ -42,6 +45,7 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS b_stats")
 
 
+@pytest.mark.slow
 def test_semdedup_over_bucketed_embeddings_no_shuffle(spark):
     """SemDeDup's only wide dependency is the group-by-label handoff to
     the per-block kernel.  With the embeddings table bucketed BY label,

@@ -3,6 +3,8 @@ surface, facade integration."""
 
 from __future__ import annotations
 
+import pytest
+
 from sortify_spark.cache import QueryResultCache
 
 
@@ -69,6 +71,7 @@ def test_invalidate_clear_cleanup(spark):
     assert cache.clear() == 1
 
 
+@pytest.mark.slow
 def test_facade_cached_search(spark):
     from sortify_spark.facade import SortifyEngine
     from tests.conftest import SF_DIR

@@ -110,6 +110,7 @@ def test_modk_rejects_non_numeric_ids(spark):
         out.collect()
 
 
+@pytest.mark.slow
 def test_modk_numeric_ids_still_pass(spark):
     ok = spark.createDataFrame(
         [("u1", str(i), [float(i % 3), 1.0]) for i in range(12)],
@@ -122,6 +123,7 @@ def test_modk_numeric_ids_still_pass(spark):
 # --- round 10 (VERDICT r9 #7): injectable exact-DBSCAN density kernel ---
 
 
+@pytest.mark.slow
 def test_dbscan_kernel_contract(spark, vectors):
     """The dbscan kernel satisfies the same M1 contract as the k-means
     twin: deterministic, −1 noise present, probabilities in [0,1] with

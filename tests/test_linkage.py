@@ -3,6 +3,8 @@ record linker and exact-integer determinism of PageRank."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sortify_spark.queries_linkage import (
@@ -37,6 +39,7 @@ def test_fuzzy_link_finds_within_block_pairs(spark):
     assert all(a < b for a, b in pairs)
 
 
+@pytest.mark.slow
 def test_fuzzy_link_guard_invariant(spark):
     """Forcing the hot-bucket guard on (every token block over-cap,
     sub-split) must leave the linked pair set identical — the r7
@@ -85,6 +88,7 @@ def _graph(spark):
     return orders, lineitem
 
 
+@pytest.mark.slow
 def test_pagerank_in_degree_dominates(spark):
     orders, lineitem = _graph(spark)
     out = pagerank_suppliers(orders, lineitem, top=10).collect()
@@ -95,6 +99,7 @@ def test_pagerank_in_degree_dominates(spark):
     assert sum(r.pr_units for r in out) <= PR_SCALE
 
 
+@pytest.mark.slow
 def test_pagerank_bit_identical_under_repartition(spark):
     orders, lineitem = _graph(spark)
     a = pagerank_suppliers(orders, lineitem, top=10).collect()
@@ -141,6 +146,7 @@ def test_pagerank_convergence_stop_matches_fixed_iters(spark):
     assert [tuple(r) for r in fixa] == [tuple(r) for r in fixb]
 
 
+@pytest.mark.slow
 def test_pagerank_dangling_conserves_mass(spark):
     """With dangling=True total rank mass stays within integer-
     truncation distance of PR_SCALE (<= 2 units lost per node per

@@ -8,6 +8,8 @@ and the files read shrink to the matching partitions only.
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 
 import pyspark.sql.functions as F
@@ -46,6 +48,7 @@ def test_date_partition_pruning(spark):
         assert q.count() == part.filter(F.col("day") == one_day).count()
 
 
+@pytest.mark.slow
 def test_lsh_bucket_partition_pruning(spark):
     """SCALE.md claims the facade LSH probe becomes PARTITION PRUNING
     when the vector index is stored partitioned by bucket key: the

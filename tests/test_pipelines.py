@@ -159,6 +159,7 @@ def test_daily_trend_stream_matches_batch(spark):
         assert got == want
 
 
+@pytest.mark.slow
 def test_daily_trend_stream_drops_late_data(spark):
     """Watermark late-data semantics hash-style-checked against the
     batch oracle (VERDICT r3 item 6): a row planted BEHIND the watermark
@@ -773,6 +774,7 @@ def test_upsert_stream_versioned_snapshots(spark, docs):
         assert first.filter(F.col("n_chars") >= 1000).count() == 0
 
 
+@pytest.mark.slow
 def test_admission_stream_dedups_against_corpus(spark):
     """Streaming corpus admission: micro-batches are screened against
     the standing versioned corpus — exact twins and verified LSH
@@ -885,6 +887,7 @@ def test_upsert_stream_auto_compaction(spark, docs):
         assert {r["doc_id"] for r in now.collect()} == set(range(30))
 
 
+@pytest.mark.slow
 def test_rollup_stream_incremental_late_data_exactly_once(spark):
     """Continuous aggregate: per-(day, batch_id) partials folded at read
     time equal the batch aggregate over everything fed, late rows for
@@ -957,6 +960,7 @@ def test_rollup_stream_incremental_late_data_exactly_once(spark):
         assert folded() == want
 
 
+@pytest.mark.slow
 def test_admission_stream_semantic_screen(spark):
     """The optional semantic screen rejects a token PERMUTATION of a
     corpus doc — different fingerprint, different shingles (the exact
@@ -1017,6 +1021,7 @@ def test_admission_stream_semantic_screen(spark):
         assert got2 == {1, 11}
 
 
+@pytest.mark.slow
 def test_admission_stream_indexed_sides_and_crash_heal(spark):
     """use_index=True: the corpus side of both near-dup screens reads
     versioned side tables maintained by the admission commits; verify
@@ -1149,6 +1154,7 @@ def test_admission_stream_indexed_sides_and_crash_heal(spark):
         assert got == {1, 12, 13, 21}  # near-dup of 21 → rejected
 
 
+@pytest.mark.slow
 def test_admission_stream_maintains_lexical_index(spark):
     """lexical_index=True: an admitted document is keyword-searchable
     through the persisted BM25 artifact at trigger end, the artifact
@@ -1259,6 +1265,7 @@ def test_admission_stream_maintains_lexical_index(spark):
             assert probe_all(lex, terms) == probe_all(ref2, terms), terms
 
 
+@pytest.mark.slow
 def test_admission_stream_degenerate_texts(spark):
     """Empty and whitespace-only docs must flow through every screen
     without crashing: they are bandless (no shingles) and zero-vector
@@ -1315,6 +1322,7 @@ def test_admission_stream_degenerate_texts(spark):
         assert {r["id"] for r in bands.collect()} == {3, 11}
 
 
+@pytest.mark.slow
 def test_admission_replay_center_exists_empty_corpus(spark):
     """Crash-replay regression (ADVICE r6 medium): a crash between
     ``_write_center`` and the corpus commit leaves the semantic-center
@@ -1364,6 +1372,7 @@ def test_admission_replay_center_exists_empty_corpus(spark):
         assert read_versioned(spark, table + "__emb", "pb").count() >= 1
 
 
+@pytest.mark.slow
 def test_admission_sides_fold_mid_stream(spark):
     """Long-stream LSM maintenance (VERDICT r5 item 7): the band and
     embedding side tables accumulate one `pb` partition per micro-batch;
@@ -1489,6 +1498,7 @@ def test_admission_sides_fold_mid_stream(spark):
             assert hot_ids == {102}, side
 
 
+@pytest.mark.slow
 def test_admission_auto_fold_bounds_side_partitions(spark):
     """fold_sides_over=2: a long stream keeps each side table at
     <= base + hot-tail partitions automatically, and admission
@@ -1550,6 +1560,7 @@ def test_admission_auto_fold_bounds_side_partitions(spark):
         assert got == {0, 1, 2, 3, 4, 101}
 
 
+@pytest.mark.slow
 def test_facade_add_documents_incremental_index(spark, tmp_path):
     """The upload path keeps the persisted IVF artifact current:
     a small add goes through upsert_ivf_index (quantizer version
@@ -1605,6 +1616,7 @@ def test_facade_add_documents_incremental_index(spark, tmp_path):
     assert m3["centroid_version"] > m1["centroid_version"]
 
 
+@pytest.mark.slow
 def test_facade_lexical_index_serving_and_pinning(spark, tmp_path):
     """keyword/hybrid_lexical serve from the PERSISTED BM25 artifact:
     first search builds version 1, index and scan paths agree
@@ -1733,6 +1745,7 @@ def test_lexical_build_anchor_consistent_with_tables(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_facade_delete_maintains_lexical_and_ivf(spark, tmp_path):
     """S10 on the persisted artifacts (VERDICT r8 next #1): deleting a
     document removes it from keyword/hybrid_lexical AND ivf serving
@@ -1905,6 +1918,7 @@ def test_lexical_pd_buckets_recorded_and_honored(spark, tmp_path):
     assert dupes.isEmpty()
 
 
+@pytest.mark.slow
 def test_facade_batched_serving_matches_per_query(spark, tmp_path):
     """semantic_search_many (ONE plan per leg for N queries) returns,
     per query, the SAME rows as the semantic_search loop — across the
@@ -1989,6 +2003,7 @@ def test_facade_batched_serving_matches_per_query(spark, tmp_path):
         eng.semantic_search_many({"x": "   "}, "keyword")
 
 
+@pytest.mark.slow
 def test_ivf_batched_probe_matches_single(spark, tmp_path):
     """probe_ivf_index_many (N queries, ONE union-of-buckets plan)
     returns per query exactly the single probe's ranked list — same
@@ -2052,6 +2067,7 @@ def test_ivf_batched_probe_matches_single(spark, tmp_path):
         assert batched.get(q, set()) == single, q
 
 
+@pytest.mark.slow
 def test_lexical_upsert_heals_orphaned_partial_commit(spark, tmp_path):
     """Crash INSIDE upsert_lexical_index (postings + doclen committed,
     terms ANCHOR not): probes keep serving the pre-crash snapshot, and
@@ -2106,6 +2122,7 @@ def test_lexical_upsert_heals_orphaned_partial_commit(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_lexical_artifact_vacuum_preserves_current_probe(spark, tmp_path):
     """Vacuum on the lexical artifact's tables reclaims superseded
     version dirs without touching the CURRENT anchored snapshot: after
@@ -2354,6 +2371,7 @@ def test_paradedup_apply_replay_idempotent(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_owner_scoped_search_every_strategy(spark, tmp_path):
     """Every facade strategy (dense exact, LSH, IVF, keyword via the
     owner-carrying BM25 artifact, hybrid_lexical, two-stage hybrid,
@@ -2423,6 +2441,7 @@ def test_owner_scoped_search_every_strategy(spark, tmp_path):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_owner_scoped_batched_matches_per_query(spark, tmp_path):
     """semantic_search_many(owner_id=...) parity: per-query rows match
     the single-query loop for every batched strategy (round-6 for the
@@ -2494,6 +2513,7 @@ def test_owner_scoped_requires_owner_col(spark):
         eng.semantic_search_many({"q": "data"}, "summary_only", owner_id="u1")
 
 
+@pytest.mark.slow
 def test_owner_scoped_artifacts_survive_mutations(spark, tmp_path):
     """Owner metadata stays correct through the artifact lifecycle:
     add_documents upserts owner-carrying postings/assign rows (the new
@@ -2570,6 +2590,7 @@ def test_owner_scoped_artifacts_survive_mutations(spark, tmp_path):
     assert a and b and not (a & b)
 
 
+@pytest.mark.slow
 def test_lsh_batched_probe_matches_single(spark, tmp_path):
     """lsh_portable_topk_many (VERDICT r9 #3): per-query rows through
     semantic_search_many(ann='lsh') are IDENTICAL to the single-query
@@ -2632,6 +2653,7 @@ def test_lsh_batched_probe_matches_single(spark, tmp_path):
         assert got == single, qid
 
 
+@pytest.mark.slow
 def test_facade_maintain_indexes(spark, tmp_path):
     """One maintenance entrypoint for the persisted artifacts: after a
     few mutations, maintain_indexes() vacuums old version dirs while
@@ -2710,6 +2732,7 @@ def test_facade_maintain_indexes(spark, tmp_path):
     assert probes() == before_probe
 
 
+@pytest.mark.slow
 def test_facade_maintain_indexes_real_compaction(spark, tmp_path):
     """maintain_indexes with genuinely fragmented artifact partitions
     (another writer splitting files via maxRecordsPerFile): compaction
@@ -2784,6 +2807,7 @@ def test_facade_maintain_indexes_real_compaction(spark, tmp_path):
     assert kw_probe() == before
 
 
+@pytest.mark.slow
 def test_facade_maintain_indexes_stale_pin_skips_repin(spark, tmp_path):
     """If the terms anchor's pin does NOT equal the paired table's
     pre-compaction version (a crash landed between the postings commit
@@ -2839,6 +2863,7 @@ def test_facade_maintain_indexes_stale_pin_skips_repin(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_facade_maintain_indexes_stale_pin_no_compaction(spark, tmp_path):
     """The stale-pin guard must engage even when NOTHING compacts
     (r11 review finding): vacuum reclaims ANY manifest at or below the
@@ -2930,6 +2955,7 @@ def test_facade_delete_vectors_batch_cap(spark, tmp_path):
     eng.delete_vectors([str(i) for i in range(5)])
 
 
+@pytest.mark.slow
 def test_facade_mutation_storage_clean(spark, tmp_path):
     """Storage-leak gate over the facade mutation lifecycle (VERDICT
     r10 #5): N add/search/delete cycles must reach a STEADY storage
@@ -3003,6 +3029,7 @@ def test_facade_mutation_storage_clean(spark, tmp_path):
     assert not leaked, f"storage blocks leaked past release(): {leaked}"
 
 
+@pytest.mark.slow
 def test_owner_scoped_ivf_batched_matches_single_composed(
     spark, tmp_path
 ):
@@ -3077,6 +3104,7 @@ def test_owner_scoped_ivf_batched_matches_single_composed(
             assert got == exact, qid
 
 
+@pytest.mark.slow
 def test_delete_vectors_batched_2500_ids(spark, tmp_path):
     """delete_vectors_batched (VERDICT r11 #5 / r12 advice): a 2,500-id
     deletion set — above the 1,000-id per-plan cap delete_vectors
@@ -3174,6 +3202,7 @@ def test_delete_vectors_batched_2500_ids(spark, tmp_path):
     eng.release()
 
 
+@pytest.mark.slow
 def test_ivf_occupancy_cache_once_per_snapshot(spark, tmp_path, monkeypatch):
     """The per-tenant occupancy set behind the composed owner-scoped
     IVF default is computed ONCE per (tenant, snapshot) and cached
@@ -3442,6 +3471,7 @@ def test_facade_builds_pass_derived_layout_floor(spark, tmp_path):
     eng.release()
 
 
+@pytest.mark.slow
 def test_warm_ivf_occupancy_one_scan_for_all_tenants(
     spark, tmp_path, monkeypatch,
 ):

@@ -478,3 +478,34 @@ def test_fan_out_gated_on_partition_count(spark):
 
     wide = spark.range(100).repartition(par)
     assert fan_out(wide) is wide
+
+
+def test_pagerank_iterations_reuse_edge_partitioning(spark):
+    """r14: the edge+degree frame and the node table are pre-hashed /
+    pre-sorted on their join keys behind eager checkpoints, so the only
+    per-iteration exchange left is the groupBy(dst) contrib aggregate —
+    no iteration may re-shuffle the edge table (src) or the rank vector
+    (id)."""
+    plan = _plan(spark, "pagerank_suppliers")
+    import re
+
+    args = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert args, "expected the per-iteration contrib exchanges"
+    assert set(args) == {"dst"}, f"unexpected exchange keys: {set(args)}"
+
+
+def test_incremental_dedup_single_signature_scan(spark):
+    """r14: the batch and corpus signature passes are fused into ONE
+    corpus-wide pass split by filter — the plan must hold exactly one
+    documents scan under the signature subtree plus the two fingerprint
+    legs (3 distinct parquet scan operators total)."""
+    df = REGISTRY["incremental_dedup_new_docs"].fn(spark, SF_DIR)
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", buf.getvalue()))
+    assert len(scans) <= 3, f"expected <=3 distinct scans, got {scans}"

@@ -5,6 +5,8 @@ rows-only entries the import guard cannot cover."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from sortify_spark.all_queries import PRIORITY, REGISTRY
@@ -40,6 +42,7 @@ def test_registry_reachability():
         assert n in REGISTRY and REGISTRY[n].sql is not None, n
 
 
+@pytest.mark.slow
 def test_rows_only_queries_execute(spark):
     """Rows-only registry entries (no oracle by nature) cannot earn a
     hash-checked driver row — run EVERY one not already covered by

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from sortify_spark.all_queries import REGISTRY
@@ -138,6 +140,7 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     assert len(got) == len(want_ids)
 
 
+@pytest.mark.slow
 def test_streaming_dedup_state_across_batches(spark, tmp_path):
     """With one file per trigger, a fingerprint seen in batch 1 must be
     suppressed in batch 2 — state outlives the microbatch."""

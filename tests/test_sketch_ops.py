@@ -4,6 +4,8 @@ with DuckDB is covered by test_oracle_parity."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sortify_spark.all_queries import REGISTRY
@@ -390,6 +392,7 @@ def test_ppjoin_prefix_filters_lose_no_true_pair(docs):
     assert not missing, f"prefix filtering lost true pairs: {missing}"
 
 
+@pytest.mark.slow
 def test_ppjoin_spark_matches_bruteforce(spark):
     """End-to-end: the Spark operator's verified pair set and overlap
     counts equal a python brute force over an adversarial corpus (heavy
@@ -444,6 +447,7 @@ def test_ppjoin_spark_matches_bruteforce(spark):
         assert via == want, kw
 
 
+@pytest.mark.slow
 def test_ppjoin_auto_order_choice(spark):
     """order='auto' keeps hash order on a uniform corpus (no over-cap
     prefix bucket) and switches to ascending-df order on a flooded one

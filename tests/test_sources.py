@@ -854,6 +854,7 @@ def test_versioned_table_atomic_upsert_time_travel_rollback(spark):
             read_versioned(spark, path, "source", version=3)
 
 
+@pytest.mark.slow
 def test_versioned_compact_diff_delete(spark):
     """Round-4 versioned-table extensions: OPTIMIZE-style compaction is
     pure layout (rows identical, time travel intact, CDC-empty), diff
@@ -1276,6 +1277,7 @@ def test_versioned_write_files_per_partition(spark):
         assert got == {(i, i * 2) for i in range(400)}
 
 
+@pytest.mark.slow
 def test_versioned_model_based_random_ops(spark):
     """Model-based check of the versioned-store protocol: a seeded
     random sequence of upserts / keyed deletes / compactions / restores
@@ -1789,6 +1791,7 @@ def _layout_files_per_partition(path):
     }
 
 
+@pytest.mark.slow
 def test_layout_growth_repin_heals_file_explosion(spark):
     """A roll pinned on a tiny build makes a grown partition's rewrite
     fragment into ceil(rows/roll) files (r12 advice): compact must

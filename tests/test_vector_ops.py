@@ -4,6 +4,7 @@ determinism, normalization."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pyspark.sql.functions as F
 
 from sortify_spark.functions.vectors import hash_embed_text, l2_normalize
@@ -733,6 +734,7 @@ def test_versioned_read_pre_filter_pushdown(spark, tmp_path):
     )[0], pushed
 
 
+@pytest.mark.slow
 def test_ivf_batched_escalation_parity_with_single(spark, tmp_path):
     """Batched owner-scoped probes must not under-recall vs the single
     path: probe_ivf_index_many(min_candidates=k) escalates PER QUERY
@@ -844,6 +846,7 @@ def test_ivf_escalated_probe_survives_emptied_bucket(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_ivf_batched_composed_occupancy_parity_with_single(
     spark, tmp_path
 ):
@@ -915,6 +918,7 @@ def test_ivf_batched_composed_occupancy_parity_with_single(
     assert set(empty.columns) == {"query_id", "vec_id", "score", "rnk"}
 
 
+@pytest.mark.slow
 def test_ivf_probe_recall_floor(spark, tmp_path):
     """min_probe_buckets — the RECALL FLOOR (VERDICT r12 #1): for a
     DENSE tenant the candidate-count escalation stops with ≥ k
@@ -995,6 +999,7 @@ def test_ivf_probe_recall_floor(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ivf_batched_recall_floor_parity_with_single(spark, tmp_path):
     """The batched probe's min_probe_buckets matches the single path
     per query exactly (the facade serves the SAME composed-plus-floor
@@ -1110,3 +1115,82 @@ def test_two_stage_materialize_stage1_identical_rows(spark):
             summary, f, stage1_k=10, top_k=5, materialize_stage1=True
         )
         assert base.collect() == ckpt.collect()
+
+
+def test_fixed_dim_folds_bit_identical(spark):
+    """r14: dot_fixed / l2_norm_fixed / cosine_given_norms_fixed unroll
+    the interpreted aggregate folds for a statically known dim — the
+    values must be BIT-identical to the fold forms (same IEEE op
+    sequence including the 0.0 seed), over negatives, zero vectors, and
+    denormal-ish magnitudes."""
+    from sortify_spark.functions.vectors import (
+        cosine_given_norms,
+        cosine_given_norms_fixed,
+        dot,
+        dot_fixed,
+        l2_norm,
+        l2_norm_fixed,
+    )
+
+    rows = [
+        ([1.0, -2.5, 3.25, 0.0], [4.0, 0.5, -1.75, 2.0]),
+        ([0.0, 0.0, 0.0, 0.0], [-1.0, 2.0, -3.0, 4.0]),
+        ([1e-300, -1e300, 3.141592653589793, -0.0], [2.0, 1e-300, -1.0, 5.0]),
+        ([0.1, 0.2, 0.3, 0.4], [0.4, 0.3, 0.2, 0.1]),
+    ]
+    df = spark.createDataFrame(
+        rows, "a array<double>, b array<double>"
+    ).select(
+        dot("a", "b").alias("d0"),
+        dot_fixed("a", "b", 4).alias("d1"),
+        l2_norm("a").alias("n0"),
+        l2_norm_fixed("a", 4).alias("n1"),
+        cosine_given_norms("a", "b", l2_norm("a"), l2_norm("b")).alias("c0"),
+        cosine_given_norms_fixed(
+            "a", "b", l2_norm_fixed("a", 4), l2_norm_fixed("b", 4), 4
+        ).alias("c1"),
+    )
+    import struct
+
+    for r in df.collect():
+        for x, y in ((r.d0, r.d1), (r.n0, r.n1), (r.c0, r.c1)):
+            assert struct.pack("<d", x) == struct.pack("<d", y), (x, y)
+
+
+def test_two_stage_many_materialize_stage1_identical_rows(spark):
+    """r14: the batched twin of the stage-1 checkpoint knob is a
+    scheduling change only — per-group rows (values AND rnk) must match
+    the default plan, including the all-backfill path."""
+    from sortify_spark.search import fusion
+
+    summary = spark.range(0, 80).select(
+        (F.col("id") % 2).cast("string").alias("query_id"),
+        F.col("id"),
+        (F.col("id") % 7).cast("double").alias("score"),
+    )
+    chunks = spark.range(0, 80).select(
+        (F.col("id") % 2).cast("string").alias("query_id"),
+        F.col("id"),
+        (F.col("id") % 3 + 10).cast("double").alias("score"),
+    )
+
+    def fn(c):
+        return chunks.join(
+            F.broadcast(c), ["query_id", "id"], "left_semi"
+        ).filter(F.col("score") > 11)
+
+    def fn_empty(c):
+        return chunks.join(
+            F.broadcast(c), ["query_id", "id"], "left_semi"
+        ).filter(F.col("score") > 1e9)
+
+    for f in (fn, fn_empty):
+        base = fusion.two_stage_hybrid_many(
+            summary, f, stage1_k=10, top_k=5
+        )
+        ckpt = fusion.two_stage_hybrid_many(
+            summary, f, stage1_k=10, top_k=5, materialize_stage1=True
+        )
+        key = ["query_id", "rnk"]
+        assert sorted(base.collect(), key=lambda r: (r.query_id, r.rnk)) == \
+            sorted(ckpt.collect(), key=lambda r: (r.query_id, r.rnk))
