@@ -32,8 +32,9 @@ def main() -> None:
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     new_fn = REGISTRY[query].fn
     snap = dict(REGISTRY)
+    ref = os.environ.get("AB_REF", "HEAD")
     src = subprocess.check_output(
-        ["git", "-C", REPO, "show", f"HEAD:sortify_spark/{module}.py"],
+        ["git", "-C", REPO, "show", f"{ref}:sortify_spark/{module}.py"],
         text=True,
     )
     g = {"__name__": f"old_{module}"}

@@ -399,12 +399,8 @@ class SortifyEngine:
             )
         else:
             base = self.vectors.filter(F.col("vtype") == vtype)
-            # dim=self.dim: every vectors-table row is produced by this
-            # engine's encoder at self.dim, so the unrolled codegen
-            # folds apply (bit-identical; guide §4.1)
             topk = brute_force_topk(
-                base, q, id_col="document_id", k=k, pre_filter=pred,
-                dim=self.dim,
+                base, q, id_col="document_id", k=k, pre_filter=pred
             )
         return (
             topk.select(F.col("document_id").alias("id"), "score")
@@ -982,8 +978,7 @@ class SortifyEngine:
                 "left_semi",
             )
             return brute_force_topk(
-                restricted, q, id_col="document_id", k=2 * STAGE2_K,
-                dim=self.dim,
+                restricted, q, id_col="document_id", k=2 * STAGE2_K
             ).select(F.col("document_id").alias("id"), "score")
 
         return fusion.two_stage_hybrid(
@@ -1118,7 +1113,6 @@ class SortifyEngine:
                 id_col="document_id",
                 k=k,
                 pre_filter=pred,
-                dim=self.dim,
             ).select(
                 "query_id", F.col("document_id").alias("id"), "score"
             )
@@ -1251,8 +1245,8 @@ class SortifyEngine:
             # the whole batch, each chunk row scored against ITS
             # query's embedding with the single path's exact folds
             from sortify_spark.functions.vectors import (
-                cosine_given_norms_fixed,
-                l2_norm_fixed,
+                cosine_given_norms,
+                l2_norm,
             )
 
             summary = self._scored_many(
@@ -1265,7 +1259,7 @@ class SortifyEngine:
                     .select(
                         "query_id", F.col("embedding").alias("__qvec")
                     )
-                    .withColumn("__qn", l2_norm_fixed("__qvec", self.dim))
+                    .withColumn("__qn", l2_norm("__qvec"))
                 )
                 chunk_base = self.vectors.filter(F.col("vtype") == "chunk")
                 if pred is not None:
@@ -1280,21 +1274,18 @@ class SortifyEngine:
                         ),
                         "document_id",
                     )
-                    .withColumn(
-                        "__vn", l2_norm_fixed("embedding", self.dim)
-                    )
+                    .withColumn("__vn", l2_norm("embedding"))
                     .join(q, "query_id")
                 )
                 scored = restricted.select(
                     "query_id",
                     F.col("document_id").alias("id"),
                     F.round(
-                        cosine_given_norms_fixed(
+                        cosine_given_norms(
                             F.col("embedding"),
                             F.col("__qvec"),
                             F.col("__vn"),
                             F.col("__qn"),
-                            self.dim,
                         ),
                         6,
                     ).alias("score"),

@@ -86,6 +86,88 @@ def expr_embed(text: Column | str, dim: int = EXPR_EMBED_DIM) -> Column:
     )
 
 
+#: Vocab-map embed gate: the per-distinct-token hash table is BROADCAST
+#: (one map row of ~(token + dim·8B) per entry), so it is only safe for
+#: bounded vocabularies — ~100 MB at 1M entries / dim 8.  Above the cap
+#: the caller falls back to the per-occurrence fold.  Deploy-tunable.
+VOCAB_EMBED_MAX = 262_144
+
+
+def vocab_embed_frame(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = EXPR_EMBED_DIM,
+    max_vocab: int | None = None,
+):
+    """(id, e) embedding frame computed via a per-DISTINCT-token hash
+    table instead of per-occurrence md5 folds — BIT-IDENTICAL to
+    ``expr_embed`` (r14 prototype: 0 mismatching components over sf0.1;
+    1.3× faster, winning every alternating block).
+
+    Why it is exact: component j of the raw embedding is the
+    left-to-right fold ``Σ_tokens h(token, j)``; here the fold runs over
+    the SAME tokens in the SAME order, each term fetched from a
+    broadcast ``map<token, array<double>>`` built with the SAME ``_h``
+    expression — identical IEEE op sequence, only the md5 work moves
+    from tokens×dim evaluations to vocab×dim (corpus vocabularies are
+    Zipfian, so vocab ≪ token occurrences).
+
+    Scale guard: the map is driver/executor-resident, so the vocabulary
+    is counted first (one cheap codegen'd aggregate) and ``None`` is
+    returned past ``max_vocab`` — callers keep the per-row fold as the
+    unbounded-vocabulary fallback (same result either way)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if max_vocab is None:
+        max_vocab = int(
+            os.environ.get("SORTIFY_EMBED_VOCAB_MAX", str(VOCAB_EMBED_MAX))
+        )
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks")
+    )
+    distinct_toks = toks.select(F.explode("toks").alias("t")).distinct()
+    if max_vocab >= 0:
+        n_vocab = distinct_toks.count()
+        if n_vocab > max_vocab:
+            return None
+    vocab = distinct_toks.select(
+        "t",
+        F.array(*[_h(F.col("t"), F.lit(j)) for j in range(dim)]).alias("v"),
+    )
+    vmap = F.broadcast(
+        vocab.agg(
+            F.map_from_entries(F.collect_list(F.struct("t", "v"))).alias(
+                "m"
+            )
+        )
+    )
+    zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
+    raw = F.aggregate(
+        F.col("toks"),
+        zeros,
+        lambda acc, t: F.zip_with(
+            acc, F.element_at(F.col("m"), t), lambda x, y: x + y
+        ),
+    )
+    j = toks.crossJoin(vmap).select("id", raw.alias("raw"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("raw"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return j.select(
+        "id",
+        F.when(norm == 0.0, F.col("raw"))
+        .otherwise(F.transform(F.col("raw"), lambda x: x / norm))
+        .alias("e"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB renderings (the oracle side of the same math)
 # ---------------------------------------------------------------------------

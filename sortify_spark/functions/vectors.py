@@ -36,47 +36,6 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
-    """Bit-identical unrolled form of :func:`dot` for a STATICALLY KNOWN
-    dimension: ``((0.0 + a[0]·b[0]) + a[1]·b[1]) + …`` — the exact IEEE
-    op sequence of the aggregate fold (seed included, left-to-right),
-    but built from scalar ``getItem`` expressions, so the projection
-    whole-stage-codegens instead of interpreting two lambda folds per
-    row (guide §4.1: prefer codegen'd built-ins over interpreted HOFs).
-
-    Contract: both arrays must have EXACTLY ``dim`` elements — a shorter
-    array yields null (out-of-range ``getItem``) where the fold form
-    would return a partial sum, so only call this where the length is
-    fixed by construction (e.g. ``expr_embed(dim)`` outputs)."""
-    aa, bb = _as_double(a), _as_double(b)
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + aa.getItem(i) * bb.getItem(i)
-    return acc
-
-
-def l2_norm_fixed(a: Column | str, dim: int) -> Column:
-    """Bit-identical unrolled form of :func:`l2_norm` for a statically
-    known dimension (same contract and rationale as :func:`dot_fixed`)."""
-    aa = _as_double(a)
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + aa.getItem(i) * aa.getItem(i)
-    return F.sqrt(acc)
-
-
-def cosine_given_norms_fixed(
-    a: Column | str, b: Column | str, na: Column, nb: Column, dim: int
-) -> Column:
-    """:func:`cosine_given_norms` with the dot unrolled via
-    :func:`dot_fixed` — same zero-norm guard, same multiply/divide
-    order, zero interpreted lambdas in the scoring projection."""
-    n = na * nb
-    return F.when(n == 0.0, F.lit(0.0)).otherwise(
-        dot_fixed(a, b, dim) / n
-    )
-
-
 def l2_norm(a: Column | str) -> Column:
     return F.sqrt(
         F.aggregate(

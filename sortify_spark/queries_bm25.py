@@ -241,7 +241,7 @@ def hybrid_lexical_semantic(docs: DataFrame) -> DataFrame:
     """Top-10 fused: (doc_id, rrf_score, lex_rank, sem_rank) — BM25
     lexical ranks x expression-encoder dense ranks, RRF k=60."""
     from sortify_spark.functions.sql_embed import expr_embed
-    from sortify_spark.functions.vectors import dot_fixed
+    from sortify_spark.functions.vectors import dot
 
     # Pre-bound with TakeOrdered BEFORE the unpartitioned rank window:
     # a bare Window.orderBy is a single-partition sort over every
@@ -278,22 +278,34 @@ def hybrid_lexical_semantic(docs: DataFrame) -> DataFrame:
     # projection and the dot so CollapseProject cannot inline the
     # embedding tree into every fold element (30 s -> ~1 s at sf0.1 —
     # same lesson as semdedup_docs).
+    # r14 (VERDICT r13 next #3): the md5 work itself moves to one
+    # evaluation per DISTINCT (token, j) via the broadcast vocab-map
+    # form — bit-identical fold (proven componentwise at sf0.1), 1.3×
+    # faster on the dense leg every alternating block; falls back to
+    # the per-occurrence fold past the vocabulary-size gate.
+    from sortify_spark.functions.sql_embed import vocab_embed_frame
     from sortify_spark.operators.partitioning import fan_out
 
-    emb = fan_out(docs).select(
-        "doc_id", expr_embed(F.col("text"), dim=SEM_DIM).alias("e")
+    vf = vocab_embed_frame(fan_out(docs), id_col="doc_id", dim=SEM_DIM)
+    emb = (
+        vf.withColumnRenamed("id", "doc_id")
+        if vf is not None
+        else fan_out(docs).select(
+            "doc_id", expr_embed(F.col("text"), dim=SEM_DIM).alias("e")
+        )
     ).localCheckpoint(eager=True)
     # Same TakeOrdered pre-bound as the lexical list above.
     sem = (
         emb.crossJoin(qe)
         .withColumn(
-            # dot_fixed: both vectors are expr_embed(dim=SEM_DIM) outputs
-            # (exactly SEM_DIM elements by construction), so the unrolled
-            # form is bit-identical to the aggregate fold and the scoring
-            # projection whole-stage-codegens — main-plan lambdas 2 → 0
-            # (guide §4.1; VERDICT r13 next #3).
+            # NOTE (r14): an unrolled fixed-dim dot (e[0]*qv[0] + …,
+            # bit-identical op sequence) was tried here per VERDICT r13
+            # next #3 and REJECTED by measurement — the interpreted
+            # aggregate fold beat the unrolled codegen form 1.3× at
+            # dim 8 and 6× at dim 64 (the giant flat expression defeats
+            # JIT; micro-A/B in OPTIMIZATION_r14.md).  The fold stays.
             "cos",
-            F.round(dot_fixed(F.col("e"), F.col("qv"), SEM_DIM), 9),
+            F.round(dot(F.col("e"), F.col("qv")), 9),
         )
         .orderBy(F.desc("cos"), F.asc("doc_id"))
         .limit(FUSE_K)

@@ -22,12 +22,6 @@ from sortify_spark.functions.vectors import cosine, cosine_given_norms, l2_norm
 
 # --- shared scorer builders -------------------------------------------------
 
-#: Fixed width of the generated ``embeddings`` table — the same constant
-#: every IVF/PQ oracle in this module is generated with (``dim=64``).
-#: Passing it to the knn scorers switches their norm/cosine folds to the
-#: unrolled codegen forms (bit-identical values; guide §4.1).
-EMB_DIM = 64
-
 _KW_TERMS = (("data", 1.0), ("query", 0.5), ("join", 0.25))
 
 
@@ -65,8 +59,7 @@ def _cosine_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     return knn.score_vectors(
-        emb.filter(F.col("vec_id") != 0), q, carry_cols=("label",),
-        dim=EMB_DIM,
+        emb.filter(F.col("vec_id") != 0), q, carry_cols=("label",)
     ).select(F.col("vec_id").alias("id"), "label", "score")
 
 
@@ -94,7 +87,6 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         threshold=0.1,
         carry_cols=("label",),
-        dim=EMB_DIM,
     ).select(F.col("vec_id").alias("id"), "label", "score")
 
 

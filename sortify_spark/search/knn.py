@@ -13,31 +13,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sortify_spark.functions.vectors import (
-    cosine,
-    cosine_given_norms,
-    cosine_given_norms_fixed,
-    dot,
-    l2_norm,
-    l2_norm_fixed,
-)
+from sortify_spark.functions.vectors import cosine, cosine_given_norms, dot, l2_norm
 
 DEFAULT_TOP_K = 10
 DEFAULT_THRESHOLD = 0.5
-
-
-def _norm_of(col, dim: int | None):
-    """l2 norm, unrolled (codegen) when the vector width is statically
-    known — bit-identical to the fold (see ``vectors.l2_norm_fixed``)."""
-    return l2_norm_fixed(col, dim) if dim else l2_norm(col)
-
-
-def _cos_of(a, b, na, nb, dim: int | None):
-    return (
-        cosine_given_norms_fixed(a, b, na, nb, dim)
-        if dim
-        else cosine_given_norms(a, b, na, nb)
-    )
 
 
 def score_vectors(
@@ -48,33 +27,26 @@ def score_vectors(
     threshold: float | None = None,
     pre_filter: Column | None = None,
     carry_cols: tuple[str, ...] = (),
-    dim: int | None = None,
 ) -> DataFrame:
     """Score every vector against the broadcast 1-row query (cosine,
     rounded 6), with optional pre-filter (the owner/type predicates the
     reference pushes into the Chroma ``where``,
-    ``vector_db_service.py:193-224``) and τ post-filter (``:226-246``).
-
-    ``dim``: the statically known vector width, when the caller's data
-    guarantees it (a facade vectors table, the fixed-width embeddings
-    table) — switches the norm/dot folds to their unrolled codegen
-    forms (bit-identical values, zero interpreted lambdas per row)."""
+    ``vector_db_service.py:193-224``) and τ post-filter (``:226-246``)."""
     q = F.broadcast(
         query.select(F.col(vec_col).alias("__qvec")).withColumn(
-            "__qn", _norm_of("__qvec", dim)
+            "__qn", l2_norm("__qvec")
         )
     )
     base = vectors.filter(pre_filter) if pre_filter is not None else vectors
     # Norm below the join: one fold per stored vector, not per (vector,
     # query) output row; the broadcast side's norm is folded once at build.
-    base = base.withColumn("__vn", _norm_of(vec_col, dim))
+    base = base.withColumn("__vn", l2_norm(vec_col))
     scored = base.crossJoin(q).select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
         F.round(
-            _cos_of(
-                F.col(vec_col), F.col("__qvec"), F.col("__vn"),
-                F.col("__qn"), dim,
+            cosine_given_norms(
+                F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
             ),
             6,
         ).alias("score"),
@@ -93,13 +65,11 @@ def brute_force_topk(
     threshold: float | None = None,
     pre_filter: Column | None = None,
     carry_cols: tuple[str, ...] = (),
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k (V1/V2): score + TakeOrdered(k) with id
     tie-break — a single scan, no shuffle beyond the final take."""
     scored = score_vectors(
-        vectors, query, id_col, vec_col, threshold, pre_filter, carry_cols,
-        dim,
+        vectors, query, id_col, vec_col, threshold, pre_filter, carry_cols
     )
     return scored.orderBy(
         F.col("score").desc(), F.col(id_col).asc()
@@ -114,7 +84,6 @@ def score_vectors_many(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     pre_filter: Column | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """BATCHED :func:`score_vectors`: N queries against the corpus in
     ONE plan — (query_id, id, score) with scores BIT-IDENTICAL to the
@@ -130,17 +99,16 @@ def score_vectors_many(
         queries.select(
             F.col(query_id_col).alias("__qid"),
             F.col(query_vec_col).alias("__qvec"),
-        ).withColumn("__qn", _norm_of("__qvec", dim))
+        ).withColumn("__qn", l2_norm("__qvec"))
     )
     base = vectors.filter(pre_filter) if pre_filter is not None else vectors
-    base = base.withColumn("__vn", _norm_of(vec_col, dim))
+    base = base.withColumn("__vn", l2_norm(vec_col))
     return base.crossJoin(q).select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
         F.round(
-            _cos_of(
-                F.col(vec_col), F.col("__qvec"), F.col("__vn"),
-                F.col("__qn"), dim,
+            cosine_given_norms(
+                F.col(vec_col), F.col("__qvec"), F.col("__vn"), F.col("__qn")
             ),
             6,
         ).alias("score"),
@@ -156,7 +124,6 @@ def brute_force_topk_many(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     pre_filter: Column | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k for N queries in ONE plan — the batched twin
     of :func:`brute_force_topk` (VERDICT r8 next #2).  The global
@@ -169,7 +136,7 @@ def brute_force_topk_many(
 
     scored = score_vectors_many(
         vectors, queries, id_col, vec_col,
-        query_id_col, query_vec_col, pre_filter, dim,
+        query_id_col, query_vec_col, pre_filter,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.asc(id_col)

@@ -1117,46 +1117,6 @@ def test_two_stage_materialize_stage1_identical_rows(spark):
         assert base.collect() == ckpt.collect()
 
 
-def test_fixed_dim_folds_bit_identical(spark):
-    """r14: dot_fixed / l2_norm_fixed / cosine_given_norms_fixed unroll
-    the interpreted aggregate folds for a statically known dim — the
-    values must be BIT-identical to the fold forms (same IEEE op
-    sequence including the 0.0 seed), over negatives, zero vectors, and
-    denormal-ish magnitudes."""
-    from sortify_spark.functions.vectors import (
-        cosine_given_norms,
-        cosine_given_norms_fixed,
-        dot,
-        dot_fixed,
-        l2_norm,
-        l2_norm_fixed,
-    )
-
-    rows = [
-        ([1.0, -2.5, 3.25, 0.0], [4.0, 0.5, -1.75, 2.0]),
-        ([0.0, 0.0, 0.0, 0.0], [-1.0, 2.0, -3.0, 4.0]),
-        ([1e-300, -1e300, 3.141592653589793, -0.0], [2.0, 1e-300, -1.0, 5.0]),
-        ([0.1, 0.2, 0.3, 0.4], [0.4, 0.3, 0.2, 0.1]),
-    ]
-    df = spark.createDataFrame(
-        rows, "a array<double>, b array<double>"
-    ).select(
-        dot("a", "b").alias("d0"),
-        dot_fixed("a", "b", 4).alias("d1"),
-        l2_norm("a").alias("n0"),
-        l2_norm_fixed("a", 4).alias("n1"),
-        cosine_given_norms("a", "b", l2_norm("a"), l2_norm("b")).alias("c0"),
-        cosine_given_norms_fixed(
-            "a", "b", l2_norm_fixed("a", 4), l2_norm_fixed("b", 4), 4
-        ).alias("c1"),
-    )
-    import struct
-
-    for r in df.collect():
-        for x, y in ((r.d0, r.d1), (r.n0, r.n1), (r.c0, r.c1)):
-            assert struct.pack("<d", x) == struct.pack("<d", y), (x, y)
-
-
 def test_two_stage_many_materialize_stage1_identical_rows(spark):
     """r14: the batched twin of the stage-1 checkpoint knob is a
     scheduling change only — per-group rows (values AND rnk) must match
@@ -1194,3 +1154,37 @@ def test_two_stage_many_materialize_stage1_identical_rows(spark):
         key = ["query_id", "rnk"]
         assert sorted(base.collect(), key=lambda r: (r.query_id, r.rnk)) == \
             sorted(ckpt.collect(), key=lambda r: (r.query_id, r.rnk))
+
+
+def test_vocab_embed_frame_bit_identical_and_gated(spark):
+    """r14: the broadcast vocab-map embedding must be BIT-identical to
+    the per-occurrence expr_embed fold (same token order, same IEEE op
+    sequence), and must return None past the vocabulary-size gate so
+    callers keep the unbounded-vocabulary fallback."""
+    from sortify_spark.functions.sql_embed import (
+        expr_embed,
+        vocab_embed_frame,
+    )
+    from sortify_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ref = docs.select(
+        F.col("doc_id").alias("id"),
+        expr_embed(F.col("text"), dim=8).alias("ea"),
+    )
+    got = vocab_embed_frame(docs, id_col="doc_id", dim=8, max_vocab=10**9)
+    assert got is not None
+    bad = (
+        ref.join(got.withColumnRenamed("e", "eb"), "id")
+        .filter(
+            F.expr(
+                "size(ea) <> size(eb) OR "
+                "exists(zip_with(ea, eb, (x, y) -> x = y), z -> NOT z)"
+            )
+        )
+        .count()
+    )
+    assert bad == 0
+    assert ref.count() == got.count()
+    # gate: vocabulary larger than the cap -> fall back (None)
+    assert vocab_embed_frame(docs, id_col="doc_id", dim=8, max_vocab=1) is None
