@@ -99,6 +99,7 @@ def vocab_embed_frame(
     text_col: str = "text",
     dim: int = EXPR_EMBED_DIM,
     max_vocab: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ):
     """(id, e) embedding frame computed via a per-DISTINCT-token hash
     table instead of per-occurrence md5 folds — BIT-IDENTICAL to
@@ -126,7 +127,9 @@ def vocab_embed_frame(
             os.environ.get("SORTIFY_EMBED_VOCAB_MAX", str(VOCAB_EMBED_MAX))
         )
     toks = docs.select(
-        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("toks")
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry_cols],
+        tokens_expr(F.col(text_col)).alias("toks"),
     )
     distinct_toks = toks.select(F.explode("toks").alias("t")).distinct()
     if max_vocab >= 0:
@@ -152,7 +155,7 @@ def vocab_embed_frame(
             acc, F.element_at(F.col("m"), t), lambda x, y: x + y
         ),
     )
-    j = toks.crossJoin(vmap).select("id", raw.alias("raw"))
+    j = toks.crossJoin(vmap).select("id", *carry_cols, raw.alias("raw"))
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col("raw"), lambda x: x * x),
@@ -162,6 +165,7 @@ def vocab_embed_frame(
     )
     return j.select(
         "id",
+        *carry_cols,
         F.when(norm == 0.0, F.col("raw"))
         .otherwise(F.transform(F.col("raw"), lambda x: x / norm))
         .alias("e"),

@@ -631,15 +631,27 @@ def semdedup_docs_stats(docs: DataFrame) -> DataFrame:
     # times.  localCheckpoint (not persist) so the blocks are released
     # by the context cleaner when the result is gone, instead of
     # accumulating in the cache manager across repeated invocations.
-    e = (
-        docs.select(
+    # r14: the embedding comes from the broadcast vocab-map form where
+    # the vocabulary is bounded (bit-identical fold; md5 work vocab×dim
+    # instead of occurrences×dim — see hybrid_lexical_semantic), with
+    # the per-occurrence fold kept as the unbounded fallback.
+    from sortify_spark.functions.sql_embed import vocab_embed_frame
+
+    vf = vocab_embed_frame(
+        docs, id_col="doc_id", dim=DOCSEM_DIM, carry_cols=("source",)
+    )
+    embedded = (
+        vf.withColumnRenamed("id", "doc_id")
+        if vf is not None
+        else docs.select(
             "doc_id",
             "source",
             expr_embed(F.col("text"), dim=DOCSEM_DIM).alias("e"),
         )
-        .withColumn("bucket", lsh_portable_key("e", nbits=DOCSEM_BITS))
-        .localCheckpoint(eager=True)
     )
+    e = embedded.withColumn(
+        "bucket", lsh_portable_key("e", nbits=DOCSEM_BITS)
+    ).localCheckpoint(eager=True)
     from sortify_spark.dedup import banded_self_join_pairs
 
     # guarded block self-join (see semdedup_stats): the greedy drop
