@@ -118,7 +118,13 @@ class _KernelSpy:
     """
 
     def __init__(self):
-        from pyspark.sql import DataFrame
+        # Spark 4: concrete frames are pyspark.sql.classic.dataframe
+        # .DataFrame, which OVERRIDES the public base-class methods —
+        # patch the concrete class or the spy sees nothing.
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # pre-4.0 layout
+            from pyspark.sql import DataFrame
 
         self._cls = DataFrame
         self._orig_ckpt = DataFrame.localCheckpoint
